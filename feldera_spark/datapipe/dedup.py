@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: every operator here is expressed as hash → groupBy /
+equi-join, never a pairwise comparison over the full corpus:
+
+- exact dedup: one shuffle on a 64-bit content hash;
+- MinHash+LSH: shingle explode → per-(doc, seed) min-hash aggregation →
+  band-bucket equi-join. Only docs sharing a band bucket are ever paired,
+  so the candidate set is ~linear in corpus size for a fixed threshold;
+- SimHash: per-doc fingerprint via bit-vote aggregation (explode is
+  bounded: tokens × n_bits);
+- n-gram Jaccard: inverted-index self-join on shingles (the brute-force
+  verifier applied AFTER LSH pruning at scale; exposed directly for
+  small candidate sets).
+
+Hashing is md5-based (``md5_i64``) so signatures are engine-portable and
+deterministic — no Python in the hot path, everything is Catalyst
+expressions over JVM codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feldera_spark.functions import md5_i64
+
+
+def _tokens(text_col) -> F.Column:
+    return F.split(text_col, " ")
+
+
+def token_shingles(df: DataFrame, text: str, n: int = 3) -> DataFrame:
+    """Explode each doc into its n-token shingles (space-joined)."""
+    toks = _tokens(F.col(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return df.withColumn("shingle", F.explode(shingles))
+
+
+def exact_dedup(
+    df: DataFrame, key_expr, id_col: str
+) -> DataFrame:
+    """Exact dedup: group on a content hash, keep the smallest id.
+
+    Returns (content_hash, canonical_id, n_copies). One shuffle on the
+    hash; at 100 TB this is the cheapest possible full-corpus dedup.
+    """
+    return (
+        df.select(md5_i64(key_expr).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature rows (id, seed j, min-hash value).
+
+    h_j(s) = md5_i64(j || ':' || s); signature_j = min over shingles.
+    Row form (not array form) keeps the downstream band-bucket computation
+    a plain aggregation.
+    """
+    sh = token_shingles(df.select(id_col, text), text, n=shingle_n).select(
+        id_col, "shingle"
+    )
+    seeded = sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+    hashed = seeded.withColumn(
+        "minv",
+        md5_i64(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))),
+    )
+    return hashed.groupBy(id_col, "j").agg(F.min("minv").alias("minv"))
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """Group signature rows into bands; bucket = hash of the band's values
+    in seed order. Docs sharing any (band, bucket) are near-dup candidates."""
+    banded = signatures.withColumn("band", F.floor(F.col("j") / rows_per_band))
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minv"))),
+                    lambda s: s["minv"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+        .withColumn(
+            "bucket",
+            md5_i64(
+                F.concat_ws(":", F.col("band").cast("string"), F.col("band_key"))
+            ),
+        )
+        .drop("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band bucket."""
+    sigs = minhash_signatures(df, id_col, text, num_hashes, shingle_n)
+    buckets = lsh_band_buckets(sigs, id_col, rows_per_band)
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: |A∩B| counted by joining distinct (doc, shingle)
+    postings on shingle; |A∪B| = |A|+|B|-|A∩B|. If ``candidates`` is given
+    (e.g. from LSH), intersections are only computed for those pairs —
+    the scale path.
+    """
+    postings = (
+        token_shingles(df.select(id_col, text), text, n=shingle_n)
+        .select(F.col(id_col).alias("id"), "shingle")
+        .distinct()
+    )
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = postings.select(F.col("id").alias("id_a"), "shingle")
+    b = postings.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, on="id_a")
+        .join(sz_b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text: str, n_bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash fingerprint: majority vote over token-hash bits.
+
+    Bit i of the fingerprint is 1 iff more token hashes have bit i set
+    than not. The explode factor is tokens × n_bits — bounded; the
+    production path for very long docs is a vectorized Pandas UDF with
+    identical semantics (same md5 bit votes).
+    """
+    toks = (
+        df.select(id_col, F.explode(_tokens(F.col(text))).alias("tok"))
+        .withColumn("h", md5_i64(F.col("tok")))
+    )
+    bits = toks.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))))
+    votes = bits.withColumn(
+        "vote",
+        F.when(F.expr("(h div CAST(pow(2, i) AS BIGINT)) % 2") == 1, 1).otherwise(-1),
+    )
+    return (
+        votes.groupBy(id_col, "i")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("CAST(pow(2, i) AS BIGINT)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; one pass, no shuffle of the corpus. The
+  baseline and the verifier for approximate methods.
+- ``hyperplane_lsh_buckets`` — random-hyperplane LSH: each vector gets a
+  b-bit signature (sign of dot with b pseudo-random hyperplanes derived
+  deterministically from md5, so results are reproducible and
+  oracle-checkable). ANN search = equi-join on bucket → candidate set ~
+  corpus/2^b per query; the 100 TB scale path.
+
+Numeric determinism: embeddings are scaled to integers (×1e7) before dot
+products; partial sums stay < 2^53 so double accumulation is exact and
+order-independent — identical results on any engine, any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10_000_000
+
+
+def _int_vec(col) -> F.Column:
+    # cast to double BEFORE scaling so float32 inputs promote identically
+    # on every engine (float*int staying in float32 would diverge)
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_int_embedding(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("__iv", _int_vec(F.col(vec_col))).withColumn(
+        "__norm", F.sqrt(_dot(F.col("__iv"), F.col("__iv")))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Queries are broadcast;
+    the corpus is scanned once with no shuffle until the final per-query
+    top-k (a tiny aggregation keyed by query id).
+    """
+    from pyspark.sql.window import Window
+
+    q = with_int_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__iv").alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    c = with_int_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__iv").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH signature per vector.
+
+    Plane p's component i is md5_i64(p ':' i) % 2001 - 1000 (a fixed
+    pseudo-random integer vector). Signature bit p = [dot(v, w_p) > 0].
+    Returns (id, bucket). ANN candidate generation = self-join on bucket.
+    """
+    from feldera_spark.functions import md5_i64
+
+    spark = df.sparkSession
+    planes = (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("p"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))))
+        .withColumn(
+            "w",
+            md5_i64(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string")))
+            % 2001
+            - 1000,
+        )
+        .groupBy("p")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "w"))).alias("wv"))
+        .select("p", F.transform("wv", lambda s: s["w"]).alias("wv"))
+    )
+    v = df.select(F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("iv"))
+    scored = v.join(F.broadcast(planes)).withColumn(
+        "bit", F.when(_dot(F.col("iv"), F.col("wv")) > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum(F.col("bit") * F.expr("CAST(pow(2, p) AS BIGINT)")).alias("bucket")
+        )
+    )

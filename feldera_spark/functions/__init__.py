@@ -1,0 +1,100 @@
+"""Scalar function dialect layer — the gaps between the reference's SQL
+dialect (``crates/sqllib``, ``docs/sql/function-index.md``) and built-in
+Spark functions (SURVEY §2.9: everything else maps 1:1 to
+``pyspark.sql.functions``).
+
+All shims are pure Column expressions (JVM-side, codegen-friendly); no
+Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- portable deterministic hashing -----------------------------------------
+
+def md5_i64(col) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT.
+
+    Portable across engines (DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``);
+    used by dedup/LSH operators so oracles can reproduce signatures exactly.
+    """
+    return F.conv(F.substring(F.md5(F.encode(_c(col), "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+MD5_I64_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # DuckDB twin
+
+
+# --- numeric gaps (float.rs trig/misc not in Spark) -------------------------
+
+def sec(col) -> Column:
+    return F.lit(1.0) / F.cos(_c(col))
+
+
+def csc(col) -> Column:
+    return F.lit(1.0) / F.sin(_c(col))
+
+
+def coth(col) -> Column:
+    return F.cosh(_c(col)) / F.sinh(_c(col))
+
+
+def sech(col) -> Column:
+    return F.lit(1.0) / F.cosh(_c(col))
+
+
+def csch(col) -> Column:
+    return F.lit(1.0) / F.sinh(_c(col))
+
+
+def div_null(a, b) -> Column:
+    """DIV_NULL: NULL on division by zero (sqllib operators.rs)."""
+    return F.try_divide(_c(a), _c(b))
+
+
+def is_inf(col) -> Column:
+    return _c(col).isin(float("inf"), float("-inf"))
+
+
+def finite_or_null(col) -> Column:
+    c = _c(col)
+    return F.when(~(F.isnan(c) | is_inf(c)), c)
+
+
+# --- timestamp gaps ---------------------------------------------------------
+
+def ceil_ts(col, unit: str) -> Column:
+    """CEIL(ts TO unit) (timestamp.rs ceil_* family): round a timestamp up
+    to the unit boundary (identity when already on the boundary)."""
+    c = _c(col)
+    truncated = F.date_trunc(unit, c)
+    one = F.expr(f"INTERVAL 1 {unit}")
+    return F.when(truncated == c, c).otherwise(truncated + one)
+
+
+def ms_to_timestamp(col) -> Column:
+    """Feldera CAST(int AS TIMESTAMP) treats the int as MILLISECONDS
+    (docs/sql/ad-hoc.md:36-39); Spark's cast uses seconds. Explicit shim."""
+    return F.timestamp_millis(_c(col).cast("long"))
+
+
+def timestamp_to_ms(col) -> Column:
+    return F.unix_millis(_c(col).cast("timestamp"))
+
+
+# --- misc -------------------------------------------------------------------
+
+def gunzip(col) -> Column:
+    """GUNZIP (sqllib binary.rs): not available as a built-in; placeholder
+    raises at plan time rather than silently mis-executing."""
+    raise NotImplementedError(
+        "gunzip needs a small pandas UDF (zlib); add when a workload requires it"
+    )

@@ -1,0 +1,44 @@
+"""Recursive (fixpoint) view evaluation.
+
+Reference: ``DECLARE RECURSIVE VIEW`` (``docs/sql/recursion.mdx:14-60``)
+runs a nested circuit to fixpoint (``operator/recursive.rs:262``); DBSP's
+incremental semantics make evaluation semi-naive automatically.
+
+Spark: a driver-side semi-naive iteration — each step computes the frontier
+(new rows only) and unions it into the accumulator. ``localCheckpoint``
+truncates the lineage so plans don't grow unboundedly with iterations
+(classic Spark transitive-closure pattern). Each iteration is a distributed
+job; the driver only orchestrates, never holds rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def fixpoint(
+    seed: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 100,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Semi-naive fixpoint: acc ∪= step(frontier) \\ acc until empty frontier.
+
+    ``step`` receives the current frontier (delta) and returns candidate new
+    rows; rows already in the accumulator are subtracted before the next
+    round, so work per round is proportional to the frontier, not the
+    accumulated result (semi-naive evaluation).
+    """
+    acc = seed.distinct().localCheckpoint(eager=True)
+    frontier = acc
+    for i in range(max_iterations):
+        candidates = step(frontier).distinct()
+        frontier = candidates.exceptAll(acc).distinct()
+        if i % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        if frontier.limit(1).count() == 0:
+            return acc
+        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")

@@ -1,0 +1,312 @@
+"""LLM training-data pipeline queries (dedup / similarity / text analysis /
+multimodal) with DuckDB oracle twins.
+
+The oracles reproduce the exact md5-derived signatures
+(``('0x'||substr(md5(x),1,15))::BIGINT`` == Spark
+``conv(substr(md5(x),1,15),16,10)``), so even MinHash/SimHash/LSH results
+hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feldera_spark.datapipe.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from feldera_spark.datapipe.multimodal import documents_as_binary, extract_metadata
+from feldera_spark.datapipe.similarity import cosine_topk, hyperplane_lsh_buckets
+from feldera_spark.datapipe.text import fingerprint, language_id, quality_score, token_stats
+from feldera_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# DuckDB fragments shared by several oracles
+_MD5 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = f"""
+  toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+  sh AS (
+    SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(tk)-1, 1))) AS u(i)
+  )
+"""
+_MINHASH = f"""
+  seeded AS (
+    SELECT doc_id, j, {_MD5.format(x="CAST(j AS VARCHAR) || ':' || shingle")} AS hv
+    FROM sh, UNNEST(range(0, 8)) AS s(j)
+  ),
+  mh AS (SELECT doc_id, j, min(hv) AS minv FROM seeded GROUP BY doc_id, j)
+"""
+
+
+@q(
+    "d01_exact_dedup",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_MD5.format(x=f"array_to_string(({_TOKS})[1:2], ' ')")} AS content_hash
+      FROM documents
+    )
+    SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM keyed GROUP BY content_hash
+    """,
+)
+def d01_exact_dedup(spark, sf_dir):
+    """Exact (hash-groupBy) dedup on a normalized content key (here: the
+    2-token prefix, which actually collides in the synthetic corpus)."""
+    d = t(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    return exact_dedup(d, key, "doc_id")
+
+
+@q(
+    "d02_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES}, {_MINHASH}
+    SELECT doc_id, j, minv FROM mh WHERE doc_id < 50
+    """,
+)
+def d02_minhash_signatures(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+
+
+@q(
+    "d03_lsh_candidate_pairs",
+    oracle=f"""
+    WITH {_SHINGLES}, {_MINHASH},
+    bb AS (
+      SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
+             string_agg(CAST(minv AS VARCHAR), ',' ORDER BY j) AS band_key
+      FROM mh GROUP BY doc_id, j // 2
+    ),
+    buckets AS (
+      SELECT doc_id, band,
+             {_MD5.format(x="CAST(band AS VARCHAR) || ':' || band_key")} AS bucket
+      FROM bb
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def d03_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash+LSH banding: near-dup candidates = docs sharing a band
+    bucket. Equi-join on (band, bucket) — never a pairwise scan."""
+    d = t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+
+
+@q(
+    "d04_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES},
+    postings AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+    sizes AS (SELECT id, count(*) AS sz FROM postings GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05
+    """,
+)
+def d04_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted-index join."""
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.05)
+
+
+@q(
+    "d05_simhash",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5.format(x="tok")} AS h FROM tk),
+    bits AS (
+      SELECT doc_id, i, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM h, UNNEST(range(0, 16)) AS r(i)
+    ),
+    v AS (SELECT doc_id, i, sum(vote) AS v FROM bits GROUP BY doc_id, i)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
+def d05_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", n_bits=16)
+
+
+@q(
+    "d06_cosine_topk",
+    oracle="""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(CAST(list_dot_product(v, v) AS DOUBLE)) AS nrm FROM iv),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.v, c.v) AS DOUBLE) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def d06_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (the ANN baseline/verifier).
+    Integer-scaled dot products keep partial sums < 2^53 → bit-exact on
+    any engine and any partitioning."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@q(
+    "d07_ann_lsh_buckets",
+    oracle="""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT p, i,
+             ((('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 2001 - 1000) AS w
+      FROM UNNEST(range(0, 8)) AS pp(p), UNNEST(range(0, 64)) AS ii(i)
+    ),
+    dots AS (
+      SELECT iv.vec_id, planes.p, sum(v[CAST(i AS INT) + 1] * w) AS d
+      FROM iv CROSS JOIN planes GROUP BY iv.vec_id, planes.p
+    )
+    SELECT vec_id AS id,
+           sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+)
+def d07_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing — the ANN scale path: candidate
+    generation becomes an equi-join on bucket instead of a cross join."""
+    emb = t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_buckets(emb, id_col="vec_id", vec_col="embedding")
+
+
+@q(
+    "d08_language_id",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(tk, t -> list_contains(['the','a','of','to','and'], t))) AS en_hits,
+             len(list_filter(tk, t -> list_contains(['der','die','das','und','ein'], t))) AS de_hits,
+             len(list_filter(tk, t -> list_contains(['el','la','de','los','y'], t))) AS es_hits,
+             len(list_filter(tk, t -> list_contains(['le','la','de','les','et'], t))) AS fr_hits
+      FROM tk
+    )
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                WHEN es_hits >= fr_hits THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM hits
+    """,
+)
+def d08_language_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return language_id(d, "doc_id", "text")
+
+
+@q(
+    "d09_quality_score",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             CAST(len(list_filter(tk, t -> list_contains(
+               ['a','and','das','de','der','die','ein','el','et','la','le','les','los','of','the','to','und','y'], t)))
+               AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stopword_ratio,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS type_token_ratio,
+             CASE WHEN len(tk) >= 20 AND len(tk) <= 500 THEN 1.0 ELSE 0.5 END AS prior
+      FROM tk
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
+           stopword_ratio * 0.3 + type_token_ratio * 0.3 + prior * 0.4 AS quality
+    FROM s
+    """,
+)
+def d09_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return quality_score(d, "doc_id", "text")
+
+
+@q(
+    "d10_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_calc,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def d10_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return token_stats(d, "doc_id", "text")
+
+
+@q(
+    "d11_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_MD5.format(x="text")} AS content_fp,
+           {_MD5.format(x=f"array_to_string(list_sort(list_distinct({_TOKS})), ' ')")} AS bag_fp
+    FROM documents
+    """,
+)
+def d11_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return fingerprint(d, "doc_id", "text")
+
+
+@q(
+    "d12_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST((CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+)
+def d12_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas metadata extraction (deterministic fake decode)."""
+    d = t(spark, sf_dir, "documents")
+    return extract_metadata(documents_as_binary(d), "doc_id", "payload")

@@ -1,0 +1,155 @@
+"""IVM correctness queries: evaluate views INCREMENTALLY over chunked
+change streams (with genuine deletions), then oracle-check the final
+materialized state against plain batch SQL.
+
+This is THE reference invariant (README.md:67-70): after any sequence of
+deltas, incremental output == batch recomputation. The driver's oracle
+gate proves it end-to-end: the Spark side runs the delta rules from
+``feldera_spark.streaming.incremental``; the DuckDB side is ordinary SQL
+over the net (inserted-minus-deleted) data.
+
+Change encoding: rows + ``__weight`` (+1 insert / −1 delete) — the
+``insert_delete`` envelope of the reference's connectors
+(``crates/adapters/src/format/``) normalized to Z-set weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feldera_spark.queries._util import t
+from feldera_spark.streaming.incremental import (
+    IncrementalAggregateView,
+    IncrementalDistinctView,
+    IncrementalJoinView,
+    wcount,
+    wsum,
+)
+from feldera_spark.zset import WEIGHT
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _event_chunks(spark, sf_dir):
+    """Deterministic change stream over events: 3 insert chunks
+    (event_id % 3), then a delete chunk retracting event_id % 10 == 3."""
+    e = t(spark, sf_dir, "events")
+    chunks = [
+        e.filter(F.col("event_id") % 3 == i).withColumn(WEIGHT, F.lit(1).cast("long"))
+        for i in range(3)
+    ]
+    chunks.append(
+        e.filter(F.col("event_id") % 10 == 3).withColumn(
+            WEIGHT, F.lit(-1).cast("long")
+        )
+    )
+    return chunks
+
+# Net input after the delete chunk, as SQL:
+_NET = "SELECT * FROM events WHERE event_id % 10 <> 3"
+
+
+@q(
+    "i01_ivm_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i01_ivm_agg(spark, sf_dir):
+    """Linear aggregate maintained over 4 deltas (incl. deletions) —
+    O(delta) weighted sums (aggregate_linear, operator/aggregate.rs:209)."""
+    view = IncrementalAggregateView(
+        keys=["event_type"],
+        agg_fn=lambda df: df.groupBy("event_type").agg(
+            wcount().alias("n"),
+            wsum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        ),
+    )
+    for chunk in _event_chunks(spark, sf_dir):
+        view.step(chunk.select("event_type", "value", WEIGHT))
+    return view.materialized()
+
+
+@q(
+    "i02_ivm_minmax",
+    oracle=f"""
+    SELECT event_type, max(value) AS max_value, min(value) AS min_value,
+           count(*) AS n
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i02_ivm_minmax(spark, sf_dir):
+    """MIN/MAX with retractions — the 'general' aggregate class: deleting
+    the current max forces re-aggregation of the touched group from the
+    integral (docs/sql/aggregates.md:418-434)."""
+    view = IncrementalAggregateView(
+        keys=["event_type"],
+        agg_fn=lambda df: df.filter(F.col(WEIGHT) > 0)
+        .groupBy("event_type")
+        .agg(
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.sum(WEIGHT).alias("n"),
+        ),
+    )
+    for chunk in _event_chunks(spark, sf_dir):
+        view.step(chunk.select("event_type", "value", WEIGHT))
+    return view.materialized()
+
+
+@q(
+    "i03_ivm_join",
+    oracle=f"""
+    SELECT c.c_nationkey, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ({_NET}) e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def i03_ivm_join(spark, sf_dir):
+    """Bilinear incremental join (ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, join.rs) with the
+    customer side arriving mid-stream, then a batch aggregate on top."""
+    join_view = IncrementalJoinView(on=["user_id"])
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )
+    chunks = _event_chunks(spark, sf_dir)
+    # interleave: events chunk 0, then customers, then remaining event deltas
+    join_view.step(chunks[0].select("event_id", "user_id", "value", WEIGHT), None)
+    join_view.step(None, cust)
+    for chunk in chunks[1:]:
+        join_view.step(chunk.select("event_id", "user_id", "value", WEIGHT), None)
+    joined = join_view.materialized()
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+@q(
+    "i04_ivm_distinct",
+    oracle=f"""
+    SELECT DISTINCT user_id, event_type FROM ({_NET})
+    """,
+)
+def i04_ivm_distinct(spark, sf_dir):
+    """DISTINCT maintained incrementally: ±1 only on zero-crossings
+    (zset.rs:149-196)."""
+    view = IncrementalDistinctView()
+    for chunk in _event_chunks(spark, sf_dir):
+        view.step(chunk.select("user_id", "event_type", WEIGHT))
+    return view.materialized()

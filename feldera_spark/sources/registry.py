@@ -1,0 +1,61 @@
+"""Table registry over the driver-provided parquet test data.
+
+Mirrors the reference's source surface at the level we need for batch
+correctness (reference: file/S3/parquet connectors,
+``crates/adapters/src/transport/file.rs``, ``format/parquet``): a declared
+set of named relations loaded from columnar files. On a cluster these
+reads are plain distributed parquet scans — predicate pushdown and column
+pruning reach the scan via Catalyst, nothing custom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are constant-size; supplier/part/customer grow with SF but
+# stay broadcastable into the TB range relative to fact tables).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos timestamp
+    # type, so read it as raw nanos and rebuild a TIMESTAMP_NTZ at micro
+    # precision (identical to DuckDB's nanos→micros truncation). The
+    # timestampadd form is session-timezone-independent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views (for spark.sql)."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

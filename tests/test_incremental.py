@@ -1,0 +1,113 @@
+"""The Feldera invariant (README.md:67-70): incremental evaluation over ANY
+chunking of the input — including deletions — equals batch recomputation.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from feldera_spark.streaming.incremental import (
+    IncrementalAggregateView,
+    IncrementalDistinctView,
+    IncrementalJoinView,
+    wcount,
+    wsum,
+)
+from feldera_spark.zset import WEIGHT
+
+
+def _chunked_changes(spark, n_rows=300, n_chunks=5, seed=7):
+    """Random rows split into chunks; ~20% of inserted rows are later
+    retracted in a subsequent chunk."""
+    rng = random.Random(seed)
+    rows = [(i, rng.choice("abcd"), rng.randint(0, 100)) for i in range(n_rows)]
+    inserts = [(i, k, v, 1) for i, k, v in rows]
+    deletes = [(i, k, v, -1) for i, k, v in rows if rng.random() < 0.2]
+    chunks = [[] for _ in range(n_chunks)]
+    for r in inserts:
+        chunks[rng.randrange(n_chunks)].append(r)
+    for r in deletes:
+        # delete must land at or after its insert chunk; put in last chunk
+        chunks[n_chunks - 1].append(r)
+    deleted_ids = {r[0] for r in deletes}
+    live = [(i, k, v) for i, k, v in rows if i not in deleted_ids]
+    dfs = [
+        spark.createDataFrame(c, ["id", "k", "v", WEIGHT]) for c in chunks if c
+    ]
+    live_df = spark.createDataFrame(live, ["id", "k", "v"])
+    return dfs, live_df
+
+
+def test_incremental_agg_equals_batch(spark):
+    chunks, live = _chunked_changes(spark)
+    view = IncrementalAggregateView(
+        keys=["k"],
+        agg_fn=lambda df: df.groupBy("k").agg(
+            wcount().alias("n"), wsum("v").alias("total")
+        ),
+    )
+    for c in chunks:
+        view.step(c)
+    got = sorted((r.k, r.n, r.total) for r in view.materialized().collect())
+    want = sorted(
+        (r.k, r.n, r.total)
+        for r in live.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_incremental_minmax_retraction(spark):
+    chunks, live = _chunked_changes(spark, seed=13)
+    view = IncrementalAggregateView(
+        keys=["k"],
+        agg_fn=lambda df: df.filter(F.col(WEIGHT) > 0)
+        .groupBy("k")
+        .agg(F.max("v").alias("mx"), F.min("v").alias("mn")),
+    )
+    for c in chunks:
+        view.step(c)
+    got = sorted((r.k, r.mx, r.mn) for r in view.materialized().collect())
+    want = sorted(
+        (r.k, r.mx, r.mn)
+        for r in live.groupBy("k")
+        .agg(F.max("v").alias("mx"), F.min("v").alias("mn"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_incremental_join_equals_batch(spark):
+    chunks, live = _chunked_changes(spark, n_rows=200, seed=3)
+    dim = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "dim_v"]
+    ).withColumn(WEIGHT, F.lit(1).cast("long"))
+    view = IncrementalJoinView(on=["k"])
+    view.step(None, dim)
+    for c in chunks:
+        view.step(c, None)
+    got = sorted(
+        (r.id, r.k, r.v, r.dim_v) for r in view.materialized().collect()
+    )
+    want = sorted(
+        (r.id, r.k, r.v, r.dim_v)
+        for r in live.join(dim.drop(WEIGHT), on="k").collect()
+    )
+    assert got == want
+
+
+def test_incremental_distinct_zero_crossings(spark):
+    view = IncrementalDistinctView()
+    d1 = spark.createDataFrame([("a", 1), ("a", 1), ("b", 1)], ["k", WEIGHT])
+    delta1 = view.step(d1)
+    assert sorted((r["k"], r["__weight"]) for r in delta1.collect()) == [("a", 1), ("b", 1)]
+    # retract one 'a' (still present: weight 2→1 → no output delta)
+    d2 = spark.createDataFrame([("a", -1)], ["k", WEIGHT])
+    assert view.step(d2).count() == 0
+    # retract the last 'a' → emits -1
+    d3 = spark.createDataFrame([("a", -1)], ["k", WEIGHT])
+    assert sorted((r["k"], r["__weight"]) for r in view.step(d3).collect()) == [("a", -1)]
+    assert sorted(r.k for r in view.materialized().collect()) == ["b"]
