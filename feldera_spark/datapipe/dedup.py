@@ -56,24 +56,49 @@ def exact_dedup(
     )
 
 
+# MinHash permutation constants: h_j = (A_j * h32 + B_j) mod P32.
+# P32 = largest prime < 2^32; A_j/B_j < 2^29 so A_j*h32 < 2^61 (no int64
+# overflow). Derived once from md5 so both engines can restate them.
+MINHASH_P = 4294967291
+MINHASH_COEFFS = [
+    (421400231, 268121467),
+    (140405764, 477040398),
+    (59417442, 534414089),
+    (383588186, 201378225),
+    (511614406, 314398789),
+    (236295454, 417365620),
+    (435393046, 517602440),
+    (274931387, 8405223),
+]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature rows (id, seed j, min-hash value).
 
-    h_j(s) = md5_i64(j || ':' || s); signature_j = min over shingles.
-    Row form (not array form) keeps the downstream band-bucket computation
-    a plain aggregation.
+    ONE md5 per shingle, then ``num_hashes`` linear permutations
+    h_j = (A_j*h + B_j) mod P computed as parallel aggregate columns —
+    no row explosion, a single shuffle on the doc id. (The classic
+    universal-hash minhash construction; 8× cheaper than hashing
+    (seed, shingle) pairs and the scale path at 100 TB.)
     """
-    sh = token_shingles(df.select(id_col, text), text, n=shingle_n).select(
-        id_col, "shingle"
+    assert num_hashes <= len(MINHASH_COEFFS)
+    sh = (
+        token_shingles(df.select(id_col, text), text, n=shingle_n)
+        .select(id_col, "shingle")
+        .withColumn("h", md5_i64(F.col("shingle")) % F.lit(4294967296))
     )
-    seeded = sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    hashed = seeded.withColumn(
-        "minv",
-        md5_i64(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))),
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    # row form (id, j, minv) for stable output + band aggregation
+    stack_args = ", ".join(f"{j}, sig{j}" for j in range(num_hashes))
+    return wide.select(
+        id_col, F.expr(f"stack({num_hashes}, {stack_args}) AS (j, minv)")
     )
-    return hashed.groupBy(id_col, "j").agg(F.min("minv").alias("minv"))
 
 
 def lsh_band_buckets(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from feldera_spark.datapipe.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_P,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -46,12 +48,18 @@ _SHINGLES = f"""
     FROM toks, UNNEST(range(1, greatest(len(tk)-1, 1))) AS u(i)
   )
 """
+_COEF_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
 _MINHASH = f"""
-  seeded AS (
-    SELECT doc_id, j, {_MD5.format(x="CAST(j AS VARCHAR) || ':' || shingle")} AS hv
-    FROM sh, UNNEST(range(0, 8)) AS s(j)
+  coef AS (SELECT * FROM (VALUES {_COEF_VALUES}) AS c(j, a, b)),
+  hh AS (
+    SELECT doc_id, {_MD5.format(x="shingle")} % 4294967296 AS h FROM sh
   ),
-  mh AS (SELECT doc_id, j, min(hv) AS minv FROM seeded GROUP BY doc_id, j)
+  mh AS (
+    SELECT doc_id, j, min((a * h + b) % {MINHASH_P}) AS minv
+    FROM hh CROSS JOIN coef GROUP BY doc_id, j
+  )
 """
 
 

@@ -36,7 +36,10 @@ from feldera_spark.zset import WEIGHT
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    # lazy: lineage is truncated at first use, without forcing an extra
+    # materialization job per delta step (on a cluster this becomes a
+    # Delta-table write / state-store commit)
+    return df.localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
