@@ -71,11 +71,29 @@ def finite_or_null(col) -> Column:
 
 # --- timestamp gaps ---------------------------------------------------------
 
+def floor_ts(col, unit: str) -> Column:
+    """FLOOR(ts TO unit) / *_TRUNC (timestamp.rs floor_*/trunc families),
+    session-timezone-independent on TIMESTAMP_NTZ (Spark's date_trunc is
+    NOT — it coerces NTZ through the session zone)."""
+    c = _c(col)
+    unit = unit.lower()
+    if unit in ("year", "month"):
+        return F.trunc(c.cast("date"), unit).cast("timestamp_ntz")
+    if unit == "day":
+        return c.cast("date").cast("timestamp_ntz")
+    if unit in ("hour", "minute"):
+        parts = [F.year(c), F.month(c), F.dayofmonth(c), F.hour(c)]
+        parts.append(F.minute(c) if unit == "minute" else F.lit(0))
+        parts.append(F.lit(0).cast("decimal(16,6)"))
+        return F.make_timestamp_ntz(*parts)
+    raise ValueError(f"unsupported unit {unit}")
+
+
 def ceil_ts(col, unit: str) -> Column:
     """CEIL(ts TO unit) (timestamp.rs ceil_* family): round a timestamp up
     to the unit boundary (identity when already on the boundary)."""
     c = _c(col)
-    truncated = F.date_trunc(unit, c)
+    truncated = floor_ts(c, unit)
     one = F.expr(f"INTERVAL 1 {unit}")
     return F.when(truncated == c, c).otherwise(truncated + one)
 

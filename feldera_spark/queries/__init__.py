@@ -12,9 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from feldera_spark.queries import datapipe, incremental, relational, temporal
+from feldera_spark.queries import (
+    datapipe,
+    incremental,
+    relational,
+    relational2,
+    temporal,
+)
 
-_MODULES = (relational, temporal, datapipe, incremental)
+_MODULES = (relational, relational2, temporal, datapipe, incremental)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
