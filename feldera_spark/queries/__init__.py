@@ -17,10 +17,11 @@ from feldera_spark.queries import (
     incremental,
     relational,
     relational2,
+    relational3,
     temporal,
 )
 
-_MODULES = (relational, relational2, temporal, datapipe, incremental)
+_MODULES = (relational, relational2, relational3, temporal, datapipe, incremental)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the properties that make these queries viable
+at 100 TB must be visible in explain() output, not assumed.
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema)
+- small dims broadcast (no fact-table shuffle for star joins)
+- ORDER BY+LIMIT compiles to TakeOrderedAndProject (no global sort)
+- whole-stage codegen covers the hot path
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feldera_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(_Q["q02_filter_revenue"](spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    # quantity < 24 and the two shipdate bounds must be pushed
+    assert "LessThan(l_quantity" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(_Q["q02_filter_revenue"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(_Q["q08_star_join"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region at least
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(_Q["q29_order_limit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_uses_whole_stage_codegen(spark):
+    df = _Q["q01_pricing_summary"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "Found" in plan and "WholeStageCodegen" in plan
+
+
+def test_semi_anti_join_plans(spark):
+    assert "LeftSemi" in _plan(_Q["q06_semi_join"](spark, SF_DIR))
+    assert "LeftAnti" in _plan(_Q["q07_anti_join"](spark, SF_DIR))
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must be a union + window (one Exchange by key),
+    NOT an inequality join (BroadcastNestedLoop/cartesian)."""
+    plan = _plan(_Q["q44_asof_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Banded range join: equi-join on bucket, no nested-loop."""
+    plan = _plan(_Q["q45_range_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_single_aggregate(spark):
+    # tree section only (formatted mode repeats each node in the details)
+    tree = _plan(_Q["d01_exact_dedup"](spark, SF_DIR)).split("\n\n")[0]
+    # one partial + one final hash aggregate, single exchange
+    assert tree.count("Exchange") == 1
