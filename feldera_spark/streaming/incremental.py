@@ -42,6 +42,43 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+class Spine:
+    """LSM-like integral: a list of delta batches, merged lazily.
+
+    Mirrors the reference's trace spine (``trace.rs:225``,
+    ``spine_async.rs``): appending a delta is O(1) — no O(state)
+    re-consolidation per step; reads restrict to the touched keys BEFORE
+    merging, so per-step work is O(delta + state[touched keys]). Batches
+    are compacted when the spine grows past ``max_batches`` (the merge is
+    the only O(state) operation, amortized — exactly an LSM compaction).
+    """
+
+    def __init__(self, max_batches: int = 8):
+        self.batches: list[DataFrame] = []
+        self.max_batches = max_batches
+
+    def append(self, delta: DataFrame) -> None:
+        self.batches.append(_checkpoint(delta))
+        if len(self.batches) > self.max_batches:
+            self.batches = [_checkpoint(zset.consolidate(zset.plus(*self.batches)))]
+
+    def read(self) -> DataFrame:
+        """Full consolidated state (one merge; avoid in per-step paths)."""
+        assert self.batches, "empty spine"
+        return zset.consolidate(zset.plus(*self.batches))
+
+    def read_for_keys(self, keys_df: DataFrame, on: list[str]) -> DataFrame:
+        """State restricted to the given keys: semi-join each batch down
+        BEFORE the merge shuffle — the IVM O(touched) read path."""
+        assert self.batches, "empty spine"
+        parts = [b.join(keys_df, on=on, how="left_semi") for b in self.batches]
+        return zset.consolidate(zset.plus(*parts))
+
+    @property
+    def empty(self) -> bool:
+        return not self.batches
+
+
 # ---------------------------------------------------------------------------
 # Weighted aggregate expression helpers (linear aggregates: O(delta))
 # ---------------------------------------------------------------------------
@@ -69,35 +106,31 @@ class IncrementalAggregateView:
     def __init__(self, keys: list[str], agg_fn: Callable[[DataFrame], DataFrame]):
         self.keys = keys
         self.agg_fn = agg_fn
-        self.integral: DataFrame | None = None
-        self.output: DataFrame | None = None
+        self.integral = Spine()
+        self.output = Spine()
 
     def step(self, delta: DataFrame) -> DataFrame:
-        """Apply one input delta; returns the output delta (Z-set)."""
+        """Apply one input delta; returns the output delta (Z-set).
+
+        Work per step is O(|delta| + state restricted to touched keys):
+        both the integral and the output are spines read key-restricted.
+        """
         delta = zset.lift(delta)
-        self.integral = _checkpoint(
-            zset.integrate(self.integral, delta)
-            if self.integral is not None
-            else zset.consolidate(delta)
-        )
         touched = delta.select(*self.keys).distinct()
-        affected = self.integral.join(touched, on=self.keys, how="left_semi")
+        self.integral.append(delta)
+        affected = self.integral.read_for_keys(touched, self.keys)
         new_groups = zset.lift(self.agg_fn(affected))
-        if self.output is None:
-            out_delta = new_groups
-            self.output = _checkpoint(zset.consolidate(new_groups))
-            return out_delta
-        old_groups = self.output.join(touched, on=self.keys, how="left_semi")
-        out_delta = zset.consolidate(zset.minus(new_groups, old_groups))
-        untouched = self.output.join(touched, on=self.keys, how="left_anti")
-        self.output = _checkpoint(
-            zset.consolidate(untouched.unionByName(new_groups))
-        )
+        if self.output.empty:
+            out_delta = zset.consolidate(new_groups)
+        else:
+            old_groups = self.output.read_for_keys(touched, self.keys)
+            out_delta = zset.consolidate(zset.minus(new_groups, old_groups))
+        self.output.append(out_delta)
         return out_delta
 
     def materialized(self) -> DataFrame:
-        assert self.output is not None, "no deltas processed yet"
-        return self.output.drop(WEIGHT)
+        assert not self.output.empty, "no deltas processed yet"
+        return self.output.read().drop(WEIGHT)
 
 
 class IncrementalJoinView:
@@ -106,9 +139,9 @@ class IncrementalJoinView:
     def __init__(self, on: list[str], how: str = "inner"):
         assert how == "inner", "incremental join: inner equi-join (outer via composition)"
         self.on = on
-        self.a: DataFrame | None = None
-        self.b: DataFrame | None = None
-        self.output: DataFrame | None = None
+        self.a = Spine()
+        self.b = Spine()
+        self.output = Spine()
 
     @staticmethod
     def _wjoin(x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
@@ -121,61 +154,54 @@ class IncrementalJoinView:
         )
 
     def step(self, delta_a: DataFrame | None, delta_b: DataFrame | None) -> DataFrame:
+        """ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. The stored sides are read
+        key-restricted to the delta's keys — O(|delta| + matching state)."""
         da = zset.lift(delta_a) if delta_a is not None else None
         db = zset.lift(delta_b) if delta_b is not None else None
         parts = []
-        if da is not None and self.b is not None:
-            parts.append(self._wjoin(da, self.b, self.on))
-        if db is not None and self.a is not None:
-            parts.append(self._wjoin(self.a, db, self.on))
+        if da is not None and not self.b.empty:
+            b_slice = self.b.read_for_keys(da.select(*self.on).distinct(), self.on)
+            parts.append(self._wjoin(da, b_slice, self.on))
+        if db is not None and not self.a.empty:
+            a_slice = self.a.read_for_keys(db.select(*self.on).distinct(), self.on)
+            parts.append(self._wjoin(a_slice, db, self.on))
         if da is not None and db is not None:
             parts.append(self._wjoin(da, db, self.on))
         if da is not None:
-            self.a = _checkpoint(
-                zset.integrate(self.a, da) if self.a is not None else zset.consolidate(da)
-            )
+            self.a.append(da)
         if db is not None:
-            self.b = _checkpoint(
-                zset.integrate(self.b, db) if self.b is not None else zset.consolidate(db)
-            )
+            self.b.append(db)
         if not parts:
             return None
         out_delta = zset.consolidate(zset.plus(*parts))
-        self.output = _checkpoint(
-            zset.integrate(self.output, out_delta)
-            if self.output is not None
-            else out_delta
-        )
+        self.output.append(out_delta)
         return out_delta
 
     def materialized(self) -> DataFrame:
-        assert self.output is not None
-        return zset.to_bag(self.output)
+        assert not self.output.empty
+        return zset.to_bag(self.output.read())
 
 
 class IncrementalDistinctView:
     """DISTINCT maintained incrementally: emit ±1 on zero-crossings only."""
 
     def __init__(self):
-        self.integral: DataFrame | None = None
+        self.integral = Spine()
 
     def step(self, delta: DataFrame) -> DataFrame:
         delta = zset.lift(delta)
         cols = zset.data_columns(delta)
-        old = self.integral
-        new = _checkpoint(
-            zset.integrate(old, delta) if old is not None else zset.consolidate(delta)
-        )
-        self.integral = new
         touched = delta.select(*cols).distinct()
-        new_w = new.join(touched, on=cols, how="left_semi")
-        if old is None:
-            return zset.distinct(new_w)
-        old_w = old.join(touched, on=cols, how="left_semi")
+        if self.integral.empty:
+            self.integral.append(delta)
+            return zset.distinct(delta)
+        old_w = self.integral.read_for_keys(touched, cols)
+        self.integral.append(delta)
+        new_w = zset.consolidate(zset.plus(old_w, delta))
         return zset.consolidate(
             zset.minus(zset.distinct(new_w), zset.distinct(old_w))
         )
 
     def materialized(self) -> DataFrame:
-        assert self.integral is not None
-        return zset.distinct(self.integral).drop(WEIGHT)
+        assert not self.integral.empty
+        return zset.distinct(self.integral.read()).drop(WEIGHT)

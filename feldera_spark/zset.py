@@ -95,6 +95,15 @@ def integrate(*deltas: DataFrame) -> DataFrame:
     return consolidate(plus(*deltas))
 
 
+def differentiate(current: DataFrame, previous: DataFrame) -> DataFrame:
+    """D: delta between two snapshots (current − previous).
+
+    Reference ``operator/differentiate.rs:38``. Rarely needed when staying
+    in delta-land; used to turn snapshot-only sources into change streams.
+    """
+    return consolidate(plus(lift(current), neg(lift(previous))))
+
+
 def to_bag(df: DataFrame) -> DataFrame:
     """Expand a Z-set with positive weights into a plain multiset DataFrame.
 
