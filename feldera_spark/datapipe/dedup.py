@@ -203,28 +203,24 @@ def simhash(
     """Per-doc SimHash fingerprint: majority vote over token-hash bits.
 
     Bit i of the fingerprint is 1 iff more token hashes have bit i set
-    than not. The explode factor is tokens × n_bits — bounded; the
-    production path for very long docs is a vectorized Pandas UDF with
-    identical semantics (same md5 bit votes).
-    """
-    toks = (
-        df.select(id_col, F.explode(_tokens(F.col(text))).alias("tok"))
-        .withColumn("h", md5_i64(F.col("tok")))
+    than not. Computed as ``n_bits`` parallel vote-sum aggregate columns
+    over the token rows — ONE md5 per token, no bit-index explosion, one
+    shuffle on the doc id (same single-pass shape as minhash)."""
+    toks = df.select(id_col, F.explode(_tokens(F.col(text))).alias("tok")).withColumn(
+        "h", md5_i64(F.col("tok"))
     )
-    bits = toks.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))))
-    votes = bits.withColumn(
-        "vote",
-        F.when(F.expr("(h div CAST(pow(2, i) AS BIGINT)) % 2") == 1, 1).otherwise(-1),
-    )
-    return (
-        votes.groupBy(id_col, "i")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("CAST(pow(2, i) AS BIGINT)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
+    # vote_i = Σ_tokens (2*bit_i − 1); bit test via bitwiseAND (exact int64)
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(n_bits)
+    ]
+    wide = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        fp = term if fp is None else fp + term
+    return wide.select(id_col, fp.alias("simhash"))

@@ -18,10 +18,19 @@ from feldera_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     temporal,
 )
 
-_MODULES = (relational, relational2, relational3, temporal, datapipe, incremental)
+_MODULES = (
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    temporal,
+    datapipe,
+    incremental,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

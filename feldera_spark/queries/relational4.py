@@ -1,0 +1,88 @@
+"""Relational coverage, batch 4: cyclic-graph transitive closure and
+skew-aware (salted) aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feldera_spark.operators.recursion import fixpoint
+from feldera_spark.operators.skew import salted_agg
+from feldera_spark.queries._util import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+@q(
+    "q65_transitive_closure",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+    ),
+    r AS (
+      SELECT src, dst FROM e WHERE src < 5
+      UNION
+      SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst
+    )
+    SELECT src, dst FROM r
+    """,
+)
+def q65_transitive_closure(spark, sf_dir):
+    """Transitive closure over a CYCLIC functional graph (recursion.mdx —
+    non-monotonic recursion converges because the fixpoint dedups; the
+    reference's semi-naive evaluation likewise terminates on cycles)."""
+    n = t(spark, sf_dir, "nation")
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).cast("long").alias("dst"),
+    )
+    seed = edges.filter(F.col("src") < 5)
+    e2 = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+
+    def step(frontier):
+        return frontier.join(e2, frontier.dst == e2.esrc).select(
+            F.col("src"), F.col("edst").alias("dst")
+        )
+
+    return fixpoint(seed, step)
+
+
+@q(
+    "q66_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(12,2))) AS total,
+           max(value) AS mx,
+           min(value) AS mn
+    FROM events GROUP BY event_type
+    """,
+)
+def q66_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation over the hot event_type keys —
+    algebraically identical to the plain groupBy (the oracle)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "dec_value", F.col("value").cast("decimal(12,2)")
+    )
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "total": ("sum", "dec_value"),
+            "mx": ("max", "value"),
+            "mn": ("min", "value"),
+        },
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.select("event_type", "n", "total", "mx", "mn")
