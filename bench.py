@@ -23,6 +23,9 @@ HEADLINE = [
     "q43_session",           # session windows
     "q44_asof_join",         # as-of join
     "q45_range_join",        # banded range join
+    "nx04_avg_closing_price",   # Nexmark q4: temporal join + 2-level agg
+    "nx05_hot_items",        # Nexmark q5: HOP windows + per-window max
+    "nx09_winning_bids",     # Nexmark q9: arg-max per auction
     "d03_lsh_candidate_pairs",  # minhash LSH dedup
     "d06_cosine_topk",       # similarity search
     "d11_fingerprint",       # text fingerprinting

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from feldera_spark.queries import (
     datapipe,
     incremental,
+    nexmark,
     relational,
     relational2,
     relational3,
@@ -28,6 +29,7 @@ _MODULES = (
     relational3,
     relational4,
     temporal,
+    nexmark,
     datapipe,
     incremental,
 )
