@@ -42,3 +42,43 @@ def fixpoint(
             return acc
         acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
+
+
+def fixpoint_group(
+    seeds: dict[str, DataFrame],
+    steps: dict[str, Callable[[dict[str, DataFrame]], DataFrame]],
+    max_iterations: int = 100,
+) -> dict[str, DataFrame]:
+    """Mutually recursive view group — the reference's SCC case.
+
+    ``DECLARE RECURSIVE VIEW`` allows groups of views that reference each
+    other (``docs/sql/recursion.mdx:30-57``); the compiler finds strongly
+    connected components and runs each as one nested fixpoint circuit
+    (``RecursiveComponents``, ``CircuitOptimizer.java:87``). Here: every
+    view in the group steps once per round against the group's current
+    accumulators; the round's new rows (per view) become visible to ALL
+    members next round; terminate when every view's frontier is empty.
+
+    ``steps[name]`` receives {view: accumulated DataFrame} and returns the
+    candidate rows for ``name``. Work per round is driven by the new rows
+    only on the caller side of each step (naive within the round, but
+    lineage is truncated per round so each round is one bounded job).
+    """
+    acc = {k: v.distinct().localCheckpoint(eager=True) for k, v in seeds.items()}
+    for _ in range(max_iterations):
+        progressed = False
+        new_acc = {}
+        for name, step in steps.items():
+            candidates = step(acc).distinct()
+            frontier = candidates.exceptAll(acc[name]).localCheckpoint(eager=True)
+            if frontier.limit(1).count() > 0:
+                progressed = True
+                new_acc[name] = (
+                    acc[name].unionByName(frontier).localCheckpoint(eager=True)
+                )
+            else:
+                new_acc[name] = acc[name]
+        acc = new_acc
+        if not progressed:
+            return acc
+    raise RuntimeError(f"fixpoint_group did not converge in {max_iterations} iterations")

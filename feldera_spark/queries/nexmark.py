@@ -290,11 +290,17 @@ def nx07_highest_bid(spark, sf_dir):
     """Nexmark q7 (queries/q7.sql): highest bid per tumbling window —
     per-window max is tiny → broadcast join back to the bid stream."""
     b = _bid(spark, sf_dir).withColumn("w", F.window("date_time", "1 hour"))
-    wmax = b.groupBy("w").agg(F.max("price").alias("maxprice"))
+    # rename the grouped window column: a self-referencing b.w == wmax.w
+    # would resolve both sides to the SAME lineage (trivially-true predicate)
+    wmax = (
+        b.groupBy("w")
+        .agg(F.max("price").alias("maxprice"))
+        .withColumnRenamed("w", "wm")
+    )
     return (
         b.join(
             F.broadcast(wmax),
-            (b.w == wmax.w) & (b.price == wmax.maxprice),
+            (F.col("w") == F.col("wm")) & (F.col("price") == F.col("maxprice")),
         )
         .select("auction", "price", "bidder", "date_time")
     )

@@ -48,6 +48,48 @@ def decode_insert_delete(raw: DataFrame, payload_schema: T.StructType, json_col:
     )
 
 
+def decode_debezium(raw: DataFrame, payload_schema: T.StructType, json_col: str = "value") -> DataFrame:
+    """Parse Debezium CDC envelopes into weighted rows.
+
+    Reference: the Debezium source connector
+    (``docs/connectors/sources/debezium.md``) — ops ``c``(reate)/``r``(ead
+    snapshot) → insert ``after``; ``d``(elete) → retract ``before``;
+    ``u``(pdate) → retract ``before`` AND insert ``after`` (two Z-set rows,
+    the upsert→delta conversion of ``input_upsert.rs``). Pure Catalyst:
+    from_json + a 2-element struct array exploded JVM-side.
+    """
+    env_schema = T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("op", T.StringType()),
+                        T.StructField("before", payload_schema),
+                        T.StructField("after", payload_schema),
+                    ]
+                ),
+            )
+        ]
+    )
+    p = raw.select(F.from_json(F.col(json_col), env_schema).alias("e")).select("e.payload.*")
+    pair = F.array(
+        F.struct(F.col("before").alias("row"), F.lit(-1).cast("long").alias(WEIGHT)),
+        F.struct(F.col("after").alias("row"), F.lit(1).cast("long").alias(WEIGHT)),
+    )
+    exploded = (
+        p.withColumn(
+            "__parts",
+            F.when(F.col("op").isin("c", "r"), F.slice(pair, 2, 1))
+            .when(F.col("op") == "d", F.slice(pair, 1, 1))
+            .when(F.col("op") == "u", pair),
+        )
+        .filter(F.col("__parts").isNotNull())
+        .select(F.explode("__parts").alias("x"))
+    )
+    return exploded.select("x.row.*", F.col(f"x.{WEIGHT}").alias(WEIGHT))
+
+
 def encode_insert_delete(changes: DataFrame) -> DataFrame:
     """Emit weighted rows as insert_delete envelope JSON lines.
 

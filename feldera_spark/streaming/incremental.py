@@ -182,6 +182,70 @@ class IncrementalJoinView:
         return zset.to_bag(self.output.read())
 
 
+class AppendOnlyAggregateView:
+    """Chain aggregate for append-only inputs: O(1) state per key.
+
+    Reference: ``operator/chain_aggregate.rs:28`` — when a table is
+    declared ``append_only`` (``docs/sql/streaming.md:36-41``), MIN/MAX/
+    SUM/COUNT never see retractions, so the state is one running value per
+    key (merged with each delta's partial) instead of the full integral.
+    This is the big memory win vs. ``IncrementalAggregateView``: state is
+    O(|keys|), not O(|rows|).
+
+    ``aggs`` maps output name -> (fn, col) with fn in {sum,count,min,max}.
+    """
+
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+    def __init__(self, keys: list[str], aggs: dict[str, tuple[str, str]]):
+        for fn, _ in aggs.values():
+            if fn not in self._PARTIAL:
+                raise ValueError(f"{fn} is not chain-aggregatable")
+        self.keys = keys
+        self.aggs = aggs
+        self.state: DataFrame | None = None  # one row per key
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        return delta.groupBy(*self.keys).agg(
+            *[self._PARTIAL[fn](c).alias(name) for name, (fn, c) in self.aggs.items()]
+        )
+
+    def step(self, delta: DataFrame) -> DataFrame:
+        """Ingest an (insert-only) delta; returns the output delta as a
+        Z-set (retraction of each touched key's old row + new row)."""
+        partial = _checkpoint(self._partial(delta))
+        if self.state is None:
+            self.state = partial
+            return partial.withColumn(WEIGHT, F.lit(1).cast("long"))
+        # merge: union of old state + new partials, re-reduced per key —
+        # both sides are already one-row-per-key, so this is tiny
+        touched = partial.select(*self.keys)
+        old_touched = self.state.join(touched, on=self.keys, how="left_semi")
+        merged = _checkpoint(
+            old_touched.unionByName(partial)
+            .groupBy(*self.keys)
+            .agg(
+                *[
+                    self._MERGE[fn](name).alias(name)
+                    for name, (fn, _) in self.aggs.items()
+                ]
+            )
+        )
+        untouched = self.state.join(touched, on=self.keys, how="left_anti")
+        self.state = _checkpoint(untouched.unionByName(merged))
+        return zset.consolidate(
+            zset.plus(
+                merged.withColumn(WEIGHT, F.lit(1).cast("long")),
+                old_touched.withColumn(WEIGHT, F.lit(-1).cast("long")),
+            )
+        )
+
+    def materialized(self) -> DataFrame:
+        assert self.state is not None, "no deltas processed yet"
+        return self.state
+
+
 class IncrementalDistinctView:
     """DISTINCT maintained incrementally: emit ±1 on zero-crossings only."""
 
