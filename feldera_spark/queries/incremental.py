@@ -22,6 +22,7 @@ from feldera_spark.streaming.incremental import (
     IncrementalAggregateView,
     IncrementalDistinctView,
     IncrementalJoinView,
+    IncrementalLinearAggregateView,
     wcount,
     wsum,
 )
@@ -69,12 +70,13 @@ _NET = "SELECT * FROM events WHERE event_id % 10 <> 3"
 )
 def i01_ivm_agg(spark, sf_dir):
     """Linear aggregate maintained over 4 deltas (incl. deletions) —
-    O(delta) weighted sums (aggregate_linear, operator/aggregate.rs:209)."""
-    view = IncrementalAggregateView(
+    O(delta) weighted sums, state = aggregate values only, NO integral
+    (aggregate_linear, operator/aggregate.rs:209)."""
+    view = IncrementalLinearAggregateView(
         keys=["event_type"],
-        agg_fn=lambda df: df.groupBy("event_type").agg(
-            wcount().alias("n"),
-            wsum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        sums={"n": wcount(), "total_dec": wsum(F.col("value").cast("decimal(12,2)"))},
+        project=lambda df: df.select(
+            "event_type", "n", F.col("total_dec").cast("double").alias("total_value")
         ),
     )
     for chunk in _event_chunks(spark, sf_dir):

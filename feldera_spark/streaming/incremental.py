@@ -133,6 +133,77 @@ class IncrementalAggregateView:
         return self.output.read().drop(WEIGHT)
 
 
+class IncrementalLinearAggregateView:
+    """Linear aggregates (SUM/COUNT/AVG): state = the aggregate VALUES,
+    one row per key — the input integral is never kept.
+
+    Reference: ``aggregate_linear`` (``operator/aggregate.rs:209``) /
+    the "linear" cost class (``docs/sql/aggregates.md:342-462``): because
+    SUM/COUNT commute with weighted addition, the delta's partial sums
+    merge into the running state by addition, and deletions arrive as
+    negative weights through the same code path. Per-step work is
+    O(|delta| + touched keys); state is O(|keys|). This beats the general
+    ``IncrementalAggregateView`` (which must keep the integral for
+    re-aggregation) whenever no MIN/MAX-style aggregate is present.
+
+    ``sums`` maps partial-column name -> weighted aggregate expression
+    over a delta (use ``wcount()`` / ``wsum(col)``). A hidden ``__n`` =
+    sum of weights tracks group liveness: groups whose net count reaches
+    zero are retracted and dropped. ``project`` maps the state frame
+    (keys + partial columns) to the output view (row-wise, no shuffle).
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        sums: dict[str, F.Column],
+        project: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.keys = keys
+        self.sums = sums
+        self.project = project or (lambda df: df)
+        self.state: DataFrame | None = None  # keys + partials + __n
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        return delta.groupBy(*self.keys).agg(
+            *[expr.alias(name) for name, expr in self.sums.items()],
+            wcount().alias("__n"),
+        )
+
+    def _out(self, state_slice: DataFrame, weight: int) -> DataFrame:
+        return self.project(state_slice.drop("__n")).withColumn(
+            WEIGHT, F.lit(weight).cast("long")
+        )
+
+    def step(self, delta: DataFrame) -> DataFrame:
+        """Apply one delta (mixed-sign weights); returns the output delta."""
+        delta = zset.lift(delta)
+        partial = _checkpoint(self._partial(delta))
+        if self.state is None:
+            self.state = _checkpoint(partial.filter(F.col("__n") != 0))
+            return self._out(self.state, 1)
+        touched = partial.select(*self.keys)
+        old_t = self.state.join(touched, on=self.keys, how="left_semi")
+        merged = (
+            old_t.unionByName(partial)
+            .groupBy(*self.keys)
+            .agg(
+                *[F.sum(name).alias(name) for name in self.sums],
+                F.sum("__n").alias("__n"),
+            )
+        )
+        live = _checkpoint(merged.filter(F.col("__n") != 0))
+        untouched = self.state.join(touched, on=self.keys, how="left_anti")
+        self.state = _checkpoint(untouched.unionByName(live))
+        return zset.consolidate(
+            zset.plus(self._out(live, 1), self._out(old_t, -1))
+        )
+
+    def materialized(self) -> DataFrame:
+        assert self.state is not None, "no deltas processed yet"
+        return self.project(self.state.drop("__n"))
+
+
 class IncrementalJoinView:
     """Bilinear incremental equi-join: ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB."""
 

@@ -12,6 +12,7 @@ from feldera_spark.streaming.incremental import (
     IncrementalAggregateView,
     IncrementalDistinctView,
     IncrementalJoinView,
+    IncrementalLinearAggregateView,
     wcount,
     wsum,
 )
@@ -58,6 +59,34 @@ def test_incremental_agg_equals_batch(spark):
         .collect()
     )
     assert got == want
+
+
+def test_linear_agg_equals_batch_and_drops_dead_groups(spark):
+    """Linear strategy (no integral): same invariant as the general one,
+    plus groups whose net count hits zero vanish from the state."""
+    chunks, live = _chunked_changes(spark)
+    view = IncrementalLinearAggregateView(
+        keys=["k"], sums={"n": wcount(), "total": wsum("v")}
+    )
+    for c in chunks:
+        view.step(c)
+    got = sorted((r.k, r.n, r.total) for r in view.materialized().collect())
+    want = sorted(
+        (r.k, r.n, r.total)
+        for r in live.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    )
+    assert got == want
+    # full deletion of a group retracts it entirely
+    v2 = IncrementalLinearAggregateView(keys=["k"], sums={"n": wcount()})
+    ins = spark.createDataFrame([("a", 1), ("b", 1)], ["k", WEIGHT])
+    dele = spark.createDataFrame([("a", -1)], ["k", WEIGHT])
+    v2.step(ins)
+    out = v2.step(dele).collect()
+    # delta retracts (a,1) and inserts nothing
+    assert [(r.k, r.n, r[WEIGHT]) for r in out] == [("a", 1, -1)]
+    assert [(r.k, r.n) for r in v2.materialized().collect()] == [("b", 1)]
 
 
 def test_incremental_minmax_retraction(spark):
