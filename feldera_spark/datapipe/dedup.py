@@ -72,10 +72,10 @@ MINHASH_COEFFS = [
 ]
 
 
-def minhash_signatures(
+def minhash_wide(
     df: DataFrame, id_col: str, text: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature rows (id, seed j, min-hash value).
+    """One row per doc: (id, sig0..sigN-1).
 
     ONE md5 per shingle, then ``num_hashes`` linear permutations
     h_j = (A_j*h + B_j) mod P computed as parallel aggregate columns —
@@ -93,8 +93,15 @@ def minhash_signatures(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig{j}")
         for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
-    wide = sh.groupBy(id_col).agg(*aggs)
-    # row form (id, j, minv) for stable output + band aggregation
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature rows (id, seed j, min-hash value) — the row form
+    of ``minhash_wide`` (stack is a narrow transform, no extra shuffle)."""
+    wide = minhash_wide(df, id_col, text, num_hashes, shingle_n)
     stack_args = ", ".join(f"{j}, sig{j}" for j in range(num_hashes))
     return wide.select(
         id_col, F.expr(f"stack({num_hashes}, {stack_args}) AS (j, minv)")
@@ -128,6 +135,40 @@ def lsh_band_buckets(
     )
 
 
+def lsh_band_buckets_wide(
+    wide: DataFrame, id_col: str, num_hashes: int, rows_per_band: int = 2
+) -> DataFrame:
+    """Band buckets computed from the wide signature row — a narrow
+    projection + explode, NO re-grouping shuffle (vs. the row-form path
+    which re-aggregates (id, band)). Bucket values are identical to
+    ``lsh_band_buckets``: md5(band ':' minv,minv,... in seed order)."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                md5_i64(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"sig{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -136,9 +177,13 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band bucket."""
-    sigs = minhash_signatures(df, id_col, text, num_hashes, shingle_n)
-    buckets = lsh_band_buckets(sigs, id_col, rows_per_band)
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+
+    Plan shape: one groupBy shuffle (signatures), a narrow band-bucket
+    projection, one equi-join shuffle on (band, bucket), one distinct.
+    """
+    wide = minhash_wide(df, id_col, text, num_hashes, shingle_n)
+    buckets = lsh_band_buckets_wide(wide, id_col, num_hashes, rows_per_band)
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )

@@ -31,6 +31,17 @@ TABLES = (
 # stay broadcastable into the TB range relative to fact tables).
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
+# Tables with heavy PER-ROW compute downstream (shingling/hashing over
+# long text, vector math over embeddings): parallelize the scan when it
+# has fewer splits than cores. The driver's testdata is one
+# single-row-group parquet file per table, so Spark reads each as ONE
+# task — narrow stages after it would run single-core. At real scale
+# (many files / row groups) the scan parallelizes naturally and the
+# repartition never triggers. Relational tables are deliberately NOT
+# repartitioned: their scans are cheap columnar decodes and an extra
+# exchange ahead of every aggregate costs more than it saves.
+COMPUTE_HEAVY_TABLES = frozenset({"documents"})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -48,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    if name in COMPUTE_HEAVY_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 

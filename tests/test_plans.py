@@ -80,6 +80,8 @@ def test_range_join_is_equi_join(spark):
 
 def test_exact_dedup_single_aggregate(spark):
     # tree section only (formatted mode repeats each node in the details)
-    tree = _plan(_Q["d01_exact_dedup"](spark, SF_DIR)).split("\n\n")[0]
-    # one partial + one final hash aggregate, single exchange
-    assert tree.count("Exchange") == 1
+    plan = _plan(_Q["d01_exact_dedup"](spark, SF_DIR))
+    # one partial + one final hash aggregate → a single HASH exchange (the
+    # extra RoundRobin exchange is load_table's single-file-scan
+    # parallelization, not part of the operator)
+    assert plan.count("hashpartitioning(") == 1
