@@ -43,11 +43,39 @@ _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<kind>MATERIALIZED\s+|LOCAL\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+(?P<body>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_FUNCTION_RE = re.compile(
+    r"^\s*CREATE\s+FUNCTION\s+(?P<name>\w+)\s*\((?P<params>[^)]*)\)\s*"
+    r"RETURNS\s+(?P<ret>[\w\(\),\s]+?)\s*(?:AS\s+(?P<body>.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>\w+)\s+AS\s*\((?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?P<name>\w+)\s+ON\s+(?P<view>\w+)\s*\((?P<cols>[^)]*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _LATENESS_RE = re.compile(
     r"(?P<col>\w+)\s+[\w\(\)\, ]*?LATENESS\s+INTERVAL\s+(?P<n>\d+)\s+(?P<unit>\w+)",
     re.IGNORECASE,
 )
 _PK_RE = re.compile(r"(?P<col>\w+)\s+[\w\(\), ]*?PRIMARY\s+KEY", re.IGNORECASE)
+
+def _spark_type(feldera_type: str) -> str:
+    """Map Feldera DDL type names to Spark SQL type names (SURVEY §1.2)."""
+    t = feldera_type.strip().upper()
+    mapping = {
+        "VARCHAR": "STRING",
+        "TEXT": "STRING",
+        "CHAR": "STRING",
+        "VARBINARY": "BINARY",
+        "REAL": "FLOAT",
+        "TIME": "STRING",  # Spark has no TIME type (SURVEY gap note)
+        "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+    }
+    return mapping.get(t, t)
+
 
 _UNIT_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
@@ -68,6 +96,35 @@ class ViewDecl:
     sql: str | None
     fn: Callable[[SparkSession], DataFrame] | None
     materialized: bool
+
+
+@dataclass
+class FunctionDecl:
+    """``CREATE FUNCTION`` — SQL-bodied or external (``docs/sql/udf.md``).
+
+    SQL-bodied functions become Spark SQL scalar UDFs (``CREATE TEMPORARY
+    FUNCTION … RETURN expr`` — inlined by Catalyst, same as the
+    reference's compiler inlining, ``DBSPCompiler.java:617-640``).
+    Body-less declarations need a Python implementation bound via
+    ``PipelineBuilder.implement_function`` (the reference's Rust-UDF
+    path: ``udf.md:18-52``).
+    """
+
+    name: str
+    params: str  # "x INT, y VARCHAR" — Spark-compatible as-is
+    returns: str
+    body: str | None
+    impl: Callable | None = None
+
+
+@dataclass
+class IndexDecl:
+    """``CREATE INDEX … ON view (cols)`` — indexed output delivery
+    (``docs/sql/grammar.md:577-598``): consumers fetch view rows by key."""
+
+    name: str
+    view: str
+    cols: list[str]
 
 
 def split_statements(program: str) -> list[str]:
@@ -99,6 +156,9 @@ class PipelineBuilder:
         self._table_data: dict[str, DataFrame] = {}
         self.views: dict[str, ViewDecl] = {}
         self._view_order: list[str] = []
+        self.functions: dict[str, FunctionDecl] = {}
+        self.types: dict[str, str] = {}  # name -> field list SQL
+        self.indexes: dict[str, IndexDecl] = {}
 
     # -- declaration ---------------------------------------------------------
 
@@ -150,7 +210,36 @@ class PipelineBuilder:
                     materialized=kind != "local",
                 )
                 continue
+            m = _CREATE_FUNCTION_RE.match(stmt)
+            if m:
+                name = m.group("name").lower()
+                self.functions[name] = FunctionDecl(
+                    name, m.group("params"), m.group("ret").strip(), m.group("body")
+                )
+                continue
+            m = _CREATE_TYPE_RE.match(stmt)
+            if m:
+                self.types[m.group("name").lower()] = m.group("body").strip()
+                continue
+            m = _CREATE_INDEX_RE.match(stmt)
+            if m:
+                name = m.group("name").lower()
+                self.indexes[name] = IndexDecl(
+                    name,
+                    m.group("view").lower(),
+                    [c.strip().lower() for c in m.group("cols").split(",")],
+                )
+                continue
             raise ValueError(f"unsupported statement: {stmt[:80]}...")
+        return self
+
+    def implement_function(self, name: str, fn: Callable) -> "PipelineBuilder":
+        """Bind a Python implementation to a body-less CREATE FUNCTION
+        (the reference's external-UDF path). Registered as a pandas-
+        friendly Spark UDF at pipeline creation."""
+        if name not in self.functions:
+            raise KeyError(f"function {name} not declared")
+        self.functions[name].impl = fn
         return self
 
     def connect_table(self, name: str, df: DataFrame) -> "PipelineBuilder":
@@ -171,7 +260,23 @@ class Pipeline:
         self.spark = builder.spark
         self.tables = builder.tables
         self.views = builder.views
+        self.indexes = builder.indexes
         self._frames: dict[str, DataFrame] = {}
+
+        # register functions FIRST — view bodies may call them
+        for fname, fdecl in builder.functions.items():
+            if fdecl.body is not None:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}"
+                    f"({fdecl.params}) RETURNS {fdecl.returns} RETURN {fdecl.body}"
+                )
+            elif fdecl.impl is not None:
+                self.spark.udf.register(fname, fdecl.impl, _spark_type(fdecl.returns))
+            else:
+                raise ValueError(
+                    f"function {fname} has no SQL body and no bound "
+                    f"implementation (use implement_function)"
+                )
 
         for name, decl in builder.tables.items():
             df = builder._table_data.get(name)
@@ -230,3 +335,32 @@ class Pipeline:
     def listen(self, name: str):
         """Iterator of the view's current rows (SDK ``Pipeline.listen``)."""
         return self.view(name).toLocalIterator()
+
+    def index(self, name: str) -> "IndexedOutput":
+        """Keyed access to an indexed view (``CREATE INDEX``) — the
+        reference's indexed output delivery (``grammar.md:577-598``)."""
+        decl = self.indexes[name]
+        return IndexedOutput(self.view(decl.view), decl.cols)
+
+
+class IndexedOutput:
+    """Point/range lookups on a view keyed by the index columns.
+
+    The backing frame is cached on first lookup: repeated key fetches
+    become in-memory scans with a pushed key filter rather than plan
+    re-execution (on a cluster: a materialized, bucketed table).
+    """
+
+    def __init__(self, frame: DataFrame, cols: list[str]):
+        self.cols = cols
+        self._frame = frame.cache()
+
+    def lookup(self, *values) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        assert len(values) == len(self.cols), "one value per index column"
+        cond = None
+        for c, v in zip(self.cols, values):
+            p = F.col(c) == F.lit(v)
+            cond = p if cond is None else (cond & p)
+        return self._frame.filter(cond)

@@ -50,6 +50,40 @@ class StreamingPipeline:
             step_fn(delta)
         self.batches_seen += 1
 
+    # -- transactions --------------------------------------------------------
+    # Reference: ``start_transaction`` / ``commit_transaction``
+    # (``python/feldera/pipeline.py:878``, ``feldera-types/src/
+    # transaction.rs``): multiple input pushes become ONE atomic step —
+    # downstream views never observe a partial transaction. Here: buffer
+    # deltas while a transaction is open; commit unions them into a
+    # single delta and runs one synchronous step.
+
+    def start_transaction(self) -> None:
+        assert not hasattr(self, "_txn_buffer") or self._txn_buffer is None, (
+            "transaction already open"
+        )
+        self._txn_buffer: list[DataFrame] | None = []
+
+    def push(self, delta: DataFrame) -> None:
+        """Push a delta — buffered if a transaction is open, else one step."""
+        if getattr(self, "_txn_buffer", None) is not None:
+            self._txn_buffer.append(delta)
+        else:
+            self.process_batch(delta)
+
+    def commit_transaction(self) -> None:
+        buf, self._txn_buffer = self._txn_buffer, None
+        assert buf is not None, "no open transaction"
+        if buf:
+            delta = buf[0]
+            for d in buf[1:]:
+                delta = delta.unionByName(d)
+            self.process_batch(delta)
+
+    def rollback_transaction(self) -> None:
+        assert getattr(self, "_txn_buffer", None) is not None, "no open transaction"
+        self._txn_buffer = None
+
     def start(
         self,
         stream: DataFrame,
