@@ -47,7 +47,14 @@ NEXMARK_CTE = """
              user_id AS bidder,
              event_id % 211 AS auction,
              CAST(value AS DECIMAL(12,2)) AS price,
-             ts AS date_time
+             ts AS date_time,
+             CASE user_id % 6 WHEN 0 THEN 'Apple' WHEN 1 THEN 'Google'
+                  WHEN 2 THEN 'Facebook' WHEN 3 THEN 'Baidu'
+                  WHEN 4 THEN 'ch5' ELSE 'ch6' END AS channel,
+             'https://s.ex/ch/item_' || CAST(event_id % 211 AS VARCHAR)
+               || '/bd_' || CAST(user_id AS VARCHAR)
+               || '?channel_id=' || CAST(event_id % 17 AS VARCHAR) AS url,
+             props AS extra
       FROM events
     ),
     auction AS (
@@ -77,6 +84,19 @@ def _bid(spark, sf_dir):
         (F.col("event_id") % 211).alias("auction"),
         F.col("value").cast("decimal(12,2)").alias("price"),
         F.col("ts").alias("date_time"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ("Apple", "Google", "Facebook", "Baidu", "ch5", "ch6")]),
+            (F.col("user_id") % 6).cast("int") + 1,
+        ).alias("channel"),
+        F.concat(
+            F.lit("https://s.ex/ch/item_"),
+            (F.col("event_id") % 211).cast("string"),
+            F.lit("/bd_"),
+            F.col("user_id").cast("string"),
+            F.lit("?channel_id="),
+            (F.col("event_id") % 17).cast("string"),
+        ).alias("url"),
+        F.col("props").alias("extra"),
     )
 
 
@@ -365,6 +385,311 @@ def nx09_winning_bids(spark, sf_dir):
         b.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("auction", "bidder", "price", "date_time")
+    )
+
+
+@q(
+    "nx13_side_input_asof",
+    oracle=f"""
+    WITH {NEXMARK_CTE},
+    side_input AS (
+      SELECT event_id % 25 AS key, ts AS sdate_time, event_type AS sval
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT B.auction, B.bidder, B.price, B.date_time, S.sval AS value
+    FROM (SELECT *, auction % 25 AS mod FROM bid) B
+    ASOF LEFT JOIN side_input S
+      ON B.mod = S.key AND B.date_time >= S.sdate_time
+    """,
+)
+def nx13_side_input_asof(spark, sf_dir):
+    """Nexmark q13 (queries/q13.sql): enrich bids against a slowly-
+    changing side input via LEFT ASOF JOIN — our asof_join operator
+    (union + last_value window, one shuffle, no inequality-join blowup)."""
+    from feldera_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    b = _bid(spark, sf_dir).withColumn("mod", F.col("auction") % 25)
+    side = e.filter(F.col("event_id") % 50 == 0).select(
+        (F.col("event_id") % 25).alias("mod"),
+        F.col("ts").alias("sdate_time"),
+        F.col("event_type").alias("sval"),
+    )
+    # side timestamps are unique per key (one event per event_id) — no
+    # tiebreak needed; ASOF picks the latest sdate_time <= date_time
+    joined = asof_join(
+        b.select("mod", "auction", "bidder", "price", "date_time", "event_id"),
+        side,
+        on="mod",
+        left_ts="date_time",
+        right_ts="sdate_time",
+        right_cols=["sval"],
+    )
+    return joined.select(
+        "auction", "bidder", "price", "date_time", F.col("sval").alias("value")
+    )
+
+
+@q(
+    "nx14_calculated_fields",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, bidder,
+           CAST(price AS DOUBLE) * 0.908 AS price_eur,
+           CASE WHEN EXTRACT(HOUR FROM date_time) >= 8
+                     AND EXTRACT(HOUR FROM date_time) <= 18 THEN 'dayTime'
+                WHEN EXTRACT(HOUR FROM date_time) <= 6
+                     OR EXTRACT(HOUR FROM date_time) >= 20 THEN 'nightTime'
+                ELSE 'otherTime' END AS bid_time_type,
+           date_time,
+           length(extra) - length(replace(extra, 'k', '')) AS k_counts
+    FROM bid
+    WHERE CAST(price AS DOUBLE) * 0.908 > 5 AND CAST(price AS DOUBLE) * 0.908 < 50
+    """,
+)
+def nx14_calculated_fields(spark, sf_dir):
+    """Nexmark q14 (queries/q14.sql): computed fields + char-count scalar
+    function (COUNT_CHAR expanded inline, as the reference's SQL-bodied
+    CREATE FUNCTION is inlined by its compiler)."""
+    b = _bid(spark, sf_dir)
+    eur = F.col("price").cast("double") * 0.908
+    hour = F.hour("date_time")
+    return (
+        b.filter((eur > 5) & (eur < 50))
+        .select(
+            "auction",
+            "bidder",
+            eur.alias("price_eur"),
+            F.when((hour >= 8) & (hour <= 18), "dayTime")
+            .when((hour <= 6) | (hour >= 20), "nightTime")
+            .otherwise("otherTime")
+            .alias("bid_time_type"),
+            "date_time",
+            (F.length("extra") - F.length(F.replace(F.col("extra"), F.lit("k"), F.lit("")))).alias(
+                "k_counts"
+            ),
+        )
+    )
+
+
+@q(
+    "nx15_bidding_statistics",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT CAST(date_time AS DATE) AS day,
+           count(*) AS total_bids,
+           count(*) FILTER (WHERE price < 5) AS rank1_bids,
+           count(*) FILTER (WHERE price >= 5 AND price < 10) AS rank2_bids,
+           count(*) FILTER (WHERE price >= 10) AS rank3_bids,
+           count(DISTINCT bidder) AS total_bidders,
+           count(DISTINCT bidder) FILTER (WHERE price < 5) AS rank1_bidders,
+           count(DISTINCT auction) AS total_auctions,
+           count(DISTINCT auction) FILTER (WHERE price >= 10) AS rank3_auctions
+    FROM bid GROUP BY CAST(date_time AS DATE)
+    """,
+)
+def nx15_bidding_statistics(spark, sf_dir):
+    """Nexmark q15 (queries/q15.sql): per-day bid statistics — multiple
+    COUNT DISTINCT with FILTER clauses (RewriteDistinctAggregates handles
+    the expansion; the reference's AGGREGATE_EXPAND_DISTINCT path)."""
+    b = _bid(spark, sf_dir)
+    return b.groupBy(F.col("date_time").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("total_bids"),
+        F.count_if(F.col("price") < 5).alias("rank1_bids"),
+        F.count_if((F.col("price") >= 5) & (F.col("price") < 10)).alias("rank2_bids"),
+        F.count_if(F.col("price") >= 10).alias("rank3_bids"),
+        F.count_distinct(F.col("bidder")).alias("total_bidders"),
+        F.count_distinct(F.when(F.col("price") < 5, F.col("bidder"))).alias("rank1_bidders"),
+        F.count_distinct(F.col("auction")).alias("total_auctions"),
+        F.count_distinct(F.when(F.col("price") >= 10, F.col("auction"))).alias("rank3_auctions"),
+    )
+
+
+@q(
+    "nx16_channel_statistics",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT channel, CAST(date_time AS DATE) AS day,
+           strftime(max(date_time), '%H:%M') AS minute,
+           count(*) AS total_bids,
+           count(DISTINCT bidder) AS total_bidders,
+           count(DISTINCT auction) AS total_auctions
+    FROM bid GROUP BY channel, CAST(date_time AS DATE)
+    """,
+)
+def nx16_channel_statistics(spark, sf_dir):
+    """Nexmark q16 (queries/q16.sql): per-channel/day statistics with a
+    last-bid-minute column (format_date → date_format)."""
+    b = _bid(spark, sf_dir)
+    return b.groupBy("channel", F.col("date_time").cast("date").alias("day")).agg(
+        F.date_format(F.max("date_time"), "HH:mm").alias("minute"),
+        F.count(F.lit(1)).alias("total_bids"),
+        F.count_distinct("bidder").alias("total_bidders"),
+        F.count_distinct("auction").alias("total_auctions"),
+    )
+
+
+@q(
+    "nx17_auction_statistics",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, CAST(date_time AS DATE) AS day,
+           count(*) AS total_bids,
+           CAST(min(price) AS DOUBLE) AS min_price,
+           CAST(max(price) AS DOUBLE) AS max_price,
+           CAST(CAST(sum(price) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+           CAST(sum(price) AS DOUBLE) AS sum_price
+    FROM bid GROUP BY auction, CAST(date_time AS DATE)
+    """,
+)
+def nx17_auction_statistics(spark, sf_dir):
+    """Nexmark q17 (queries/q17.sql): per-auction/day price statistics."""
+    b = _bid(spark, sf_dir)
+    return b.groupBy("auction", F.col("date_time").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("total_bids"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
+        (F.sum("price").cast("double") / F.count(F.lit(1))).cast("double").alias("avg_price"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+@q(
+    "nx18_last_bid_per_bidder_auction",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, bidder, price, channel, url, date_time FROM (
+      SELECT *, row_number() OVER (PARTITION BY bidder, auction
+                                   ORDER BY date_time DESC, event_id DESC) AS rn
+      FROM bid
+    ) WHERE rn = 1
+    """,
+)
+def nx18_last_bid_per_bidder_auction(spark, sf_dir):
+    """Nexmark q18 (queries/q18.sql): each bidder's latest bid per
+    auction — indexed top-1 (DBSPIndexedTopKOperator)."""
+    from pyspark.sql.window import Window
+
+    b = _bid(spark, sf_dir)
+    w = Window.partitionBy("bidder", "auction").orderBy(
+        F.col("date_time").desc(), F.col("event_id").desc()
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("auction", "bidder", "price", "channel", "url", "date_time")
+    )
+
+
+@q(
+    "nx19_top10_bids_per_auction",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, bidder, price, date_time, rn FROM (
+      SELECT auction, bidder, price, date_time,
+             row_number() OVER (PARTITION BY auction
+                                ORDER BY price DESC, event_id ASC) AS rn
+      FROM bid
+    ) WHERE rn <= 10
+    """,
+)
+def nx19_top10_bids_per_auction(spark, sf_dir):
+    """Nexmark q19 (queries/q19.sql): top-10 bids per auction — indexed
+    top-K; Spark pushes the rank filter into the window sort."""
+    from pyspark.sql.window import Window
+
+    b = _bid(spark, sf_dir)
+    w = Window.partitionBy("auction").orderBy(F.col("price").desc(), F.col("event_id").asc())
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("auction", "bidder", "price", "date_time", "rn")
+    )
+
+
+@q(
+    "nx20_expand_bid_with_auction",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT B.auction, B.bidder, B.price, B.channel, B.date_time,
+           A.date_time AS a_date_time, A.expires, A.seller, A.category
+    FROM bid B JOIN auction A ON B.auction = A.id
+    WHERE A.category = 3
+    """,
+)
+def nx20_expand_bid_with_auction(spark, sf_dir):
+    """Nexmark q20 (queries/q20.sql): bid enriched with its auction row —
+    selective dim filter pushed to the broadcast side."""
+    b = _bid(spark, sf_dir)
+    a = _auction(spark, sf_dir).filter(F.col("category") == 3)
+    return b.join(F.broadcast(a), b.auction == a.id).select(
+        "auction",
+        "bidder",
+        "price",
+        "channel",
+        b.date_time,
+        a.date_time.alias("a_date_time"),
+        "expires",
+        "seller",
+        "category",
+    )
+
+
+@q(
+    "nx21_channel_id_extraction",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, bidder, price, channel,
+           CASE WHEN lower(channel) = 'apple' THEN '0'
+                WHEN lower(channel) = 'google' THEN '1'
+                WHEN lower(channel) = 'facebook' THEN '2'
+                WHEN lower(channel) = 'baidu' THEN '3'
+                ELSE regexp_extract(url, 'channel_id=([0-9]+)', 1) END AS channel_id
+    FROM bid
+    """,
+)
+def nx21_channel_id_extraction(spark, sf_dir):
+    """Nexmark q21 (queries/q21.sql): channel-id via CASE + regex group
+    extraction over the URL (RE_EXTRACT → regexp_extract)."""
+    b = _bid(spark, sf_dir)
+    lc = F.lower(F.col("channel"))
+    return b.select(
+        "auction",
+        "bidder",
+        "price",
+        "channel",
+        F.when(lc == "apple", "0")
+        .when(lc == "google", "1")
+        .when(lc == "facebook", "2")
+        .when(lc == "baidu", "3")
+        .otherwise(F.regexp_extract(F.col("url"), r"channel_id=([0-9]+)", 1))
+        .alias("channel_id"),
+    )
+
+
+@q(
+    "nx22_url_dirs",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, bidder, price, channel,
+           split_part(url, '/', 4) AS dir1,
+           split_part(url, '/', 5) AS dir2,
+           split_part(url, '/', 6) AS dir3
+    FROM bid
+    """,
+)
+def nx22_url_dirs(spark, sf_dir):
+    """Nexmark q22 (queries/q22.sql): SPLIT_INDEX over the URL path —
+    1-based split_part on both engines."""
+    b = _bid(spark, sf_dir)
+    return b.select(
+        "auction",
+        "bidder",
+        "price",
+        "channel",
+        F.split_part(F.col("url"), F.lit("/"), F.lit(4)).alias("dir1"),
+        F.split_part(F.col("url"), F.lit("/"), F.lit(5)).alias("dir2"),
+        F.split_part(F.col("url"), F.lit("/"), F.lit(6)).alias("dir3"),
     )
 
 
