@@ -119,3 +119,44 @@ def hyperplane_lsh_buckets(
             F.sum(F.col("bit") * F.expr("CAST(pow(2, p) AS BIGINT)")).alias("bucket")
         )
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    The dedup scale path for embedding-indexed corpora: candidates are
+    pairs sharing a full LSH signature (equi-join on bucket — candidate
+    count ~ corpus/2^b per bucket, never a pairwise scan), then the exact
+    integer-scaled cosine verifies each candidate. Recall is tunable via
+    ``n_planes`` (fewer planes → bigger buckets → higher recall, more
+    verification work) — the same precision/recall dial as MinHash-LSH
+    banding for text.
+    """
+    buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, dim)
+    a = buckets.select(F.col("id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "bucket")
+    cand = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = with_int_embedding(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__iv").alias("v"), F.col("__norm").alias("n")
+    )
+    va = v.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = v.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

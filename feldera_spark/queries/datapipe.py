@@ -21,7 +21,11 @@ from feldera_spark.datapipe.dedup import (
     simhash,
 )
 from feldera_spark.datapipe.multimodal import documents_as_binary, extract_metadata
-from feldera_spark.datapipe.similarity import cosine_topk, hyperplane_lsh_buckets
+from feldera_spark.datapipe.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplane_lsh_buckets,
+)
 from feldera_spark.datapipe.text import fingerprint, language_id, quality_score, token_stats
 from feldera_spark.queries._util import t
 
@@ -300,6 +304,61 @@ def d10_token_stats(spark, sf_dir):
 def d11_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return fingerprint(d, "doc_id", "text")
+
+
+@q(
+    "d13_embedding_neardup",
+    oracle="""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT p, i,
+             ((('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 2001 - 1000) AS w
+      FROM UNNEST(range(0, 8)) AS pp(p), UNNEST(range(0, 64)) AS ii(i)
+    ),
+    dots AS (
+      SELECT iv.vec_id, planes.p, sum(v[CAST(i AS INT) + 1] * w) AS d
+      FROM iv CROSS JOIN planes GROUP BY iv.vec_id, planes.p
+    ),
+    buckets AS (
+      SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(v[CAST(i AS INT) + 1] * v[CAST(i AS INT) + 1]) AS DOUBLE)) AS n
+      FROM iv, UNNEST(range(0, 64)) AS ii(i) GROUP BY vec_id
+    ),
+    pairdot AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(va.v[CAST(i AS INT) + 1] * vb.v[CAST(i AS INT) + 1]) AS DOUBLE) AS dab
+      FROM cand c
+      JOIN iv va ON va.vec_id = c.id_a
+      JOIN iv vb ON vb.vec_id = c.id_b,
+      UNNEST(range(0, 64)) AS ii(i)
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT p.id_a, p.id_b, p.dab / (na.n * nb.n) AS cosine
+    FROM pairdot p JOIN norms na ON na.vec_id = p.id_a
+                   JOIN norms nb ON nb.vec_id = p.id_b
+    WHERE p.dab / (na.n * nb.n) >= 0.3
+    """,
+)
+def d13_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: LSH-signature candidates + exact
+    integer-scaled cosine verification (the embedding analogue of
+    MinHash-LSH banding; never a pairwise scan)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )
 
 
 @q(
