@@ -155,3 +155,44 @@ def i04_ivm_distinct(spark, sf_dir):
     for chunk in _event_chunks(spark, sf_dir):
         view.step(chunk.select("user_id", "event_type", WEIGHT))
     return view.materialized()
+
+
+@q(
+    "i05_ivm_rolling",
+    oracle=f"""
+    SELECT user_id, ts, value,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling
+    FROM ({_NET})
+    """,
+)
+def i05_ivm_rolling(spark, sf_dir):
+    """Partitioned rolling aggregate (SUM OVER RANGE 6h) maintained over
+    4 deltas incl. deletions — per-step work is bounded to each touched
+    key's [min delta ts − W, ∞) slice (partitioned_rolling_aggregate,
+    operator/time_series/rolling_aggregate.rs:81)."""
+    from feldera_spark.streaming.incremental import IncrementalRollingAggregateView
+
+    view = IncrementalRollingAggregateView(
+        keys=["user_id"],
+        ts_col="ts",
+        window_seconds=6 * 3600,
+        agg="sum",
+        value_col="dec_value",
+    )
+    for chunk in _event_chunks(spark, sf_dir):
+        view.step(
+            chunk.select(
+                "user_id",
+                "ts",
+                "value",
+                F.col("value").cast("decimal(12,2)").alias("dec_value"),
+                WEIGHT,
+            )
+        )
+    out = view.materialized()
+    return out.select(
+        "user_id", "ts", "value", F.col("rolling").cast("double").alias("rolling")
+    )

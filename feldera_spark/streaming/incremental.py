@@ -253,6 +253,109 @@ class IncrementalJoinView:
         return zset.to_bag(self.output.read())
 
 
+class IncrementalRollingAggregateView:
+    """Partitioned rolling aggregate over event time, maintained
+    incrementally.
+
+    Reference: ``partitioned_rolling_aggregate`` family
+    (``operator/time_series/rolling_aggregate.rs:81,160,231``) — the
+    physical form of ``SUM(x) OVER (PARTITION BY k ORDER BY ts RANGE
+    BETWEEN W PRECEDING AND CURRENT ROW)`` in streaming mode.
+
+    Delta rule: a changed row at (k, t) can only affect output rows of
+    key k with timestamp in ``[t, t + W]`` (their frames contain t). Per
+    step we therefore recompute the window ONLY over each touched key's
+    rows with ``ts >= min(delta ts) - W`` (the frame context) and emit
+    updates for rows with ``ts >= min(delta ts)``. Work is
+    O(|delta| + touched keys' recent slice), never the full history —
+    and the frame context read is what LATENESS-driven GC would bound.
+
+    ``agg`` is "sum" or "count" (weight-aware linear aggregates — the
+    ``partitioned_rolling_aggregate_linear`` case; MIN/MAX rolling needs
+    the general re-aggregation strategy).
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        ts_col: str,
+        window_seconds: int,
+        agg: str = "sum",
+        value_col: str | None = None,
+        out_col: str = "rolling",
+    ):
+        assert agg in ("sum", "count"), "linear rolling aggregates only"
+        assert agg == "count" or value_col is not None
+        self.keys = keys
+        self.ts_col = ts_col
+        self.w_secs = window_seconds
+        self.agg = agg
+        self.value_col = value_col
+        self.out_col = out_col
+        self.integral = Spine()
+        self.output = Spine()
+
+    def _rolling(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        # session-timezone-independent epoch micros for NTZ timestamps
+        # (an ntz→ltz cast would be ambiguous across DST transitions)
+        ord_col = (
+            F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                f"CAST({self.ts_col} AS TIMESTAMP_NTZ))"
+            )
+            if dict(rows.dtypes).get(self.ts_col, "").startswith("timestamp")
+            else F.col(self.ts_col).cast("long") * 1_000_000
+        )
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy(ord_col.alias("__ord"))
+            .rangeBetween(-self.w_secs * 1_000_000, 0)
+        )
+        expr = (
+            F.sum(F.col(self.value_col) * F.col(WEIGHT))
+            if self.agg == "sum"
+            else F.sum(F.col(WEIGHT))
+        )
+        return rows.withColumn(self.out_col, expr.over(w))
+
+    def step(self, delta: DataFrame) -> DataFrame:
+        delta = zset.lift(delta)
+        dmins = delta.groupBy(*self.keys).agg(F.min(self.ts_col).alias("__dmin"))
+        self.integral.append(delta)
+        slice_ = self.integral.read_for_keys(
+            dmins.select(*self.keys), self.keys
+        ).join(dmins, on=self.keys)
+        is_ts = dict(delta.dtypes).get(self.ts_col, "").startswith("timestamp")
+        lower = (
+            F.col("__dmin") - F.expr(f"INTERVAL {self.w_secs} SECONDS")
+            if is_ts
+            else F.col("__dmin") - F.lit(self.w_secs)
+        )
+        ctx = slice_.filter(F.col(self.ts_col) >= lower)
+        recomputed = self._rolling(ctx).filter(
+            F.col(self.ts_col) >= F.col("__dmin")
+        ).drop("__dmin")
+        new_out = recomputed  # carries the integral's net weight per row
+        if self.output.empty:
+            out_delta = zset.consolidate(new_out)
+        else:
+            old_affected = (
+                self.output.read_for_keys(dmins.select(*self.keys), self.keys)
+                .join(dmins, on=self.keys)
+                .filter(F.col(self.ts_col) >= F.col("__dmin"))
+                .drop("__dmin")
+            )
+            out_delta = zset.consolidate(zset.minus(new_out, old_affected))
+        self.output.append(out_delta)
+        return out_delta
+
+    def materialized(self) -> DataFrame:
+        assert not self.output.empty
+        return zset.to_bag(self.output.read())
+
+
 class AppendOnlyAggregateView:
     """Chain aggregate for append-only inputs: O(1) state per key.
 

@@ -89,6 +89,39 @@ def test_linear_agg_equals_batch_and_drops_dead_groups(spark):
     assert [(r.k, r.n) for r in v2.materialized().collect()] == [("b", 1)]
 
 
+def test_rolling_aggregate_retraction_updates_downstream_frames(spark):
+    """Deleting a row must update every later row whose RANGE frame
+    contained it — and only rows within W of the change."""
+    from feldera_spark.streaming.incremental import IncrementalRollingAggregateView
+
+    rows = [  # (key, t_seconds, v)
+        ("a", 100, 10), ("a", 150, 20), ("a", 220, 5), ("a", 400, 7),
+        ("b", 100, 1),
+    ]
+    ins = spark.createDataFrame(
+        [(k, t, v, 1) for k, t, v in rows], ["k", "t", "v", WEIGHT]
+    )
+    view = IncrementalRollingAggregateView(
+        keys=["k"], ts_col="t", window_seconds=100, agg="sum", value_col="v"
+    )
+    view.step(ins)
+    # delete ("a",150,20): frames of t=150 and t=220 change; t=400 unaffected
+    out_delta = view.step(
+        spark.createDataFrame([("a", 150, 20, -1)], ["k", "t", "v", WEIGHT])
+    )
+    got = sorted((r.k, r.t, r.v, r.rolling) for r in view.materialized().collect())
+    # batch recompute over the net rows: frames are [t-100, t]
+    assert got == [
+        ("a", 100, 10, 10),  # [0,100] → itself
+        ("a", 220, 5, 5),    # [120,220] — the deleted t=150 row is gone
+        ("a", 400, 7, 7),    # [300,400] → itself (was already 7)
+        ("b", 100, 1, 1),
+    ]
+    # delta must not touch rows outside [dmin, ∞) of untouched keys
+    touched = {(r.k, r.t) for r in out_delta.collect()}
+    assert all(k == "a" and t >= 150 for k, t in touched)
+
+
 def test_incremental_minmax_retraction(spark):
     chunks, live = _chunked_changes(spark, seed=13)
     view = IncrementalAggregateView(
