@@ -86,3 +86,30 @@ def q66_salted_agg(spark, sf_dir):
         n_salts=16,
     )
     return out.select("event_type", "n", "total", "mx", "mn")
+
+
+@q(
+    "q67_variant_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_object('k', CAST(json_extract(props, '$.k') AS BIGINT) * 2) AS VARCHAR) AS doubled,
+           CAST(json_merge_patch(props, json_object('u', user_id)) AS VARCHAR) AS merged
+    FROM events
+    """,
+)
+def q67_variant_ops(spark, sf_dir):
+    """VARIANT surface (sqllib variant.rs, 2199 LoC): PARSE_JSON +
+    typed subscript via Spark 4's native VariantType (variant_get), plus
+    VARIANT_MAP / VARIANT_MERGE analogues as higher-order map ops
+    (transform_values / map_concat) — all JVM-side expressions."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.to_json(F.transform_values(m, lambda k, v: v * 2)).alias("doubled"),
+        F.to_json(F.map_concat(m, F.create_map(F.lit("u"), F.col("user_id")))).alias(
+            "merged"
+        ),
+    )

@@ -11,16 +11,34 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from feldera_spark.plans import (
+    explain_formatted as _plan,
+    scan_info,
+    view_dag,
+)
 from feldera_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
 _Q = all_queries()
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+def test_scan_info_and_view_dag(spark):
+    scans = scan_info(_Q["q02_filter_revenue"](spark, SF_DIR))
+    assert scans and scans[0]["pushed_filters"]  # pushdown visible via API
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ev (ts TIMESTAMP LATENESS INTERVAL 1 HOUR, k BIGINT);
+        CREATE MATERIALIZED VIEW agg AS SELECT k, count(*) AS n FROM ev GROUP BY k
+        """
     )
+    dag = view_dag(b)
+    kinds = {n["id"]: n["kind"] for n in dag["nodes"]}
+    assert kinds == {"ev": "table", "agg": "view"}
+    assert dag["edges"] == [{"from": "ev", "to": "agg"}]
+    agg = next(n for n in dag["nodes"] if n["id"] == "agg")
+    assert "aggregate" in agg["stateful_ops"] and not agg["unbounded_state"]
 
 
 def test_filter_pushdown_reaches_scan(spark):

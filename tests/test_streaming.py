@@ -105,3 +105,95 @@ def test_streaming_runner_file_source(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_apply_in_pandas_with_state_running_totals(spark):
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    totals survive across micro-batches; final update == batch totals."""
+    from feldera_spark.streaming.stateful import running_totals
+
+    src = tempfile.mkdtemp(prefix="fs_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="fs_state_ckpt_")
+    try:
+        all_rows = [(i, "k" + str(i % 3), float(i)) for i in range(60)]
+        for part in range(3):
+            chunk = [r for r in all_rows if r[0] % 3 == part]
+            spark.createDataFrame(chunk, ["id", "k", "v"]).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("id BIGINT, k STRING, v DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            running_totals(stream, "k", "v")
+            .writeStream.format("memory")
+            .queryName("rt_sink")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # last update per key must equal the batch aggregate
+        rows = spark.sql(
+            "SELECT k, max_by(n, n) AS n, max_by(total, n) AS total "
+            "FROM rt_sink GROUP BY k"
+        ).collect()
+        got = sorted((r.k, r.n, round(r.total, 6)) for r in rows)
+        import pandas as pd  # noqa: F401
+        want = sorted(
+            (k, sum(1 for r in all_rows if r[1] == k),
+             round(sum(r[2] for r in all_rows if r[1] == k), 6))
+            for k in {"k0", "k1", "k2"}
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_gap_sessionize_closes_sessions(spark):
+    """Custom session state: sessions close when the gap is exceeded
+    across micro-batch boundaries."""
+    from feldera_spark.streaming.stateful import gap_sessionize
+
+    src = tempfile.mkdtemp(prefix="fs_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="fs_sess_ckpt_")
+    try:
+        # key 'a': events at t=0,5,8 then 100,103 then 500 → closed
+        # sessions [0,8]x3 and [100,103]x2 (500 still open at end)
+        # one file per batch + distinct mtimes so the file source replays
+        # them in arrival order (it orders by modification time)
+        import time as _time
+
+        batches = [[0.0, 5.0, 8.0], [100.0, 103.0], [500.0]]
+        for i, ts_list in enumerate(batches):
+            spark.createDataFrame(
+                [("a", t) for t in ts_list], ["k", "t"]
+            ).coalesce(1).write.mode("append").parquet(f"{src}/b{i}")
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema("k STRING, t DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            gap_sessionize(stream, "k", "t", gap_seconds=30)
+            .writeStream.format("memory")
+            .queryName("sess_sink")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.k, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_sink").collect()
+        )
+        assert got == [("a", 0.0, 8.0, 3), ("a", 100.0, 103.0, 2)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
