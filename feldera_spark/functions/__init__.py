@@ -116,3 +116,20 @@ def gunzip(col) -> Column:
     raise NotImplementedError(
         "gunzip needs a small pandas UDF (zlib); add when a workload requires it"
     )
+
+
+def to_unsigned(col, bits: int) -> Column:
+    """Unsigned-int gap shim (program_schema.rs:474-481): widen to the
+    next signed type + range CHECK; out-of-range → NULL (SAFE_CAST
+    flavor — the reference errors on plain CAST, returns NULL on
+    SAFE_CAST)."""
+    c = _c(col).cast("long")
+    hi = (1 << bits) - 1
+    return F.when((c >= 0) & (c <= hi), c)
+
+
+def time_of_day(col) -> Column:
+    """TIME-type gap shim (SURVEY §1.2): Spark has no TIME type; the
+    engine-portable representation is the 'HH:mm:ss' string (lossless to
+    second precision, orderable, castable back via to_timestamp)."""
+    return F.date_format(_c(col), "HH:mm:ss")

@@ -113,3 +113,54 @@ def q67_variant_ops(spark, sf_dir):
             "merged"
         ),
     )
+
+
+@q(
+    "q68_datetime_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+           strftime(ts, '%H:%M:%S') AS tod,
+           timezone('America/Phoenix', timezone('UTC', ts)) AS phoenix_ts
+    FROM events
+    """,
+)
+def q68_datetime_format(spark, sf_dir):
+    """FORMAT_DATE / TIME-of-day / CONVERT_TIMEZONE (rfc3339.rs,
+    timestamp.rs convert_timezone). Phoenix has no DST so the converted
+    NTZ value is stable on any engine; Spark's convert_timezone takes an
+    explicit source zone, making it session-tz independent."""
+    from feldera_spark.functions import time_of_day
+
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt"),
+        time_of_day(F.col("ts")).alias("tod"),
+        F.convert_timezone(F.lit("UTC"), F.lit("America/Phoenix"), F.col("ts")).alias(
+            "phoenix_ts"
+        ),
+    )
+
+
+@q(
+    "q69_unsigned",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id * 7 BETWEEN 0 AND 255 THEN user_id * 7 END AS u8,
+           CASE WHEN user_id * 7 BETWEEN 0 AND 65535 THEN user_id * 7 END AS u16
+    FROM events
+    """,
+)
+def q69_unsigned(spark, sf_dir):
+    """Unsigned int types (TINYINT UNSIGNED.., program_schema.rs:474-481):
+    widen-to-signed + range CHECK, NULL out of range (SAFE_CAST flavor)."""
+    from feldera_spark.functions import to_unsigned
+
+    e = t(spark, sf_dir, "events")
+    x = F.col("user_id") * 7
+    return e.select(
+        "event_id",
+        to_unsigned(x, 8).alias("u8"),
+        to_unsigned(x, 16).alias("u16"),
+    )
