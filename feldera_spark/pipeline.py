@@ -332,6 +332,17 @@ class Pipeline:
         equivalent — here it's simply Spark SQL over registered views)."""
         return self.spark.sql(sql)
 
+    def query_arrow(self, sql: str):
+        """Ad-hoc query → pyarrow Table (the reference's Arrow IPC output
+        path, ``adhoc/executor.rs`` / ``pipeline.py:1163-1301``)."""
+        return self.spark.sql(sql).toArrow()
+
+    def query_parquet(self, sql: str, path: str) -> None:
+        """Ad-hoc query → parquet files at ``path`` (``query_parquet``,
+        ``python/feldera/pipeline.py:1216``). Distributed write — one file
+        per partition, no driver materialization."""
+        self.spark.sql(sql).write.mode("overwrite").parquet(path)
+
     def listen(self, name: str):
         """Iterator of the view's current rows (SDK ``Pipeline.listen``)."""
         return self.view(name).toLocalIterator()

@@ -92,3 +92,24 @@ def test_transaction_atomicity(spark):
     # non-transactional push = immediate step
     sp.push(d1)
     assert seen_counts == [3, 4]
+
+
+def test_adhoc_output_formats(spark, tmp_path):
+    """query_arrow / query_parquet — ad-hoc result delivery formats."""
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE t (k BIGINT, v DOUBLE);
+        CREATE MATERIALIZED VIEW s AS SELECT k, sum(v) AS total FROM t GROUP BY k
+        """
+    )
+    b.connect_table(
+        "t", spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 4.0)], ["k", "v"])
+    )
+    p = b.create()
+    tbl = p.query_arrow("SELECT * FROM s ORDER BY k")
+    assert tbl.num_rows == 2 and tbl.column("total").to_pylist() == [5.0, 4.0]
+    out = str(tmp_path / "adhoc_out")
+    p.query_parquet("SELECT * FROM s", out)
+    assert sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    ) == [(1, 5.0), (2, 4.0)]

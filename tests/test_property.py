@@ -1,0 +1,90 @@
+"""Property-based incremental-equals-batch checks (hypothesis).
+
+Mirrors the reference's proptest-based operator tests
+(``crates/dbsp/src/operator/*`` ``#[cfg(test)]`` proptest sections, e.g.
+``join.rs``, ``distinct.rs``): for ARBITRARY inputs, chunkings, and
+delete patterns, the incrementally-maintained state must equal batch
+recomputation over the net input (``README.md:67-70``).
+
+Spark jobs are slow per example, so examples are few but each covers an
+arbitrary interleaving — the property, not the sample count, carries the
+guarantee.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from feldera_spark.streaming.incremental import (
+    IncrementalDistinctView,
+    IncrementalLinearAggregateView,
+    wcount,
+    wsum,
+)
+from feldera_spark.zset import WEIGHT
+
+# each element: (key 0..2, value 0..5, chunk 0..2, delete_later?)
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 5),
+        st.integers(0, 2),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _chunks_and_net(spark, rows):
+    chunks = [[] for _ in range(4)]
+    net = Counter()
+    for i, (k, v, c, dele) in enumerate(rows):
+        chunks[c].append((f"k{k}", v, 1))
+        net[(f"k{k}", v)] += 1
+        if dele:
+            chunks[3].append((f"k{k}", v, -1))
+            net[(f"k{k}", v)] -= 1
+    dfs = [
+        spark.createDataFrame(c, ["k", "v", WEIGHT]) for c in chunks if c
+    ]
+    return dfs, +net  # +net drops zero/negative entries
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_linear_agg_property(spark, rows):
+    dfs, net = _chunks_and_net(spark, rows)
+    view = IncrementalLinearAggregateView(
+        keys=["k"], sums={"n": wcount(), "total": wsum("v")}
+    )
+    for d in dfs:
+        view.step(d)
+    got = {r.k: (r.n, r.total) for r in view.materialized().collect()}
+    want: dict[str, tuple[int, int]] = {}
+    for (k, v), m in net.items():
+        n, tot = want.get(k, (0, 0))
+        want[k] = (n + m, tot + v * m)
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_distinct_property(spark, rows):
+    dfs, net = _chunks_and_net(spark, rows)
+    view = IncrementalDistinctView()
+    for d in dfs:
+        view.step(d)
+    got = {(r.k, r.v) for r in view.materialized().collect()}
+    assert got == set(net)

@@ -140,3 +140,38 @@ def test_find_unbounded_state(spark):
     flagged = {w.view for w in warnings}
     assert flagged == {"unbounded_join"}
     assert "join" in warnings[0].operator
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with ZERO shuffles — the 100 TB recurring-
+    join strategy (hash-place once, join forever)."""
+    from feldera_spark.plans import count_exchanges, explain_formatted
+    from feldera_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.range(0, 1000).selectExpr(
+        "id AS o_key", "id % 7 AS o_flag", "CAST(id * 1.5 AS DOUBLE) AS total"
+    )
+    items = spark.range(0, 3000).selectExpr(
+        "id % 1000 AS o_key", "id AS line_id", "CAST(id AS DOUBLE) AS qty"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+    write_bucketed(orders, "b_orders", ["o_key"], n_buckets=4)
+    write_bucketed(items, "b_items", ["o_key"], n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (at 100 TB neither side broadcasts —
+        # that's exactly the case bucketing exists for)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "b_orders", "b_items", on=["o_key"])
+        plan = explain_formatted(j)
+        assert "SortMergeJoin" in plan
+        assert count_exchanges(j) == 0  # no shuffle on either side
+        assert j.count() == 3000
+        # and an aggregation keyed on the bucket column needs no exchange
+        agg = spark.table("b_items").groupBy("o_key").count()
+        assert count_exchanges(agg) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
