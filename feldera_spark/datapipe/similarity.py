@@ -160,3 +160,76 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantizer ANN
+    scale path.
+
+    Corpus vectors are assigned to the nearest of ``n_cells`` centroids
+    (here: data-sampled — the first ``n_cells`` corpus vectors by id —
+    deterministic and oracle-checkable; at scale you'd refine with a few
+    Lloyd iterations using these same joins). A query probes only its
+    ``n_probe`` closest cells, so exact scoring touches ~n_probe/n_cells
+    of the corpus instead of all of it. Centroids and probe lists are
+    tiny → broadcast; the only corpus-sized operations are one argmax
+    assignment pass and the probed-cell scoring join.
+    """
+    from pyspark.sql.window import Window
+
+    c = with_int_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("cid_"), F.col("__iv").alias("cv"), F.col("__norm").alias("cn")
+    )
+    cent = (
+        c.orderBy("cid_").limit(n_cells)
+        .select(F.col("cid_").alias("cell"), F.col("cv").alias("centv"), F.col("cn").alias("centn"))
+    )
+
+    def _cos(av, an, bv, bn):
+        return _dot(av, bv) / (an * bn)
+
+    # assign: argmax cosine over centroids (deterministic tiebreak on cell)
+    w_assign = Window.partitionBy("cid_").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        c.join(F.broadcast(cent))
+        .withColumn("ccos", _cos(F.col("cv"), F.col("cn"), F.col("centv"), F.col("centn")))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select(F.col("cid_").alias("neighbor_id"), "cell", F.col("cv"), F.col("cn"))
+    )
+
+    q = with_int_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__iv").alias("qv"), F.col("__norm").alias("qn")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("pcos", _cos(F.col("qv"), F.col("qn"), F.col("centv"), F.col("centn")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cos(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

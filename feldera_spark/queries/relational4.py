@@ -164,3 +164,93 @@ def q69_unsigned(spark, sf_dir):
         to_unsigned(x, 8).alias("u8"),
         to_unsigned(x, 16).alias("u16"),
     )
+
+
+@q(
+    "q70_three_valued_logic",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderkey % 7 = 0 THEN NULL ELSE o.o_custkey END AS ck
+      FROM orders o
+    )
+    SELECT
+      (SELECT count(*) FROM j a JOIN j b ON a.ck = b.ck AND a.o_orderkey = b.o_orderkey) AS eq_matches,
+      (SELECT count(*) FROM j a JOIN j b ON a.ck IS NOT DISTINCT FROM b.ck AND a.o_orderkey = b.o_orderkey) AS nullsafe_matches,
+      (SELECT count(*) FROM j WHERE (ck > 100) IS NULL) AS unknown_rows,
+      (SELECT count(*) FROM j WHERE NOT coalesce(ck > 100, FALSE) AND ck IS NOT NULL) AS false_rows
+    """,
+)
+def q70_three_valued_logic(spark, sf_dir):
+    """3-valued logic + join-key NULL semantics (SURVEY §2.3 correctness
+    notes): NULL never equals NULL under `=` but matches under
+    IS NOT DISTINCT FROM (<=>); predicates on NULL are UNKNOWN."""
+    o = t(spark, sf_dir, "orders")
+    j = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("ck"),
+    )
+    a = j.select(F.col("o_orderkey").alias("ak"), F.col("ck").alias("ack"))
+    b = j.select(F.col("o_orderkey").alias("bk"), F.col("ck").alias("bck"))
+    eq = a.join(b, (F.col("ack") == F.col("bck")) & (F.col("ak") == F.col("bk"))).count()
+    ns = a.join(b, (F.col("ack").eqNullSafe(F.col("bck"))) & (F.col("ak") == F.col("bk"))).count()
+    unknown = j.filter(F.col("ck").isNull()).count()  # (NULL > 100) IS NULL
+    false_rows = j.filter(~F.coalesce(F.col("ck") > 100, F.lit(False)) & F.col("ck").isNotNull()).count()
+    return t(spark, sf_dir, "region").limit(1).select(
+        F.lit(eq).alias("eq_matches"),
+        F.lit(ns).alias("nullsafe_matches"),
+        F.lit(unknown).alias("unknown_rows"),
+        F.lit(false_rows).alias("false_rows"),
+    )
+
+
+@q(
+    "q71_interval_units",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL '3' MONTH AS plus_months,
+           o_orderdate + INTERVAL '45' DAY AS plus_days,
+           o_orderdate - INTERVAL '90' MINUTE AS minus_minutes,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q71_interval_units(spark, sf_dir):
+    """INTERVAL family (13 units, program_schema.rs:430-448): year-month
+    vs day-time interval arithmetic + TIMESTAMPDIFF."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_months"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")).alias("plus_days"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 MINUTES")).alias("minus_minutes"),
+        F.expr(
+            "CAST(timestampdiff(DAY, TIMESTAMP_NTZ '1995-01-01 00:00:00', o_orderdate) AS BIGINT)"
+        ).alias("days_since"),
+    )
+
+
+@q(
+    "q72_decimal_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(18,6)) AS charge,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) / 3, 2) AS DECIMAL(12,2)) AS third
+    FROM lineitem WHERE l_orderkey % 997 = 0
+    """,
+)
+def q72_decimal_arithmetic(spark, sf_dir):
+    """DECIMAL fidelity (crates/fxp fixed-point; SURVEY hard part 5):
+    exact multiply chains at declared scales; ROUND HALF-UP division —
+    results normalized to common (p,s) so both engines agree bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(18,6)").alias("charge"),
+        F.round(price / 3, 2).cast("decimal(12,2)").alias("third"),
+    )

@@ -78,6 +78,25 @@ class Spine:
     def empty(self) -> bool:
         return not self.batches
 
+    # -- checkpoint / restore (fault tolerance) ------------------------------
+    # Reference: circuit checkpointing (``crates/dbsp/src/circuit/
+    # checkpointer.rs``, ``adapters/src/controller/checkpoint.rs``): state
+    # persists so a pipeline resumes from the last committed step instead
+    # of replaying history. Here: the consolidated spine goes to parquet
+    # (distributed write); restore reads it back as the single base batch.
+
+    def save(self, path: str) -> None:
+        """Persist the consolidated state to parquet at ``path``."""
+        assert self.batches, "nothing to checkpoint"
+        self.read().write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str, max_batches: int = 8) -> "Spine":
+        """Restore a spine from a checkpoint written by ``save``."""
+        s = cls(max_batches=max_batches)
+        s.batches = [_checkpoint(spark.read.parquet(path))]
+        return s
+
 
 # ---------------------------------------------------------------------------
 # Weighted aggregate expression helpers (linear aggregates: O(delta))
