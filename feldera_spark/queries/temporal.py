@@ -309,3 +309,44 @@ def q49_temporal_filter(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_recent"))
     )
+
+
+@q(
+    "q73_lateness_drop",
+    oracle="""
+    WITH chunked AS (
+      SELECT *, event_id % 4 AS chunk FROM events
+    ),
+    chunk_max AS (
+      SELECT chunk, max(ts) AS mx FROM chunked GROUP BY chunk
+    ),
+    waterline AS (
+      -- waterline IN EFFECT for chunk k = max ts of chunks < k, minus lateness
+      SELECT c.chunk,
+             (SELECT max(m.mx) FROM chunk_max m WHERE m.chunk < c.chunk)
+               - INTERVAL '1' HOUR AS bound
+      FROM chunk_max c
+    )
+    SELECT c.event_id, c.ts, c.user_id
+    FROM chunked c JOIN waterline w ON c.chunk = w.chunk
+    WHERE w.bound IS NULL OR c.ts >= w.bound
+    """,
+)
+def q73_lateness_drop(spark, sf_dir):
+    """LATENESS-driven late-row dropping, end-to-end oracle-checked:
+    events arrive in 4 chunks (event_id % 4); rows older than the
+    waterline established by PRIOR chunks (max ts − 1h) are dropped at
+    ingestion — controlled_filter.rs / DBSPControlledKeyFilterOperator
+    semantics, driven by our Waterline."""
+    from feldera_spark.streaming.watermark import Waterline
+
+    e = t(spark, sf_dir, "events")
+    wl = Waterline("ts", 3600)
+    kept = []
+    for i in range(4):
+        chunk = e.filter(F.col("event_id") % 4 == i).select("event_id", "ts", "user_id")
+        kept.append(wl.step(chunk))
+    out = kept[0]
+    for k in kept[1:]:
+        out = out.unionByName(k)
+    return out

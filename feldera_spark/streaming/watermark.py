@@ -44,11 +44,19 @@ class Waterline:
             return None
         return self.max_ts - self.lateness
 
+    @staticmethod
+    def _ts_lit(value: _dt.datetime) -> F.Column:
+        """Session-timezone-independent NTZ literal. ``F.lit(datetime)``
+        would build an LTZ literal, and comparing it against a
+        TIMESTAMP_NTZ column re-interprets through the session timezone —
+        silently shifting the waterline by the UTC offset."""
+        return F.lit(value.isoformat(sep=" ")).cast("timestamp_ntz")
+
     def filter_late(self, chunk: DataFrame) -> DataFrame:
         """Drop rows older than the current waterline (late-row drop)."""
         if self.bound is None:
             return chunk
-        return chunk.filter(F.col(self.ts_col) >= F.lit(self.bound))
+        return chunk.filter(F.col(self.ts_col) >= self._ts_lit(self.bound))
 
     def observe(self, chunk: DataFrame) -> None:
         """Advance the waterline with a chunk's max timestamp."""
@@ -70,4 +78,6 @@ def emit_final(
     will never be retracted (emit_final view property)."""
     if waterline.bound is None:
         return windowed.limit(0)
-    return windowed.filter(F.col(window_end_col) <= F.lit(waterline.bound))
+    return windowed.filter(
+        F.col(window_end_col) <= Waterline._ts_lit(waterline.bound)
+    )

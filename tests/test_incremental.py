@@ -161,6 +161,48 @@ def test_incremental_join_equals_batch(spark):
     assert got == want
 
 
+def test_per_step_consistency_chained_views(spark):
+    """The reference's consistency guarantee (README.md:67-70): after
+    EVERY step — not just the last — each view equals batch recomputation
+    of the input prefix. Chained: join feeds an aggregate."""
+    chunks, _ = _chunked_changes(spark, n_rows=120, n_chunks=3)
+    dim = spark.createDataFrame(
+        [("a", "grp1"), ("b", "grp1"), ("c", "grp2"), ("d", "grp2")], ["k", "grp"]
+    )
+    jv = IncrementalJoinView(on=["k"])
+    av = IncrementalLinearAggregateView(keys=["grp"], sums={"n": wcount()})
+    jv.step(None, dim.withColumn(WEIGHT, F.lit(1).cast("long")))
+
+    prefix = None
+    for c in chunks:
+        jd = jv.step(c, None)
+        av.step(jd.select("grp", WEIGHT))
+        prefix = c if prefix is None else prefix.unionByName(c)
+        # batch recomputation of the prefix
+        net = (
+            prefix.groupBy("id", "k", "v")
+            .agg(F.sum(WEIGHT).alias("w"))
+            .filter(F.col("w") > 0)
+        )
+        want_join = sorted(
+            (r.k, r.grp)
+            for r in net.join(dim, "k").select("k", "grp", "w").collect()
+            for _ in range(r.w)
+        )
+        got_join = sorted(
+            (r.k, r.grp)
+            for r in jv.materialized().select("k", "grp").collect()
+        )
+        assert got_join == want_join
+        want_agg = sorted(
+            map(tuple, net.join(dim, "k").groupBy("grp").agg(
+                F.sum("w").alias("n")
+            ).collect())
+        )
+        got_agg = sorted(map(tuple, av.materialized().collect()))
+        assert got_agg == want_agg
+
+
 def test_spine_checkpoint_restore(spark, tmp_path):
     """Checkpoint mid-stream, restore into a fresh view, finish the
     stream — result equals the uninterrupted run (fault tolerance)."""
