@@ -197,3 +197,57 @@ def test_gap_sessionize_closes_sessions(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_temporal_filter_now_incremental(spark):
+    """NOW()-anchored filter maintained incrementally: accumulated output
+    deltas == direct filter at every clock tick (ImplementNow semantics:
+    advancing the clock retracts exactly the boundary-crossed slice)."""
+    import datetime as dt
+
+    from feldera_spark import zset
+    from feldera_spark.streaming.incremental import Spine
+    from feldera_spark.streaming.now import TemporalFilterView
+    from feldera_spark.zset import WEIGHT
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    view = TemporalFilterView("ts", width_seconds=3600)  # 1h window
+    acc = Spine()
+
+    def check(now):
+        want = sorted(
+            (r["k"], r["ts"])
+            for r in view.materialized().collect()
+        )
+        got = sorted(
+            (r["k"], r["ts"]) for r in zset.to_bag(acc.read()).collect()
+        )
+        assert got == want, f"at now={now}"
+
+    # tick 1: rows at -90m (out), -30m (in), -5m (in)
+    d1 = spark.createDataFrame(
+        [("a", ts(-90), 1), ("b", ts(-30), 1), ("c", ts(-5), 1)],
+        ["k", "ts", WEIGHT],
+    )
+    out = view.step(d1, now=ts(0))
+    acc.append(out)
+    assert sorted(r.k for r in out.filter(f"{WEIGHT} > 0").collect()) == ["b", "c"]
+    check(ts(0))
+
+    # tick 2: clock advances 45m → b (at -30m) falls out; new row arrives
+    d2 = spark.createDataFrame([("d", ts(40), 1)], ["k", "ts", WEIGHT])
+    out = view.step(d2, now=ts(45))
+    acc.append(out)
+    rows = {(r.k, r[WEIGHT]) for r in out.collect()}
+    assert rows == {("b", -1), ("d", 1)}  # b retracted, d inserted
+    check(ts(45))
+
+    # tick 3: clock only (no input): c (at -5m) falls out at now=+60m
+    out = view.step(None, now=ts(60))
+    acc.append(out)
+    assert {(r.k, r[WEIGHT]) for r in out.collect()} == {("c", -1)}
+    check(ts(60))
