@@ -29,7 +29,9 @@ HEADLINE = [
     "d03_lsh_candidate_pairs",  # minhash LSH dedup
     "d06_cosine_topk",       # similarity search
     "d11_fingerprint",       # text fingerprinting
+    "d14_ivf_topk",          # IVF ANN (coarse cells + probes)
     "i01_ivm_agg",           # incremental aggregate (4 deltas)
+    "i05_ivm_rolling",       # incremental rolling OVER-RANGE aggregate
 ]
 
 

@@ -159,22 +159,42 @@ def i04_ivm_distinct(spark, sf_dir):
 
 @q(
     "i05_ivm_rolling",
-    oracle=f"""
+    oracle="""
     SELECT user_id, ts, value,
            CAST(sum(CAST(value AS DECIMAL(12,2)))
                 OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS rolling
-    FROM ({_NET})
+    FROM (SELECT * FROM events
+          WHERE NOT (event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'))
     """,
 )
 def i05_ivm_rolling(spark, sf_dir):
     """Partitioned rolling aggregate (SUM OVER RANGE 6h) maintained over
-    4 deltas incl. deletions — per-step work is bounded to each touched
-    key's [min delta ts − W, ∞) slice (partitioned_rolling_aggregate,
-    operator/time_series/rolling_aggregate.rs:81)."""
+    4 deltas — 3 time-ordered insert chunks (the realistic stream shape)
+    then retractions of recent rows. Per-step work is bounded to each
+    touched key's [min delta ts − W, ∞) slice, so time-ordered arrival
+    costs O(chunk), exactly the bound partitioned_rolling_aggregate
+    achieves (operator/time_series/rolling_aggregate.rs:81)."""
     from feldera_spark.streaming.incremental import IncrementalRollingAggregateView
 
+    e = t(spark, sf_dir, "events")
+    cuts = ("2024-01-10", "2024-01-20")
+    chunks = [
+        e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz")),
+        e.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+        ),
+        e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz")),
+    ]
+    deltas = [c.withColumn(WEIGHT, F.lit(1).cast("long")) for c in chunks]
+    deltas.append(
+        e.filter(
+            (F.col("event_id") % 10 == 3)
+            & (F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+        ).withColumn(WEIGHT, F.lit(-1).cast("long"))
+    )
     view = IncrementalRollingAggregateView(
         keys=["user_id"],
         ts_col="ts",
@@ -182,7 +202,7 @@ def i05_ivm_rolling(spark, sf_dir):
         agg="sum",
         value_col="dec_value",
     )
-    for chunk in _event_chunks(spark, sf_dir):
+    for chunk in deltas:
         view.step(
             chunk.select(
                 "user_id",

@@ -67,11 +67,21 @@ class Spine:
         assert self.batches, "empty spine"
         return zset.consolidate(zset.plus(*self.batches))
 
-    def read_for_keys(self, keys_df: DataFrame, on: list[str]) -> DataFrame:
+    def read_for_keys(
+        self, keys_df: DataFrame, on: list[str], prefilter: F.Column | None = None
+    ) -> DataFrame:
         """State restricted to the given keys: semi-join each batch down
-        BEFORE the merge shuffle — the IVM O(touched) read path."""
+        BEFORE the merge shuffle — the IVM O(touched) read path.
+        ``prefilter`` (e.g. a time lower bound) additionally cuts each
+        batch before the merge, so the consolidation shuffle is bounded
+        by the touched slice, not the full history."""
         assert self.batches, "empty spine"
-        parts = [b.join(keys_df, on=on, how="left_semi") for b in self.batches]
+        parts = [
+            (b if prefilter is None else b.filter(prefilter)).join(
+                keys_df, on=on, how="left_semi"
+            )
+            for b in self.batches
+        ]
         return zset.consolidate(zset.plus(*parts))
 
     @property
@@ -272,6 +282,68 @@ class IncrementalJoinView:
         return zset.to_bag(self.output.read())
 
 
+class WindowedLinearAggregateView:
+    """Tumbling-window linear aggregate with lateness-driven state GC.
+
+    Reference: ``LinearPostprocessRetainKeys`` + the retain-keys GC the
+    ``MonotoneAnalyzer`` inserts (``DBSPIntegrateTraceRetainKeysOperator``)
+    — aggregate state keyed by event-time windows is truncated once the
+    waterline passes the window's end, because no in-lateness row can
+    touch it again. The CLOSED windows' results are frozen (emitted and
+    kept for reads); only OPEN windows stay in the updatable state — so
+    state size is bounded by (lateness / window size) × |keys| regardless
+    of stream length. This is the unbounded-state fix that
+    ``find_unbounded_state`` tells users to apply.
+
+    The caller drives the waterline (observe inputs BEFORE filtering,
+    like ``Waterline.step``).
+    """
+
+    def __init__(
+        self,
+        window_col: str,  # window START timestamp column (pre-computed)
+        window_seconds: int,
+        keys: list[str],
+        sums: dict[str, F.Column],
+    ):
+        self.window_col = window_col
+        self.w_secs = window_seconds
+        self.inner = IncrementalLinearAggregateView(
+            keys=[window_col, *keys], sums=sums
+        )
+        self.frozen: DataFrame | None = None
+
+    def step(self, delta: DataFrame, waterline_bound) -> DataFrame:
+        """Apply a delta, then freeze windows fully below the waterline.
+
+        Late rows (older than the bound) must already be dropped by the
+        caller's ``Waterline.step``; rows for frozen windows would be
+        silently wrong, so we assert the contract instead.
+        """
+        out = self.inner.step(delta)
+        if waterline_bound is not None and self.inner.state is not None:
+            from feldera_spark.streaming.watermark import Waterline
+
+            closed = F.col(self.window_col) + F.expr(
+                f"INTERVAL {self.w_secs} SECONDS"
+            ) <= Waterline._ts_lit(waterline_bound)
+            newly_frozen = self.inner.state.filter(closed).drop("__n")
+            self.frozen = (
+                newly_frozen
+                if self.frozen is None
+                else self.frozen.unionByName(newly_frozen)
+            ).localCheckpoint(eager=False)
+            self.inner.state = _checkpoint(self.inner.state.filter(~closed))
+        return out
+
+    def materialized(self) -> DataFrame:
+        live = self.inner.materialized()
+        return live if self.frozen is None else self.frozen.unionByName(live)
+
+    def live_state_count(self) -> int:
+        return 0 if self.inner.state is None else self.inner.state.count()
+
+
 class IncrementalRollingAggregateView:
     """Partitioned rolling aggregate over event time, maintained
     incrementally.
@@ -342,11 +414,28 @@ class IncrementalRollingAggregateView:
     def step(self, delta: DataFrame) -> DataFrame:
         delta = zset.lift(delta)
         dmins = delta.groupBy(*self.keys).agg(F.min(self.ts_col).alias("__dmin"))
+        # global time lower bound: pushed into every spine batch BEFORE
+        # the merge shuffle, so a time-ordered stream reads only its
+        # recent suffix even when every key is touched (one tiny driver
+        # scalar per step — the waterline pattern)
+        gmin = delta.agg(F.min(self.ts_col)).collect()[0][0]
         self.integral.append(delta)
-        slice_ = self.integral.read_for_keys(
-            dmins.select(*self.keys), self.keys
-        ).join(dmins, on=self.keys)
         is_ts = dict(delta.dtypes).get(self.ts_col, "").startswith("timestamp")
+        if gmin is None:
+            pre = None
+        elif is_ts:
+            import datetime as _dt
+
+            from feldera_spark.streaming.watermark import Waterline
+
+            pre = F.col(self.ts_col) >= Waterline._ts_lit(
+                gmin - _dt.timedelta(seconds=self.w_secs)
+            )
+        else:
+            pre = F.col(self.ts_col) >= F.lit(gmin - self.w_secs)
+        slice_ = self.integral.read_for_keys(
+            dmins.select(*self.keys), self.keys, prefilter=pre
+        ).join(dmins, on=self.keys)
         lower = (
             F.col("__dmin") - F.expr(f"INTERVAL {self.w_secs} SECONDS")
             if is_ts
@@ -361,7 +450,9 @@ class IncrementalRollingAggregateView:
             out_delta = zset.consolidate(new_out)
         else:
             old_affected = (
-                self.output.read_for_keys(dmins.select(*self.keys), self.keys)
+                self.output.read_for_keys(
+                    dmins.select(*self.keys), self.keys, prefilter=pre
+                )
                 .join(dmins, on=self.keys)
                 .filter(F.col(self.ts_col) >= F.col("__dmin"))
                 .drop("__dmin")

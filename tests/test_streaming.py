@@ -251,3 +251,48 @@ def test_temporal_filter_now_incremental(spark):
     acc.append(out)
     assert {(r.k, r[WEIGHT]) for r in out.collect()} == {("c", -1)}
     check(ts(60))
+
+
+def test_windowed_agg_state_gc(spark):
+    """Lateness-driven GC: windows below the waterline freeze; the live
+    (updatable) state stays bounded while results remain complete."""
+    from feldera_spark.streaming.incremental import (
+        WindowedLinearAggregateView,
+        wcount,
+    )
+
+    wl = Waterline("ts", lateness_seconds=1800)  # 30 min lateness
+    view = WindowedLinearAggregateView(
+        window_col="w", window_seconds=3600, keys=["x"], sums={"n": wcount()}
+    )
+    # 6 hours of events in 3 chunks, strictly advancing
+    all_rows = [(i % 2, _ts(10 * i)) for i in range(36)]  # every 10 min
+    for lo, hi in [(0, 12), (12, 24), (24, 36)]:
+        chunk = spark.createDataFrame(
+            [(x, ts) for x, ts in all_rows[lo:hi]], ["x", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        kept = wl.step(chunk)
+        delta = kept.select(
+            F.date_trunc("hour", "ts").alias("w"), "x"
+        ).withColumn(WEIGHT, F.lit(1).cast("long"))
+        view.step(delta, wl.bound)
+
+    got = sorted(map(tuple, view.materialized().collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.createDataFrame(
+                [(x, ts) for x, ts in all_rows], ["x", "ts"]
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            .select(F.date_trunc("hour", "ts").alias("w"), "x")
+            .groupBy("w", "x")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want
+    # 6 distinct hours × 2 keys = 12 total groups; live state holds only
+    # the windows the waterline hasn't closed
+    assert view.live_state_count() < 12
+    assert view.frozen is not None and view.frozen.count() >= 1
