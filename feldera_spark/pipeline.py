@@ -293,7 +293,9 @@ class Pipeline:
         for v in self.views.values():
             if v.sql:
                 for other in self.views:
-                    if other != v.name and re.search(rf"\b{other}\b", v.sql):
+                    if other != v.name and re.search(
+                        rf"\b{re.escape(other)}\b", v.sql
+                    ):
                         use_counts[other] += 1
         for name in builder._view_order:
             decl = self.views[name]

@@ -160,7 +160,7 @@ def d04_ngram_jaccard(spark, sf_dir):
     ),
     v AS (SELECT doc_id, i, sum(vote) AS v FROM bits GROUP BY doc_id, i)
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
     FROM v GROUP BY doc_id
     """,
 )
@@ -218,7 +218,7 @@ def d06_cosine_topk(spark, sf_dir):
       FROM iv CROSS JOIN planes GROUP BY iv.vec_id, planes.p
     )
     SELECT vec_id AS id,
-           sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
     """,
 )
@@ -325,7 +325,7 @@ def d11_fingerprint(spark, sf_dir):
       FROM iv CROSS JOIN planes GROUP BY iv.vec_id, planes.p
     ),
     buckets AS (
-      SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
       FROM dots GROUP BY vec_id
     ),
     cand AS (

@@ -46,7 +46,7 @@ NEXMARK_CTE = """
       SELECT event_id,
              user_id AS bidder,
              event_id % 211 AS auction,
-             CAST(value AS DECIMAL(12,2)) AS price,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS price,
              ts AS date_time,
              CASE user_id % 6 WHEN 0 THEN 'Apple' WHEN 1 THEN 'Google'
                   WHEN 2 THEN 'Facebook' WHEN 3 THEN 'Baidu'
@@ -82,7 +82,7 @@ def _bid(spark, sf_dir):
         "event_id",
         F.col("user_id").alias("bidder"),
         (F.col("event_id") % 211).alias("auction"),
-        F.col("value").cast("decimal(12,2)").alias("price"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("price"),
         F.col("ts").alias("date_time"),
         F.element_at(
             F.array(*[F.lit(c) for c in ("Apple", "Google", "Facebook", "Baidu", "ch5", "ch6")]),
@@ -476,7 +476,7 @@ def nx14_calculated_fields(spark, sf_dir):
     "nx15_bidding_statistics",
     oracle=f"""
     WITH {NEXMARK_CTE}
-    SELECT CAST(date_time AS DATE) AS day,
+    SELECT CAST(CAST(date_time AS DATE) AS TIMESTAMP) AS day,
            count(*) AS total_bids,
            count(*) FILTER (WHERE price < 5) AS rank1_bids,
            count(*) FILTER (WHERE price >= 5 AND price < 10) AS rank2_bids,
@@ -493,7 +493,7 @@ def nx15_bidding_statistics(spark, sf_dir):
     COUNT DISTINCT with FILTER clauses (RewriteDistinctAggregates handles
     the expansion; the reference's AGGREGATE_EXPAND_DISTINCT path)."""
     b = _bid(spark, sf_dir)
-    return b.groupBy(F.col("date_time").cast("date").alias("day")).agg(
+    return b.groupBy(F.col("date_time").cast("date").cast("timestamp_ntz").alias("day")).agg(
         F.count(F.lit(1)).alias("total_bids"),
         F.count_if(F.col("price") < 5).alias("rank1_bids"),
         F.count_if((F.col("price") >= 5) & (F.col("price") < 10)).alias("rank2_bids"),
@@ -509,7 +509,7 @@ def nx15_bidding_statistics(spark, sf_dir):
     "nx16_channel_statistics",
     oracle=f"""
     WITH {NEXMARK_CTE}
-    SELECT channel, CAST(date_time AS DATE) AS day,
+    SELECT channel, CAST(CAST(date_time AS DATE) AS TIMESTAMP) AS day,
            strftime(max(date_time), '%H:%M') AS minute,
            count(*) AS total_bids,
            count(DISTINCT bidder) AS total_bidders,
@@ -521,7 +521,7 @@ def nx16_channel_statistics(spark, sf_dir):
     """Nexmark q16 (queries/q16.sql): per-channel/day statistics with a
     last-bid-minute column (format_date → date_format)."""
     b = _bid(spark, sf_dir)
-    return b.groupBy("channel", F.col("date_time").cast("date").alias("day")).agg(
+    return b.groupBy("channel", F.col("date_time").cast("date").cast("timestamp_ntz").alias("day")).agg(
         F.date_format(F.max("date_time"), "HH:mm").alias("minute"),
         F.count(F.lit(1)).alias("total_bids"),
         F.count_distinct("bidder").alias("total_bidders"),
@@ -533,7 +533,7 @@ def nx16_channel_statistics(spark, sf_dir):
     "nx17_auction_statistics",
     oracle=f"""
     WITH {NEXMARK_CTE}
-    SELECT auction, CAST(date_time AS DATE) AS day,
+    SELECT auction, CAST(CAST(date_time AS DATE) AS TIMESTAMP) AS day,
            count(*) AS total_bids,
            CAST(min(price) AS DOUBLE) AS min_price,
            CAST(max(price) AS DOUBLE) AS max_price,
@@ -545,7 +545,7 @@ def nx16_channel_statistics(spark, sf_dir):
 def nx17_auction_statistics(spark, sf_dir):
     """Nexmark q17 (queries/q17.sql): per-auction/day price statistics."""
     b = _bid(spark, sf_dir)
-    return b.groupBy("auction", F.col("date_time").cast("date").alias("day")).agg(
+    return b.groupBy("auction", F.col("date_time").cast("date").cast("timestamp_ntz").alias("day")).agg(
         F.count(F.lit(1)).alias("total_bids"),
         F.min("price").cast("double").alias("min_price"),
         F.max("price").cast("double").alias("max_price"),

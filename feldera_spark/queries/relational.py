@@ -938,13 +938,13 @@ def q36_datetime_funcs(spark, sf_dir):
     "q37_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           abs(l_quantity - 25) AS a,
-           sign(l_quantity - 25) AS s,
-           floor(l_extendedprice / 1000) AS price_k,
-           ceil(l_quantity / 7) AS q7,
-           round(l_extendedprice * 0.0625, 1) AS tax_round,
-           l_linenumber % 3 AS m3,
-           sqrt(l_quantity) AS sq,
+           CAST(abs(l_quantity - 25) AS DOUBLE) AS a,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS s,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q7,
+           CAST(round(l_extendedprice * 0.0625, 1) AS DOUBLE) AS tax_round,
+           CAST(l_linenumber % 3 AS BIGINT) AS m3,
+           CAST(sqrt(l_quantity) AS DOUBLE) AS sq,
            CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS qsq
     FROM lineitem WHERE l_orderkey < 40
     """,
@@ -957,13 +957,13 @@ def q37_math_funcs(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_quantity") - 25).alias("a"),
-        F.signum(F.col("l_quantity") - 25).alias("s"),
-        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
-        F.ceil(F.col("l_quantity") / 7).alias("q7"),
-        F.round(F.col("l_extendedprice") * 0.0625, 1).alias("tax_round"),
-        (F.col("l_linenumber") % 3).alias("m3"),
-        F.sqrt(F.col("l_quantity")).alias("sq"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("a"),
+        F.signum(F.col("l_quantity") - 25).cast("double").alias("s"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("q7"),
+        F.round(F.col("l_extendedprice") * 0.0625, 1).cast("double").alias("tax_round"),
+        (F.col("l_linenumber") % 3).cast("long").alias("m3"),
+        F.sqrt(F.col("l_quantity")).cast("double").alias("sq"),
         (F.col("l_quantity").cast("long") * F.col("l_quantity").cast("long")).alias("qsq"),
     )
 
@@ -991,7 +991,7 @@ def q38_nullsafe_eq(spark, sf_dir):
     "q39_json_extract",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -68,8 +68,8 @@ def q50_array_funcs(spark, sf_dir):
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 30)
     SELECT doc_id,
            len(list_filter(toks, x -> length(x) > 4)) AS n_long,
-           list_transform(toks[1:4], x -> upper(x)) AS head_upper,
-           list_sum(list_transform(toks, x -> length(x))) AS total_chars
+           CAST(to_json(list_transform(toks[1:4], x -> upper(x))) AS VARCHAR) AS head_upper,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars
     FROM tk
     """,
 )
@@ -80,7 +80,7 @@ def q51_higher_order_funcs(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
-        F.transform(F.slice(toks, 1, 4), lambda x: F.upper(x)).alias("head_upper"),
+        F.to_json(F.transform(F.slice(toks, 1, 4), lambda x: F.upper(x))).alias("head_upper"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),
@@ -98,8 +98,8 @@ def q51_higher_order_funcs(spark, sf_dir):
       FROM nation
     )
     SELECT n_nationkey,
-           map_keys(m) AS m_keys,
-           map_values(m) AS m_vals,
+           CAST(to_json(map_keys(m)) AS VARCHAR) AS m_keys,
+           CAST(to_json(map_values(m)) AS VARCHAR) AS m_vals,
            m['name'][1] AS name_val,
            cardinality(m) AS m_size,
            list_contains(map_keys(m), 'region') AS has_region
@@ -117,8 +117,8 @@ def q52_map_funcs(spark, sf_dir):
     )
     return n.select(
         "n_nationkey",
-        F.map_keys(m).alias("m_keys"),
-        F.map_values(m).alias("m_vals"),
+        F.to_json(F.map_keys(m)).alias("m_keys"),
+        F.to_json(F.map_values(m)).alias("m_vals"),
         F.element_at(m, "name").alias("name_val"),
         F.size(m).alias("m_size"),
         F.array_contains(F.map_keys(m), "region").alias("has_region"),
@@ -129,7 +129,7 @@ def q52_map_funcs(spark, sf_dir):
     "q53_array_agg_ordered",
     oracle="""
     SELECT c_nationkey,
-           list(c_name ORDER BY c_acctbal DESC, c_custkey)[1:3] AS top_names,
+           CAST(to_json(list(c_name ORDER BY c_acctbal DESC, c_custkey)[1:3]) AS VARCHAR) AS top_names,
            count(*) AS n
     FROM customer GROUP BY c_nationkey
     """,
@@ -149,7 +149,7 @@ def q53_array_agg_ordered(spark, sf_dir):
         )
     )
     return c.groupBy("c_nationkey").agg(
-        F.transform(F.slice(ordered, 1, 3), lambda x: x["v"]).alias("top_names"),
+        F.to_json(F.transform(F.slice(ordered, 1, 3), lambda x: x["v"])).alias("top_names"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -158,11 +158,12 @@ def q53_array_agg_ordered(spark, sf_dir):
     "q54_bit_bool_aggs",
     oracle="""
     SELECT c_mktsegment,
-           bit_and(c_nationkey) AS band, bit_or(c_nationkey) AS bor,
-           bit_xor(c_nationkey) AS bxor,
+           CAST(bit_and(c_nationkey) AS BIGINT) AS band,
+           CAST(bit_or(c_nationkey) AS BIGINT) AS bor,
+           CAST(bit_xor(c_nationkey) AS BIGINT) AS bxor,
            bool_and(c_acctbal > -1000) AS all_above,
            bool_or(c_acctbal > 9900) AS any_rich,
-           count_if(c_acctbal < 0) AS n_debt
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_debt
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -171,12 +172,12 @@ def q54_bit_bool_aggs(spark, sf_dir):
     docs/sql/aggregates.md)."""
     c = t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.bit_and("c_nationkey").alias("band"),
-        F.bit_or("c_nationkey").alias("bor"),
-        F.bit_xor("c_nationkey").alias("bxor"),
+        F.bit_and("c_nationkey").cast("long").alias("band"),
+        F.bit_or("c_nationkey").cast("long").alias("bor"),
+        F.bit_xor("c_nationkey").cast("long").alias("bxor"),
         F.bool_and(F.col("c_acctbal") > -1000).alias("all_above"),
         F.bool_or(F.col("c_acctbal") > 9900).alias("any_rich"),
-        F.count_if(F.col("c_acctbal") < 0).alias("n_debt"),
+        F.count_if(F.col("c_acctbal") < 0).cast("long").alias("n_debt"),
     )
 
 

@@ -61,7 +61,7 @@ def q65_transitive_closure(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(12,2))) AS total,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
            max(value) AS mx,
            min(value) AS mn
     FROM events GROUP BY event_type
@@ -85,7 +85,9 @@ def q66_salted_agg(spark, sf_dir):
         salt_col="event_id",
         n_salts=16,
     )
-    return out.select("event_type", "n", "total", "mx", "mn")
+    return out.select(
+        "event_type", "n", F.col("total").cast("double").alias("total"), "mx", "mn"
+    )
 
 
 @q(
@@ -234,9 +236,9 @@ def q71_interval_units(spark, sf_dir):
     "q72_decimal_arithmetic",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
-                * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(18,6)) AS charge,
-           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) / 3, 2) AS DECIMAL(12,2)) AS third
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(18,6)) AS DOUBLE) AS charge,
+           CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) / 3, 2) AS DECIMAL(12,2)) AS DOUBLE) AS third
     FROM lineitem WHERE l_orderkey % 997 = 0
     """,
 )
@@ -251,6 +253,9 @@ def q72_decimal_arithmetic(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(18,6)").alias("charge"),
-        F.round(price / 3, 2).cast("decimal(12,2)").alias("third"),
+        (price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("charge"),
+        F.round(price / 3, 2).cast("decimal(12,2)").cast("double").alias("third"),
     )

@@ -99,7 +99,8 @@ def encode_insert_delete(changes: DataFrame) -> DataFrame:
     cols = data_columns(changes)
     payload = F.struct(*[F.col(c) for c in cols])
     return (
-        changes.withColumn(
+        changes.filter(F.col(WEIGHT) != 0)
+        .withColumn(
             "__rep", F.explode(F.expr(f"sequence(1, abs({WEIGHT}))"))
         )
         .select(

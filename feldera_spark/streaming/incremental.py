@@ -84,6 +84,13 @@ class Spine:
         ]
         return zset.consolidate(zset.plus(*parts))
 
+    def truncate(self, keep: F.Column) -> None:
+        """GC: drop state rows not matching ``keep`` (e.g. below a lateness
+        bound). Mirrors the reference's retain-keys/retain-values pruning
+        (``trace.rs`` ``retain_keys``): applied lazily per batch so the next
+        compaction physically discards the rows; no extra job here."""
+        self.batches = [b.filter(keep) for b in self.batches]
+
     @property
     def empty(self) -> bool:
         return not self.batches
@@ -312,14 +319,34 @@ class WindowedLinearAggregateView:
             keys=[window_col, *keys], sums=sums
         )
         self.frozen: DataFrame | None = None
+        self.frozen_bound = None  # waterline bound of the last freeze
 
     def step(self, delta: DataFrame, waterline_bound) -> DataFrame:
         """Apply a delta, then freeze windows fully below the waterline.
 
         Late rows (older than the bound) must already be dropped by the
-        caller's ``Waterline.step``; rows for frozen windows would be
-        silently wrong, so we assert the contract instead.
+        caller's ``Waterline.step``; a row targeting an already-frozen
+        window would be silently wrong, so the contract is ENFORCED: such
+        a row raises at execution time (in-plan ``assert_true`` — no extra
+        job per step).
         """
+        if self.frozen_bound is not None:
+            from feldera_spark.streaming.watermark import Waterline
+
+            win_end = F.col(self.window_col) + F.expr(
+                f"INTERVAL {self.w_secs} SECONDS"
+            )
+            ok = win_end > Waterline._ts_lit(self.frozen_bound)
+            delta = delta.withColumn(
+                self.window_col,
+                F.when(ok, F.col(self.window_col)).otherwise(
+                    F.expr(
+                        "CAST(assert_true(false, 'late row targets a frozen "
+                        "window — caller must drop rows below the waterline') "
+                        "AS TIMESTAMP)"
+                    )
+                ),
+            )
         out = self.inner.step(delta)
         if waterline_bound is not None and self.inner.state is not None:
             from feldera_spark.streaming.watermark import Waterline
@@ -334,6 +361,11 @@ class WindowedLinearAggregateView:
                 else self.frozen.unionByName(newly_frozen)
             ).localCheckpoint(eager=False)
             self.inner.state = _checkpoint(self.inner.state.filter(~closed))
+            self.frozen_bound = (
+                waterline_bound
+                if self.frozen_bound is None
+                else max(self.frozen_bound, waterline_bound)
+            )
         return out
 
     def materialized(self) -> DataFrame:

@@ -44,28 +44,41 @@ class TemporalFilterView:
         return Waterline._ts_lit(b)
 
     def step(self, delta: DataFrame | None, now: _dt.datetime) -> DataFrame | None:
+        # Effective bound is monotone even if the wall clock regresses
+        # (a non-monotone ``now`` must not re-open the window: rows in
+        # (new_bound, prev_bound] were already retracted / never emitted,
+        # and filtering arrivals against a regressed bound would emit rows
+        # that the falling-out scan never covers).
         new_bound = now - self.width
+        eff_bound = (
+            new_bound
+            if self.prev_bound is None
+            else max(self.prev_bound, new_bound)
+        )
         parts = []
         # 1) rows falling OUT because the boundary advanced — computed
         #    against the integral BEFORE this tick's arrivals
         if (
             self.prev_bound is not None
-            and new_bound > self.prev_bound
+            and eff_bound > self.prev_bound
             and not self.integral.empty
         ):
             falling = self.integral.read().filter(
                 (F.col(self.ts_col) > self._lit(self.prev_bound))
-                & (F.col(self.ts_col) <= self._lit(new_bound))
+                & (F.col(self.ts_col) <= self._lit(eff_bound))
             )
             parts.append(zset.neg(falling))
         # 2) this tick's arrivals that are inside the window
         if delta is not None:
             delta = zset.lift(delta)
             self.integral.append(delta)
-            parts.append(delta.filter(F.col(self.ts_col) > self._lit(new_bound)))
-        self.prev_bound = new_bound if self.prev_bound is None else max(
-            self.prev_bound, new_bound
-        )
+            parts.append(delta.filter(F.col(self.ts_col) > self._lit(eff_bound)))
+        self.prev_bound = eff_bound
+        # 3) GC: state at/below the bound can never be emitted or retracted
+        #    again (the bound is monotone) — truncate it so the integral is
+        #    bounded by the window width, not the full history.
+        if not self.integral.empty:
+            self.integral.truncate(F.col(self.ts_col) > self._lit(eff_bound))
         if not parts:
             return None
         return zset.consolidate(zset.plus(*parts))

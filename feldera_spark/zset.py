@@ -108,11 +108,20 @@ def to_bag(df: DataFrame) -> DataFrame:
     """Expand a Z-set with positive weights into a plain multiset DataFrame.
 
     Rows with weight w>1 are replicated w times (via an explode — stays
-    JVM-side). Negative weights are an error in a materialized relation.
+    JVM-side). Weight 0 means "absent" and is dropped; a negative weight is
+    an error in a materialized relation and raises at execution time
+    (Spark's ``sequence`` would otherwise silently *descend* for stop <
+    start, multiplying rows).
     """
     cols = data_columns(df)
+    seq = F.expr(
+        f"CASE WHEN {WEIGHT} >= 1 THEN sequence(1, {WEIGHT}) "
+        f"ELSE sequence(1, CAST(assert_true({WEIGHT} >= 0, "
+        f"'to_bag: negative weight in materialized relation') AS BIGINT)) END"
+    )
     return (
-        df.withColumn("__rep", F.explode(F.expr(f"sequence(1, {WEIGHT})")))
+        df.filter(F.col(WEIGHT) != 0)
+        .withColumn("__rep", F.explode(seq))
         .select(*cols)
     )
 
