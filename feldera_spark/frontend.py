@@ -1,0 +1,326 @@
+"""Feldera SQL dialect front-end: rewrite Feldera-specific SQL constructs
+into Spark-executable form, so a real Feldera program runs end-to-end
+through ``PipelineBuilder.sql()``.
+
+Covered constructs (reference files cited per rewrite):
+
+- ``TUMBLE/HOP/SESSION(TABLE t, DESCRIPTOR(ts), …)`` table functions
+  (``docs.feldera.com/docs/sql/table.md:24-150``,
+  ``CalciteToDBSPCompiler.java:653-667``) → Spark ``window()`` /
+  gaps-and-islands SQL producing the same ``window_start``/``window_end``
+  columns.
+- ``LEFT ASOF JOIN … MATCH_CONDITION (…) ON …``
+  (``docs/sql/grammar.md:730-744``) → the repo's scale-safe
+  ``operators.joins.asof_join`` (single per-key shuffle, no inequality
+  join blow-up).
+- ``DECLARE RECURSIVE VIEW`` (``docs/sql/recursion.mdx:30-57``) →
+  ``operators.recursion.fixpoint`` semi-naive iteration (handled by
+  ``PipelineBuilder``; the view body is compiled here per iteration).
+- ``SAFE_CAST`` → ``TRY_CAST`` (``docs/sql/casts.md``).
+- 1-based array subscripts ``arr[i]`` → ``element_at(arr, i)``
+  (``docs/sql/array.md``: Feldera arrays are 1-indexed; Spark ``[]`` is
+  0-indexed, but ``element_at`` is 1-indexed and also covers map keys).
+
+All rewrites are textual and quote-aware where it matters; anything not
+recognized passes through to Spark SQL untouched (Catalyst implements the
+rest of the surface).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TF_HEAD_RE = re.compile(r"\bTABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(", re.IGNORECASE)
+_INTERVAL_RE = re.compile(
+    r"INTERVAL\s+'?(\d+)'?\s+(\w+)", re.IGNORECASE
+)
+_DESCRIPTOR_RE = re.compile(r"DESCRIPTOR\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+_SAFE_CAST_RE = re.compile(r"\bSAFE_CAST\b", re.IGNORECASE)
+_SUBSCRIPT_RE = re.compile(r"\b(\w+(?:\.\w+)?)\s*\[([^\[\]]+)\]")
+_ASOF_RE = re.compile(
+    r"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!LEFT\b|ASOF\b)\w+))?\s+"
+    r"LEFT\s+ASOF\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!MATCH_CONDITION\b)\w+))?\s+"
+    r"MATCH_CONDITION\s*\(",
+    re.IGNORECASE,
+)
+_CMP_RE = re.compile(r"(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)")
+_EQ_RE = re.compile(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)")
+
+_asof_counter = 0
+
+
+def _balanced(s: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at open_idx."""
+    depth, i, in_str = 0, open_idx, False
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL at {open_idx}")
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        if not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+                continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _interval_to_duration(arg: str) -> str:
+    """``INTERVAL '10' MINUTE`` / ``INTERVAL 10 MINUTES`` → ``10 minute``."""
+    m = _INTERVAL_RE.search(arg)
+    if not m:
+        raise ValueError(f"expected INTERVAL literal, got: {arg!r}")
+    return f"{m.group(1)} {m.group(2).lower()}"
+
+
+def _interval_literal(arg: str) -> str:
+    m = _INTERVAL_RE.search(arg)
+    if not m:
+        raise ValueError(f"expected INTERVAL literal, got: {arg!r}")
+    return f"INTERVAL '{m.group(1)}' {m.group(2).upper()}"
+
+
+def _parse_table_arg(arg: str) -> tuple[str, list[str]]:
+    """``TABLE t [PARTITION BY a, b]`` (optionally ``DATA =>`` prefixed)
+    → (table, partition_cols)."""
+    a = re.sub(r"^\s*DATA\s*=>\s*", "", arg, flags=re.IGNORECASE)
+    m = re.match(
+        r"\s*TABLE\s+(\w+)(?:\s+PARTITION\s+BY\s+(.+))?\s*$",
+        a,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"table-function TABLE argument must be a plain table/view name: {arg!r}")
+    cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else []
+    return m.group(1), cols
+
+
+def _tumble_sql(src: str, ts: str, size: str, offset: str | None) -> str:
+    win = (
+        f"window({ts}, '{size}')"
+        if offset is None
+        else f"window({ts}, '{size}', '{size}', '{offset}')"
+    )
+    return (
+        f"(SELECT * EXCEPT (__w), __w.start AS window_start, "
+        f"__w.end AS window_end FROM (SELECT *, {win} AS __w FROM {src}) __tf)"
+    )
+
+
+def _hop_sql(src: str, ts: str, slide: str, size: str) -> str:
+    # Spark's TimeWindowing rule explodes each row into the size/slide
+    # windows it belongs to — exactly the Calcite HOP table function
+    # semantics (``ExpandHop``), with no manual flat-map.
+    return (
+        f"(SELECT * EXCEPT (__w), __w.start AS window_start, "
+        f"__w.end AS window_end FROM "
+        f"(SELECT *, window({ts}, '{size}', '{slide}') AS __w FROM {src}) __tf)"
+    )
+
+
+def _session_sql(src: str, part: list[str], ts: str, gap_lit: str) -> str:
+    """Per-row session windows via gaps-and-islands — the table-function
+    form of what ``session_window()`` does in aggregation position.
+    ``window_end`` = last event + gap (Calcite/Spark session semantics)."""
+    pb = ", ".join(part) if part else "1"
+    lag = f"lag({ts}) OVER (PARTITION BY {pb} ORDER BY {ts})"
+    return (
+        f"(SELECT * EXCEPT (__sid), "
+        f"min({ts}) OVER (PARTITION BY {pb}, __sid) AS window_start, "
+        f"max({ts}) OVER (PARTITION BY {pb}, __sid) + {gap_lit} AS window_end "
+        f"FROM (SELECT * EXCEPT (__new), "
+        f"sum(__new) OVER (PARTITION BY {pb} ORDER BY {ts} "
+        f"ROWS UNBOUNDED PRECEDING) AS __sid "
+        f"FROM (SELECT *, CASE WHEN {lag} IS NULL "
+        f"OR {ts} - {lag} > {gap_lit} THEN 1 ELSE 0 END AS __new "
+        f"FROM {src}) __s1) __s2)"
+    )
+
+
+def rewrite_table_functions(sql: str) -> str:
+    """Rewrite ``TABLE(TUMBLE|HOP|SESSION(...))`` into Spark subqueries."""
+    while True:
+        m = _TF_HEAD_RE.search(sql)
+        if m is None:
+            return sql
+        kind = m.group(1).upper()
+        inner_open = sql.index("(", m.end() - 1)
+        inner_end = _balanced(sql, inner_open)
+        outer_end = _balanced(sql, sql.index("(", m.start()))
+        args = _split_top_commas(sql[inner_open + 1 : inner_end - 1])
+        if kind == "TUMBLE":
+            src, _ = _parse_table_arg(args[0])
+            ts = _DESCRIPTOR_RE.search(args[1]).group(1)
+            size = _interval_to_duration(args[2])
+            offset = _interval_to_duration(args[3]) if len(args) > 3 else None
+            repl = _tumble_sql(src, ts, size, offset)
+        elif kind == "HOP":
+            src, _ = _parse_table_arg(args[0])
+            ts = _DESCRIPTOR_RE.search(args[1]).group(1)
+            slide = _interval_to_duration(args[2])
+            size = _interval_to_duration(args[3])
+            repl = _hop_sql(src, ts, slide, size)
+        else:  # SESSION
+            src, part = _parse_table_arg(args[0])
+            ts = _DESCRIPTOR_RE.search(args[1]).group(1)
+            gap = _interval_literal(args[2])
+            repl = _session_sql(src, part, ts, gap)
+        sql = sql[: m.start()] + repl + sql[outer_end:]
+
+
+def rewrite_scalars(sql: str) -> str:
+    """SAFE_CAST → TRY_CAST; 1-based ``arr[i]`` → ``element_at``."""
+    sql = _SAFE_CAST_RE.sub("TRY_CAST", sql)
+    # repeat so chained subscripts a[1] inside other subscripts resolve
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
+    return sql
+
+
+def _find_on_clause(sql: str, start: int) -> tuple[str, int]:
+    """ON conditions from ``start`` up to the next top-level clause."""
+    m = re.compile(
+        r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|EXCEPT|INTERSECT)\b",
+        re.IGNORECASE,
+    ).search(sql, start)
+    end = m.start() if m else len(sql)
+    return sql[start:end].strip(), end
+
+
+def _rewrite_asof(spark: SparkSession, sql: str) -> str:
+    """Replace a ``LEFT ASOF JOIN … MATCH_CONDITION … ON …`` FROM clause
+    with a temp view materializing ``operators.joins.asof_join``."""
+    global _asof_counter
+    from feldera_spark.operators.joins import asof_join
+
+    m = _ASOF_RE.search(sql)
+    if m is None:
+        return sql
+    lt, la = m.group("lt"), m.group("la") or m.group("lt")
+    rt, ra = m.group("rt"), m.group("ra") or m.group("rt")
+    mc_open = sql.index("(", m.end() - 1)
+    mc_end = _balanced(sql, mc_open)
+    cond = sql[mc_open + 1 : mc_end - 1]
+    on_m = re.compile(r"\s*ON\s+", re.IGNORECASE).match(sql, mc_end)
+    if on_m is None:
+        raise ValueError("ASOF JOIN requires an ON clause")
+    on_text, clause_end = _find_on_clause(sql, on_m.end())
+
+    cm = _CMP_RE.search(cond)
+    if cm is None:
+        raise ValueError(f"unsupported MATCH_CONDITION: {cond!r}")
+    a_al, a_col, op, b_al, b_col = cm.groups()
+    # normalize to left_ts >= right_ts (latest right at-or-before left)
+    if op == "<=":
+        a_al, a_col, b_al, b_col = b_al, b_col, a_al, a_col
+    if a_al == la and b_al == ra:
+        left_ts, right_ts = a_col, b_col
+    elif a_al == ra and b_al == la:
+        raise ValueError(
+            "MATCH_CONDITION must give the LEFT side the latest timestamp "
+            "(left.ts >= right.ts)"
+        )
+    else:
+        raise ValueError(f"MATCH_CONDITION aliases {a_al}/{b_al} do not match {la}/{ra}")
+
+    left_keys, renames = [], {}
+    for em in _EQ_RE.finditer(on_text):
+        x_al, x_col, y_al, y_col = em.groups()
+        if x_al == ra:  # normalize to left = right
+            x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
+        if x_al != la or y_al != ra:
+            raise ValueError(f"unsupported ON term aliases in: {on_text!r}")
+        left_keys.append(x_col)
+        renames[y_col] = x_col
+
+    left_df = spark.table(lt)
+    right_df = spark.table(rt)
+    for r_col, l_col in renames.items():
+        if r_col != l_col:
+            right_df = right_df.withColumnRenamed(r_col, l_col)
+    if right_ts in renames and renames[right_ts] != right_ts:
+        right_ts = renames[right_ts]
+    right_payload = set(right_df.columns) - set(left_keys) - {right_ts}
+    overlap = right_payload & set(left_df.columns)
+    if overlap:
+        raise ValueError(
+            f"ASOF JOIN output column collision: {sorted(overlap)} — alias "
+            f"them apart in the source views"
+        )
+    joined = asof_join(
+        left_df, right_df, on=left_keys, left_ts=left_ts, right_ts=right_ts
+    )
+    _asof_counter += 1
+    view = f"__asof_{_asof_counter}"
+    joined.createOrReplaceTempView(view)
+
+    rewritten = sql[: m.start()] + f"FROM {view} " + sql[clause_end:]
+    # strip now-resolved qualifiers
+    for al in (la, ra):
+        rewritten = re.sub(rf"\b{re.escape(al)}\.", "", rewritten)
+    return rewritten
+
+
+def prepare_view(
+    spark: SparkSession,
+    sql: str,
+    recursive_schema: str | None = None,
+    view_name: str | None = None,
+) -> DataFrame:
+    """Compile a Feldera-dialect view body into a DataFrame.
+
+    ``recursive_schema`` (Spark DDL string, from ``DECLARE RECURSIVE
+    VIEW``) switches on fixpoint evaluation: the body is iterated with
+    ``view_name`` bound to the accumulated result until no new rows
+    appear (semi-naive: each round sees the previous frontier).
+    """
+    sql = rewrite_table_functions(sql)
+    sql = rewrite_scalars(sql)
+    if recursive_schema is not None:
+        from feldera_spark.operators.recursion import fixpoint
+
+        assert view_name, "recursive view needs its name for self-reference"
+
+        def run(frontier: DataFrame) -> DataFrame:
+            frontier.createOrReplaceTempView(view_name)
+            return _run_plain(spark, sql)
+
+        empty = spark.createDataFrame([], schema=recursive_schema)
+        empty.createOrReplaceTempView(view_name)
+        seed = _run_plain(spark, sql)
+        return fixpoint(seed, run)
+    return _run_plain(spark, sql)
+
+
+def _run_plain(spark: SparkSession, sql: str) -> DataFrame:
+    if _ASOF_RE.search(sql):
+        sql = _rewrite_asof(spark, sql)
+        sql = rewrite_scalars(sql)
+    return spark.sql(sql)

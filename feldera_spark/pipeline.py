@@ -48,6 +48,10 @@ _CREATE_FUNCTION_RE = re.compile(
     r"RETURNS\s+(?P<ret>[\w\(\),\s]+?)\s*(?:AS\s+(?P<body>.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_DECLARE_RECURSIVE_RE = re.compile(
+    r"^\s*DECLARE\s+RECURSIVE\s+VIEW\s+(?P<name>\w+)\s*\((?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+(?P<name>\w+)\s+AS\s*\((?P<body>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -159,6 +163,8 @@ class PipelineBuilder:
         self.functions: dict[str, FunctionDecl] = {}
         self.types: dict[str, str] = {}  # name -> field list SQL
         self.indexes: dict[str, IndexDecl] = {}
+        # DECLARE RECURSIVE VIEW name -> Spark DDL schema string
+        self.recursive_views: dict[str, str] = {}
 
     # -- declaration ---------------------------------------------------------
 
@@ -200,6 +206,18 @@ class PipelineBuilder:
                 for pm in _PK_RE.finditer(body):
                     decl.primary_key.append(pm.group("col").lower())
                 self.tables[name] = decl
+                continue
+            m = _DECLARE_RECURSIVE_RE.match(stmt)
+            if m:
+                # ``DECLARE RECURSIVE VIEW v (c1 T1, c2 T2)``
+                # (docs/sql/recursion.mdx:30-57): record the schema; the
+                # later CREATE VIEW v runs as a fixpoint (frontend.py).
+                cols = []
+                for part in m.group("body").split(","):
+                    toks = part.strip().split(None, 1)
+                    if len(toks) == 2:
+                        cols.append(f"{toks[0].lower()} {_spark_type(toks[1])}")
+                self.recursive_views[m.group("name").lower()] = ", ".join(cols)
                 continue
             m = _CREATE_VIEW_RE.match(stmt)
             if m:
@@ -297,10 +315,17 @@ class Pipeline:
                         rf"\b{re.escape(other)}\b", v.sql
                     ):
                         use_counts[other] += 1
+        from feldera_spark import frontend
+
         for name in builder._view_order:
             decl = self.views[name]
             df = (
-                self.spark.sql(decl.sql)
+                frontend.prepare_view(
+                    self.spark,
+                    decl.sql,
+                    recursive_schema=builder.recursive_views.get(name),
+                    view_name=name,
+                )
                 if decl.sql is not None
                 else decl.fn(self.spark)
             )

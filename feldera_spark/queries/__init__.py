@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from feldera_spark.queries import (
     datapipe,
+    dialect,
     incremental,
     nexmark,
     relational,
@@ -29,6 +30,7 @@ _MODULES = (
     relational3,
     relational4,
     temporal,
+    dialect,
     nexmark,
     datapipe,
     incremental,

@@ -1,0 +1,120 @@
+"""Unit tests for the Feldera SQL dialect front-end (frontend.py)."""
+
+import pytest
+
+from feldera_spark import frontend
+from feldera_spark.pipeline import PipelineBuilder
+
+
+def test_safe_cast_rewrite():
+    out = frontend.rewrite_scalars("SELECT SAFE_CAST(x AS INT) FROM t")
+    assert out == "SELECT TRY_CAST(x AS INT) FROM t"
+
+
+def test_subscript_rewrite_one_based():
+    out = frontend.rewrite_scalars("SELECT toks[1], m['k'] FROM t")
+    assert out == "SELECT element_at(toks, 1), element_at(m, 'k') FROM t"
+
+
+def test_subscript_rewrite_nested():
+    out = frontend.rewrite_scalars("SELECT a[b[1]] FROM t")
+    assert out == "SELECT element_at(a, element_at(b, 1)) FROM t"
+
+
+def test_tumble_rewrite_text():
+    sql = (
+        "SELECT window_start, count(*) FROM TABLE(TUMBLE(TABLE ev, "
+        "DESCRIPTOR(ts), INTERVAL '1' HOUR)) GROUP BY window_start"
+    )
+    out = frontend.rewrite_table_functions(sql)
+    assert "window(ts, '1 hour')" in out
+    assert "window_start" in out and "TUMBLE" not in out
+
+
+def test_hop_rewrite_arg_order():
+    # HOP(TABLE, DESCRIPTOR, slide, size) → window(ts, size, slide)
+    sql = (
+        "SELECT * FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), "
+        "INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+    )
+    out = frontend.rewrite_table_functions(sql)
+    assert "window(ts, '1 hour', '15 minute')" in out
+
+
+def test_session_rewrite_partition():
+    sql = (
+        "SELECT * FROM TABLE(SESSION(TABLE ev PARTITION BY uid, "
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTE))"
+    )
+    out = frontend.rewrite_table_functions(sql)
+    assert "PARTITION BY uid" in out
+    assert "INTERVAL '30' MINUTE" in out
+    assert "SESSION" not in out.upper().replace("__S", "")
+
+
+def test_declare_recursive_parsed():
+    b = PipelineBuilder.__new__(PipelineBuilder)
+    b.__init__(spark=None)
+    b.sql("DECLARE RECURSIVE VIEW r (a INT, b VARCHAR)")
+    assert b.recursive_views == {"r": "a INT, b STRING"}
+
+
+def test_asof_requires_left_latest():
+    sql = (
+        "SELECT * FROM a LEFT ASOF JOIN b "
+        "MATCH_CONDITION (b.ts >= a.ts) ON a.k = b.k"
+    )
+    with pytest.raises(ValueError, match="LEFT side"):
+        frontend._rewrite_asof(None, sql)
+
+
+def test_ddl_program_end_to_end(spark):
+    p = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE ev (k INT, ts TIMESTAMP, v DOUBLE);
+            CREATE MATERIALIZED VIEW hourly AS
+            SELECT window_start, k, count(*) AS n
+            FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+            GROUP BY window_start, k;
+            """
+        )
+        .connect_table(
+            "ev",
+            spark.createDataFrame(
+                [(1, "2024-01-01 10:05:00", 1.0), (1, "2024-01-01 10:55:00", 2.0),
+                 (2, "2024-01-01 11:05:00", 3.0)],
+                "k INT, ts STRING, v DOUBLE",
+            ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "v"),
+        )
+        .create()
+    )
+    rows = {(r["k"], str(r["window_start"]), r["n"]) for r in p.view("hourly").collect()}
+    assert rows == {
+        (1, "2024-01-01 10:00:00", 2),
+        (2, "2024-01-01 11:00:00", 1),
+    }
+
+
+def test_ddl_recursive_end_to_end(spark):
+    p = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE edge (src INT, dst INT);
+            DECLARE RECURSIVE VIEW tc (src INT, dst INT);
+            CREATE MATERIALIZED VIEW tc AS
+            SELECT src, dst FROM edge
+            UNION
+            SELECT tc.src, edge.dst FROM tc JOIN edge ON tc.dst = edge.src;
+            """
+        )
+        .connect_table(
+            "edge",
+            spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src INT, dst INT"),
+        )
+        .create()
+    )
+    got = {(r["src"], r["dst"]) for r in p.view("tc").collect()}
+    assert got == {(1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4)}
