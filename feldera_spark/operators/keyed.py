@@ -33,6 +33,42 @@ def topk_per_group(
     )
 
 
+def topk_per_group_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    k: int,
+    salt_col: str,
+    n_salts: int = 16,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Two-phase (salted) top-K per group, for LOW-CARDINALITY group keys.
+
+    With few distinct keys, ``Window.partitionBy(keys)`` caps parallelism
+    at |keys| and each task sorts a full group — a straggler at scale.
+    Phase 1 ranks within (key, salt) partitions (|keys| × n_salts tasks,
+    each over 1/n_salts of a group) and keeps k rows per salt; phase 2
+    re-ranks the ≤ n_salts·k survivors per key — bounded input, so the
+    final per-key sort is O(n_salts·k·log) regardless of data size.
+    ``salt_col`` must be deterministic (its hash is the salt), keeping the
+    result oracle-checkable. ``order_by`` must include a unique tiebreak.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    partial = (
+        salted.withColumn("__prn", F.row_number().over(w1))
+        .filter(F.col("__prn") <= k)
+        .drop("__prn", "__salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        partial.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def latest_by_key(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
     """Keep the last row per key under ``order_by`` — upsert semantics for
     PRIMARY KEY tables (latest write wins)."""
@@ -48,16 +84,39 @@ def neighborhood(
     df: DataFrame, order_by: list, anchor_filter, before: int, after: int
 ) -> DataFrame:
     """Rows within (before, after) positions of the anchor row in a total
-    order. ``anchor_filter`` is a boolean Column identifying the anchor."""
-    w = Window.orderBy(*order_by)
-    pos = df.withColumn("__pos", F.row_number().over(w))
-    anchor = pos.filter(anchor_filter).select(F.col("__pos").alias("__anchor"))
+    order. ``anchor_filter`` is a boolean Column identifying the anchor;
+    ``order_by`` must be a unique (tiebroken) ascending order.
+
+    Scale-safe plan: never a global-order window over the relation.
+    The anchor's order-key VALUE is broadcast; the page is assembled from
+    two distributed top-K scans (TakeOrdered) — rows just below and just
+    at/above the anchor value — and only the bounded page (≤ before +
+    after + 1 rows) is ranked to compute offsets.
+    """
+    key = F.struct(*order_by)
+    keyed = df.withColumn("__k", key)
+    anchor = keyed.filter(anchor_filter).select(F.col("__k").alias("__ak")).limit(1)
+    j = keyed.crossJoin(F.broadcast(anchor))
+    below = (
+        j.filter(F.col("__k") < F.col("__ak"))
+        .orderBy(F.col("__k").desc())
+        .limit(before)
+    )
+    at_or_above = (
+        j.filter(F.col("__k") >= F.col("__ak"))
+        .orderBy(F.col("__k").asc())
+        .limit(after + 1)
+    )
+    page = below.unionByName(at_or_above)
+    whole = Window.orderBy(F.col("__k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pos = F.row_number().over(Window.orderBy(F.col("__k").asc()))
+    anchor_pos = (
+        F.sum(F.when(F.col("__k") < F.col("__ak"), 1).otherwise(0)).over(whole)
+        + 1
+    )
     return (
-        pos.join(F.broadcast(anchor))
-        .filter(
-            (F.col("__pos") >= F.col("__anchor") - before)
-            & (F.col("__pos") <= F.col("__anchor") + after)
-        )
-        .withColumn("offset", F.col("__pos") - F.col("__anchor"))
-        .drop("__pos", "__anchor")
+        page.withColumn("offset", pos - anchor_pos)
+        .drop("__k", "__ak")
     )

@@ -373,18 +373,27 @@ def nx08_monitor_new_users(spark, sf_dir):
 )
 def nx09_winning_bids(spark, sf_dir):
     """Nexmark q9 (queries/q9.sql): winning bid per auction — arg-max by
-    (price desc, time asc) with a unique tiebreak; single shuffle on the
-    auction key."""
-    from pyspark.sql.window import Window
-
+    (price desc, time asc, event_id asc) as ONE ``max_by`` aggregation
+    with map-side partial combine. A per-auction window would cap
+    parallelism at |auctions| and sort whole groups; the aggregate keeps
+    one candidate row per key per task regardless of data size.
+    Timestamp negation uses pure NTZ arithmetic (session-tz safe)."""
     b = _bid(spark, sf_dir)
-    w = Window.partitionBy("auction").orderBy(
-        F.col("price").desc(), F.col("date_time").asc(), F.col("event_id").asc()
+    neg_ts = -F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', date_time)"
+    )
+    ord_key = F.struct(
+        F.col("price").alias("p"),
+        neg_ts.alias("nts"),
+        (-F.col("event_id")).alias("nid"),
+    )
+    best = F.max_by(
+        F.struct(F.col("bidder"), F.col("price"), F.col("date_time")), ord_key
     )
     return (
-        b.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("auction", "bidder", "price", "date_time")
+        b.groupBy("auction")
+        .agg(best.alias("w"))
+        .select("auction", "w.bidder", "w.price", "w.date_time")
     )
 
 
@@ -594,17 +603,21 @@ def nx18_last_bid_per_bidder_auction(spark, sf_dir):
     """,
 )
 def nx19_top10_bids_per_auction(spark, sf_dir):
-    """Nexmark q19 (queries/q19.sql): top-10 bids per auction — indexed
-    top-K; Spark pushes the rank filter into the window sort."""
-    from pyspark.sql.window import Window
+    """Nexmark q19 (queries/q19.sql): top-10 bids per auction — salted
+    two-phase top-K (operators.keyed.topk_per_group_salted): the auction
+    key is low-cardinality (211 values) so a plain per-key window would
+    make 211 straggler tasks at scale; phase 1 ranks within (auction,
+    salt), phase 2 re-ranks the bounded survivors."""
+    from feldera_spark.operators.keyed import topk_per_group_salted
 
     b = _bid(spark, sf_dir)
-    w = Window.partitionBy("auction").orderBy(F.col("price").desc(), F.col("event_id").asc())
-    return (
-        b.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("auction", "bidder", "price", "date_time", "rn")
-    )
+    return topk_per_group_salted(
+        b,
+        keys=["auction"],
+        order_by=[F.col("price").desc(), F.col("event_id").asc()],
+        k=10,
+        salt_col="event_id",
+    ).select("auction", "bidder", "price", "date_time", "rn")
 
 
 @q(

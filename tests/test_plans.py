@@ -103,3 +103,31 @@ def test_exact_dedup_single_aggregate(spark):
     # extra RoundRobin exchange is load_table's single-file-scan
     # parallelization, not part of the operator)
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_nx09_winning_bids_is_aggregate_not_window(spark):
+    """nx09 must be an arg-max AGGREGATE (partial combine, parallelism
+    independent of |auctions|) — not a 211-partition window sort."""
+    plan = _plan(_Q["nx09_winning_bids"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_nx19_topk_is_salted_two_phase(spark):
+    """nx19's first (full-data) window must partition by (auction, salt),
+    so no window over the raw data keys on auction alone."""
+    plan = _plan(_Q["nx19_top10_bids_per_auction"](spark, SF_DIR))
+    # two window nodes: (auction, __salt) then (auction) over survivors
+    assert plan.count("Window") >= 2
+    assert "__salt" in plan
+
+
+def test_neighborhood_no_global_window_over_relation(spark):
+    """q47 must page via distributed top-K around the anchor VALUE; the
+    only unpartitioned window runs over the bounded page (Union of two
+    TakeOrdered/limit branches), never over the full relation."""
+    plan = _plan(_Q["q47_neighborhood"](spark, SF_DIR))
+    assert "TakeOrdered" in plan or "GlobalLimit" in plan
+    win = plan.find("Window")
+    union = plan.find("Union")
+    assert win != -1 and union != -1 and union > win  # window sits above the union'd page
