@@ -48,6 +48,11 @@ _CREATE_FUNCTION_RE = re.compile(
     r"RETURNS\s+(?P<ret>[\w\(\),\s]+?)\s*(?:AS\s+(?P<body>.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_AGGREGATE_RE = re.compile(
+    r"^\s*CREATE\s+AGGREGATE\s+(?P<name>\w+)\s*\((?P<params>[^)]*)\)\s*"
+    r"RETURNS\s+(?P<ret>[\w\(\),\s]+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DECLARE_RECURSIVE_RE = re.compile(
     r"^\s*DECLARE\s+RECURSIVE\s+VIEW\s+(?P<name>\w+)\s*\((?P<body>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -92,6 +97,9 @@ class TableDecl:
     name: str
     lateness: dict[str, int] = field(default_factory=dict)  # col -> seconds
     primary_key: list[str] = field(default_factory=list)
+    # explicit ingest-order column for PRIMARY KEY upserts; None = pin a
+    # synthetic sequence at ingest (see Pipeline._upsert_normalize)
+    sequence_col: str | None = None
 
 
 @dataclass
@@ -119,6 +127,29 @@ class FunctionDecl:
     returns: str
     body: str | None
     impl: Callable | None = None
+
+
+@dataclass
+class AggregateDecl:
+    """``CREATE AGGREGATE`` — user-defined aggregate function
+    (reference ``DBSPCompiler.java:603-616``,
+    ``SqlUserDefinedAggregationFunction.java``). The declaration is
+    body-less DDL; the implementation is a Python function over a pandas
+    Series bound via ``PipelineBuilder.implement_aggregate`` and
+    registered as an Arrow-batched GROUPED_AGG pandas UDF (the Spark
+    equivalent of the reference's Rust UDAF path — vectorized, not
+    row-at-a-time).
+
+    ``linear=True`` marks the aggregate as delta-decomposable (the
+    reference's linear class, ``aggregates.md:342-462``): incremental
+    maintenance may fold deltas without keeping the input integral.
+    """
+
+    name: str
+    params: str
+    returns: str
+    impl: Callable | None = None
+    linear: bool = False
 
 
 @dataclass
@@ -161,6 +192,7 @@ class PipelineBuilder:
         self.views: dict[str, ViewDecl] = {}
         self._view_order: list[str] = []
         self.functions: dict[str, FunctionDecl] = {}
+        self.aggregates: dict[str, AggregateDecl] = {}
         self.types: dict[str, str] = {}  # name -> field list SQL
         self.indexes: dict[str, IndexDecl] = {}
         # DECLARE RECURSIVE VIEW name -> Spark DDL schema string
@@ -174,8 +206,11 @@ class PipelineBuilder:
         df: DataFrame,
         lateness: dict[str, int] | None = None,
         primary_key: list[str] | None = None,
+        sequence_col: str | None = None,
     ) -> "PipelineBuilder":
-        self.tables[name] = TableDecl(name, lateness or {}, primary_key or [])
+        self.tables[name] = TableDecl(
+            name, lateness or {}, primary_key or [], sequence_col
+        )
         self._table_data[name] = df
         return self
 
@@ -228,6 +263,13 @@ class PipelineBuilder:
                     materialized=kind != "local",
                 )
                 continue
+            m = _CREATE_AGGREGATE_RE.match(stmt)
+            if m:
+                name = m.group("name").lower()
+                self.aggregates[name] = AggregateDecl(
+                    name, m.group("params"), m.group("ret").strip()
+                )
+                continue
             m = _CREATE_FUNCTION_RE.match(stmt)
             if m:
                 name = m.group("name").lower()
@@ -249,6 +291,17 @@ class PipelineBuilder:
                 )
                 continue
             raise ValueError(f"unsupported statement: {stmt[:80]}...")
+        return self
+
+    def implement_aggregate(
+        self, name: str, fn: Callable, linear: bool = False
+    ) -> "PipelineBuilder":
+        """Bind a Python implementation (pandas Series -> scalar) to a
+        CREATE AGGREGATE declaration."""
+        if name not in self.aggregates:
+            raise KeyError(f"aggregate {name} not declared")
+        self.aggregates[name].impl = fn
+        self.aggregates[name].linear = linear
         return self
 
     def implement_function(self, name: str, fn: Callable) -> "PipelineBuilder":
@@ -296,12 +349,26 @@ class Pipeline:
                     f"implementation (use implement_function)"
                 )
 
+        for aname, adecl in builder.aggregates.items():
+            if adecl.impl is None:
+                raise ValueError(
+                    f"aggregate {aname} has no bound implementation "
+                    f"(use implement_aggregate)"
+                )
+            from pyspark.sql.functions import pandas_udf
+
+            udaf = pandas_udf(adecl.impl, _spark_type(adecl.returns))
+            self.spark.udf.register(aname, udaf)
+        self.aggregates = builder.aggregates
+
         for name, decl in builder.tables.items():
             df = builder._table_data.get(name)
             if df is None:
                 raise ValueError(f"table {name} declared but no data connected")
             if decl.primary_key:
-                df = self._upsert_normalize(df, decl.primary_key)
+                df = self._upsert_normalize(
+                    df, decl.primary_key, decl.sequence_col
+                )
             df.createOrReplaceTempView(name)
             self._frames[name] = df
 
@@ -336,19 +403,43 @@ class Pipeline:
             self._frames[name] = df
 
     @staticmethod
-    def _upsert_normalize(df: DataFrame, keys: list[str]) -> DataFrame:
-        """PRIMARY KEY tables: last row per key wins (input_upsert.rs).
-        Uses the physical row order of the source as arrival order."""
+    def _upsert_normalize(
+        df: DataFrame, keys: list[str], sequence_col: str | None = None
+    ) -> DataFrame:
+        """PRIMARY KEY tables: last row per key wins (``input_upsert.rs``
+        — the reference tracks an explicit ingest order per row).
+
+        Ordering contract:
+        - ``sequence_col`` declared → that column IS the arrival order;
+          deterministic on any read layout, file split, or cluster size.
+        - otherwise a synthetic sequence is pinned ONCE at ingest and the
+          frame is checkpointed so the assignment cannot be re-evaluated
+          under a different partitioning. Parquet row order is not a
+          cross-run contract — declare a sequence column for reproducible
+          upserts on multi-file inputs.
+        """
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(*keys).orderBy(
-            F.monotonically_increasing_id().desc()
-        )
+        if sequence_col is not None:
+            if sequence_col not in df.columns:
+                raise ValueError(
+                    f"declared sequence column {sequence_col!r} is not a "
+                    f"column of the upsert table (has: {df.columns})"
+                )
+            seq = F.col(sequence_col)
+            drop_seq = []
+        else:
+            df = df.withColumn(
+                "__seq", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            seq = F.col("__seq")
+            drop_seq = ["__seq"]
+        w = Window.partitionBy(*keys).orderBy(seq.desc())
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", *drop_seq)
         )
 
     def view(self, name: str) -> DataFrame:

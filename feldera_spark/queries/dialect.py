@@ -12,6 +12,8 @@ program runs unmodified. Reference: ``docs.feldera.com/docs/sql/table.md``,
 
 from __future__ import annotations
 
+import pandas as pd
+
 from feldera_spark.pipeline import PipelineBuilder
 from feldera_spark.queries._util import t
 
@@ -240,3 +242,49 @@ def q79_ddl_scalars(spark, sf_dir):
         "documents", t(spark, sf_dir, "documents").select("doc_id", "text")
     ).create()
     return p.view("scalars")
+
+
+@q(
+    "q80_create_aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q80_create_aggregate(spark, sf_dir):
+    """CREATE AGGREGATE (DBSPCompiler.java:603-616): user-defined
+    aggregate declared in DDL, implemented as an Arrow-batched
+    GROUPED_AGG pandas UDF, called from a view body. ``ssq`` (sum of
+    squares) is linear — the incremental classification hook marks it
+    delta-decomposable."""
+
+    def ssq(v: pd.Series) -> int:
+        x = v.astype("int64")
+        return int((x * x).sum())
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE lineitem (l_quantity DOUBLE, l_returnflag VARCHAR);
+        CREATE AGGREGATE ssq(x BIGINT) RETURNS BIGINT;
+        CREATE LOCAL VIEW ssq_v AS
+        SELECT l_returnflag, ssq(CAST(l_quantity AS BIGINT)) AS ssq
+        FROM lineitem GROUP BY l_returnflag;
+        CREATE LOCAL VIEW cnt_v AS
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag;
+        CREATE MATERIALIZED VIEW by_flag AS
+        SELECT s.l_returnflag, s.ssq, c.n
+        FROM ssq_v s JOIN cnt_v c ON s.l_returnflag = c.l_returnflag
+        """
+    )
+    p = (
+        b.implement_aggregate("ssq", ssq, linear=True)
+        .connect_table(
+            "lineitem",
+            t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag"),
+        )
+        .create()
+    )
+    return p.view("by_flag")

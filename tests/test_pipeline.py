@@ -70,3 +70,47 @@ def test_primary_key_upsert(spark):
     p = b.connect_table("kv", df).create()
     rows = sorted(map(tuple, p.view("kv").collect()))
     assert rows == [(1, "a3"), (2, "b2")]
+
+
+def test_upsert_explicit_sequence_stable_across_read_layouts(spark, tmp_path):
+    """input_upsert.rs semantics: with a declared sequence column the
+    upsert winner is identical no matter how the source files are split
+    or ordered on read."""
+    import random
+
+    from feldera_spark.pipeline import PipelineBuilder
+
+    rows = [(k, s, f"v{k}_{s}") for k in range(20) for s in range(5)]
+    random.Random(7).shuffle(rows)
+    src = spark.createDataFrame(rows, "k INT, seq INT, v STRING")
+    # adversarial layout: many small files, rows scattered
+    path = str(tmp_path / "upsert_src")
+    src.repartition(7).write.mode("overwrite").parquet(path)
+
+    def run(read_partitions):
+        df = spark.read.parquet(path).repartition(read_partitions)
+        p = (
+            PipelineBuilder(spark)
+            .add_table("t", df, primary_key=["k"], sequence_col="seq")
+            .add_view("latest", sql="SELECT k, v FROM t")
+            .create()
+        )
+        return {(r["k"], r["v"]) for r in p.view("latest").collect()}
+
+    expect = {(k, f"v{k}_4") for k in range(20)}
+    assert run(3) == expect
+    assert run(11) == expect
+
+
+def test_upsert_missing_sequence_column_raises(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    b = PipelineBuilder(spark).add_table(
+        "t", df, primary_key=["k"], sequence_col="nope"
+    ).add_view("v1", sql="SELECT * FROM t")
+    try:
+        b.create()
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "sequence column" in str(e)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from feldera_spark.pipeline import PipelineBuilder
@@ -113,3 +115,47 @@ def test_adhoc_output_formats(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(out).collect())
     ) == [(1, 5.0), (2, 4.0)]
+
+
+def test_create_aggregate_requires_impl(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE t (k INT, x BIGINT);
+        CREATE AGGREGATE myagg(x BIGINT) RETURNS BIGINT;
+        CREATE MATERIALIZED VIEW v AS SELECT k, myagg(x) AS a FROM t GROUP BY k
+        """
+    ).connect_table("t", spark.createDataFrame([(1, 2)], "k INT, x BIGINT"))
+    try:
+        b.create()
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "implement_aggregate" in str(e)
+
+
+def test_create_aggregate_linear_flag_recorded(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    def total(v: pd.Series) -> int:
+        return int(v.sum())
+
+    b = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE t (k INT, x BIGINT);
+            CREATE AGGREGATE total(x BIGINT) RETURNS BIGINT;
+            CREATE MATERIALIZED VIEW v AS
+            SELECT k, total(x) AS tot FROM t GROUP BY k
+            """
+        )
+        .implement_aggregate("total", total, linear=True)
+        .connect_table(
+            "t", spark.createDataFrame([(1, 2), (1, 3), (2, 5)], "k INT, x BIGINT")
+        )
+    )
+    p = b.create()
+    assert p.aggregates["total"].linear is True
+    got = {(r["k"], r["tot"]) for r in p.view("v").collect()}
+    assert got == {(1, 5), (2, 5)}
