@@ -63,18 +63,49 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Same-metric baseline: run each headline query's DuckDB oracle SQL on
+    # the identical parquet at the identical thread count, so the JSON line
+    # carries its own single-node reference ratio (VERDICT r1 asked for a
+    # mechanically checkable 2x criterion). i-queries' oracles are one batch
+    # SQL while the Spark side runs a multi-step incremental loop — noted,
+    # still reported.
+    duck: dict[str, float] = {}
+    try:
+        from feldera_spark.queries import all_oracles
+        from feldera_spark.testing.oracle import duckdb_connection
+
+        oracles = all_oracles()
+        con = duckdb_connection(sf_dir)
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            duck[name] = round(best, 4)
+        con.close()
+    except Exception as e:  # baseline is informational — never fail the bench
+        print(f"# duckdb baseline skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    duck_total = round(sum(duck.values()), 3) if duck else None
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck_total:
+        out["duckdb_queries"] = duck
+        out["duckdb_total"] = duck_total
+        out["vs_duckdb"] = round(total / duck_total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
