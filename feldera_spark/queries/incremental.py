@@ -216,3 +216,194 @@ def i05_ivm_rolling(spark, sf_dir):
     return out.select(
         "user_id", "ts", "value", F.col("rolling").cast("double").alias("rolling")
     )
+
+
+@q(
+    "i06_ivm_streaming_resume",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i06_ivm_streaming_resume(spark, sf_dir):
+    """The full streaming execution path, end to end: the i01 linear
+    aggregate driven by a real ``readStream`` file source through
+    ``StreamingPipeline`` with BOTH durability layers on — Spark's source
+    checkpoint and the engine's durable view-state checkpoints
+    (streaming/checkpoint.py) — including a kill-and-restore in the
+    middle of the stream. Reference: ``controller.rs`` step loop +
+    ``checkpointer.rs`` restart contract. The oracle is plain batch SQL
+    over the net data: incremental-streaming == batch, across a crash.
+    """
+    import tempfile
+
+    from feldera_spark.streaming.runner import StreamingPipeline
+
+    work = tempfile.mkdtemp(prefix="i06_")
+    src, spark_ckpt, state = f"{work}/src", f"{work}/ckpt", f"{work}/state"
+    chunks = _event_chunks(spark, sf_dir)
+    schema = "event_type STRING, value DOUBLE, __weight LONG"
+    for c in chunks:
+        c.select("event_type", "value", WEIGHT).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def make_pipe():
+        view = IncrementalLinearAggregateView(
+            keys=["event_type"],
+            sums={
+                "n": wcount(),
+                "total_dec": wsum(F.col("value").cast("decimal(12,2)")),
+            },
+            project=lambda df: df.select(
+                "event_type",
+                "n",
+                F.col("total_dec").cast("double").alias("total_value"),
+            ),
+        )
+        return view, StreamingPipeline(
+            views=[("agg", view)], state_dir=state, spark=spark
+        )
+
+    def run(pipe, max_files):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files))
+            .parquet(src)
+        )
+        pipe.start(stream, checkpoint_dir=spark_ckpt).awaitTermination(120)
+
+    view, pipe = make_pipe()
+    run(pipe, 1)  # one micro-batch per chunk file
+    # kill: drop every in-memory object, rebuild purely from disk state
+    del view, pipe
+    view, pipe = make_pipe()
+    assert pipe.committed_batch_id >= 0, "state checkpoint not restored"
+    run(pipe, 1)  # replays nothing (source ckpt); skips committed ids
+    return view.materialized()
+
+
+@q(
+    "i07_ivm_derived_waterline_gc",
+    oracle="""
+    WITH a AS (SELECT * FROM events WHERE event_type IN ('click', 'view')),
+         b AS (SELECT * FROM events WHERE event_type = 'purchase'
+               AND NOT (event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'))
+    SELECT CAST(date_trunc('day', a.ts) AS TIMESTAMP) AS day,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(a.value AS DECIMAL(12,2))
+                    + CAST(b.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND date_trunc('day', a.ts) = date_trunc('day', b.ts)
+    GROUP BY 1
+    """,
+)
+def i07_ivm_derived_waterline_gc(spark, sf_dir):
+    """Two-level incremental view (windowed aggregate OVER a temporal
+    join) whose state GC is driven by DERIVED waterlines, not by the
+    caller: the WaterlineAnalyzer (mini-MonotoneAnalyzer,
+    ``MonotoneAnalyzer.java:34``) propagates the two sources' LATENESS
+    bounds through the join (min rule) and the day-grouping (floor
+    rule); GcDriver truncates the join spines and the aggregate freezes
+    sealed windows from those bounds (the
+    ``DBSPIntegrateTraceRetainKeysOperator`` insertion). Deletions
+    arrive within lateness; final state still equals batch SQL."""
+    import datetime as _dt
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalJoinView,
+        WindowedLinearAggregateView,
+        wcount,
+        wsum,
+    )
+    from feldera_spark.streaming.monotone import (
+        FloorTo,
+        GcBinding,
+        GcDriver,
+        MinOf,
+        SourceBound,
+        WaterlineAnalyzer,
+    )
+    from feldera_spark.streaming.watermark import Waterline
+
+    DAY = 86400
+    e = t(spark, sf_dir, "events")
+    a_all = e.filter(F.col("event_type").isin("click", "view"))
+    b_all = e.filter(F.col("event_type") == "purchase")
+    cuts = ("2024-01-10", "2024-01-20")
+
+    def time_chunks(df):
+        c0 = df.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz"))
+        c1 = df.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+        )
+        c2 = df.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+        return [c.withColumn(WEIGHT, F.lit(1).cast("long")) for c in (c0, c1, c2)]
+
+    a_chunks = time_chunks(a_all) + [None]
+    b_chunks = time_chunks(b_all) + [
+        b_all.filter(
+            (F.col("event_id") % 10 == 3)
+            & (F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+        ).withColumn(WEIGHT, F.lit(-1).cast("long"))
+    ]
+
+    # declarations: LATENESS 10 days on both sources (large enough that
+    # the trailing in-lateness deletions are not late-dropped)
+    analyzer = WaterlineAnalyzer()
+    analyzer.declare_source("a", lateness_seconds=10 * DAY)
+    analyzer.declare_source("b", lateness_seconds=10 * DAY)
+    join_node = MinOf((SourceBound("a"), SourceBound("b")))
+    analyzer.declare_view("j", join_node)
+    analyzer.declare_view("agg", FloorTo(join_node, DAY))
+
+    wl_a = Waterline("ts", 10 * DAY)
+    wl_b = Waterline("ts", 10 * DAY)
+    jv = IncrementalJoinView(on=["user_id", "day"])
+    agg = WindowedLinearAggregateView(
+        window_col="day",
+        window_seconds=DAY,
+        keys=[],
+        sums={
+            "n_pairs": wcount(),
+            "total_dec": wsum(
+                F.col("a_dec") + F.col("b_dec")
+            ),
+        },
+    )
+    gc = GcDriver(analyzer)
+    gc.bind(GcBinding(jv, ("a", "b"), "day", FloorTo(join_node, DAY)))
+
+    from feldera_spark.functions import floor_ts
+
+    def prep(df, side):
+        return df.select(
+            "user_id",
+            floor_ts(F.col("ts"), "day").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias(f"{side}_dec"),
+            WEIGHT,
+        )
+
+    for ca, cb in zip(a_chunks, b_chunks):
+        da = wl_a.step(ca) if ca is not None else None
+        db = wl_b.step(cb) if cb is not None else None
+        analyzer.observe("a", wl_a.max_ts)
+        analyzer.observe("b", wl_b.max_ts)
+        out = jv.step(
+            prep(da, "a") if da is not None else None,
+            prep(db, "b") if db is not None else None,
+        )
+        if out is not None:
+            agg.step(
+                out.select("day", "a_dec", "b_dec", WEIGHT),
+                waterline_bound=analyzer.bound("agg"),
+            )
+        gc.gc()
+
+    return agg.materialized().select(
+        "day",
+        "n_pairs",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )

@@ -53,14 +53,42 @@ class Spine:
     the only O(state) operation, amortized — exactly an LSM compaction).
     """
 
-    def __init__(self, max_batches: int = 8):
+    def __init__(
+        self,
+        max_batches: int = 8,
+        spill_dir: str | None = None,
+        partition_cols: list[str] | None = None,
+    ):
+        """``spill_dir``: when set, compactions write the consolidated
+        state to parquet under it (one ``gen-N`` directory per compaction,
+        optionally ``partitionBy(partition_cols)`` — e.g. a window-start /
+        date column so per-step range reads prune files) and the in-memory
+        base batch becomes a plain parquet scan. That bounds executor
+        memory by ONE spine level instead of the whole state and makes the
+        state durable — on a cluster ``spill_dir`` is object storage and
+        this is exactly the reference's spine spill
+        (``spine_async.rs:968-1012``). Without it, batches live as
+        locally-checkpointed frames (test mode)."""
         self.batches: list[DataFrame] = []
         self.max_batches = max_batches
+        self.spill_dir = spill_dir
+        self.partition_cols = partition_cols or []
+        self._gen = 0
 
     def append(self, delta: DataFrame) -> None:
         self.batches.append(_checkpoint(delta))
         if len(self.batches) > self.max_batches:
-            self.batches = [_checkpoint(zset.consolidate(zset.plus(*self.batches)))]
+            merged = zset.consolidate(zset.plus(*self.batches))
+            if self.spill_dir is not None:
+                self._gen += 1
+                path = f"{self.spill_dir}/gen-{self._gen:06d}"
+                writer = merged.write.mode("overwrite")
+                if self.partition_cols:
+                    writer = writer.partitionBy(*self.partition_cols)
+                writer.parquet(path)
+                self.batches = [merged.sparkSession.read.parquet(path)]
+            else:
+                self.batches = [_checkpoint(merged)]
 
     def read(self) -> DataFrame:
         """Full consolidated state (one merge; avoid in per-step paths)."""
@@ -68,20 +96,26 @@ class Spine:
         return zset.consolidate(zset.plus(*self.batches))
 
     def read_for_keys(
-        self, keys_df: DataFrame, on: list[str], prefilter: F.Column | None = None
+        self, keys_df: DataFrame, on: list[str], prefilter=None
     ) -> DataFrame:
         """State restricted to the given keys: semi-join each batch down
         BEFORE the merge shuffle — the IVM O(touched) read path.
         ``prefilter`` (e.g. a time lower bound) additionally cuts each
         batch before the merge, so the consolidation shuffle is bounded
-        by the touched slice, not the full history."""
+        by the touched slice, not the full history. It is either a
+        boolean Column (static predicate — parquet row-group pruning on
+        spilled batches) or a callable ``DataFrame -> DataFrame`` (for
+        data-dependent bounds evaluated in-plan, no driver sync)."""
         assert self.batches, "empty spine"
-        parts = [
-            (b if prefilter is None else b.filter(prefilter)).join(
-                keys_df, on=on, how="left_semi"
-            )
-            for b in self.batches
-        ]
+        parts = []
+        for b in self.batches:
+            if prefilter is None:
+                fb = b
+            elif isinstance(prefilter, F.Column):
+                fb = b.filter(prefilter)
+            else:
+                fb = prefilter(b)
+            parts.append(fb.join(keys_df, on=on, how="left_semi"))
         return zset.consolidate(zset.plus(*parts))
 
     def truncate(self, keep: F.Column) -> None:
@@ -340,10 +374,13 @@ class WindowedLinearAggregateView:
             delta = delta.withColumn(
                 self.window_col,
                 F.when(ok, F.col(self.window_col)).otherwise(
+                    # NTZ, not TIMESTAMP: when() coerces to the common
+                    # type, and an LTZ branch would silently shift the
+                    # whole window column through the session timezone
                     F.expr(
                         "CAST(assert_true(false, 'late row targets a frozen "
                         "window — caller must drop rows below the waterline') "
-                        "AS TIMESTAMP)"
+                        "AS TIMESTAMP_NTZ)"
                     )
                 ),
             )
@@ -446,25 +483,30 @@ class IncrementalRollingAggregateView:
     def step(self, delta: DataFrame) -> DataFrame:
         delta = zset.lift(delta)
         dmins = delta.groupBy(*self.keys).agg(F.min(self.ts_col).alias("__dmin"))
-        # global time lower bound: pushed into every spine batch BEFORE
-        # the merge shuffle, so a time-ordered stream reads only its
-        # recent suffix even when every key is touched (one tiny driver
-        # scalar per step — the waterline pattern)
-        gmin = delta.agg(F.min(self.ts_col)).collect()[0][0]
         self.integral.append(delta)
         is_ts = dict(delta.dtypes).get(self.ts_col, "").startswith("timestamp")
-        if gmin is None:
-            pre = None
-        elif is_ts:
-            import datetime as _dt
+        # global time lower bound: pushed into every spine batch BEFORE
+        # the merge shuffle, so a time-ordered stream reads only its
+        # recent suffix even when every key is touched. Evaluated IN-PLAN
+        # as a broadcast one-row aggregate (no per-step driver .collect()
+        # — at many views x short triggers a blocking scalar per step
+        # serializes the loop; this keeps the step fully async).
+        lo = (
+            F.min(self.ts_col) - F.expr(f"INTERVAL {self.w_secs} SECONDS")
+            if is_ts
+            else F.min(self.ts_col) - F.lit(self.w_secs)
+        )
+        bounds = _checkpoint(delta.agg(lo.alias("__pre_lo")))
 
-            from feldera_spark.streaming.watermark import Waterline
-
-            pre = F.col(self.ts_col) >= Waterline._ts_lit(
-                gmin - _dt.timedelta(seconds=self.w_secs)
+        def pre(batch: DataFrame) -> DataFrame:
+            return (
+                batch.join(F.broadcast(bounds))
+                .filter(
+                    (F.col(self.ts_col) >= F.col("__pre_lo"))
+                    | F.col("__pre_lo").isNull()
+                )
+                .drop("__pre_lo")
             )
-        else:
-            pre = F.col(self.ts_col) >= F.lit(gmin - self.w_secs)
         slice_ = self.integral.read_for_keys(
             dmins.select(*self.keys), self.keys, prefilter=pre
         ).join(dmins, on=self.keys)

@@ -37,18 +37,68 @@ class StreamingPipeline:
         self,
         views: list[tuple[str, Callable[[DataFrame], None]]],
         waterline: Waterline | None = None,
+        state_dir: str | None = None,
+        spark=None,
+        checkpoint_every: int = 1,
     ):
-        self.views = views
+        """``views`` entries are (name, step_fn) or (name, view_object)
+        — an object with a ``.step`` method. Passing the objects enables
+        durable state: with ``state_dir`` set, every ``checkpoint_every``
+        micro-batches the views' state is committed via
+        ``PipelineCheckpointer`` and, on construction, the newest
+        committed checkpoint is restored and already-committed batch ids
+        are skipped when Spark's source checkpoint replays them — the
+        exactly-once restart contract (reference
+        ``controller/checkpoint.rs``; see streaming/checkpoint.py)."""
+        self.views = [
+            (name, v.step if hasattr(v, "step") else v) for name, v in views
+        ]
+        self._view_objects = {
+            name: v for name, v in views if hasattr(v, "step")
+        }
         self.waterline = waterline
         self.batches_seen = 0
+        self.committed_batch_id = -1
+        self.checkpoint_every = checkpoint_every
+        self._ckpt = None
+        if state_dir is not None:
+            from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+            assert spark is not None, "state_dir requires the spark session"
+            missing = [n for n, _ in views if n not in self._view_objects]
+            assert not missing, (
+                f"state_dir requires view OBJECTS (with .step), got bare "
+                f"functions for: {missing}"
+            )
+            self._ckpt = PipelineCheckpointer(state_dir)
+            meta = self._ckpt.restore(spark, self._view_objects)
+            if meta is not None:
+                self.committed_batch_id = meta["batch_id"]
+                wl = meta["extra"].get("waterline_max_ts")
+                if wl is not None and self.waterline is not None:
+                    import datetime as _dt
+
+                    self.waterline.max_ts = _dt.datetime.fromisoformat(wl)
 
     def process_batch(self, delta: DataFrame, batch_id: int | None = None) -> None:
         """One synchronous step: lateness filter, then every view in order."""
+        if batch_id is not None and batch_id <= self.committed_batch_id:
+            return  # replay of an already-committed batch after restart
         if self.waterline is not None:
             delta = self.waterline.step(delta)
         for _name, step_fn in self.views:
             step_fn(delta)
         self.batches_seen += 1
+        if (
+            self._ckpt is not None
+            and batch_id is not None
+            and (batch_id + 1) % self.checkpoint_every == 0
+        ):
+            extra = {}
+            if self.waterline is not None and self.waterline.max_ts is not None:
+                extra["waterline_max_ts"] = self.waterline.max_ts.isoformat()
+            self._ckpt.commit(batch_id, self._view_objects, extra)
+            self.committed_batch_id = batch_id
 
     # -- transactions --------------------------------------------------------
     # Reference: ``start_transaction`` / ``commit_transaction``

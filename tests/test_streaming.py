@@ -296,3 +296,141 @@ def test_windowed_agg_state_gc(spark):
     # the windows the waterline hasn't closed
     assert view.live_state_count() < 12
     assert view.frozen is not None and view.frozen.count() >= 1
+
+
+def test_spine_parquet_spill(spark, tmp_path):
+    """Spine compaction with spill_dir: state lands in generational
+    parquet (durable, bounded executor memory) and reads stay exact."""
+    import os
+
+    from feldera_spark.streaming.incremental import Spine
+    from feldera_spark.zset import WEIGHT as W
+
+    s = Spine(max_batches=2, spill_dir=str(tmp_path / "spill"))
+    for i in range(5):
+        s.append(
+            spark.createDataFrame(
+                [(k, i * 10 + k, 1) for k in range(4)], f"k INT, v INT, {W} LONG"
+            )
+        )
+    gens = os.listdir(str(tmp_path / "spill"))
+    assert any(g.startswith("gen-") for g in gens), gens
+    got = {(r.k, r.v) for r in s.read().collect()}
+    want = {(k, i * 10 + k) for i in range(5) for k in range(4)}
+    assert got == want
+
+
+def test_kill_and_resume_exactly_once(spark, tmp_path):
+    """Crash/restart contract: run half the stream with durable state
+    checkpointing, discard every in-memory object ("kill"), rebuild from
+    the state_dir + Spark source checkpoint, finish the stream. Final
+    state equals the uninterrupted batch recomputation, and replayed
+    batch ids are skipped (no double counting)."""
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        wsum,
+    )
+
+    src = str(tmp_path / "src")
+    spark_ckpt = str(tmp_path / "spark_ckpt")
+    state_dir = str(tmp_path / "state")
+    all_rows = [(i, "k" + str(i % 3), float(i)) for i in range(80)]
+
+    def write_chunk(part):
+        chunk = [r for r in all_rows if r[0] % 4 == part]
+        spark.createDataFrame(chunk, ["id", "k", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def make_pipe():
+        view = IncrementalLinearAggregateView(
+            keys=["k"], sums={"n": wcount(), "total": wsum("v")}
+        )
+        pipe = StreamingPipeline(
+            views=[("agg", view)], state_dir=state_dir, spark=spark
+        )
+        return view, pipe
+
+    def run(pipe):
+        stream = (
+            spark.readStream.schema("id BIGINT, k STRING, v DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = pipe.start(stream, checkpoint_dir=spark_ckpt)
+        q.awaitTermination(120)
+
+    # phase 1: two files, then "crash" (drop all objects)
+    write_chunk(0)
+    write_chunk(1)
+    view1, pipe1 = make_pipe()
+    run(pipe1)
+    assert pipe1.committed_batch_id >= 1
+    del view1, pipe1
+
+    # phase 2: two more files arrive; rebuild everything from disk
+    write_chunk(2)
+    write_chunk(3)
+    view2, pipe2 = make_pipe()
+    assert pipe2.committed_batch_id >= 1  # restored, not fresh
+    # a replayed (already committed) batch id must be a no-op
+    before = {tuple(r) for r in view2.materialized().collect()}
+    pipe2.process_batch(
+        spark.createDataFrame([(999, "k0", 1e9)], ["id", "k", "v"]), batch_id=0
+    )
+    assert {tuple(r) for r in view2.materialized().collect()} == before
+    run(pipe2)
+
+    got = sorted(map(tuple, view2.materialized().collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.createDataFrame(all_rows, ["id", "k", "v"])
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_checkpoint_windowed_and_temporal_views(spark, tmp_path):
+    """save_view/load_view round-trip for views with scalar meta state
+    (frozen waterline bound, temporal-filter bound)."""
+    from feldera_spark.streaming.checkpoint import load_view, save_view
+    from feldera_spark.streaming.incremental import (
+        WindowedLinearAggregateView,
+        wcount,
+    )
+    from feldera_spark.streaming.now import TemporalFilterView
+
+    def mk_win():
+        return WindowedLinearAggregateView(
+            window_col="w", window_seconds=600, keys=["k"], sums={"n": wcount()}
+        )
+
+    win = mk_win()
+    d1 = _chunk(spark, [(1, 0), (2, 5), (3, 20)]).select(
+        F.expr("date_trunc('hour', ts)").alias("w").cast("timestamp_ntz"),
+        F.lit("a").alias("k"),
+        F.lit(1).cast("long").alias(WEIGHT),
+    )
+    win.step(d1, waterline_bound=None)
+    win.step(d1.limit(0), waterline_bound=_ts(120))  # freezes the hour
+    meta = save_view(win, str(tmp_path / "win"))
+    win2 = mk_win()
+    load_view(win2, spark, str(tmp_path / "win"), meta)
+    assert win2.frozen_bound == win.frozen_bound
+    assert sorted(map(tuple, win2.materialized().collect())) == sorted(
+        map(tuple, win.materialized().collect())
+    )
+
+    tf = TemporalFilterView(ts_col="ts", width_seconds=600)
+    tf.step(_chunk(spark, [(1, 0), (2, 5)]).withColumn(WEIGHT, F.lit(1).cast("long")), now=_ts(10))
+    meta = save_view(tf, str(tmp_path / "tf"))
+    tf2 = TemporalFilterView(ts_col="ts", width_seconds=600)
+    load_view(tf2, spark, str(tmp_path / "tf"), meta)
+    assert tf2.prev_bound == tf.prev_bound
+    assert sorted(map(tuple, tf2.materialized().collect())) == sorted(
+        map(tuple, tf.materialized().collect())
+    )
