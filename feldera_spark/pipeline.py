@@ -36,13 +36,22 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 _CREATE_TABLE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<body>.*)\)\s*(?:WITH\s*\(.*\))?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<body>.*?)\)\s*"
+    r"(?:WITH\s*\((?P<props>.*)\)\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(?P<kind>MATERIALIZED\s+|LOCAL\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+(?P<body>.*)$",
+    r"^\s*CREATE\s+(?P<kind>MATERIALIZED\s+|LOCAL\s+)?VIEW\s+(?P<name>\w+)\s*"
+    r"(?:WITH\s*\((?P<props>.*?)\)\s*)?AS\s+(?P<body>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# WITH-clause entries: 'key' = 'value' (values may be JSON — e.g. the
+# connectors list, docs/sql/streaming.md:36-57 / connectors docs)
+_PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'", re.DOTALL)
+
+
+def _parse_props(s: str | None) -> dict[str, str]:
+    return {m.group("k").lower(): m.group("v") for m in _PROP_RE.finditer(s or "")}
 _CREATE_FUNCTION_RE = re.compile(
     r"^\s*CREATE\s+FUNCTION\s+(?P<name>\w+)\s*\((?P<params>[^)]*)\)\s*"
     r"RETURNS\s+(?P<ret>[\w\(\),\s]+?)\s*(?:AS\s+(?P<body>.*))?$",
@@ -91,6 +100,23 @@ _UNIT_SECONDS = {
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
 }
 
+_COLDEF_RE = re.compile(
+    r"^(?P<n>\w+)\s+(?P<t>[A-Za-z_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+)
+
+
+def _columns_from_body(body: str) -> dict[str, str]:
+    """Column name -> Spark type from a CREATE TABLE body (annotations
+    like LATENESS / PRIMARY KEY / NOT NULL / DEFAULT are ignored)."""
+    from feldera_spark.frontend import _split_top_commas
+
+    cols: dict[str, str] = {}
+    for part in _split_top_commas(body):
+        m = _COLDEF_RE.match(part.strip())
+        if m and m.group("n").upper() not in ("PRIMARY", "FOREIGN", "CONSTRAINT"):
+            cols[m.group("n").lower()] = _spark_type(m.group("t"))
+    return cols
+
 
 @dataclass
 class TableDecl:
@@ -100,6 +126,16 @@ class TableDecl:
     # explicit ingest-order column for PRIMARY KEY upserts; None = pin a
     # synthetic sequence at ingest (see Pipeline._upsert_normalize)
     sequence_col: str | None = None
+    # WITH-properties (docs/sql/streaming.md:36-41, docs/connectors/):
+    # append_only enables chain-aggregate state (O(keys), no integral);
+    # connectors is the parsed JSON connector list, opened at create()
+    # when no DataFrame is connected programmatically.
+    append_only: bool = False
+    materialized: bool = False
+    connectors: list = field(default_factory=list)
+    # column name -> Spark SQL type (from the DDL body) — lets connector
+    # ingestion build the payload schema without a connected DataFrame
+    columns: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -108,6 +144,10 @@ class ViewDecl:
     sql: str | None
     fn: Callable[[SparkSession], DataFrame] | None
     materialized: bool
+    # emit_final WITH-property (docs/sql/streaming.md:44-57): only rows
+    # whose value in this column is at/below the view's waterline —
+    # i.e. rows that can never be retracted — are emitted.
+    emit_final: str | None = None
 
 
 @dataclass
@@ -220,9 +260,10 @@ class PipelineBuilder:
         sql: str | None = None,
         fn: Callable[[SparkSession], DataFrame] | None = None,
         materialized: bool = True,
+        emit_final: str | None = None,
     ) -> "PipelineBuilder":
         assert (sql is None) != (fn is None), "exactly one of sql/fn"
-        self.views[name] = ViewDecl(name, sql, fn, materialized)
+        self.views[name] = ViewDecl(name, sql, fn, materialized, emit_final)
         self._view_order.append(name)
         return self
 
@@ -240,6 +281,14 @@ class PipelineBuilder:
                     decl.lateness[lm.group("col").lower()] = secs
                 for pm in _PK_RE.finditer(body):
                     decl.primary_key.append(pm.group("col").lower())
+                decl.columns = _columns_from_body(body)
+                props = _parse_props(m.group("props"))
+                decl.append_only = props.get("append_only", "").lower() == "true"
+                decl.materialized = props.get("materialized", "").lower() == "true"
+                if "connectors" in props:
+                    import json as _json
+
+                    decl.connectors = _json.loads(props["connectors"])
                 self.tables[name] = decl
                 continue
             m = _DECLARE_RECURSIVE_RE.match(stmt)
@@ -257,10 +306,12 @@ class PipelineBuilder:
             m = _CREATE_VIEW_RE.match(stmt)
             if m:
                 kind = (m.group("kind") or "").strip().lower()
+                vprops = _parse_props(m.group("props"))
                 self.add_view(
                     m.group("name").lower(),
                     sql=m.group("body"),
                     materialized=kind != "local",
+                    emit_final=vprops.get("emit_final"),
                 )
                 continue
             m = _CREATE_AGGREGATE_RE.match(stmt)
@@ -363,6 +414,8 @@ class Pipeline:
 
         for name, decl in builder.tables.items():
             df = builder._table_data.get(name)
+            if df is None and decl.connectors:
+                df = self._open_declared_connectors(decl)
             if df is None:
                 raise ValueError(f"table {name} declared but no data connected")
             if decl.primary_key:
@@ -396,6 +449,8 @@ class Pipeline:
                 if decl.sql is not None
                 else decl.fn(self.spark)
             )
+            if decl.emit_final is not None:
+                df = self._apply_emit_final(df, decl)
             # cross-view CSE: cache views consumed by 2+ downstream views
             if use_counts.get(name, 0) >= 2:
                 df = df.cache()
@@ -441,6 +496,85 @@ class Pipeline:
             .filter(F.col("__rn") == 1)
             .drop("__rn", *drop_seq)
         )
+
+    def _open_declared_connectors(self, decl: "TableDecl") -> DataFrame:
+        """Ingest a table from its WITH-declared connectors (batch form):
+        decode the change stream(s), sum the weights, and register the
+        net bag — the create-time equivalent of the reference's connector
+        startup (``docs/connectors/``)."""
+        from pyspark.sql import types as T
+
+        from feldera_spark import zset
+        from feldera_spark.sources.connectors import open_source
+
+        if not decl.columns:
+            raise ValueError(
+                f"table {decl.name}: connector ingestion needs DDL column types"
+            )
+        schema = T._parse_datatype_string(
+            ", ".join(f"{c} {t}" for c, t in decl.columns.items())
+        )
+        parts = [
+            open_source(self.spark, c, schema, streaming=False)
+            for c in decl.connectors
+        ]
+        changes = zset.consolidate(zset.plus(*parts))
+        return zset.to_bag(changes)
+
+    def _apply_emit_final(self, df: DataFrame, decl: "ViewDecl") -> DataFrame:
+        """emit_final view property: keep only rows at/below the view's
+        waterline, derived from the referenced tables' LATENESS
+        declarations (min over bounded inputs — the MonotoneAnalyzer
+        rule; see streaming/monotone.py for the step-loop form)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        from feldera_spark.streaming.watermark import Waterline
+
+        bound: _dt.datetime | None = None
+        seen_bounded = False
+        for tname in self._referenced_tables(decl):
+            tdecl = self.tables[tname]
+            for col, late_s in tdecl.lateness.items():
+                seen_bounded = True
+                mx = (
+                    self._frames[tname]
+                    .agg(F.max(F.col(col)).alias("m"))
+                    .collect()[0]["m"]
+                )
+                if mx is None:
+                    continue
+                b = mx - _dt.timedelta(seconds=late_s)
+                bound = b if bound is None else min(bound, b)
+        if not seen_bounded:
+            raise ValueError(
+                f"view {decl.name}: emit_final needs LATENESS on an input "
+                f"table to derive a waterline"
+            )
+        if bound is None:
+            return df.limit(0)
+        return df.filter(F.col(decl.emit_final) <= Waterline._ts_lit(bound))
+
+    def _referenced_tables(self, decl: "ViewDecl") -> set[str]:
+        """Tables reachable from a view's SQL (transitively through
+        other views) — syntactic scan, same style as the CSE counter."""
+        seen_tables: set[str] = set()
+        stack, visited = [decl], set()
+        while stack:
+            d = stack.pop()
+            if d.name in visited or d.sql is None:
+                continue
+            visited.add(d.name)
+            for t in self.tables:
+                if re.search(rf"\b{re.escape(t)}\b", d.sql):
+                    seen_tables.add(t)
+            for v in self.views.values():
+                if v.name != d.name and re.search(
+                    rf"\b{re.escape(v.name)}\b", d.sql
+                ):
+                    stack.append(v)
+        return seen_tables
 
     def view(self, name: str) -> DataFrame:
         return self._frames[name]

@@ -288,3 +288,42 @@ def q80_create_aggregate(spark, sf_dir):
         .create()
     )
     return p.view("by_flag")
+
+
+@q(
+    "q81_ddl_emit_final",
+    oracle="""
+    WITH b AS (SELECT max(ts) - INTERVAL 3 DAY AS bound FROM events)
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events, b
+    WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) <= b.bound
+    GROUP BY 1
+    """,
+)
+def q81_ddl_emit_final(spark, sf_dir):
+    """WITH-properties end-to-end from DDL: an ``append_only`` table
+    with LATENESS feeding an ``emit_final`` view
+    (``docs/sql/streaming.md:36-57``,
+    ``docs/tutorials/time-series.md:341-375``) — only day-buckets at or
+    below the derived waterline (max(ts) − 3 days, the min-over-inputs
+    MonotoneAnalyzer rule) are emitted: rows that can never be
+    retracted."""
+    p = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE events (
+            ts TIMESTAMP LATENESS INTERVAL 3 DAYS,
+            value DOUBLE
+        ) WITH ('append_only' = 'true');
+        CREATE MATERIALIZED VIEW daily_final
+        WITH ('emit_final' = 'd')
+        AS SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS d,
+                  count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)
+        """
+    ).connect_table(
+        "events", t(spark, sf_dir, "events").select("ts", "value")
+    ).create()
+    return p.view("daily_final")

@@ -1,0 +1,214 @@
+"""Connector wiring: the reference's transport+format connector config
+mapped onto Spark sources/sinks.
+
+Reference: a table's ``connectors`` property is a list of
+``{"transport": {"name": ..., "config": {...}}, "format": {"name": ...,
+"config": {...}}}`` objects (``docs/connectors/``,
+``crates/adapters/src/transport/``). This module translates that shape:
+
+- transport → a Spark (streaming) reader: ``file_input``/``url_input``/
+  ``s3_input`` → path-based ``readStream``; ``kafka_input`` →
+  ``format("kafka")`` with the option mapping below; ``datagen`` → the
+  synthetic source (sources/datagen.py).
+- format → the change-codec layer (sources/changes.py):
+  ``json`` (insert_delete / debezium envelopes), ``csv`` (plain-insert
+  lines or weighted egress), ``avro`` (raw/debezium — needs spark-avro),
+  ``parquet``/``raw`` (records as inserts).
+
+The option-mapping functions are pure (dict → dict) so they are testable
+without the corresponding Spark packages; ``open_source`` raises a clear
+error when a transport's package is not loaded (kafka/delta are cluster
+submit-time ``--packages``, not bundled with pip PySpark).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from feldera_spark.sources import changes as _changes
+
+
+@dataclass
+class ConnectorConfig:
+    """One entry of a table/view ``connectors`` list."""
+
+    transport: str
+    transport_config: dict[str, Any] = field(default_factory=dict)
+    format: str = "json"
+    format_config: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ConnectorConfig":
+        return cls(
+            transport=d["transport"]["name"],
+            transport_config=d["transport"].get("config", {}),
+            format=d.get("format", {}).get("name", "json"),
+            format_config=d.get("format", {}).get("config", {}),
+        )
+
+
+def kafka_reader_options(config: dict[str, Any]) -> dict[str, str]:
+    """Map the reference's ``kafka_input`` config keys
+    (``docs/connectors/sources/kafka.md``) to Spark's kafka source
+    options. Pure function — unit-testable without the kafka package."""
+    opts: dict[str, str] = {}
+    if "bootstrap.servers" in config:
+        opts["kafka.bootstrap.servers"] = config["bootstrap.servers"]
+    if "topic" in config:
+        opts["subscribe"] = config["topic"]
+    if "topics" in config:
+        opts["subscribe"] = ",".join(config["topics"])
+    start = config.get("start_from", "latest")
+    if start in ("earliest", "latest"):
+        opts["startingOffsets"] = start
+    elif isinstance(start, dict) and "timestamp" in start:
+        opts["startingTimestamp"] = str(start["timestamp"])
+    elif isinstance(start, dict) and "offsets" in start:
+        import json as _json
+
+        topic = config.get("topic", "")
+        opts["startingOffsets"] = _json.dumps(
+            {topic: {str(i): off for i, off in enumerate(start["offsets"])}}
+        )
+    # librdkafka passthrough keys keep their meaning under Spark's kafka.*
+    for k, v in config.items():
+        if "." in k and k not in ("bootstrap.servers",):
+            opts.setdefault(f"kafka.{k}", str(v))
+    return opts
+
+
+def jdbc_reader_options(config: dict[str, Any]) -> dict[str, str]:
+    """Postgres/JDBC input (the reference's datagen-free DB sources):
+    url/table/user/password → Spark jdbc options."""
+    opts = {"url": config["url"], "dbtable": config["table"]}
+    for k in ("user", "password", "driver", "numPartitions",
+              "partitionColumn", "lowerBound", "upperBound"):
+        if k in config:
+            opts[k] = str(config[k])
+    return opts
+
+
+def _decode(
+    raw: DataFrame, fmt: str, fmt_config: dict, schema: T.StructType
+) -> DataFrame:
+    update = fmt_config.get("update_format", "insert_delete")
+    if fmt == "json":
+        if update == "debezium":
+            return _changes.decode_debezium(raw, schema)
+        if update == "raw":
+            from pyspark.sql import functions as F
+
+            parsed = raw.select(F.from_json("value", schema).alias("r"))
+            return (
+                parsed.filter(F.col("r").isNotNull())
+                .select("r.*")
+                .withColumn(_changes.WEIGHT, F.lit(1).cast("long"))
+            )
+        return _changes.decode_insert_delete(raw, schema)
+    if fmt == "csv":
+        if update == "weighted":
+            return _changes.decode_weighted_csv(
+                raw, schema, options=fmt_config.get("options")
+            )
+        return _changes.decode_csv(raw, schema, options=fmt_config.get("options"))
+    if fmt == "avro":
+        return _changes.decode_avro(
+            raw,
+            fmt_config["schema"],
+            update_format=fmt_config.get("update_format", "raw"),
+        )
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def open_source(
+    spark,
+    config: ConnectorConfig | dict,
+    schema: T.StructType,
+    streaming: bool = True,
+) -> DataFrame:
+    """Open a connector as a (streaming) DataFrame of weighted changes.
+
+    File-family transports read line transports (text) and hand lines to
+    the format codec; record transports (parquet) are direct inserts.
+    Kafka maps the value column through the codec — identical decode
+    path, which is the point: the envelope layer is transport-agnostic,
+    as in the reference's adapter stack.
+    """
+    if isinstance(config, dict):
+        config = ConnectorConfig.from_dict(config)
+    tname = config.transport
+    tc = config.transport_config
+    if tname in ("file_input", "url_input", "s3_input"):
+        path = tc.get("path") or tc.get("url") or tc.get("uri")
+        if config.format == "parquet":
+            from pyspark.sql import functions as F
+
+            reader = (
+                spark.readStream.schema(schema) if streaming else spark.read
+            )
+            df = reader.parquet(path)
+            return df.withColumn(_changes.WEIGHT, F.lit(1).cast("long"))
+        reader = spark.readStream if streaming else spark.read
+        raw = reader.text(path).withColumnRenamed("value", "value")
+        return _decode(raw, config.format, config.format_config, schema)
+    if tname == "kafka_input":
+        opts = kafka_reader_options(tc)
+        from pyspark.sql import functions as F
+
+        reader = spark.readStream if streaming else spark.read
+        try:
+            raw = reader.format("kafka").options(**opts).load()
+        except Exception as e:
+            raise RuntimeError(
+                "kafka source requires the spark-sql-kafka package "
+                "(cluster submit: --packages org.apache.spark:"
+                "spark-sql-kafka-0-10_2.13:<ver>)"
+            ) from e
+        raw = raw.select(F.col("value").cast("string").alias("value"))
+        return _decode(raw, config.format, config.format_config, schema)
+    if tname == "jdbc_input":
+        if streaming:
+            raise ValueError("jdbc transport is batch-only")
+        from pyspark.sql import functions as F
+
+        df = spark.read.format("jdbc").options(**jdbc_reader_options(tc)).load()
+        return df.withColumn(_changes.WEIGHT, F.lit(1).cast("long"))
+    raise ValueError(f"unsupported transport: {tname}")
+
+
+def open_sink(changes: DataFrame, config: ConnectorConfig | dict):
+    """Write a stream/batch of weighted changes through a connector.
+
+    Returns the started StreamingQuery (streaming input) or None (batch
+    write completed). Formats mirror the sources: json → insert_delete
+    envelope lines, csv → weighted csv lines, parquet → raw rows with
+    the weight column (the ad-hoc output path handles consolidated
+    snapshots; this is the change-stream egress)."""
+    if isinstance(config, dict):
+        config = ConnectorConfig.from_dict(config)
+    tname = config.transport
+    tc = config.transport_config
+    if tname not in ("file_output",):
+        raise ValueError(f"unsupported sink transport: {tname}")
+    path = tc["path"]
+    if config.format == "json":
+        out = _changes.encode_insert_delete(changes)
+        writer_fmt = "text"
+    elif config.format == "csv":
+        out = _changes.encode_csv(changes)
+        writer_fmt = "text"
+    elif config.format == "parquet":
+        out, writer_fmt = changes, "parquet"
+    else:
+        raise ValueError(f"unsupported sink format: {config.format}")
+    if out.isStreaming:
+        w = out.writeStream.format(writer_fmt).option("path", path)
+        if "checkpoint" in tc:
+            w = w.option("checkpointLocation", tc["checkpoint"])
+        return w.start()
+    out.write.mode(tc.get("mode", "append")).format(writer_fmt).save(path)
+    return None

@@ -55,6 +55,15 @@ def find_unbounded_state(builder) -> list[StateWarning]:
     bounded: dict[str, bool] = {
         name: bool(decl.lateness) for name, decl in builder.tables.items()
     }
+    # append_only tables (docs/sql/streaming.md:36-41): aggregates over
+    # them run as chain aggregates with O(keys) state — no integral — so
+    # an aggregate-only view over append-only inputs is not a state
+    # hazard even without LATENESS (chain_aggregate.rs:28).
+    append_only = {
+        name
+        for name, decl in builder.tables.items()
+        if getattr(decl, "append_only", False)
+    }
     warnings: list[StateWarning] = []
     for name in builder._view_order:
         decl = builder.views[name]
@@ -68,7 +77,10 @@ def find_unbounded_state(builder) -> list[StateWarning]:
         stateful = [
             label for label, pat in _STATEFUL_PATTERNS if pat.search(decl.sql)
         ]
-        if stateful and refs and not any_bounded:
+        chain_ok = stateful == ["aggregate"] and refs and all(
+            r in append_only or bounded[r] for r in refs
+        )
+        if stateful and refs and not any_bounded and not chain_ok:
             warnings.append(StateWarning(name, " + ".join(stateful), refs))
         # a view is bounded iff some input is bounded (waterline propagates)
         bounded[name] = any_bounded

@@ -604,6 +604,50 @@ class AppendOnlyAggregateView:
         return self.state
 
 
+def select_aggregate_view(
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    append_only: bool = False,
+):
+    """Declaration-driven aggregate-strategy selection — the decision the
+    reference compiler makes per aggregate node
+    (``CalciteToDBSPCompiler`` picking chain / linear / general):
+
+    - input declared ``append_only`` and every aggregate is
+      chain-able → ``AppendOnlyAggregateView`` (O(1) state per key);
+    - only linear aggregates (sum/count) → ``IncrementalLinearAggregateView``
+      (state = aggregate values, deletions fold in as negative weights);
+    - otherwise (min/max under retraction) → the general
+      ``IncrementalAggregateView`` (keeps the integral for
+      re-aggregation, ``docs/sql/aggregates.md:418-434``).
+
+    ``aggs`` maps output name -> (fn, col) with fn in
+    {sum, count, min, max}.
+    """
+    fns = {fn for fn, _ in aggs.values()}
+    if append_only and fns <= set(AppendOnlyAggregateView._PARTIAL):
+        return AppendOnlyAggregateView(keys, aggs)
+    if fns <= {"sum", "count"}:
+        sums = {
+            name: (wcount() if fn == "count" else wsum(col))
+            for name, (fn, col) in aggs.items()
+        }
+        return IncrementalLinearAggregateView(keys, sums)
+
+    def _general(df: DataFrame) -> DataFrame:
+        exprs = []
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                exprs.append(F.sum(WEIGHT).alias(name))
+            elif fn == "sum":
+                exprs.append(F.sum(F.col(col) * F.col(WEIGHT)).alias(name))
+            else:
+                exprs.append(getattr(F, fn)(col).alias(name))
+        return df.filter(F.col(WEIGHT) > 0).groupBy(*keys).agg(*exprs)
+
+    return IncrementalAggregateView(keys, _general)
+
+
 class IncrementalDistinctView:
     """DISTINCT maintained incrementally: emit ±1 on zero-crossings only."""
 

@@ -159,3 +159,122 @@ def test_create_aggregate_linear_flag_recorded(spark):
     assert p.aggregates["total"].linear is True
     got = {(r["k"], r["tot"]) for r in p.view("v").collect()}
     assert got == {(1, 5), (2, 5)}
+
+
+def test_with_properties_parsed_and_connector_ingestion(spark, tmp_path):
+    """Table WITH ('append_only', 'materialized', 'connectors') — the
+    connectors JSON is opened at create() when no DataFrame is
+    connected (docs/sql/streaming.md:36-57)."""
+    p = tmp_path / "sales.csv"
+    p.write_text("1,widget,3.5\n2,gadget,1.25\n")
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE sales (
+            id BIGINT,
+            item VARCHAR,
+            amount DOUBLE
+        ) WITH (
+            'append_only' = 'true',
+            'materialized' = 'true',
+            'connectors' = '[{
+                "transport": {"name": "file_input", "config": {"path": "%s"}},
+                "format": {"name": "csv"}
+            }]'
+        );
+        CREATE MATERIALIZED VIEW totals AS
+        SELECT item, sum(amount) AS total FROM sales GROUP BY item
+        """
+        % str(p)
+    )
+    decl = b.tables["sales"]
+    assert decl.append_only and decl.materialized
+    assert decl.columns == {"id": "BIGINT", "item": "STRING", "amount": "DOUBLE"}
+    pipe = b.create()
+    got = sorted(map(tuple, pipe.view("totals").collect()))
+    assert got == [("gadget", 1.25), ("widget", 3.5)]
+
+
+def test_emit_final_view_property(spark):
+    """CREATE VIEW ... WITH ('emit_final' = 'd'): only rows at/below the
+    derived waterline (max(ts) - LATENESS, floored through the view's
+    day grouping conservatively by the raw bound) are emitted
+    (docs/tutorials/time-series.md:341-375)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10), 10.0),
+        (dt.datetime(2024, 1, 2, 10), 20.0),
+        (dt.datetime(2024, 1, 5, 12), 30.0),  # max ts; waterline = Jan 4 12:00
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, amount DOUBLE").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE purchase (
+            ts TIMESTAMP LATENESS INTERVAL 1 DAY,
+            amount DOUBLE
+        );
+        CREATE VIEW daily_total_final
+        WITH ('emit_final' = 'd')
+        AS SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS d,
+                  SUM(amount) AS total
+        FROM purchase GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)
+        """
+    ).connect_table("purchase", df)
+    pipe = b.create()
+    got = sorted(map(tuple, pipe.view("daily_total_final").collect()))
+    # Jan 5 is above the waterline (not final); Jan 1 and 2 are final
+    assert [(r[0].day, r[1]) for r in got] == [(1, 10.0), (2, 20.0)]
+
+
+def test_append_only_suppresses_unbounded_warning(spark):
+    from feldera_spark.streaming.analysis import find_unbounded_state
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE log (k VARCHAR, v DOUBLE) WITH ('append_only' = 'true');
+        CREATE TABLE raw (k VARCHAR, v DOUBLE);
+        CREATE MATERIALIZED VIEW chain_ok AS
+        SELECT k, max(v) AS mx FROM log GROUP BY k;
+        CREATE MATERIALIZED VIEW still_bad AS
+        SELECT k, max(v) AS mx FROM raw GROUP BY k
+        """
+    )
+    warned = {w.view for w in find_unbounded_state(b)}
+    assert "chain_ok" not in warned
+    assert "still_bad" in warned
+
+
+def test_select_aggregate_view_by_declaration(spark):
+    from feldera_spark.streaming.incremental import (
+        AppendOnlyAggregateView,
+        IncrementalAggregateView,
+        IncrementalLinearAggregateView,
+        select_aggregate_view,
+    )
+
+    aggs = {"mx": ("max", "v"), "n": ("count", "v")}
+    assert isinstance(
+        select_aggregate_view(["k"], aggs, append_only=True),
+        AppendOnlyAggregateView,
+    )
+    assert isinstance(
+        select_aggregate_view(["k"], aggs, append_only=False),
+        IncrementalAggregateView,
+    )
+    lin = select_aggregate_view(
+        ["k"], {"n": ("count", "v"), "s": ("sum", "v")}, append_only=False
+    )
+    assert isinstance(lin, IncrementalLinearAggregateView)
+
+    # the general strategy must survive a retraction of the current max
+    gen = select_aggregate_view(["k"], aggs, append_only=False)
+    from feldera_spark.zset import WEIGHT as W
+
+    gen.step(spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 3.0, 1)], f"k STRING, v DOUBLE, {W} LONG"))
+    gen.step(spark.createDataFrame(
+        [("a", 5.0, -1)], f"k STRING, v DOUBLE, {W} LONG"))
+    got = [(r["k"], r["mx"], r["n"]) for r in gen.materialized().collect()]
+    assert got == [("a", 3.0, 1)]
