@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from feldera_spark.queries import (
     datapipe,
     dialect,
+    edge,
     incremental,
     nexmark,
     relational,
@@ -31,6 +32,7 @@ _MODULES = (
     relational4,
     temporal,
     dialect,
+    edge,
     nexmark,
     datapipe,
     incremental,
