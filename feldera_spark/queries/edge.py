@@ -585,3 +585,86 @@ def e20_stddev_single_row_groups(spark, sf_dir):
         F.stddev_pop("acctbal").cast("double").alias("sd_pop"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q(
+    "e21_deterministic_sample",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 0
+    """,
+)
+def e21_deterministic_sample(spark, sf_dir):
+    """The sample operator (reference ``operator/sample.rs:43``) in its
+    scale-sane form: keyed Bernoulli sampling via a portable hash —
+    deterministic (re-runnable, oracle-checkable), uniform, and pushed
+    down as an ordinary filter (no coordinator round like true random
+    sampling needs). ``df.sample()`` remains for exploratory use; this
+    is the reproducible pipeline variant."""
+    from feldera_spark.functions import md5_i64
+
+    e = t(spark, sf_dir, "events")
+    return e.filter(
+        md5_i64(F.col("event_id").cast("string")) % 20 == 0
+    ).select("event_id", "event_type")
+
+
+@q(
+    "e22_time_of_day",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%H:%M:%S') AS tod,
+           CAST(extract(HOUR FROM ts) * 3600
+                + extract(MINUTE FROM ts) * 60
+                + floor(extract(SECOND FROM ts)) AS BIGINT) AS tod_secs
+    FROM events WHERE event_id <= 200
+    """,
+)
+def e22_time_of_day(spark, sf_dir):
+    """TIME-type shim (SURVEY §1.2 gap): Spark has no TIME type; the
+    portable representation is the HH:mm:ss string + seconds-since-
+    midnight integer (reference ``sqllib`` Time, ``casts.rs`` TIME
+    casts). Built from EXTRACT fields — session-timezone-independent
+    on TIMESTAMP_NTZ."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    c = F.col("ts")
+    secs = (
+        F.hour(c).cast("bigint") * 3600
+        + F.minute(c).cast("bigint") * 60
+        + F.floor(F.expr("extract(SECOND FROM ts)")).cast("bigint")
+    )
+    tod = F.concat_ws(
+        ":",
+        F.lpad(F.hour(c).cast("string"), 2, "0"),
+        F.lpad(F.minute(c).cast("string"), 2, "0"),
+        F.lpad(F.floor(F.expr("extract(SECOND FROM ts)")).cast("string"), 2, "0"),
+    )
+    return e.select("event_id", tod.alias("tod"), secs.alias("tod_secs"))
+
+
+@q(
+    "e23_map_aggregate",
+    oracle="""
+    SELECT c_nationkey,
+           to_json(map(list(seg ORDER BY seg), list(n ORDER BY seg))) AS seg_counts
+    FROM (SELECT c_nationkey, c_mktsegment AS seg, count(*) AS n
+          FROM customer GROUP BY 1, 2)
+    GROUP BY c_nationkey
+    """,
+)
+def e23_map_aggregate(spark, sf_dir):
+    """MAP aggregate (SURVEY §2.4 'MAP aggregate' row): build a
+    key->count map per group — Spark ``map_from_entries`` over a
+    key-sorted ``collect_list`` (deterministic entry order, so the
+    JSON serialization is comparable across engines)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("seg", "n"))))
+        ).alias("seg_counts")
+    )
