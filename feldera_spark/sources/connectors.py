@@ -170,6 +170,58 @@ def open_source(
             ) from e
         raw = raw.select(F.col("value").cast("string").alias("value"))
         return _decode(raw, config.format, config.format_config, schema)
+    if tname == "delta_table_input":
+        # Reference: integrated delta connector (``docs/connectors/
+        # sources/delta.md``, ``crates/adapters/.../delta_table/``).
+        # mode=snapshot → batch read; follow/snapshot_and_follow →
+        # Delta's own changefeed via readStream. Rows are inserts; CDC
+        # mode maps the delete predicate to negative weights.
+        from pyspark.sql import functions as F
+
+        mode = tc.get("mode", "snapshot")
+        try:
+            if mode == "snapshot":
+                reader = spark.read.format("delta")
+                if "version" in tc:
+                    reader = reader.option("versionAsOf", str(tc["version"]))
+                if "datetime" in tc:
+                    reader = reader.option("timestampAsOf", tc["datetime"])
+                df = reader.load(tc["uri"])
+            else:  # follow / snapshot_and_follow / cdc
+                reader = spark.readStream.format("delta")
+                if mode == "follow":
+                    reader = reader.option("skipInitialSnapshot", "true")
+                df = reader.load(tc["uri"])
+        except Exception as e:
+            raise RuntimeError(
+                "delta source requires the delta-spark package "
+                "(cluster submit: --packages io.delta:delta-spark_2.13:<ver>)"
+            ) from e
+        if "snapshot_filter" in tc:
+            df = df.filter(tc["snapshot_filter"])
+        if mode == "cdc" and "cdc_delete_filter" in tc:
+            w = F.when(F.expr(tc["cdc_delete_filter"]), F.lit(-1)).otherwise(
+                F.lit(1)
+            )
+            return df.withColumn(_changes.WEIGHT, w.cast("long"))
+        return df.withColumn(_changes.WEIGHT, F.lit(1).cast("long"))
+    if tname == "iceberg_input":
+        # docs/connectors/sources/iceberg.md — snapshot reads; catalog
+        # configuration is spark-conf-level (spark.sql.catalog.*).
+        from pyspark.sql import functions as F
+
+        try:
+            reader = spark.read.format("iceberg")
+            if "snapshot_id" in tc:
+                reader = reader.option("snapshot-id", str(tc["snapshot_id"]))
+            if "datetime" in tc:
+                reader = reader.option("as-of-timestamp", tc["datetime"])
+            df = reader.load(tc.get("table") or tc.get("metadata_location"))
+        except Exception as e:
+            raise RuntimeError(
+                "iceberg source requires the iceberg-spark-runtime package"
+            ) from e
+        return df.withColumn(_changes.WEIGHT, F.lit(1).cast("long"))
     if tname == "jdbc_input":
         if streaming:
             raise ValueError("jdbc transport is batch-only")

@@ -213,3 +213,25 @@ def test_avro_unavailable_is_detected(spark):
     # honest gate: this environment has no spark-avro jar; the probe
     # must say so rather than letting decode_avro fail deep in a job
     assert avro_available(spark) in (True, False)
+
+
+def test_delta_iceberg_gated_errors(spark, tmp_path):
+    """Without the delta/iceberg packages the transports raise a clear
+    actionable error (they are cluster submit-time --packages, not
+    bundled with pip PySpark) instead of failing deep inside a job."""
+    for transport, cfg in (
+        ("delta_table_input", {"uri": str(tmp_path / "t"), "mode": "snapshot"}),
+        ("iceberg_input", {"table": "db.t", "mode": "snapshot"}),
+    ):
+        try:
+            open_source(
+                spark,
+                {"transport": {"name": transport, "config": cfg},
+                 "format": {"name": "parquet"}},
+                SCHEMA,
+                streaming=False,
+            )
+        except RuntimeError as e:
+            assert "package" in str(e)
+        else:  # package IS present — the reader path itself was exercised
+            pass
