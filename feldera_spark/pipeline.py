@@ -425,8 +425,15 @@ class Pipeline:
             df.createOrReplaceTempView(name)
             self._frames[name] = df
 
-        # evaluate views in declaration order (forward references are not
-        # allowed outside recursive groups — same as the reference)
+        self._builder = builder
+        self._evaluate_views()
+
+    def _evaluate_views(self) -> None:
+        """(Re-)evaluate views in declaration order (forward references
+        are not allowed outside recursive groups — same as the
+        reference). Re-run after ad-hoc INSERTs so dependent views see
+        the mutated tables."""
+        builder = self._builder
         use_counts: dict[str, int] = {v: 0 for v in self.views}
         for v in self.views.values():
             if v.sql:
@@ -456,6 +463,56 @@ class Pipeline:
                 df = df.cache()
             df.createOrReplaceTempView(name)
             self._frames[name] = df
+
+    def execute(self, sql: str) -> DataFrame | None:
+        """Ad-hoc statement execution (SDK ``Pipeline.execute``,
+        ``docs/sql/ad-hoc.md:22,95-98``): ``INSERT INTO t ...`` pushes
+        rows into a declared table — the new delta is unioned into the
+        table (PRIMARY KEY tables re-normalize, last write wins) and
+        every dependent view is re-evaluated, exactly the one-step
+        semantics of pushing a delta through the circuit. Any other
+        statement runs as an ad-hoc query and returns its DataFrame."""
+        m = re.match(
+            r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<src>.*)$",
+            sql.strip().rstrip(";"),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return self.spark.sql(sql)
+        name = m.group("table").lower()
+        if name not in self.tables:
+            raise KeyError(f"table {name} is not declared in this pipeline")
+        src = m.group("src")
+        if not re.match(r"^\s*SELECT\b", src, re.IGNORECASE):
+            src = f"SELECT * FROM ({src})"  # VALUES (...) [, ...]
+        new_rows = self.spark.sql(src).toDF(*self._frames[name].columns)
+        decl = self.tables[name]
+        if decl.primary_key:
+            # arrival order: everything already in the table, then the
+            # INSERT's rows (in statement order) — last write wins
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            old = self._frames[name].withColumn("__gen", F.lit(0).cast("long"))
+            new = new_rows.withColumn(
+                "__gen", F.monotonically_increasing_id() + 1
+            ).localCheckpoint(eager=True)
+            w = Window.partitionBy(*decl.primary_key).orderBy(
+                F.col("__gen").desc()
+            )
+            merged = (
+                old.unionByName(new)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__gen")
+            )
+        else:
+            merged = self._frames[name].unionByName(new_rows)
+        merged = merged.localCheckpoint(eager=True)
+        merged.createOrReplaceTempView(name)
+        self._frames[name] = merged
+        self._evaluate_views()
+        return None
 
     @staticmethod
     def _upsert_normalize(

