@@ -407,3 +407,70 @@ def i07_ivm_derived_waterline_gc(spark, sf_dir):
         "n_pairs",
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+@q(
+    "i08_ivm_session_windows",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ({_NET})
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def i08_ivm_session_windows(spark, sf_dir):
+    """SESSION windows maintained INCREMENTALLY — the hard streaming
+    case, because late/retracted rows merge or split neighboring
+    sessions. Strategy: the per-key generic recompute
+    (IncrementalKeyedRecomputeView): keep the input integral, on each
+    delta re-sessionize ONLY the touched users and emit new−old — the
+    reference's general aggregate strategy extended to set-valued
+    output (operator/dynamic/aggregate.rs). The final delete chunk
+    splits sessions; output still equals batch sessionization."""
+    from pyspark.sql.window import Window as W
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalKeyedRecomputeView,
+    )
+
+    def sessionize(rows):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(w)
+        new_s = F.when(
+            prev.isNull()
+            | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0)
+        marked = rows.withColumn("__new_s", new_s)
+        sid = F.sum("__new_s").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return (
+            marked.withColumn("__sid", sid)
+            .groupBy("user_id", "__sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("__sid")
+        )
+
+    view = IncrementalKeyedRecomputeView(keys=["user_id"], fn=sessionize)
+    for chunk in _event_chunks(spark, sf_dir):
+        view.step(chunk.select("user_id", "ts", "event_id", WEIGHT))
+    return view.materialized()

@@ -611,6 +611,49 @@ class AppendOnlyAggregateView:
         return self.state
 
 
+class IncrementalKeyedRecomputeView:
+    """Generic per-key incremental maintenance for operators whose
+    output per key is an arbitrary function of that key's FULL row set —
+    sessionization (SESSION windows), per-key dedup, per-key top-K.
+
+    Reference analogue: the 'general' aggregate strategy
+    (``operator/dynamic/aggregate.rs``) extended to set-valued results:
+    keep the input integral; on a delta, recompute ``fn`` ONLY for the
+    touched keys and emit (new − old) as the output delta. Work per step
+    is O(|delta| + state[touched keys] + fn over touched keys) — the
+    output for untouched keys is provably unchanged because ``fn`` is
+    per-key.
+
+    ``fn(rows) -> DataFrame`` maps a bag of rows (weights already
+    resolved: ``to_bag`` applied) for the touched keys to their output
+    rows; it must be deterministic and per-key (no cross-key state).
+    """
+
+    def __init__(self, keys: list[str], fn: Callable[[DataFrame], DataFrame]):
+        self.keys = keys
+        self.fn = fn
+        self.integral = Spine()
+        self.output = Spine()
+
+    def step(self, delta: DataFrame) -> DataFrame:
+        delta = zset.lift(delta)
+        touched = delta.select(*self.keys).distinct()
+        self.integral.append(delta)
+        affected = self.integral.read_for_keys(touched, self.keys)
+        new_rows = zset.lift(self.fn(zset.to_bag(affected)))
+        if self.output.empty:
+            out_delta = zset.consolidate(new_rows)
+        else:
+            old_rows = self.output.read_for_keys(touched, self.keys)
+            out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
+        self.output.append(out_delta)
+        return out_delta
+
+    def materialized(self) -> DataFrame:
+        assert not self.output.empty
+        return zset.to_bag(self.output.read())
+
+
 def select_aggregate_view(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],

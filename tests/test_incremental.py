@@ -249,3 +249,35 @@ def test_incremental_distinct_zero_crossings(spark):
     d3 = spark.createDataFrame([("a", -1)], ["k", WEIGHT])
     assert sorted((r["k"], r["__weight"]) for r in view.step(d3).collect()) == [("a", -1)]
     assert sorted(r.k for r in view.materialized().collect()) == ["b"]
+
+
+def test_keyed_recompute_view_topk_and_untouched_keys(spark):
+    """IncrementalKeyedRecomputeView: per-key top-2, with a deletion
+    promoting a lower row; untouched keys emit NO delta rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalKeyedRecomputeView,
+    )
+
+    def top2(rows):
+        w = Window.partitionBy("k").orderBy(F.col("v").desc(), "id")
+        return (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 2)
+            .drop("__rn")
+        )
+
+    view = IncrementalKeyedRecomputeView(keys=["k"], fn=top2)
+    view.step(spark.createDataFrame(
+        [(1, "a", 5.0, 1), (2, "a", 4.0, 1), (3, "a", 3.0, 1),
+         (4, "b", 9.0, 1)],
+        f"id INT, k STRING, v DOUBLE, {WEIGHT} LONG"))
+    # delete a's current #1 -> (2,4.0),(3,3.0) become the top-2; key b
+    # untouched -> the step's output delta must not mention b
+    delta = view.step(spark.createDataFrame(
+        [(1, "a", 5.0, -1)], f"id INT, k STRING, v DOUBLE, {WEIGHT} LONG"))
+    assert {r["k"] for r in delta.collect()} == {"a"}
+    got = sorted((r.k, r.id, r.v) for r in view.materialized().collect())
+    assert got == [("a", 2, 4.0), ("a", 3, 3.0), ("b", 4, 9.0)]
