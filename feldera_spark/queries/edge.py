@@ -794,3 +794,166 @@ def e25_variant_path_corners(spark, sf_dir):
         F.expr("try_cast(variant_get(parse_json(j), '$.a', 'string') AS BOOLEAN)")
         .alias("a_as_bool"),
     )
+
+
+@q(
+    "e26_full_outer_corners",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS k, a.va, b.vb,
+           a.k IS NULL AS only_right, b.k IS NULL AS only_left
+    FROM (SELECT c_nationkey AS k, count(*) AS va FROM customer
+          WHERE c_custkey <= 500 GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, count(*) AS vb FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def e26_full_outer_corners(spark, sf_dir):
+    """FULL OUTER with one-sided groups: COALESCE over the two key
+    columns and NULL-side predicates — the padding-row semantics
+    (outer_join.rs)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("va"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("vb"))
+    )
+    a, b = c.alias("a"), s.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.col("a.va").alias("va"),
+        F.col("b.vb").alias("vb"),
+        F.col("a.k").isNull().alias("only_right"),
+        F.col("b.k").isNull().alias("only_left"),
+    )
+
+
+@q(
+    "e27_exists_not_exists",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           EXISTS (SELECT 1 FROM customer c
+                   WHERE c.c_nationkey = n.n_nationkey
+                     AND c.c_acctbal > 9000) AS has_rich,
+           NOT EXISTS (SELECT 1 FROM supplier s
+                       WHERE s.s_nationkey = n.n_nationkey) AS no_suppliers
+    FROM nation n
+    """,
+)
+def e27_exists_not_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS in the projection (decorrelated
+    to semi/anti joins by both engines)."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("e27_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("e27_customer")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("e27_supplier")
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               EXISTS (SELECT 1 FROM e27_customer c
+                       WHERE c.c_nationkey = n.n_nationkey
+                         AND c.c_acctbal > 9000) AS has_rich,
+               NOT EXISTS (SELECT 1 FROM e27_supplier s
+                           WHERE s.s_nationkey = n.n_nationkey) AS no_suppliers
+        FROM e27_nation n
+        """
+    )
+
+
+@q(
+    "e28_division_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice / nullif(o_orderkey % 3, 3) AS DOUBLE) AS by_mod,
+           CAST(o_totalprice / (o_orderkey % 3) AS DOUBLE) AS div_maybe_zero,
+           o_orderkey // nullif(o_orderkey % 3, 0) AS int_div_null
+    FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey
+    """,
+)
+def e28_division_null_semantics(spark, sf_dir):
+    """Division by zero: the reference's SAFE form returns NULL
+    (sqllib div_null); Spark's ANSI default ERRORS, so the engine maps
+    it through try_divide — DuckDB's plain / already yields NULL.
+    Exercises both a pre-guarded (nullif) and an unguarded divisor."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 30)
+    mod3 = F.col("o_orderkey") % 3
+    return o.orderBy("o_orderkey").select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.nullif(mod3, F.lit(3)))
+        .cast("double")
+        .alias("by_mod"),
+        F.try_divide(F.col("o_totalprice"), mod3).cast("double")
+        .alias("div_maybe_zero"),
+        F.try_divide(F.col("o_orderkey"), F.nullif(mod3, F.lit(0)))
+        .cast("bigint")
+        .alias("int_div_null"),
+    )
+
+
+@q(
+    "e29_string_edge_args",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, -4, 3) AS neg_start,
+           repeat(c_mktsegment, 0) AS rep0,
+           translate(c_name, 'Cusm', 'XYZW') AS trans,
+           split_part(c_name, '#', 2) AS part2,
+           split_part(c_name, '#', 9) AS part_oob,
+           lpad(c_mktsegment, 3, '*') AS pad_truncates,
+           reverse(c_mktsegment) AS rev
+    FROM customer WHERE c_custkey <= 15 ORDER BY c_custkey
+    """,
+)
+def e29_string_edge_args(spark, sf_dir):
+    """String-function argument corners both engines pin identically:
+    negative substr start counts from the end, repeat(x, 0) = '',
+    split_part beyond the last field = '', lpad to a SHORTER length
+    truncates."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 15)
+    return c.orderBy("c_custkey").select(
+        "c_custkey",
+        F.substring(F.col("c_name"), -4, 3).alias("neg_start"),
+        F.repeat(F.col("c_mktsegment"), 0).alias("rep0"),
+        F.translate(F.col("c_name"), "Cusm", "XYZW").alias("trans"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("part2"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(9)).alias("part_oob"),
+        F.lpad(F.col("c_mktsegment"), 3, "*").alias("pad_truncates"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+    )
+
+
+@q(
+    "e30_array_one_based_corners",
+    oracle="""
+    SELECT p_partkey,
+           str_split(p_type, ' ')[2] AS second_word,
+           str_split(p_type, ' ')[9] AS oob_null,
+           str_split(p_type, ' ')[-1] AS last_word,
+           list_position(str_split(p_type, ' '), 'BRASS') AS brass_pos,
+           len(str_split(p_type, ' ')) AS n_words,
+           coalesce(array_to_string(list_slice(str_split(p_type, ' '), 2, 3), '-'), '') AS middle
+    FROM part WHERE p_partkey <= 25 ORDER BY p_partkey
+    """,
+)
+def e30_array_one_based_corners(spark, sf_dir):
+    """Feldera arrays are 1-BASED (docs/sql/array.md) — element_at is
+    the matching Spark accessor: [2] = second element, out-of-bounds =
+    NULL (SAFE), [-1] = last, slice(2, len 2) = elements 2..3. A plain
+    Spark `col[i]` would be 0-based — the dialect front-end rewrites
+    subscripts to element_at for exactly this reason."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 25)
+    words = F.split(F.col("p_type"), " ")
+    return p.orderBy("p_partkey").select(
+        "p_partkey",
+        F.try_element_at(words, F.lit(2)).alias("second_word"),
+        F.try_element_at(words, F.lit(9)).alias("oob_null"),
+        F.try_element_at(words, F.lit(-1)).alias("last_word"),
+        F.array_position(words, "BRASS").cast("bigint").alias("brass_pos"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_join(F.slice(words, 2, 2), "-").alias("middle"),
+    )

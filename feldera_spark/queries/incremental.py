@@ -474,3 +474,34 @@ def i08_ivm_session_windows(spark, sf_dir):
     for chunk in _event_chunks(spark, sf_dir):
         view.step(chunk.select("user_id", "ts", "event_id", WEIGHT))
     return view.materialized()
+
+
+@q(
+    "i09_ivm_lag",
+    oracle=f"""
+    SELECT user_id, ts, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+    FROM ({_NET})
+    """,
+)
+def i09_ivm_lag(spark, sf_dir):
+    """LAG maintained incrementally (reference ``operator/group/lag.rs``
+    — the per-group incremental window family with rank.rs/topk.rs):
+    a delta at position p changes only the touched keys' rows, so the
+    per-key generic recompute emits exactly those keys' new-minus-old.
+    Deletions shift successors' lag values; result equals batch LAG."""
+    from pyspark.sql.window import Window as W
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalKeyedRecomputeView,
+    )
+
+    def lagged(rows):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return rows.withColumn("prev_value", F.lag("value").over(w))
+
+    view = IncrementalKeyedRecomputeView(keys=["user_id"], fn=lagged)
+    for chunk in _event_chunks(spark, sf_dir):
+        view.step(chunk.select("user_id", "ts", "event_id", "value", WEIGHT))
+    return view.materialized().drop("event_id")
