@@ -231,27 +231,33 @@ def e07_range_frame_with_ties(spark, sf_dir):
 @q(
     "e08_three_valued_logic_table",
     oracle="""
-    SELECT a, b,
-           (a AND b) AS and_r, (a OR b) AS or_r, (NOT a) AS not_a,
-           (a = b) AS eq_r, (a IS DISTINCT FROM b) AS distinct_r
+    SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b,
+           CAST(a AND b AS VARCHAR) AS and_r, CAST(a OR b AS VARCHAR) AS or_r,
+           CAST(NOT a AS VARCHAR) AS not_a,
+           CAST(a = b AS VARCHAR) AS eq_r,
+           CAST(a IS DISTINCT FROM b AS VARCHAR) AS distinct_r
     FROM (VALUES (TRUE), (FALSE), (NULL)) AS x(a),
          (VALUES (TRUE), (FALSE), (NULL)) AS y(b)
     """,
 )
 def e08_three_valued_logic_table(spark, sf_dir):
     """The full 3x3 Kleene truth table including IS DISTINCT FROM
-    (sqllogictest's select1 3VL corners)."""
+    (sqllogictest's select1 3VL corners).  Nullable-BOOLEAN outputs are
+    cast to STRING on both sides: pandas surfaces Spark NULL booleans as
+    object None and DuckDB's as float NaN, which breaks stringify-and-
+    hash comparison even when values agree."""
     vals = [(True,), (False,), (None,)]
     x = spark.createDataFrame(vals, "a BOOLEAN")
     y = spark.createDataFrame(vals, "b BOOLEAN")
     j = x.crossJoin(y)
     return j.select(
-        "a", "b",
-        (F.col("a") & F.col("b")).alias("and_r"),
-        (F.col("a") | F.col("b")).alias("or_r"),
-        (~F.col("a")).alias("not_a"),
-        (F.col("a") == F.col("b")).alias("eq_r"),
-        F.expr("a IS DISTINCT FROM b").alias("distinct_r"),
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+        (F.col("a") & F.col("b")).cast("string").alias("and_r"),
+        (F.col("a") | F.col("b")).cast("string").alias("or_r"),
+        (~F.col("a")).cast("string").alias("not_a"),
+        (F.col("a") == F.col("b")).cast("string").alias("eq_r"),
+        F.expr("CAST(a IS DISTINCT FROM b AS STRING)").alias("distinct_r"),
     )
 
 
@@ -284,7 +290,7 @@ def e09_division_and_mod_signs(spark, sf_dir):
            CAST(max(o_totalprice) AS DOUBLE) AS mx,
            CAST(min(o_totalprice) AS DOUBLE) AS mn,
            CAST(avg(o_totalprice) AS DOUBLE) AS av,
-           bool_and(o_totalprice > 0) AS ba
+           CAST(bool_and(o_totalprice > 0) AS VARCHAR) AS ba
     FROM orders WHERE o_orderkey < 0
     """,
 )
@@ -299,7 +305,8 @@ def e10_empty_group_aggregates(spark, sf_dir):
         F.max("o_totalprice").cast("double").alias("mx"),
         F.min("o_totalprice").cast("double").alias("mn"),
         F.avg("o_totalprice").cast("double").alias("av"),
-        F.bool_and(F.col("o_totalprice") > 0).alias("ba"),
+        # NULL boolean (empty relation) -> STRING for hash stability
+        F.bool_and(F.col("o_totalprice") > 0).cast("string").alias("ba"),
     )
 
 
@@ -693,7 +700,7 @@ _CAST_ROWS = [
       TRY_CAST(ROUND(TRY_CAST(s AS DECIMAL(20,4)), 0) AS SMALLINT) AS to_i16,
       CAST(TRY_CAST(s AS DOUBLE) AS DOUBLE) AS to_f64,
       CAST(TRY_CAST(s AS DECIMAL(10,2)) AS DOUBLE) AS to_dec,
-      TRY_CAST(s AS BOOLEAN) AS to_bool,
+      CAST(TRY_CAST(s AS BOOLEAN) AS VARCHAR) AS to_bool,
       CAST(TRY_CAST(s AS DATE) AS VARCHAR) AS to_date,
       CAST(TRY_CAST(s AS TIMESTAMP) AS VARCHAR) AS to_ts
     FROM src
@@ -716,7 +723,7 @@ def e24_cast_matrix(spark, sf_dir):
           TRY_CAST(ROUND(TRY_CAST(s AS DECIMAL(20,4)), 0) AS SMALLINT) AS to_i16,
           CAST(TRY_CAST(s AS DOUBLE) AS DOUBLE) AS to_f64,
           CAST(TRY_CAST(s AS DECIMAL(10,2)) AS DOUBLE) AS to_dec,
-          TRY_CAST(s AS BOOLEAN) AS to_bool,
+          CAST(TRY_CAST(s AS BOOLEAN) AS STRING) AS to_bool,
           CAST(TRY_CAST(s AS DATE) AS STRING) AS to_date,
           CAST(TRY_CAST(s AS TIMESTAMP_NTZ) AS STRING) AS to_ts
         FROM e24_src
@@ -745,7 +752,8 @@ def e24_cast_matrix(spark, sf_dir):
       json_extract(j, '$.a') IS NULL AS a_missing,
       CAST(ROUND(TRY_CAST(json_extract_string(j, '$.a') AS DECIMAL(20,4)), 0) AS BIGINT) AS a_as_int,
       TRY_CAST(json_extract_string(j, '$.a') AS DOUBLE) AS a_as_double,
-      TRY_CAST(json_extract_string(j, '$.a') AS BOOLEAN) AS a_as_bool
+      CAST(TRY_CAST(json_extract_string(j, '$.a') AS BOOLEAN) AS VARCHAR)
+          AS a_as_bool
     FROM src
     """,
 )
@@ -791,8 +799,10 @@ def e25_variant_path_corners(spark, sf_dir):
         ).alias("a_as_int"),
         F.expr("try_cast(variant_get(parse_json(j), '$.a', 'string') AS DOUBLE)")
         .alias("a_as_double"),
-        F.expr("try_cast(variant_get(parse_json(j), '$.a', 'string') AS BOOLEAN)")
-        .alias("a_as_bool"),
+        F.expr(
+            "CAST(try_cast(variant_get(parse_json(j), '$.a', 'string') "
+            "AS BOOLEAN) AS STRING)"
+        ).alias("a_as_bool"),
     )
 
 

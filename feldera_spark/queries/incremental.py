@@ -350,17 +350,21 @@ def i07_ivm_derived_waterline_gc(spark, sf_dir):
         ).withColumn(WEIGHT, F.lit(-1).cast("long"))
     ]
 
-    # declarations: LATENESS 10 days on both sources (large enough that
-    # the trailing in-lateness deletions are not late-dropped)
+    # declarations: LATENESS 15 days on both sources.  The deletion chunk
+    # retracts purchases with ts >= Jan 20 while the waterline after the
+    # three insert chunks sits at max_ts - lateness; with the data spanning
+    # Jan 1-30, 10 days left a ~1-day gap where retractions were
+    # late-dropped (wrong at sf0.01).  15 days covers the full deletion
+    # range at every SF.
     analyzer = WaterlineAnalyzer()
-    analyzer.declare_source("a", lateness_seconds=10 * DAY)
-    analyzer.declare_source("b", lateness_seconds=10 * DAY)
+    analyzer.declare_source("a", lateness_seconds=15 * DAY)
+    analyzer.declare_source("b", lateness_seconds=15 * DAY)
     join_node = MinOf((SourceBound("a"), SourceBound("b")))
     analyzer.declare_view("j", join_node)
     analyzer.declare_view("agg", FloorTo(join_node, DAY))
 
-    wl_a = Waterline("ts", 10 * DAY)
-    wl_b = Waterline("ts", 10 * DAY)
+    wl_a = Waterline("ts", 15 * DAY)
+    wl_b = Waterline("ts", 15 * DAY)
     jv = IncrementalJoinView(on=["user_id", "day"])
     agg = WindowedLinearAggregateView(
         window_col="day",
