@@ -193,15 +193,101 @@ def rewrite_table_functions(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[outer_end:]
 
 
+_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _protect_literals(sql: str) -> tuple[str, list[str]]:
+    """Swap string literals for opaque placeholders so textual rewrites
+    cannot corrupt data (e.g. a program containing ``'arr[1]'`` as a
+    VALUE must pass through byte-identical). Placeholders use \\x00
+    sentinels — illegal in SQL, so no collision with real text."""
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _STR_LIT_RE.sub(stash, sql), lits
+
+
+def _restore_literals(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+
+
 def rewrite_scalars(sql: str) -> str:
-    """SAFE_CAST → TRY_CAST; 1-based ``arr[i]`` → ``element_at``."""
+    """SAFE_CAST → TRY_CAST; 1-based ``arr[i]`` → ``element_at``.
+
+    Quote-aware: string literals are protected before the regex passes
+    (a literal like ``'a[1]'`` or ``'SAFE_CAST'`` is data, not syntax)."""
+    sql, lits = _protect_literals(sql)
     sql = _SAFE_CAST_RE.sub("TRY_CAST", sql)
     # repeat so chained subscripts a[1] inside other subscripts resolve
     prev = None
     while prev != sql:
         prev = sql
         sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
-    return sql
+    return _restore_literals(sql, lits)
+
+
+_CAST_HEAD_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_AS_TS_TAIL_RE = re.compile(r"\sAS\s+TIMESTAMP\s*$", re.IGNORECASE)
+
+
+def _top_level_at(s: str, pos: int) -> bool:
+    depth, in_str = 0, False
+    for ch in s[:pos]:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+    return depth == 0 and not in_str
+
+
+def rewrite_cast_timestamp(sql: str) -> str:
+    """Feldera's ``CAST(int AS TIMESTAMP)`` interprets the integer as
+    MILLISECONDS since epoch (``sqllib`` ``casts.rs`` — Calcite integer→
+    timestamp semantics), while Spark reads SECONDS. The frontend is
+    textual (no type information), so the rewrite dispatches at runtime:
+    integer operands become epoch-millis offsets added to the NTZ epoch
+    (pure TIMESTAMP_NTZ arithmetic — session-timezone-independent, the
+    same idiom as the rolling view's epoch micros), everything else
+    round-trips through STRING into TIMESTAMP_NTZ (both branches must
+    ANALYZE for every operand type; ``CAST(BIGINT AS TIMESTAMP_NTZ)``
+    does not, and ``timestamp_millis`` would yield LTZ and silently
+    shift through the session zone). NTZ matches Feldera's timezone-less
+    TIMESTAMP. ``typeof`` is per-row but trivially cheap; CASE keeps the
+    untaken branch unevaluated (no ANSI cast errors)."""
+    sql, lits = _protect_literals(sql)
+    return _restore_literals(_rewrite_cast_timestamp_raw(sql), lits)
+
+
+def _rewrite_cast_timestamp_raw(sql: str) -> str:
+    out, i = [], 0
+    while True:
+        m = _CAST_HEAD_RE.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            return "".join(out)
+        open_idx = sql.index("(", m.end() - 1)
+        end = _balanced(sql, open_idx)
+        inner = sql[open_idx + 1 : end - 1]
+        tm = _AS_TS_TAIL_RE.search(inner)
+        if tm is not None and _top_level_at(inner, tm.start()):
+            operand = _rewrite_cast_timestamp_raw(inner[: tm.start()].strip())
+            out.append(sql[i : m.start()])
+            out.append(
+                f"(CASE WHEN typeof({operand}) IN "
+                f"('tinyint', 'smallint', 'int', 'bigint') "
+                f"THEN timestampadd(MILLISECOND, CAST({operand} AS BIGINT), "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00') "
+                f"ELSE CAST(CAST({operand} AS STRING) AS TIMESTAMP_NTZ) END)"
+            )
+        else:
+            out.append(sql[i:end])
+        i = end
 
 
 def _find_on_clause(sql: str, start: int) -> tuple[str, int]:
@@ -303,6 +389,7 @@ def prepare_view(
     """
     sql = rewrite_table_functions(sql)
     sql = rewrite_scalars(sql)
+    sql = rewrite_cast_timestamp(sql)
     if recursive_schema is not None:
         from feldera_spark.operators.recursion import fixpoint
 

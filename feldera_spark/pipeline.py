@@ -81,8 +81,13 @@ _LATENESS_RE = re.compile(
 _PK_RE = re.compile(r"(?P<col>\w+)\s+[\w\(\), ]*?PRIMARY\s+KEY", re.IGNORECASE)
 
 def _spark_type(feldera_type: str) -> str:
-    """Map Feldera DDL type names to Spark SQL type names (SURVEY §1.2)."""
-    t = feldera_type.strip().upper()
+    """Map Feldera DDL type names to Spark SQL type names (SURVEY §1.2).
+
+    UNSIGNED integers (``docs/sql/types.md`` — Calcite's unsigned family)
+    have no Spark equivalent; each widens to the next signed type that
+    holds its full range (the same widen-then-range-check strategy as
+    ``functions.unsigned_check``), BIGINT UNSIGNED to DECIMAL(20,0)."""
+    t = re.sub(r"\s+", " ", feldera_type.strip().upper())
     mapping = {
         "VARCHAR": "STRING",
         "TEXT": "STRING",
@@ -91,6 +96,11 @@ def _spark_type(feldera_type: str) -> str:
         "REAL": "FLOAT",
         "TIME": "STRING",  # Spark has no TIME type (SURVEY gap note)
         "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+        "TINYINT UNSIGNED": "SMALLINT",
+        "SMALLINT UNSIGNED": "INT",
+        "INT UNSIGNED": "BIGINT",
+        "INTEGER UNSIGNED": "BIGINT",
+        "BIGINT UNSIGNED": "DECIMAL(20,0)",
     }
     return mapping.get(t, t)
 
@@ -101,7 +111,9 @@ _UNIT_SECONDS = {
 }
 
 _COLDEF_RE = re.compile(
-    r"^(?P<n>\w+)\s+(?P<t>[A-Za-z_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    r"^(?P<n>\w+)\s+(?P<t>[A-Za-z_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"(?:\s+UNSIGNED)?)",
+    re.IGNORECASE,
 )
 
 
@@ -426,13 +438,46 @@ class Pipeline:
             self._frames[name] = df
 
         self._builder = builder
+        # compile eligible SQL views onto IVM operators (the reference's
+        # IncrementalizeVisitor.java:35 pass): these views are maintained
+        # by delta steps instead of batch re-evaluation. Batch fallback
+        # for shapes outside the recognizer grammar (compiler.py).
+        from feldera_spark.streaming.compiler import compile_view
+
+        append_only = {n for n, d in self.tables.items() if d.append_only}
+        self._ivm: dict[str, object] = {}
+        self._ivm_ready: set[str] = set()
+        for name in builder._view_order:
+            decl = self.views[name]
+            if (
+                decl.sql is None
+                or decl.emit_final is not None
+                or name in builder.recursive_views
+            ):
+                continue
+            plan = compile_view(
+                decl.sql,
+                tables=set(self.tables),
+                append_only=append_only,
+                columns={t: self._frames[t].columns for t in self.tables},
+                exclude_functions=set(builder.aggregates),
+            )
+            if plan is not None:
+                self._ivm[name] = plan
         self._evaluate_views()
 
-    def _evaluate_views(self) -> None:
-        """(Re-)evaluate views in declaration order (forward references
-        are not allowed outside recursive groups — same as the
-        reference). Re-run after ad-hoc INSERTs so dependent views see
-        the mutated tables."""
+    def _evaluate_views(self, deltas: dict[str, DataFrame] | None = None) -> None:
+        """Advance/evaluate views in declaration order (forward references
+        are not allowed outside recursive groups — same as the reference).
+
+        IVM-compiled views NEVER re-evaluate from scratch after their
+        initial load: with ``deltas`` given (ad-hoc INSERT/DELETE), each
+        affected compiled view advances by ONE ``step`` whose work is
+        O(|delta| + touched state) — the reference's incremental circuit
+        step, not a recomputation. Batch-fallback views recompute over
+        the mutated tables (graceful degradation)."""
+        from feldera_spark import zset
+
         builder = self._builder
         use_counts: dict[str, int] = {v: 0 for v in self.views}
         for v in self.views.values():
@@ -446,35 +491,97 @@ class Pipeline:
 
         for name in builder._view_order:
             decl = self.views[name]
-            df = (
-                frontend.prepare_view(
-                    self.spark,
-                    decl.sql,
-                    recursive_schema=builder.recursive_views.get(name),
-                    view_name=name,
+            plan = self._ivm.get(name)
+            if plan is not None:
+                if name not in self._ivm_ready:
+                    # initial load: current table contents as the first
+                    # delta (one pass — the same scan batch eval would do)
+                    plan.bind_schemas(self._frames)
+                    plan.step(
+                        {t: zset.lift(self._frames[t]) for t in plan.sources}
+                    )
+                    self._ivm_ready.add(name)
+                elif deltas is not None and any(
+                    t in deltas for t in plan.sources
+                ):
+                    plan.step({t: deltas.get(t) for t in plan.sources})
+                df = plan.materialized()
+            else:
+                df = (
+                    frontend.prepare_view(
+                        self.spark,
+                        decl.sql,
+                        recursive_schema=builder.recursive_views.get(name),
+                        view_name=name,
+                    )
+                    if decl.sql is not None
+                    else decl.fn(self.spark)
                 )
-                if decl.sql is not None
-                else decl.fn(self.spark)
-            )
-            if decl.emit_final is not None:
-                df = self._apply_emit_final(df, decl)
-            # cross-view CSE: cache views consumed by 2+ downstream views
-            if use_counts.get(name, 0) >= 2:
-                df = df.cache()
+                if decl.emit_final is not None:
+                    df = self._apply_emit_final(df, decl)
+                # cross-view CSE: cache views consumed by 2+ downstream views
+                if use_counts.get(name, 0) >= 2:
+                    df = df.cache()
             df.createOrReplaceTempView(name)
             self._frames[name] = df
 
     def execute(self, sql: str) -> DataFrame | None:
         """Ad-hoc statement execution (SDK ``Pipeline.execute``,
-        ``docs/sql/ad-hoc.md:22,95-98``): ``INSERT INTO t ...`` pushes
-        rows into a declared table — the new delta is unioned into the
-        table (PRIMARY KEY tables re-normalize, last write wins) and
-        every dependent view is re-evaluated, exactly the one-step
-        semantics of pushing a delta through the circuit. Any other
-        statement runs as an ad-hoc query and returns its DataFrame."""
+        ``docs/sql/ad-hoc.md:22,95-98``): ``INSERT INTO t ...`` /
+        ``DELETE FROM t WHERE ...`` mutate a declared table. The
+        mutation becomes a Z-set delta (+1 inserts, −1 deletes; PRIMARY
+        KEY tables emit retract-old + insert-new per overwritten key)
+        and is pushed ONE STEP through every IVM-compiled dependent view
+        — work proportional to the delta and its touched state, never a
+        rescan of unchanged history (the reference's circuit-step
+        semantics). Batch-fallback views re-evaluate over the mutated
+        table. Any other statement runs as an ad-hoc query and returns
+        its DataFrame."""
+        import contextlib
+
+        from pyspark.sql import functions as F
+
+        from feldera_spark import zset
+
+        @contextlib.contextmanager
+        def _no_constraint_prop():
+            # Catalyst's constraint rewrite throws NoSuchElementException
+            # when checkpointing a Union whose children share lineage
+            # (filter-derived IsNotNull constraints reference pre-union
+            # attribute ids). Constraints only infer extra filters; the
+            # mutation checkpoints lose nothing by skipping them.
+            key = "spark.sql.constraintPropagation.enabled"
+            prev = self.spark.conf.get(key, "true")
+            self.spark.conf.set(key, "false")
+            try:
+                yield
+            finally:
+                self.spark.conf.set(key, prev)
+
+        stmt = sql.strip().rstrip(";")
+        md = re.match(
+            r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<pred>.*))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if md is not None:
+            name = md.group("table").lower()
+            if name not in self.tables:
+                raise KeyError(f"table {name} is not declared in this pipeline")
+            old = self._frames[name]
+            pred = F.expr(md.group("pred")) if md.group("pred") else F.lit(True)
+            with _no_constraint_prop():
+                removed = old.filter(pred).localCheckpoint(eager=True)
+                remaining = old.filter(
+                    ~F.coalesce(pred, F.lit(False))
+                ).localCheckpoint(eager=True)
+                remaining.createOrReplaceTempView(name)
+                self._frames[name] = remaining
+                self._evaluate_views(deltas={name: zset.lift(removed, -1)})
+            return None
         m = re.match(
             r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<src>.*)$",
-            sql.strip().rstrip(";"),
+            stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if m is None:
@@ -487,31 +594,40 @@ class Pipeline:
             src = f"SELECT * FROM ({src})"  # VALUES (...) [, ...]
         new_rows = self.spark.sql(src).toDF(*self._frames[name].columns)
         decl = self.tables[name]
-        if decl.primary_key:
-            # arrival order: everything already in the table, then the
-            # INSERT's rows (in statement order) — last write wins
-            from pyspark.sql import functions as F
-            from pyspark.sql.window import Window
+        old = self._frames[name]
+        with _no_constraint_prop():
+            if decl.primary_key:
+                # arrival order: everything already in the table, then the
+                # INSERT's rows (in statement order) — last write wins
+                from pyspark.sql.window import Window
 
-            old = self._frames[name].withColumn("__gen", F.lit(0).cast("long"))
-            new = new_rows.withColumn(
-                "__gen", F.monotonically_increasing_id() + 1
-            ).localCheckpoint(eager=True)
-            w = Window.partitionBy(*decl.primary_key).orderBy(
-                F.col("__gen").desc()
-            )
-            merged = (
-                old.unionByName(new)
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__gen")
-            )
-        else:
-            merged = self._frames[name].unionByName(new_rows)
-        merged = merged.localCheckpoint(eager=True)
-        merged.createOrReplaceTempView(name)
-        self._frames[name] = merged
-        self._evaluate_views()
+                new = new_rows.withColumn(
+                    "__gen", F.monotonically_increasing_id()
+                ).localCheckpoint(eager=True)
+                w = Window.partitionBy(*decl.primary_key).orderBy(
+                    F.col("__gen").desc()
+                )
+                winners = (
+                    new.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "__gen")
+                )
+                keys = winners.select(*decl.primary_key)
+                replaced = old.join(keys, on=decl.primary_key, how="left_semi")
+                merged = old.join(
+                    keys, on=decl.primary_key, how="left_anti"
+                ).unionByName(winners)
+                delta = zset.plus(zset.lift(winners, 1), zset.lift(replaced, -1))
+            else:
+                # pin the inserted rows BEFORE mutating any temp view the
+                # source SELECT may read (e.g. INSERT INTO t SELECT FROM t)
+                new_rows = new_rows.localCheckpoint(eager=True)
+                merged = old.unionByName(new_rows)
+                delta = zset.lift(new_rows, 1)
+            merged = merged.localCheckpoint(eager=True)
+            merged.createOrReplaceTempView(name)
+            self._frames[name] = merged
+            self._evaluate_views(deltas={name: delta})
         return None
 
     @staticmethod

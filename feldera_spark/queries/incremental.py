@@ -509,3 +509,186 @@ def i09_ivm_lag(spark, sf_dir):
     for chunk in _event_chunks(spark, sf_dir):
         view.step(chunk.select("user_id", "ts", "event_id", "value", WEIGHT))
     return view.materialized().drop("event_id")
+
+
+@q(
+    "i10_ddl_ivm_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i10_ddl_ivm_agg(spark, sf_dir):
+    """i01's aggregate driven ENTIRELY from SQL DDL — the automatic
+    incrementalization bridge (``IncrementalizeVisitor.java:35``):
+    ``CREATE MATERIALIZED VIEW`` compiles onto the linear-aggregate IVM
+    operator (streaming/compiler.py) and ad-hoc INSERT/DELETE advance it
+    by DELTA STEPS, not recomputation — no hand-assembled operators in
+    this query body. The compile is asserted, so a silent fallback to
+    batch evaluation fails the gate."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i10_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE events_t (event_id BIGINT, event_type VARCHAR,"
+        " value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW agg_v AS "
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS total_dec "
+        "FROM events_t GROUP BY event_type"
+    )
+    b.connect_table("events_t", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "agg_v" in pipe._ivm, "view must compile to the IVM operators"
+    pipe.execute("INSERT INTO events_t SELECT * FROM __i10_chunk1")
+    pipe.execute("INSERT INTO events_t SELECT * FROM __i10_chunk2")
+    pipe.execute("DELETE FROM events_t WHERE event_id % 10 = 3")
+    return pipe.view("agg_v").select(
+        "event_type", "n", F.col("total_dec").cast("double").alias("total_value")
+    )
+
+
+@q(
+    "i11_ddl_ivm_join_agg",
+    oracle=f"""
+    SELECT c.c_nationkey, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ({_NET}) e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def i11_ddl_ivm_join_agg(spark, sf_dir):
+    """i03's join+aggregate from SQL DDL: the view body compiles onto
+    the bilinear ``IncrementalJoinView`` feeding a linear aggregate
+    (``OptimizeIncrementalVisitor.java:40-120`` pushing deltas through a
+    join into an aggregate); INSERT/DELETE steps touch only delta-keyed
+    state on both sides."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i11_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, value DECIMAL(12,2));"
+        "CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT);"
+        "CREATE MATERIALIZED VIEW j AS "
+        "SELECT c.c_nationkey, COUNT(*) AS n_events, SUM(e.value) AS total_dec "
+        "FROM ev e JOIN cust c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_nationkey"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    b.connect_table("cust", c)
+    pipe = b.create()
+    assert "j" in pipe._ivm, "join+aggregate view must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i11_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i11_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("j").select(
+        "c_nationkey", "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+
+
+@q(
+    "i12_ivm_outer_join",
+    oracle="""
+    WITH a AS (SELECT user_id, event_id AS a_id, value AS a_val FROM events
+               WHERE event_type = 'view' AND event_id % 97 = 0),
+         b AS (SELECT user_id, event_id AS b_id, value AS b_val FROM events
+               WHERE event_type = 'purchase' AND event_id % 10 = 7)
+    SELECT a.user_id, a.a_id, a.a_val, b.b_id, b.b_val
+    FROM a LEFT JOIN b ON a.user_id = b.user_id
+    """,
+)
+def i12_ivm_outer_join(spark, sf_dir):
+    """LEFT OUTER join maintained incrementally with deletions that
+    CROSS the matched/unmatched boundary (reference ``join.rs:396``
+    ``outer_join`` + ``join.rs:374`` ``antijoin``): the B side ingests
+    purchases with event_id % 10 IN (3, 7), then retracts the % 10 = 3
+    chunk — every A user whose only matches were %3 purchases flips
+    from joined rows to one NULL-padded row (the retract-pairs /
+    emit-pad transition), and the anti-join maintenance must emit the
+    pad in the same step the last match dies."""
+    from feldera_spark.streaming.outer_join import IncrementalOuterJoinView
+
+    e = t(spark, sf_dir, "events")
+    a = (
+        e.filter((F.col("event_type") == "view") & (F.col("event_id") % 97 == 0))
+        .select("user_id", F.col("event_id").alias("a_id"),
+                F.col("value").alias("a_val"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("value").alias("b_val"),
+        "event_id",
+    )
+    b3 = purch.filter(F.col("event_id") % 10 == 3).drop("event_id")
+    b7 = purch.filter(F.col("event_id") % 10 == 7).drop("event_id")
+
+    view = IncrementalOuterJoinView(on=["user_id"], how="left")
+    view.set_schemas(a, b3)
+    view.step(a.withColumn(WEIGHT, F.lit(1).cast("long")), None)
+    view.step(None, b3.withColumn(WEIGHT, F.lit(1).cast("long")))
+    view.step(None, b7.withColumn(WEIGHT, F.lit(1).cast("long")))
+    # the boundary-crossing deletion: retract ALL %3 matches
+    view.step(None, b3.withColumn(WEIGHT, F.lit(-1).cast("long")))
+    return view.materialized().select("user_id", "a_id", "a_val", "b_id", "b_val")
+
+
+@q(
+    "i13_ivm_rolling_max",
+    oracle="""
+    SELECT user_id, ts, value,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+               AS rolling
+    FROM (SELECT * FROM events
+          WHERE NOT (event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'))
+    """,
+)
+def i13_ivm_rolling_max(spark, sf_dir):
+    """Rolling MAX OVER RANGE — the GENERAL rolling-aggregate strategy
+    (``rolling_aggregate.rs:231``): a retraction can delete a frame's
+    current maximum, so touched frames are recomputed from the kept
+    integral (i05's frame-bounded recompute, non-linear aggregate).
+    The deletion chunk retracts recent rows, so some frames' maxima
+    genuinely drop — a linear-state shortcut would return stale values."""
+    from feldera_spark.streaming.incremental import IncrementalRollingAggregateView
+
+    e = t(spark, sf_dir, "events")
+    cuts = ("2024-01-10", "2024-01-20")
+    chunks = [
+        e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz")),
+        e.filter(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+        ),
+        e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz")),
+    ]
+    deltas = [c.withColumn(WEIGHT, F.lit(1).cast("long")) for c in chunks]
+    deltas.append(
+        e.filter(
+            (F.col("event_id") % 10 == 3)
+            & (F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+        ).withColumn(WEIGHT, F.lit(-1).cast("long"))
+    )
+    view = IncrementalRollingAggregateView(
+        keys=["user_id"],
+        ts_col="ts",
+        window_seconds=6 * 3600,
+        agg="max",
+        value_col="value",
+    )
+    for chunk in deltas:
+        view.step(chunk.select("user_id", "ts", "value", WEIGHT))
+    return view.materialized()

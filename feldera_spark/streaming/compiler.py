@@ -1,0 +1,488 @@
+"""SQL view body -> incremental (IVM) plan compilation.
+
+This is the Spark analogue of the reference's automatic
+incrementalization pass: ``IncrementalizeVisitor.java:35`` wraps the
+circuit in I/D operators and ``OptimizeIncrementalVisitor.java:40-120``
+pushes the differentiation through the operator DAG (linear operators
+commute with deltas; joins expand bilinearly; aggregates keep per-key
+state). Feldera's core promise — declare ``CREATE MATERIALIZED VIEW``,
+get incremental maintenance for free — lands here: ``compile_view``
+recognizes a view body's relational shape and assembles the matching
+IVM operators from ``feldera_spark.streaming.incremental``; the
+``Pipeline`` then routes table deltas (ad-hoc INSERT / DELETE, change
+streams) through ``CompiledView.step`` instead of re-evaluating the view
+from scratch.
+
+Recognized shapes (anything else falls back to batch re-evaluation —
+the same graceful degradation the reference applies to non-incremental
+constructs):
+
+- **linear**  ``SELECT exprs FROM t [WHERE p]`` — project/filter are
+  delta-invariant (``OptimizeIncrementalVisitor.java:67-111``): apply to
+  each delta, accumulate the output Z-set.
+- **distinct** ``SELECT DISTINCT exprs FROM t [WHERE p]`` —
+  ``IncrementalDistinctView`` (zero-crossing ±1, ``zset.rs:149-196``).
+- **aggregate** ``SELECT keys, AGG(expr) AS name, ... FROM t [WHERE p]
+  GROUP BY keys`` — strategy selected per the reference compiler's
+  cost classes (``docs/sql/aggregates.md:342-462``): linear
+  (SUM/COUNT/AVG → state = values only), chain (append-only input),
+  or general (MIN/MAX under retraction → keep the integral).
+- **join [+ aggregate]** ``SELECT ... FROM a [AS x] JOIN b [AS y] ON
+  x.k = y.k [AND ...] [WHERE p] [GROUP BY keys]`` — bilinear
+  ``IncrementalJoinView`` (ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB,
+  ``join.rs``), optionally feeding an incremental aggregate;
+  LEFT/RIGHT/FULL OUTER compose the inner join with incrementally
+  maintained anti-join padding (``join.rs:374-396``).
+
+Column-name contract: outputs are named exactly as aliased, so the
+compiled view's frame is a drop-in replacement for the batch frame.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feldera_spark import zset
+from feldera_spark.zset import WEIGHT
+
+# constructs the recognizer does not incrementalize (batch fallback)
+_UNSUPPORTED_RE = re.compile(
+    r"\b(HAVING|ORDER\s+BY|LIMIT|UNION|EXCEPT|INTERSECT|OVER|WITH|"
+    r"TUMBLE|HOP|SESSION|ASOF|LATERAL|CROSS\s+JOIN|"
+    r"LEFT\s+SEMI|LEFT\s+ANTI)\b|\(\s*SELECT\b",
+    re.IGNORECASE,
+)
+
+_SHAPE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<sel>.*?)\s+"
+    r"FROM\s+(?P<from>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_JOIN_RE = re.compile(
+    r"^(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b)\w+))?\s+"
+    r"(?:(?P<how>INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)\w+))?\s+"
+    r"ON\s+(?P<on>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TABLE_RE = re.compile(r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?$", re.IGNORECASE)
+
+_AGG_RE = re.compile(r"^(SUM|COUNT|AVG|MIN|MAX)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+
+_EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+@dataclass
+class _Agg:
+    name: str  # output alias
+    fn: str  # sum / count / avg / min / max
+    arg: str | None  # SQL expression (None for COUNT(*))
+
+
+@dataclass
+class _Shape:
+    """Parsed view body in the restricted recognizer grammar."""
+
+    left: str  # source table
+    right: str | None = None  # join partner (None: single table)
+    how: str = "inner"
+    on: list[tuple[str, str]] = field(default_factory=list)  # (lcol, rcol)
+    where: str | None = None
+    distinct: bool = False
+    keys: list[str] = field(default_factory=list)  # GROUP BY columns
+    aggs: list[_Agg] = field(default_factory=list)
+    select: list[tuple[str, str]] = field(default_factory=list)  # (expr, name)
+    out_cols: list[str] = field(default_factory=list)  # output column order
+
+
+def _strip_aliases(text: str, aliases: dict[str, str]) -> str:
+    """Drop ``alias.`` qualifiers (the join builder renames key columns
+    to a single shared name, so qualified refs become bare)."""
+    for al in aliases:
+        text = re.sub(rf"\b{re.escape(al)}\.", "", text)
+    return text
+
+
+def parse_view_shape(sql: str) -> _Shape | None:
+    """Parse a view body into the recognizer grammar; None = not
+    incrementalizable (caller falls back to batch evaluation)."""
+    from feldera_spark.frontend import _split_top_commas
+
+    if _UNSUPPORTED_RE.search(sql):
+        return None
+    m = _SHAPE_RE.match(sql.strip())
+    if m is None:
+        return None
+    shape = _Shape(left="")
+    shape.distinct = bool(m.group("distinct"))
+
+    frm = m.group("from").strip()
+    aliases: dict[str, str] = {}
+    jm = _JOIN_RE.match(frm)
+    if jm:
+        shape.left = jm.group("lt").lower()
+        shape.right = jm.group("rt").lower()
+        how = (jm.group("how") or "inner").lower().replace(" outer", "")
+        shape.how = how
+        aliases[(jm.group("la") or jm.group("lt")).lower()] = "l"
+        aliases[(jm.group("ra") or jm.group("rt")).lower()] = "r"
+        la = (jm.group("la") or jm.group("lt")).lower()
+        for term in re.split(r"\bAND\b", jm.group("on"), flags=re.IGNORECASE):
+            em = _EQ_RE.match(term)
+            if em is None:
+                return None
+            xa, xc, ya, yc = (g.lower() for g in em.groups())
+            if xa == la:
+                shape.on.append((xc, yc))
+            elif ya == la:
+                shape.on.append((yc, xc))
+            else:
+                return None
+    else:
+        tm = _TABLE_RE.match(frm)
+        if tm is None:
+            return None
+        shape.left = tm.group("t").lower()
+        if tm.group("a"):
+            aliases[tm.group("a").lower()] = "l"
+
+    where = m.group("where")
+    shape.where = _strip_aliases(where.strip(), aliases) if where else None
+    gb = m.group("gb")
+    if gb is not None:
+        shape.keys = [
+            _strip_aliases(k.strip(), aliases).lower()
+            for k in _split_top_commas(gb)
+        ]
+        if not all(re.match(r"^\w+$", k) for k in shape.keys):
+            return None  # positional / expression GROUP BY: batch fallback
+
+    for item in _split_top_commas(m.group("sel")):
+        item = item.strip()
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item, re.IGNORECASE | re.DOTALL)
+        if am:
+            expr, name = am.group("e").strip(), am.group("n").lower()
+        else:
+            expr, name = item, None
+        expr = _strip_aliases(expr, aliases)
+        gm = _AGG_RE.match(expr)
+        # reject nested aggregates inside the argument
+        if gm and not _AGG_RE.match(gm.group(2).strip()):
+            if name is None:
+                return None  # aggregates must be aliased (driver contract)
+            arg = gm.group(2).strip()
+            fn = gm.group(1).lower()
+            if fn == "count" and arg == "*":
+                arg = None
+            shape.aggs.append(_Agg(name, fn, arg))
+            shape.out_cols.append(name)
+        else:
+            if name is None:
+                if not re.match(r"^\w+$", expr):
+                    return None  # computed columns must be aliased
+                name = expr.lower()
+            shape.select.append((expr, name))
+            shape.out_cols.append(name)
+
+    if gb is not None and not shape.aggs:
+        # GROUP BY without a recognized aggregate — e.g. a user-defined
+        # aggregate (CREATE AGGREGATE) we cannot classify: batch fallback
+        return None
+    if shape.aggs and gb is None:
+        shape.keys = []  # global aggregate
+    if shape.aggs:
+        # every non-aggregate select item must be a GROUP BY key
+        for expr, name in shape.select:
+            if expr.lower() not in shape.keys:
+                return None
+    if shape.distinct and shape.aggs:
+        return None
+    return shape
+
+
+# ---------------------------------------------------------------------------
+# Runtime: compiled incremental views
+# ---------------------------------------------------------------------------
+
+
+class CompiledView:
+    """A view compiled onto IVM operators; driven by table deltas.
+
+    ``step(deltas)`` takes ``{table_name: Z-set delta | None}`` and
+    advances the maintained state; ``materialized()`` returns the
+    current view contents as a plain DataFrame whose columns match the
+    batch evaluation of the same SQL.
+    """
+
+    def __init__(self, shape: _Shape, append_only: set[str]):
+        from feldera_spark.streaming.incremental import (
+            IncrementalDistinctView,
+            IncrementalJoinView,
+        )
+        from feldera_spark.streaming.outer_join import IncrementalOuterJoinView
+
+        self.shape = shape
+        self.sources = [shape.left] + ([shape.right] if shape.right else [])
+        self._join = None
+        self._agg = None
+        self._distinct = None
+        self._linear_out = None
+        s = shape
+        if s.right is not None:
+            on_names = [lc for lc, _ in s.on]
+            if s.how == "inner":
+                self._join = IncrementalJoinView(on=on_names)
+            else:
+                self._join = IncrementalOuterJoinView(on=on_names, how=s.how)
+        if s.aggs:
+            self._agg = self._build_aggregate(
+                append_only=s.right is None and s.left in append_only
+            )
+        elif s.distinct:
+            self._distinct = IncrementalDistinctView()
+        else:
+            from feldera_spark.streaming.incremental import Spine
+
+            self._linear_out = Spine(eager=False)
+
+    # -- aggregate strategy selection (CalciteToDBSPCompiler picking
+    # chain / linear / general per docs/sql/aggregates.md:342-462) ----------
+
+    def _build_aggregate(self, append_only: bool):
+        from feldera_spark.streaming.incremental import (
+            AppendOnlyAggregateView,
+            IncrementalAggregateView,
+            IncrementalLinearAggregateView,
+            wcount,
+        )
+
+        s = self.shape
+        keys = list(s.keys)
+        fns = {a.fn for a in s.aggs}
+
+        if append_only and fns <= {"sum", "count", "min", "max"}:
+            # chain class: O(1) state per key, no retractions possible
+            self._chain_prep: dict[str, str] = {}
+            aggs: dict[str, tuple[str, str]] = {}
+            for a in s.aggs:
+                col = f"__arg_{a.name}"
+                self._chain_prep[col] = a.arg if a.arg is not None else "1"
+                aggs[a.name] = (a.fn, col)
+            return AppendOnlyAggregateView(keys or ["__g"], aggs)
+
+        if fns <= {"sum", "count", "avg"}:
+            # linear class: state = the aggregate values, no integral
+            sums: dict[str, F.Column] = {}
+            for a in s.aggs:
+                if a.fn == "count" and a.arg is None:
+                    sums[a.name] = wcount()
+                elif a.fn == "count":
+                    sums[a.name] = F.sum(
+                        F.when(F.expr(a.arg).isNotNull(), F.col(WEIGHT)).otherwise(
+                            F.lit(0).cast("long")
+                        )
+                    )
+                elif a.fn == "sum":
+                    sums[a.name] = F.sum(F.expr(a.arg) * F.col(WEIGHT))
+                else:  # avg = weighted sum / non-null weighted count
+                    sums[f"__s_{a.name}"] = F.sum(F.expr(a.arg) * F.col(WEIGHT))
+                    sums[f"__c_{a.name}"] = F.sum(
+                        F.when(F.expr(a.arg).isNotNull(), F.col(WEIGHT)).otherwise(
+                            F.lit(0).cast("long")
+                        )
+                    )
+
+            return IncrementalLinearAggregateView(
+                keys or ["__g"], sums, self._out_select
+            )
+
+        # general class: keep the integral, re-aggregate touched groups.
+        # State/output stay keyed by RAW key names (the spine's
+        # key-restricted reads depend on them); output aliasing happens
+        # in materialized() via _out_select.
+        def agg_fn(df: DataFrame) -> DataFrame:
+            exprs = []
+            for a in s.aggs:
+                if a.fn == "count" and a.arg is None:
+                    exprs.append(F.sum(WEIGHT).alias(a.name))
+                elif a.fn == "count":
+                    exprs.append(
+                        F.sum(
+                            F.when(F.expr(a.arg).isNotNull(), F.col(WEIGHT)).otherwise(
+                                F.lit(0).cast("long")
+                            )
+                        ).alias(a.name)
+                    )
+                elif a.fn == "sum":
+                    exprs.append(F.sum(F.expr(a.arg) * F.col(WEIGHT)).alias(a.name))
+                elif a.fn == "avg":
+                    exprs.append(
+                        (
+                            F.sum(F.expr(a.arg) * F.col(WEIGHT))
+                            / F.sum(
+                                F.when(
+                                    F.expr(a.arg).isNotNull(), F.col(WEIGHT)
+                                ).otherwise(F.lit(0).cast("long"))
+                            )
+                        ).alias(a.name)
+                    )
+                else:
+                    exprs.append(getattr(F, a.fn)(F.expr(a.arg)).alias(a.name))
+            return df.filter(F.col(WEIGHT) > 0).groupBy(*(keys or ["__g"])).agg(
+                *exprs
+            )
+
+        from feldera_spark.streaming.incremental import IncrementalAggregateView
+
+        return IncrementalAggregateView(list(s.keys) or ["__g"], agg_fn)
+
+    def _out_select(self, df: DataFrame) -> DataFrame:
+        """Map an internal state/output frame (raw key names + aggregate
+        partials) to the view's declared output columns, in order —
+        including aliased keys (``ts AS pts``) and AVG's partial-pair
+        division."""
+        s = self.shape
+        agg_by_name = {a.name: a for a in s.aggs}
+        key_expr = {n: e for e, n in s.select}
+        cols = []
+        for name in s.out_cols:
+            a = agg_by_name.get(name)
+            if a is not None and a.fn == "avg" and f"__s_{name}" in df.columns:
+                cols.append((F.col(f"__s_{name}") / F.col(f"__c_{name}")).alias(name))
+            elif a is not None:
+                cols.append(F.col(name))
+            else:
+                e = key_expr[name]
+                cols.append(F.col(name) if e == name else F.expr(e).alias(name))
+        return df.select(*cols)
+
+    # -- delta plumbing ------------------------------------------------------
+
+    def _prep(self, delta: DataFrame | None, side: str) -> DataFrame | None:
+        """Linear pre-work applied per delta: single-table WHERE push +
+        join-key rename (right side renamed to the left's key names so
+        the equi-join runs on shared columns)."""
+        if delta is None:
+            return None
+        s = self.shape
+        delta = zset.lift(delta)
+        if side == "r":
+            for lc, rc in s.on:
+                if rc != lc:
+                    delta = delta.withColumnRenamed(rc, lc)
+        if s.right is None and s.where is not None:
+            delta = delta.filter(F.expr(s.where))
+        return delta
+
+    def _post_join(self, out: DataFrame) -> DataFrame:
+        s = self.shape
+        if s.where is not None:
+            out = out.filter(F.expr(s.where))
+        return out
+
+    def _finish(self, rows: DataFrame | None) -> None:
+        """Feed a (possibly filtered/joined) delta into the terminal
+        operator: aggregate, distinct, or linear output accumulation."""
+        if rows is None:
+            return
+        s = self.shape
+        if self._agg is not None:
+            if not s.keys:
+                rows = rows.withColumn("__g", F.lit(0))
+            if hasattr(self, "_chain_prep"):
+                for col, expr_sql in self._chain_prep.items():
+                    rows = rows.withColumn(col, F.expr(expr_sql))
+                rows = zset.to_bag(rows)  # chain view ingests plain rows
+            self._agg.step(rows)
+        elif self._distinct is not None:
+            self._distinct.step(
+                rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
+            )
+        else:
+            self._linear_out.append(
+                rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
+            )
+
+    def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
+        """Give an outer join both sides' schemas up front (NULL padding
+        may be needed before a side's first delta arrives)."""
+        from feldera_spark.streaming.outer_join import IncrementalOuterJoinView
+
+        if isinstance(self._join, IncrementalOuterJoinView):
+            self._join.set_schemas(
+                self._prep(frames[self.shape.left], "l"),
+                self._prep(frames[self.shape.right], "r"),
+            )
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> None:
+        """Advance the view by one step of table deltas (Z-sets; weight
+        −1 rows are deletions). Work is O(|delta| + touched state) — the
+        IVM contract; unchanged history is never rescanned."""
+        s = self.shape
+        dl = self._prep(deltas.get(s.left), "l")
+        if s.right is not None:
+            dr = self._prep(deltas.get(s.right), "r")
+            out = self._join.step(dl, dr)
+            self._finish(self._post_join(out) if out is not None else None)
+        else:
+            self._finish(dl)
+
+    def materialized(self) -> DataFrame:
+        s = self.shape
+        if self._agg is not None:
+            df = self._agg.materialized()
+            if not s.keys:
+                df = df.drop("__g")
+            if set(s.out_cols) <= set(df.columns):
+                return df.select(*s.out_cols)  # already projected (linear)
+            return self._out_select(df)  # raw keys / aliased outputs
+        if self._distinct is not None:
+            return self._distinct.materialized().select(*s.out_cols)
+        return zset.to_bag(self._linear_out.read()).select(*s.out_cols)
+
+
+def compile_view(
+    sql: str,
+    tables: set[str],
+    append_only: set[str] | None = None,
+    columns: dict[str, list[str]] | None = None,
+    exclude_functions: set[str] | None = None,
+) -> CompiledView | None:
+    """Compile a view body to an IVM plan if (a) its shape is in the
+    recognizer grammar and (b) every source is a base table in
+    ``tables`` (views-on-views currently fall back to batch — the
+    reference incrementalizes whole DAGs; see Pipeline._evaluate_views).
+    ``columns`` (table -> column names), when given, rejects join shapes
+    whose sides would collide on non-key column names (the batch path
+    would fail too, but loudly — keep that behavior). Returns None for
+    batch fallback."""
+    for fn_name in exclude_functions or ():
+        # user-defined AGGREGATES are not textually distinguishable from
+        # scalar calls — any reference forces batch evaluation
+        if re.search(rf"\b{re.escape(fn_name)}\s*\(", sql, re.IGNORECASE):
+            return None
+    shape = parse_view_shape(sql)
+    if shape is None:
+        return None
+    srcs = [shape.left] + ([shape.right] if shape.right else [])
+    if not all(t in tables for t in srcs):
+        return None
+    if shape.right is not None and columns is not None:
+        lk = {lc for lc, _ in shape.on}
+        rk = {rc for _, rc in shape.on}
+        l_nonkey = set(columns[shape.left]) - lk
+        r_nonkey = set(columns[shape.right]) - rk
+        if l_nonkey & r_nonkey:
+            return None
+    try:
+        return CompiledView(shape, append_only or set())
+    except Exception:
+        return None

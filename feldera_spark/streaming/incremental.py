@@ -62,6 +62,7 @@ class Spine:
         max_batches: int = 8,
         spill_dir: str | None = None,
         partition_cols: list[str] | None = None,
+        eager: bool = True,
     ):
         """``spill_dir``: when set, compactions write the consolidated
         state to parquet under it (one ``gen-N`` directory per compaction,
@@ -72,15 +73,22 @@ class Spine:
         state durable — on a cluster ``spill_dir`` is object storage and
         this is exactly the reference's spine spill
         (``spine_async.rs:968-1012``). Without it, batches live as
-        locally-checkpointed frames (test mode)."""
+        locally-checkpointed frames (test mode).
+
+        ``eager=False`` skips the per-append materialization job: use it
+        ONLY for write-once/read-once output accumulators (deltas whose
+        plans are shallow reads over already-checkpointed state) — a
+        spine that is read back per step MUST stay eager or every read
+        re-executes all prior steps' plans."""
         self.batches: list[DataFrame] = []
         self.max_batches = max_batches
         self.spill_dir = spill_dir
         self.partition_cols = partition_cols or []
+        self.eager = eager
         self._gen = 0
 
     def append(self, delta: DataFrame) -> None:
-        self.batches.append(_checkpoint(delta))
+        self.batches.append(_checkpoint(delta) if self.eager else delta)
         if len(self.batches) > self.max_batches:
             merged = zset.consolidate(zset.plus(*self.batches))
             if self.spill_dir is not None:
@@ -434,10 +442,17 @@ class IncrementalRollingAggregateView:
     O(|delta| + touched keys' recent slice), never the full history —
     and the frame context read is what LATENESS-driven GC would bound.
 
-    ``agg`` is "sum" or "count" (weight-aware linear aggregates — the
-    ``partitioned_rolling_aggregate_linear`` case; MIN/MAX rolling needs
-    the general re-aggregation strategy).
+    ``agg`` is "sum"/"count" (weight-aware linear aggregates — the
+    ``partitioned_rolling_aggregate_linear`` case) or "min"/"max" (the
+    GENERAL strategy, ``rolling_aggregate.rs:231``
+    ``partitioned_rolling_aggregate_with_waterline``: a retraction can
+    remove the frame's current extremum, so the touched frames are
+    recomputed from the kept integral — which this class already does
+    for every agg; min/max simply ignore multiplicities, so the same
+    touched-frame recompute is exact under deletions).
     """
+
+    _ROLLING_AGGS = ("sum", "count", "min", "max")
 
     def __init__(
         self,
@@ -448,7 +463,7 @@ class IncrementalRollingAggregateView:
         value_col: str | None = None,
         out_col: str = "rolling",
     ):
-        assert agg in ("sum", "count"), "linear rolling aggregates only"
+        assert agg in self._ROLLING_AGGS, f"agg must be one of {self._ROLLING_AGGS}"
         assert agg == "count" or value_col is not None
         self.keys = keys
         self.ts_col = ts_col
@@ -477,11 +492,15 @@ class IncrementalRollingAggregateView:
             .orderBy(ord_col.alias("__ord"))
             .rangeBetween(-self.w_secs * 1_000_000, 0)
         )
-        expr = (
-            F.sum(F.col(self.value_col) * F.col(WEIGHT))
-            if self.agg == "sum"
-            else F.sum(F.col(WEIGHT))
-        )
+        if self.agg == "sum":
+            expr = F.sum(F.col(self.value_col) * F.col(WEIGHT))
+        elif self.agg == "count":
+            expr = F.sum(F.col(WEIGHT))
+        else:
+            # min/max are multiplicity-blind: the integral slice's net
+            # weights only matter for row liveness (consolidate already
+            # dropped weight-0 rows), not for the extremum itself
+            expr = getattr(F, self.agg)(F.col(self.value_col))
         return rows.withColumn(self.out_col, expr.over(w))
 
     def step(self, delta: DataFrame) -> DataFrame:

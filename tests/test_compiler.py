@@ -1,0 +1,286 @@
+"""SQL -> IVM compilation (streaming/compiler.py) and incremental
+outer joins (streaming/outer_join.py).
+
+The tests enforce two contracts:
+1. incremental == batch after every step (the reference invariant,
+   README.md:67-70) — for each compiled shape AND each outer-join kind,
+   including deletions that flip rows across the matched/unmatched
+   NULL-padding boundary (join.rs:374-396).
+2. ad-hoc INSERT/DELETE on a pipeline advances IVM views by one delta
+   step without rescanning unchanged history — proven by deleting the
+   source parquet after initialization: a full recompute would fail,
+   the delta step succeeds.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from feldera_spark import zset
+from feldera_spark.streaming.compiler import compile_view, parse_view_shape
+from feldera_spark.streaming.outer_join import IncrementalOuterJoinView
+from feldera_spark.zset import WEIGHT
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# shape recognizer
+# ---------------------------------------------------------------------------
+
+
+def test_parse_aggregate_shape():
+    s = parse_view_shape(
+        "SELECT k, COUNT(*) AS n, SUM(v + 1) AS s, AVG(v) AS a "
+        "FROM t WHERE v > 2 GROUP BY k"
+    )
+    assert s is not None and s.left == "t" and s.keys == ["k"]
+    assert [(a.name, a.fn) for a in s.aggs] == [
+        ("n", "count"), ("s", "sum"), ("a", "avg")
+    ]
+    assert s.where == "v > 2"
+
+
+def test_parse_join_shape_with_aliases():
+    s = parse_view_shape(
+        "SELECT c.c_nationkey, COUNT(*) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_nationkey"
+    )
+    assert s is not None and (s.left, s.right) == ("orders", "customer")
+    assert s.on == [("o_custkey", "c_custkey")]
+    assert s.keys == ["c_nationkey"]
+
+
+def test_parse_rejects_unsupported():
+    for sql in (
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 1",
+        "SELECT k FROM t ORDER BY k",
+        "SELECT k, row_number() OVER (ORDER BY k) AS r FROM t",
+        "SELECT k FROM t UNION SELECT k FROM u",
+        "SELECT k FROM (SELECT k FROM t)",
+        "SELECT k, COUNT(*) FROM t GROUP BY k",  # unaliased aggregate
+    ):
+        assert parse_view_shape(sql) is None, sql
+
+
+# ---------------------------------------------------------------------------
+# compiled views: incremental == batch per step
+# ---------------------------------------------------------------------------
+
+
+def _chunks(spark, with_deletes=True):
+    rows = [(i, "k%d" % (i % 3), i * 10, i % 5) for i in range(60)]
+    c0 = [r for r in rows if r[0] % 2 == 0]
+    c1 = [r for r in rows if r[0] % 2 == 1]
+    dels = [r for r in rows if r[0] % 7 == 0] if with_deletes else []
+    mk = lambda rs, w: spark.createDataFrame(
+        [(i, k, v, g, w) for i, k, v, g in rs], ["id", "k", "v", "g", WEIGHT]
+    )
+    live = [r for r in rows if not (with_deletes and r[0] % 7 == 0)]
+    return (
+        [mk(c0, 1), mk(c1, 1), mk(dels, -1)],
+        spark.createDataFrame(live, ["id", "k", "v", "g"]),
+    )
+
+
+@pytest.mark.parametrize(
+    "sql,batch_sql",
+    [
+        (
+            "SELECT k, COUNT(*) AS n, SUM(v) AS s, AVG(v) AS a FROM t "
+            "WHERE g <> 4 GROUP BY k",
+            None,
+        ),
+        (
+            "SELECT k, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM t GROUP BY k",
+            None,
+        ),
+        ("SELECT id, v FROM t WHERE v >= 100", None),
+        ("SELECT DISTINCT k, g FROM t", None),
+        ("SELECT COUNT(*) AS n, SUM(v) AS s FROM t", None),
+    ],
+)
+def test_compiled_single_table_equals_batch(spark, sql, batch_sql):
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None, sql
+    live.createOrReplaceTempView("t")
+    expected = _canon(spark.sql(batch_sql or sql))
+    for c in chunks:
+        plan.step({"t": c})
+    assert _canon(plan.materialized()) == expected
+
+
+def test_compiled_join_aggregate_equals_batch(spark):
+    chunks, live = _chunks(spark)
+    dim = spark.createDataFrame(
+        [("k0", "east"), ("k1", "west"), ("k2", "east")], ["dk", "region"]
+    )
+    sql = (
+        "SELECT d.region, COUNT(*) AS n, SUM(f.v) AS s FROM t f "
+        "JOIN d ON f.k = d.dk GROUP BY d.region"
+    )
+    plan = compile_view(sql, tables={"t", "d"})
+    assert plan is not None
+    live.createOrReplaceTempView("t")
+    dim.createOrReplaceTempView("d")
+    expected = _canon(spark.sql(
+        "SELECT d.region, COUNT(*) AS n, SUM(f.v) AS s FROM t f "
+        "JOIN d ON f.k = d.dk GROUP BY d.region"
+    ))
+    plan.step({"t": None, "d": zset.lift(dim)})
+    for c in chunks:
+        plan.step({"t": c, "d": None})
+    assert _canon(plan.materialized()) == expected
+
+
+# ---------------------------------------------------------------------------
+# incremental outer joins: every kind, per-step equality, boundary flips
+# ---------------------------------------------------------------------------
+
+
+def _join_steps(spark):
+    """A delta schedule engineered to cross the matched/unmatched
+    boundary both ways: key 2 loses its LAST right row (matched ->
+    NULL-padded), then key 3 gains its first (padded -> matched)."""
+    A = lambda rows, w: zset.lift(
+        spark.createDataFrame(rows, ["k", "a_v"]), w
+    )
+    B = lambda rows, w: zset.lift(
+        spark.createDataFrame(rows, ["k", "b_v"]), w
+    )
+    return [
+        (A([(1, "a1"), (2, "a2"), (3, "a3")], 1), B([(1, "b1"), (2, "b2")], 1)),
+        (A([(1, "a1b")], 1), B([(4, "b4")], 1)),
+        (None, B([(2, "b2")], -1)),          # key 2: matched -> padded
+        (None, B([(3, "b3")], 1)),           # key 3: padded -> matched
+        (A([(3, "a3")], -1), None),          # and A loses key 3 entirely
+    ]
+
+
+@pytest.mark.parametrize("how", ["left", "right", "full", "semi", "anti"])
+def test_incremental_outer_join_equals_batch(spark, how):
+    steps = _join_steps(spark)
+    view = IncrementalOuterJoinView(on=["k"], how=how)
+    a_acc, b_acc = [], []
+    spark_how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
+    for da, db in steps:
+        if da is not None:
+            a_acc.append(da)
+        if db is not None:
+            b_acc.append(db)
+        view.step(da, db)
+        a_now = zset.to_bag(zset.integrate(*a_acc)) if a_acc else None
+        b_now = zset.to_bag(zset.integrate(*b_acc)) if b_acc else None
+        if a_now is None or (b_now is None and how not in ("semi", "anti")):
+            continue
+        if b_now is None:
+            b_now = spark.createDataFrame([], "k INT, b_v STRING")
+        expected = _canon(a_now.join(b_now, on=["k"], how=spark_how))
+        assert _canon(view.materialized()) == expected, f"{how} diverged"
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: INSERT/DELETE advance IVM views by deltas only
+# ---------------------------------------------------------------------------
+
+
+def _build_pipe(spark, path):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    spark.createDataFrame(
+        [(i, "k%d" % (i % 3), i * 10) for i in range(50)], ["id", "k", "v"]
+    ).write.mode("overwrite").parquet(path)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id INT, k VARCHAR, v INT);"
+        "CREATE MATERIALIZED VIEW agg_v AS "
+        "SELECT k, COUNT(*) AS n, SUM(v) AS total FROM t GROUP BY k"
+    )
+    b.connect_table("t", spark.read.parquet(path))
+    return b.create()
+
+
+def test_ddl_view_is_ivm_compiled(spark, tmp_path):
+    pipe = _build_pipe(spark, str(tmp_path / "t"))
+    assert "agg_v" in pipe._ivm, "aggregate view should compile to IVM"
+    got = {r["k"]: (r["n"], r["total"]) for r in pipe.view("agg_v").collect()}
+    assert got["k0"] == (17, 17 * 240)  # ids 0,3,...,48: sum = 10*(0+3+..+48)
+
+
+def test_insert_delete_route_deltas_not_recompute(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pipe = _build_pipe(spark, path)
+    # force full materialization of table frame, then remove the source
+    # files: any path that rescans history now throws; the IVM delta
+    # step must NOT touch them
+    pipe.execute("INSERT INTO t VALUES (100, 'k0', 1000)")
+    shutil.rmtree(path)
+    pipe.execute("INSERT INTO t VALUES (101, 'k1', 1)")
+    pipe.execute("DELETE FROM t WHERE id = 0")
+    got = {r["k"]: (r["n"], r["total"]) for r in pipe.view("agg_v").collect()}
+    assert got["k0"] == (17, 17 * 240 + 1000 - 0)  # +insert(100), -delete(0)
+    assert got["k1"] == (17 + 1, 17 * 250 + 1)
+
+
+def test_insert_upsert_pk_delta(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE kv (k INT PRIMARY KEY, v INT);"
+        "CREATE MATERIALIZED VIEW s AS SELECT SUM(v) AS total FROM kv"
+    )
+    b.connect_table("kv", spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]))
+    pipe = b.create()
+    assert "s" in pipe._ivm
+    pipe.execute("INSERT INTO kv VALUES (2, 25), (3, 30)")  # overwrite k=2
+    assert pipe.view("s").collect()[0]["total"] == 10 + 25 + 30
+    pipe.execute("DELETE FROM kv WHERE k = 1")
+    assert pipe.view("s").collect()[0]["total"] == 25 + 30
+
+
+def test_append_only_table_selects_chain_aggregate(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import AppendOnlyAggregateView
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (k VARCHAR, v INT) WITH ('append_only' = 'true');"
+        "CREATE MATERIALIZED VIEW m AS "
+        "SELECT k, MAX(v) AS hi, MIN(v) AS lo, COUNT(*) AS n FROM ev GROUP BY k"
+    )
+    b.connect_table(
+        "ev", spark.createDataFrame([("a", 1), ("a", 5), ("b", 2)], ["k", "v"])
+    )
+    pipe = b.create()
+    plan = pipe._ivm["m"]
+    assert isinstance(plan._agg, AppendOnlyAggregateView), (
+        "append_only + MIN/MAX must pick the O(1)-state chain class"
+    )
+    pipe.execute("INSERT INTO ev VALUES ('a', 9), ('c', 4)")
+    got = {r["k"]: (r["hi"], r["lo"], r["n"]) for r in pipe.view("m").collect()}
+    assert got == {"a": (9, 1, 3), "b": (2, 2, 1), "c": (4, 4, 1)}
+
+
+def test_outer_join_view_in_pipeline(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE f (fk INT, fv INT);"
+        "CREATE TABLE d (dk INT, dname VARCHAR);"
+        "CREATE MATERIALIZED VIEW j AS "
+        "SELECT fk, fv, dname FROM f LEFT JOIN d ON f.fk = d.dk"
+    )
+    b.connect_table("f", spark.createDataFrame([(1, 10), (2, 20)], ["fk", "fv"]))
+    b.connect_table("d", spark.createDataFrame([(1, "one")], ["dk", "dname"]))
+    pipe = b.create()
+    assert "j" in pipe._ivm
+    rows = {(r["fk"], r["fv"], r["dname"]) for r in pipe.view("j").collect()}
+    assert rows == {(1, 10, "one"), (2, 20, None)}
+    # deletion flips key 1 from matched to NULL-padded
+    pipe.execute("DELETE FROM d WHERE dk = 1")
+    rows = {(r["fk"], r["fv"], r["dname"]) for r in pipe.view("j").collect()}
+    assert rows == {(1, 10, None), (2, 20, None)}

@@ -118,3 +118,66 @@ def test_ddl_recursive_end_to_end(spark):
     )
     got = {(r["src"], r["dst"]) for r in p.view("tc").collect()}
     assert got == {(1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4)}
+
+
+def test_rewrite_scalars_is_quote_aware():
+    from feldera_spark.frontend import rewrite_scalars
+
+    # bracket/keyword text inside string LITERALS is data, not syntax
+    sql = "SELECT arr[1] AS x, 'arr[1]' AS lit, 'SAFE_CAST' AS lit2 FROM t"
+    out = rewrite_scalars(sql)
+    assert "element_at(arr, 1)" in out
+    assert "'arr[1]'" in out and "'SAFE_CAST'" in out
+    # SAFE_CAST outside literals still rewrites
+    assert "TRY_CAST" in rewrite_scalars("SELECT SAFE_CAST(x AS INT) FROM t")
+
+
+def test_rewrite_cast_timestamp_ms_semantics(spark):
+    from feldera_spark.frontend import rewrite_cast_timestamp
+
+    out = rewrite_cast_timestamp(
+        "SELECT CAST(ms AS TIMESTAMP) AS ts, CAST(s AS VARCHAR) AS v FROM t"
+    )
+    assert "timestampadd(MILLISECOND" in out
+    assert "CAST(s AS VARCHAR)" in out  # non-timestamp casts untouched
+    # literal containing the pattern is untouched
+    lit = rewrite_cast_timestamp("SELECT 'CAST(1 AS TIMESTAMP)' AS s FROM t")
+    assert "'CAST(1 AS TIMESTAMP)'" in lit
+    # runtime dispatch: BIGINT -> ms since epoch; STRING -> parsed NTZ
+    spark.createDataFrame(
+        [(1704067200123, "2024-01-01 00:00:00")], "ms BIGINT, s STRING"
+    ).createOrReplaceTempView("__ts_t")
+    row = spark.sql(
+        rewrite_cast_timestamp(
+            "SELECT CAST(ms AS TIMESTAMP) AS a, CAST(s AS TIMESTAMP) AS b "
+            "FROM __ts_t"
+        )
+    ).collect()[0]
+    assert str(row["a"]) == "2024-01-01 00:00:00.123000"
+    assert str(row["b"]) == "2024-01-01 00:00:00"
+
+
+def test_unsigned_ddl_types(spark):
+    p = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE u (a INT UNSIGNED, b BIGINT UNSIGNED);
+            CREATE MATERIALIZED VIEW v AS SELECT a, b FROM u
+            """
+        )
+        .connect_table(
+            "u",
+            spark.createDataFrame(
+                [(4294967295, __import__("decimal").Decimal(18446744073709551615))],
+                "a BIGINT, b DECIMAL(20,0)",
+            ),
+        )
+        .create()
+    )
+    from feldera_spark.pipeline import _spark_type
+
+    assert _spark_type("BIGINT UNSIGNED") == "DECIMAL(20,0)"
+    assert _spark_type("int unsigned") == "BIGINT"
+    r = p.view("v").collect()[0]
+    assert r["a"] == 4294967295 and int(r["b"]) == 18446744073709551615
