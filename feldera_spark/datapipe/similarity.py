@@ -162,36 +162,99 @@ def embedding_neardup_pairs(
     )
 
 
+def _lloyd_round(samp: DataFrame, cent: DataFrame) -> DataFrame:
+    """One deterministic Lloyd iteration: assign each sample vector to
+    its nearest centroid (cosine, ties broken by cell id), then move
+    each centroid to the element-wise mean of its members.
+
+    Mean = floor(sum/count + 0.5) over the EXACT long sums — identical
+    on every engine and partitioning (no double-summation order, no
+    rounding-mode skew: both Spark's round() and DuckDB's disagree on
+    halves, floor(x+0.5) does not). Cells that lose all members drop
+    out (their id simply stops being probeable)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sid").orderBy(F.col("scos").desc(), F.col("cell").asc())
+    assigned = (
+        samp.join(F.broadcast(cent))
+        .withColumn(
+            "scos",
+            _dot(F.col("sv"), F.col("centv")) / (F.col("sn") * F.col("centn")),
+        )
+        .withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") == 1)
+        .select("cell", "sv")
+    )
+    means = (
+        assigned.select("cell", F.posexplode("sv").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + 0.5)
+            .cast("long")
+            .alias("m")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select("cell", F.transform("s", lambda st: st["m"]).alias("centv"))
+    )
+    return means.withColumn("centn", F.sqrt(_dot(F.col("centv"), F.col("centv"))))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    lloyd_rounds: int = 2,
+    sample_mod: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer ANN
     scale path.
 
-    Corpus vectors are assigned to the nearest of ``n_cells`` centroids
-    (here: data-sampled — the first ``n_cells`` corpus vectors by id —
-    deterministic and oracle-checkable; at scale you'd refine with a few
-    Lloyd iterations using these same joins). A query probes only its
-    ``n_probe`` closest cells, so exact scoring touches ~n_probe/n_cells
-    of the corpus instead of all of it. Centroids and probe lists are
-    tiny → broadcast; the only corpus-sized operations are one argmax
-    assignment pass and the probed-cell scoring join.
+    Centroids: seeded from the first ``n_cells`` corpus vectors by id,
+    then refined with ``lloyd_rounds`` deterministic k-means iterations
+    over a modulus sample of the corpus (``id % sample_mod == 0`` — a
+    fixed, engine-independent sample; at 100 TB the sample is what keeps
+    the Lloyd shuffles tiny while centroids still track the data
+    distribution). ``n_cells`` defaults to max(16, floor(sqrt(N)+0.5))
+    — cell population ~sqrt(N) each, the standard IVF sizing — and
+    ``n_probe`` to max(4, floor(sqrt(n_cells)+0.5)), so probed work per
+    query stays ~N^(3/4) as the corpus grows instead of a fixed 1/4 of
+    it. A query probes only its ``n_probe`` closest cells. Centroids and
+    probe lists are tiny → broadcast; the only corpus-sized operations
+    are one argmax assignment pass and the probed-cell scoring join.
+    Every step (sums, floor-rounded means, tie-breaks) is deterministic,
+    so the whole index is oracle-checkable in SQL.
     """
+    import math
+
     from pyspark.sql.window import Window
 
     c = with_int_embedding(corpus, vec_col).select(
         F.col(id_col).alias("cid_"), F.col("__iv").alias("cv"), F.col("__norm").alias("cn")
     )
+    if n_cells is None:
+        # one parquet-metadata-cheap count sizes the index
+        n_cells = max(16, int(math.floor(math.sqrt(corpus.count()) + 0.5)))
+    if n_probe is None:
+        n_probe = max(4, int(math.floor(math.sqrt(n_cells) + 0.5)))
     cent = (
         c.orderBy("cid_").limit(n_cells)
         .select(F.col("cid_").alias("cell"), F.col("cv").alias("centv"), F.col("cn").alias("centn"))
     )
+    if lloyd_rounds > 0:
+        samp = c.select(
+            F.col("cid_").alias("sid"), F.col("cv").alias("sv"), F.col("cn").alias("sn")
+        )
+        if sample_mod > 1:
+            samp = samp.filter(F.col("sid") % sample_mod == 0)
+        for _ in range(lloyd_rounds):
+            cent = _lloyd_round(samp, cent)
+        # tiny frame reused by assignment AND probing: pin it once
+        cent = cent.localCheckpoint(eager=True)
 
     def _cos(av, an, bv, bn):
         return _dot(av, bv) / (an * bn)

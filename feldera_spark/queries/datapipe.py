@@ -371,7 +371,48 @@ def d13_embedding_neardup(spark, sf_dir):
       FROM embeddings
     ),
     ivn AS (SELECT vec_id, v, sqrt(CAST(list_dot_product(v, v) AS DOUBLE)) AS n FROM iv),
-    cent AS (SELECT vec_id AS cell, v AS centv, n AS centn FROM ivn ORDER BY vec_id LIMIT 16),
+    params AS (
+      SELECT GREATEST(16, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) AS n_cells,
+             GREATEST(4, CAST(floor(sqrt(GREATEST(16, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT))) + 0.5) AS BIGINT)) AS n_probe
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT cell, centv, centn FROM (
+        SELECT vec_id AS cell, v AS centv, n AS centn,
+               row_number() OVER (ORDER BY vec_id) AS rn
+        FROM ivn), params WHERE rn <= n_cells
+    ),
+    samp AS (SELECT vec_id AS sid, v, n FROM ivn WHERE vec_id % 2 = 0),
+    assign1 AS (
+      SELECT sid, cell, v FROM (
+        SELECT s.sid, c.cell, s.v,
+               row_number() OVER (PARTITION BY s.sid
+                                  ORDER BY CAST(list_dot_product(s.v, c.centv) AS DOUBLE) / (s.n * c.centn) DESC,
+                                           c.cell ASC) AS rn
+        FROM samp s CROSS JOIN cent0 c) WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT cell, centv, sqrt(CAST(list_dot_product(centv, centv) AS DOUBLE)) AS centn FROM (
+        SELECT cell, list(m ORDER BY i) AS centv FROM (
+          SELECT a.cell, r.i, CAST(floor(CAST(sum(a.v[r.i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+          FROM assign1 a, range(1, 65) r(i) GROUP BY a.cell, r.i
+        ) GROUP BY cell)
+    ),
+    assign2 AS (
+      SELECT sid, cell, v FROM (
+        SELECT s.sid, c.cell, s.v,
+               row_number() OVER (PARTITION BY s.sid
+                                  ORDER BY CAST(list_dot_product(s.v, c.centv) AS DOUBLE) / (s.n * c.centn) DESC,
+                                           c.cell ASC) AS rn
+        FROM samp s CROSS JOIN cent1 c) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT cell, centv, sqrt(CAST(list_dot_product(centv, centv) AS DOUBLE)) AS centn FROM (
+        SELECT cell, list(m ORDER BY i) AS centv FROM (
+          SELECT a.cell, r.i, CAST(floor(CAST(sum(a.v[r.i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+          FROM assign2 a, range(1, 65) r(i) GROUP BY a.cell, r.i
+        ) GROUP BY cell)
+    ),
     assigned AS (
       SELECT vec_id AS neighbor_id, cell, v AS cv, n AS cn FROM (
         SELECT c.vec_id, cent.cell, c.v, c.n,
@@ -388,7 +429,7 @@ def d13_embedding_neardup(spark, sf_dir):
                                   ORDER BY CAST(list_dot_product(q.v, cent.centv) AS DOUBLE) / (q.n * cent.centn) DESC,
                                            cent.cell ASC) AS prn
         FROM ivn q CROSS JOIN cent WHERE q.vec_id < 10
-      ) WHERE prn <= 4
+      ), params WHERE prn <= n_probe
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT p.query_id, a.neighbor_id,
@@ -402,9 +443,12 @@ def d13_embedding_neardup(spark, sf_dir):
     """,
 )
 def d14_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k: coarse cells (data-sampled centroids) +
-    n_probe nearest-cell exact search — exact scoring touches ~1/4 of the
-    corpus per query instead of all of it."""
+    """IVF approximate top-k: sqrt(N)-scaled cell count, centroids
+    refined by 2 deterministic Lloyd rounds over a modulus sample, and
+    sqrt(n_cells) probes per query — probed work grows ~N^(3/4), not
+    O(N). The full index build (seeds -> sampled k-means -> assignment
+    -> probing) is mirrored step-for-step in the DuckDB oracle, so the
+    approximation itself is value-checked, not just the final join."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=5)

@@ -258,7 +258,14 @@ class IncrementalLinearAggregateView:
         )
 
     def step(self, delta: DataFrame) -> DataFrame:
-        """Apply one delta (mixed-sign weights); returns the output delta."""
+        """Apply one delta (mixed-sign weights); returns the output delta.
+
+        Exactly TWO materialization jobs per step: the delta's partial
+        sums (one shuffle over the delta — small, one row per touched
+        key) and the merged state. The output delta is DERIVED lazily
+        from the already-checkpointed new state (touched slice) and the
+        old state — callers that only read the final ``materialized()``
+        never pay a third job for it."""
         delta = zset.lift(delta)
         partial = _checkpoint(self._partial(delta))
         if self.state is None:
@@ -274,11 +281,14 @@ class IncrementalLinearAggregateView:
                 F.sum("__n").alias("__n"),
             )
         )
-        live = _checkpoint(merged.filter(F.col("__n") != 0))
+        live = merged.filter(F.col("__n") != 0)
         untouched = self.state.join(touched, on=self.keys, how="left_anti")
+        prev_state = self.state
         self.state = _checkpoint(untouched.unionByName(live))
+        live_now = self.state.join(touched, on=self.keys, how="left_semi")
+        old_t_prev = prev_state.join(touched, on=self.keys, how="left_semi")
         return zset.consolidate(
-            zset.plus(self._out(live, 1), self._out(old_t, -1))
+            zset.plus(self._out(live_now, 1), self._out(old_t_prev, -1))
         )
 
     def materialized(self) -> DataFrame:
@@ -290,11 +300,18 @@ class IncrementalJoinView:
     """Bilinear incremental equi-join: ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB."""
 
     def __init__(self, on: list[str], how: str = "inner"):
-        assert how == "inner", "incremental join: inner equi-join (outer via composition)"
+        assert how == "inner", (
+            "incremental join: inner equi-join (outer/semi/anti via "
+            "streaming.outer_join.IncrementalOuterJoinView)"
+        )
         self.on = on
         self.a = Spine()
         self.b = Spine()
-        self.output = Spine()
+        # output is write-once/read-at-materialize: its deltas are
+        # shallow joins over the already-checkpointed a/b spines, so
+        # skipping the per-step materialization job is safe (Spine
+        # docstring) — one job less per step
+        self.output = Spine(eager=False)
 
     @staticmethod
     def _wjoin(x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
@@ -597,7 +614,10 @@ class AppendOnlyAggregateView:
 
     def step(self, delta: DataFrame) -> DataFrame:
         """Ingest an (insert-only) delta; returns the output delta as a
-        Z-set (retraction of each touched key's old row + new row)."""
+        Z-set (retraction of each touched key's old row + new row).
+
+        Two jobs per step (partial + merged state); the output delta is
+        derived lazily from the checkpointed new state's touched slice."""
         partial = _checkpoint(self._partial(delta))
         if self.state is None:
             self.state = partial
@@ -606,7 +626,7 @@ class AppendOnlyAggregateView:
         # both sides are already one-row-per-key, so this is tiny
         touched = partial.select(*self.keys)
         old_touched = self.state.join(touched, on=self.keys, how="left_semi")
-        merged = _checkpoint(
+        merged = (
             old_touched.unionByName(partial)
             .groupBy(*self.keys)
             .agg(
@@ -617,11 +637,14 @@ class AppendOnlyAggregateView:
             )
         )
         untouched = self.state.join(touched, on=self.keys, how="left_anti")
+        prev_state = self.state
         self.state = _checkpoint(untouched.unionByName(merged))
+        merged_now = self.state.join(touched, on=self.keys, how="left_semi")
+        old_prev = prev_state.join(touched, on=self.keys, how="left_semi")
         return zset.consolidate(
             zset.plus(
-                merged.withColumn(WEIGHT, F.lit(1).cast("long")),
-                old_touched.withColumn(WEIGHT, F.lit(-1).cast("long")),
+                merged_now.withColumn(WEIGHT, F.lit(1).cast("long")),
+                old_prev.withColumn(WEIGHT, F.lit(-1).cast("long")),
             )
         )
 
