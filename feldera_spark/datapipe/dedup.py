@@ -203,6 +203,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Pairs with shingle-set Jaccard >= threshold.
 
@@ -210,12 +211,31 @@ def ngram_jaccard_pairs(
     postings on shingle; |A∪B| = |A|+|B|-|A∩B|. If ``candidates`` is given
     (e.g. from LSH), intersections are only computed for those pairs —
     the scale path.
+
+    ``max_doc_freq`` caps stop-shingles: a shingle appearing in more than
+    that many documents is dropped from BOTH the postings join and the
+    per-doc sizes, so the metric stays a true Jaccard over the capped
+    shingle space. Without a cap, one ubiquitous shingle ("the of the")
+    appearing in n docs contributes n² rows to the self-join — the
+    classic inverted-index hot-bucket blow-up; with it, the join's
+    per-bucket fan-out is bounded by max_doc_freq² regardless of corpus
+    size (and ultra-common shingles carry no near-dup signal anyway).
+    At 100 TB always set a cap; at the default None the metric is the
+    exact textbook Jaccard.
     """
     postings = (
         token_shingles(df.select(id_col, text), text, n=shingle_n)
         .select(F.col(id_col).alias("id"), "shingle")
         .distinct()
     )
+    if max_doc_freq is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = postings.join(rare, on="shingle", how="left_semi")
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = postings.select(F.col("id").alias("id_a"), "shingle")
     b = postings.select(F.col("id").alias("id_b"), "shingle")

@@ -447,6 +447,12 @@ class Pipeline:
         append_only = {n for n, d in self.tables.items() if d.append_only}
         self._ivm: dict[str, object] = {}
         self._ivm_ready: set[str] = set()
+        # sources a compiled view may read: base tables, plus upstream
+        # views that compiled — their output deltas chain downstream
+        compilable: set[str] = set(self.tables)
+        known_cols: dict[str, list[str]] = {
+            t: self._frames[t].columns for t in self.tables
+        }
         for name in builder._view_order:
             decl = self.views[name]
             if (
@@ -455,15 +461,23 @@ class Pipeline:
                 or name in builder.recursive_views
             ):
                 continue
+            from feldera_spark import frontend as _fe
+
+            # the compiler consumes the same Feldera-dialect rewrites
+            # the batch path applies (SAFE_CAST, 1-based subscripts,
+            # ms-based CAST-to-TIMESTAMP) — otherwise a dialect view
+            # would compile against unrewritten scalar syntax
             plan = compile_view(
-                decl.sql,
-                tables=set(self.tables),
+                _fe.rewrite_cast_timestamp(_fe.rewrite_scalars(decl.sql)),
+                tables=compilable,
                 append_only=append_only,
-                columns={t: self._frames[t].columns for t in self.tables},
+                columns=known_cols,
                 exclude_functions=set(builder.aggregates),
             )
             if plan is not None:
                 self._ivm[name] = plan
+                compilable.add(name)
+                known_cols[name] = list(plan.shape.out_cols)
         self._evaluate_views()
 
     def _evaluate_views(self, deltas: dict[str, DataFrame] | None = None) -> None:
@@ -489,22 +503,37 @@ class Pipeline:
                         use_counts[other] += 1
         from feldera_spark import frontend
 
+        # table deltas from the caller + view output deltas produced as
+        # compiled views advance — downstream compiled views consume
+        # upstream deltas by name (whole-DAG incrementalization)
+        step_deltas: dict[str, DataFrame] = dict(deltas or {})
         for name in builder._view_order:
             decl = self.views[name]
             plan = self._ivm.get(name)
             if plan is not None:
                 if name not in self._ivm_ready:
-                    # initial load: current table contents as the first
-                    # delta (one pass — the same scan batch eval would do)
+                    # initial load: current source contents as the first
+                    # delta (one pass — the same scan batch eval would
+                    # do). For a compiled upstream view the initial
+                    # content IS its init-step output delta.
                     plan.bind_schemas(self._frames)
-                    plan.step(
-                        {t: zset.lift(self._frames[t]) for t in plan.sources}
+                    out = plan.step(
+                        {
+                            t: step_deltas.get(t)
+                            if t in self._ivm
+                            else zset.lift(self._frames[t])
+                            for t in plan.sources
+                        }
                     )
                     self._ivm_ready.add(name)
-                elif deltas is not None and any(
-                    t in deltas for t in plan.sources
-                ):
-                    plan.step({t: deltas.get(t) for t in plan.sources})
+                    if out is not None:
+                        step_deltas[name] = out
+                elif any(t in step_deltas for t in plan.sources):
+                    out = plan.step(
+                        {t: step_deltas.get(t) for t in plan.sources}
+                    )
+                    if out is not None:
+                        step_deltas[name] = out
                 df = plan.materialized()
             else:
                 df = (

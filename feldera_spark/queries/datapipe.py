@@ -130,7 +130,10 @@ def d03_lsh_candidate_pairs(spark, sf_dir):
     "d04_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES},
-    postings AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+    raw AS (SELECT DISTINCT doc_id AS id, shingle FROM sh),
+    rare AS (SELECT shingle FROM raw GROUP BY shingle HAVING count(*) <= 100),
+    postings AS (SELECT raw.id, raw.shingle FROM raw
+                 JOIN rare ON raw.shingle = rare.shingle),
     sizes AS (SELECT id, count(*) AS sz FROM postings GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
@@ -144,9 +147,14 @@ def d03_lsh_candidate_pairs(spark, sf_dir):
     """,
 )
 def d04_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs via inverted-index join."""
+    """n-gram Jaccard near-dup pairs via inverted-index join, with the
+    stop-shingle doc-frequency cap (shingles in > 100 docs are dropped
+    from postings AND sizes — bounded per-bucket join fan-out, the 100 TB
+    hot-key fix; the oracle mirrors the capped metric)."""
     d = t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.05)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.05, max_doc_freq=100
+    )
 
 
 @q(

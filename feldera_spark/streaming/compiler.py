@@ -344,7 +344,7 @@ class CompiledView:
 
         return IncrementalAggregateView(list(s.keys) or ["__g"], agg_fn)
 
-    def _out_select(self, df: DataFrame) -> DataFrame:
+    def _out_select(self, df: DataFrame, keep_weight: bool = False) -> DataFrame:
         """Map an internal state/output frame (raw key names + aggregate
         partials) to the view's declared output columns, in order —
         including aliased keys (``ts AS pts``) and AVG's partial-pair
@@ -362,6 +362,8 @@ class CompiledView:
             else:
                 e = key_expr[name]
                 cols.append(F.col(name) if e == name else F.expr(e).alias(name))
+        if keep_weight:
+            cols.append(F.col(WEIGHT))
         return df.select(*cols)
 
     # -- delta plumbing ------------------------------------------------------
@@ -388,11 +390,15 @@ class CompiledView:
             out = out.filter(F.expr(s.where))
         return out
 
-    def _finish(self, rows: DataFrame | None) -> None:
+    def _finish(self, rows: DataFrame | None) -> DataFrame | None:
         """Feed a (possibly filtered/joined) delta into the terminal
-        operator: aggregate, distinct, or linear output accumulation."""
+        operator: aggregate, distinct, or linear output accumulation.
+        Returns the view's OUTPUT delta in declared output columns (+
+        weight) — the change stream a downstream compiled view consumes
+        (delta chaining through the view DAG, the reference's whole-
+        circuit incrementalization)."""
         if rows is None:
-            return
+            return None
         s = self.shape
         if self._agg is not None:
             if not s.keys:
@@ -401,15 +407,19 @@ class CompiledView:
                 for col, expr_sql in self._chain_prep.items():
                     rows = rows.withColumn(col, F.expr(expr_sql))
                 rows = zset.to_bag(rows)  # chain view ingests plain rows
-            self._agg.step(rows)
-        elif self._distinct is not None:
-            self._distinct.step(
+            out = self._agg.step(rows)
+            if out is None:
+                return None
+            if set(s.out_cols) <= (set(out.columns) - {WEIGHT}):
+                return out.select(*s.out_cols, WEIGHT)
+            return self._out_select(out, keep_weight=True)
+        if self._distinct is not None:
+            return self._distinct.step(
                 rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
             )
-        else:
-            self._linear_out.append(
-                rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
-            )
+        out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
+        self._linear_out.append(out)
+        return out
 
     def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
         """Give an outer join both sides' schemas up front (NULL padding
@@ -422,18 +432,18 @@ class CompiledView:
                 self._prep(frames[self.shape.right], "r"),
             )
 
-    def step(self, deltas: dict[str, DataFrame | None]) -> None:
-        """Advance the view by one step of table deltas (Z-sets; weight
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        """Advance the view by one step of source deltas (Z-sets; weight
         −1 rows are deletions). Work is O(|delta| + touched state) — the
-        IVM contract; unchanged history is never rescanned."""
+        IVM contract; unchanged history is never rescanned. Returns the
+        view's own output delta so downstream compiled views can chain."""
         s = self.shape
         dl = self._prep(deltas.get(s.left), "l")
         if s.right is not None:
             dr = self._prep(deltas.get(s.right), "r")
             out = self._join.step(dl, dr)
-            self._finish(self._post_join(out) if out is not None else None)
-        else:
-            self._finish(dl)
+            return self._finish(self._post_join(out) if out is not None else None)
+        return self._finish(dl)
 
     def materialized(self) -> DataFrame:
         s = self.shape
@@ -457,13 +467,15 @@ def compile_view(
     exclude_functions: set[str] | None = None,
 ) -> CompiledView | None:
     """Compile a view body to an IVM plan if (a) its shape is in the
-    recognizer grammar and (b) every source is a base table in
-    ``tables`` (views-on-views currently fall back to batch — the
-    reference incrementalizes whole DAGs; see Pipeline._evaluate_views).
-    ``columns`` (table -> column names), when given, rejects join shapes
-    whose sides would collide on non-key column names (the batch path
-    would fail too, but loudly — keep that behavior). Returns None for
-    batch fallback."""
+    recognizer grammar and (b) every source is in ``tables`` — base
+    tables OR upstream views that are themselves IVM-compiled (the
+    caller passes those in; their output deltas chain into this view's
+    step, so the whole DAG is incrementalized the way the reference's
+    ``IncrementalizeVisitor`` wraps the full circuit).
+    ``columns`` (source -> column names), when given, rejects join
+    shapes whose sides would collide on non-key column names (the batch
+    path would fail too, but loudly — keep that behavior). Returns None
+    for batch fallback."""
     for fn_name in exclude_functions or ():
         # user-defined AGGREGATES are not textually distinguishable from
         # scalar calls — any reference forces batch evaluation

@@ -243,6 +243,52 @@ def test_insert_upsert_pk_delta(spark):
     assert pipe.view("s").collect()[0]["total"] == 25 + 30
 
 
+def test_view_on_view_delta_chaining(spark):
+    """Whole-DAG incrementalization: table -> filter view -> aggregate
+    view -> aggregate-over-aggregate, every level IVM-compiled; INSERT
+    and DELETE propagate as deltas through all three levels."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id INT, k VARCHAR, v INT);"
+        "CREATE MATERIALIZED VIEW big AS SELECT id, k, v FROM t WHERE v >= 100;"
+        "CREATE MATERIALIZED VIEW per_k AS "
+        "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM big GROUP BY k;"
+        "CREATE MATERIALIZED VIEW summary AS "
+        "SELECT COUNT(*) AS n_groups, SUM(s) AS grand FROM per_k"
+    )
+    b.connect_table(
+        "t",
+        spark.createDataFrame(
+            [(i, "k%d" % (i % 3), i * 10) for i in range(30)], ["id", "k", "v"]
+        ),
+    )
+    pipe = b.create()
+    assert {"big", "per_k", "summary"} <= set(pipe._ivm)
+
+    def batch():
+        rows = {r["k"]: (r["n"], r["s"]) for r in pipe.view("per_k").collect()}
+        summ = pipe.view("summary").collect()[0]
+        return rows, (summ["n_groups"], summ["grand"])
+
+    rows, summ = batch()
+    live = [(i, "k%d" % (i % 3), i * 10) for i in range(30) if i * 10 >= 100]
+    exp = {}
+    for _, k, v in live:
+        n, s = exp.get(k, (0, 0))
+        exp[k] = (n + 1, s + v)
+    assert rows == exp
+    assert summ == (len(exp), sum(s for _, s in exp.values()))
+
+    pipe.execute("INSERT INTO t VALUES (100, 'k9', 5000), (101, 'k9', 1)")
+    pipe.execute("DELETE FROM t WHERE k = 'k0'")
+    rows, summ = batch()
+    exp = {k: v for k, v in exp.items() if k != "k0"}
+    exp["k9"] = (1, 5000)  # v=1 filtered out by the linear view
+    assert rows == exp
+    assert summ == (len(exp), sum(s for _, s in exp.values()))
+
+
 def test_append_only_table_selects_chain_aggregate(spark):
     from feldera_spark.pipeline import PipelineBuilder
     from feldera_spark.streaming.incremental import AppendOnlyAggregateView
