@@ -368,10 +368,25 @@ def _rewrite_asof(spark: SparkSession, sql: str) -> str:
     joined.createOrReplaceTempView(view)
 
     rewritten = sql[: m.start()] + f"FROM {view} " + sql[clause_end:]
-    # strip now-resolved qualifiers
+    # strip now-resolved qualifiers — but ONLY within this SELECT's
+    # set-operator-delimited segment: a statement may contain several
+    # ASOF branches (UNION etc.) reusing the same aliases, and stripping
+    # globally would corrupt the not-yet-rewritten branches'
+    # MATCH_CONDITIONs
+    setop = re.compile(r"\b(UNION(\s+ALL)?|EXCEPT|INTERSECT)\b", re.IGNORECASE)
+    seg_start, seg_end = 0, len(rewritten)
+    for sm in setop.finditer(rewritten):
+        if not _top_level_at(rewritten, sm.start()):
+            continue
+        if sm.end() <= m.start():
+            seg_start = sm.end()
+        elif sm.start() >= m.start():
+            seg_end = sm.start()
+            break
+    seg = rewritten[seg_start:seg_end]
     for al in (la, ra):
-        rewritten = re.sub(rf"\b{re.escape(al)}\.", "", rewritten)
-    return rewritten
+        seg = re.sub(rf"\b{re.escape(al)}\.", "", seg)
+    return rewritten[:seg_start] + seg + rewritten[seg_end:]
 
 
 def prepare_view(
@@ -407,7 +422,9 @@ def prepare_view(
 
 
 def _run_plain(spark: SparkSession, sql: str) -> DataFrame:
-    if _ASOF_RE.search(sql):
+    # a program may contain several ASOF joins (e.g. a UNION of asof'd
+    # branches); each pass rewrites the first remaining occurrence
+    while _ASOF_RE.search(sql):
         sql = _rewrite_asof(spark, sql)
         sql = rewrite_scalars(sql)
     return spark.sql(sql)

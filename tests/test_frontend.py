@@ -181,3 +181,33 @@ def test_unsigned_ddl_types(spark):
     assert _spark_type("int unsigned") == "BIGINT"
     r = p.view("v").collect()[0]
     assert r["a"] == 4294967295 and int(r["b"]) == 18446744073709551615
+
+
+def test_multiple_asof_joins_in_one_statement(spark):
+    """A program with TWO ASOF joins (one per UNION branch) rewrites
+    both — the single-ASOF-per-statement limitation is gone."""
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100.0), (1, "2024-01-01 12:00:00", 200.0)],
+        "k INT, ts STRING, px DOUBLE",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "px").createOrReplaceTempView("quotes")
+    spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00"), (1, "2024-01-01 13:00:00")],
+        "k INT, ts STRING",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS tts").createOrReplaceTempView("trades")
+    df = frontend.prepare_view(
+        spark,
+        """
+        SELECT t.k, t.tts, q.px FROM trades t LEFT ASOF JOIN quotes q
+          MATCH_CONDITION (t.tts >= q.ts) ON t.k = q.k
+        UNION ALL
+        SELECT t.k, t.tts, q.px FROM trades t LEFT ASOF JOIN quotes q
+          MATCH_CONDITION (t.tts >= q.ts) ON t.k = q.k
+        """,
+    )
+    rows = sorted((r["k"], str(r["tts"]), r["px"]) for r in df.collect())
+    assert rows == [
+        (1, "2024-01-01 11:00:00", 100.0),
+        (1, "2024-01-01 11:00:00", 100.0),
+        (1, "2024-01-01 13:00:00", 200.0),
+        (1, "2024-01-01 13:00:00", 200.0),
+    ]
