@@ -778,6 +778,75 @@ class Pipeline:
                     stack.append(v)
         return seen_tables
 
+    def stream_table(
+        self,
+        name: str,
+        stream: DataFrame,
+        checkpoint_dir: str | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """Attach a Structured Streaming source to a declared table: every
+        micro-batch becomes ONE circuit step (the reference's controller
+        loop, ``controller.rs:481``) — IVM-compiled views advance by the
+        batch's Z-set delta (work ∝ |batch| + touched state), batch-
+        fallback views re-evaluate. The table itself is kept readable
+        through a ``Spine`` (appending a batch is O(1); the registered
+        frame is the lazily-consolidated bag), so nothing rescans or
+        rewrites table history per batch.
+
+        Batches may carry a ``__weight`` column (insert_delete envelope
+        decode from ``sources/changes.py``) for streamed deletions.
+        PRIMARY KEY tables get upsert steps: the replaced rows are read
+        KEY-RESTRICTED from the spine (``read_for_keys``) and retracted —
+        never a full-state scan.
+
+        Returns the ``StreamingQuery``."""
+        from pyspark.sql import functions as F
+
+        from feldera_spark import zset
+        from feldera_spark.streaming.incremental import Spine
+
+        if name not in self.tables:
+            raise KeyError(f"table {name} is not declared in this pipeline")
+        decl = self.tables[name]
+        if not hasattr(self, "_stream_spines"):
+            self._stream_spines: dict[str, Spine] = {}
+        spine = self._stream_spines.get(name)
+        if spine is None:
+            spine = Spine()
+            spine.append(zset.lift(self._frames[name]))
+            self._stream_spines[name] = spine
+
+        def on_batch(df: DataFrame, batch_id: int) -> None:
+            if decl.primary_key:
+                # within-batch last-write-wins, then retract the stored
+                # rows these keys replace (touched keys only)
+                batch = self._upsert_normalize(
+                    df, decl.primary_key, decl.sequence_col
+                )
+                keys = batch.select(*decl.primary_key).distinct()
+                replaced = zset.to_bag(
+                    spine.read_for_keys(keys, decl.primary_key)
+                )
+                delta = zset.plus(
+                    zset.lift(batch, 1), zset.lift(replaced, -1)
+                )
+            else:
+                delta = zset.lift(df)
+            spine.append(delta)  # eager: pins the batch at the step boundary
+            delta_ck = spine.batches[-1]
+            frame = zset.to_bag(spine.read())
+            frame.createOrReplaceTempView(name)
+            self._frames[name] = frame
+            self._evaluate_views(deltas={name: delta_ck})
+
+        writer = stream.writeStream.foreachBatch(on_batch)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def view(self, name: str) -> DataFrame:
         return self._frames[name]
 

@@ -330,3 +330,49 @@ def test_outer_join_view_in_pipeline(spark):
     pipe.execute("DELETE FROM d WHERE dk = 1")
     rows = {(r["fk"], r["fv"], r["dname"]) for r in pipe.view("j").collect()}
     assert rows == {(1, 10, None), (2, 20, None)}
+
+
+def test_stream_table_drives_ivm_views(spark, tmp_path):
+    """A real readStream micro-batch loop drives the DDL-compiled IVM
+    views: each batch is one circuit step; final state equals batch SQL
+    over everything ingested. Includes a PK table (streamed upserts with
+    key-restricted retraction reads)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id INT, k STRING, v INT"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE s (id INT PRIMARY KEY, k VARCHAR, v INT);"
+        "CREATE MATERIALIZED VIEW agg AS "
+        "SELECT k, COUNT(*) AS n, SUM(v) AS total FROM s GROUP BY k"
+    )
+    b.connect_table(
+        "s", spark.createDataFrame([], "id INT, k STRING, v INT")
+    )
+    pipe = b.create()
+    assert "agg" in pipe._ivm
+
+    stream = (
+        spark.readStream.schema("id INT, k STRING, v INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipe.stream_table("s", stream)
+    q.awaitTermination(120)
+
+    got = {r["k"]: (r["n"], r["total"]) for r in pipe.view("agg").collect()}
+    assert got == {"a": (1, 10), "b": (1, 20)}
+
+    # second file: upsert id=2 (b->c) plus a new row; one more batch
+    spark.createDataFrame(
+        [(2, "c", 25), (3, "a", 5)], "id INT, k STRING, v INT"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = pipe.stream_table("s", stream)
+    q.awaitTermination(120)
+    got = {r["k"]: (r["n"], r["total"]) for r in pipe.view("agg").collect()}
+    assert got == {"a": (2, 15), "c": (1, 25)}
+    # the table view reflects the upsert too
+    rows = {(r["id"], r["k"], r["v"]) for r in pipe.view("s").collect()}
+    assert rows == {(1, "a", 10), (2, "c", 25), (3, "a", 5)}
