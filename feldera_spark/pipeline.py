@@ -74,11 +74,14 @@ _CREATE_INDEX_RE = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<name>\w+)\s+ON\s+(?P<view>\w+)\s*\((?P<cols>[^)]*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Matched against ONE column definition (comma-split) — a whole-body
+# match could bind the annotation to an EARLIER column ("id INT, ts
+# TIMESTAMP LATENESS ..." must attach to ts, not id)
 _LATENESS_RE = re.compile(
-    r"(?P<col>\w+)\s+[\w\(\)\, ]*?LATENESS\s+INTERVAL\s+(?P<n>\d+)\s+(?P<unit>\w+)",
+    r"^(?P<col>\w+)\s+[\w\(\) ]*?LATENESS\s+INTERVAL\s+'?(?P<n>\d+)'?\s+(?P<unit>\w+)",
     re.IGNORECASE,
 )
-_PK_RE = re.compile(r"(?P<col>\w+)\s+[\w\(\), ]*?PRIMARY\s+KEY", re.IGNORECASE)
+_PK_RE = re.compile(r"^(?P<col>\w+)\s+[\w\(\) ]*?PRIMARY\s+KEY", re.IGNORECASE)
 
 def _spark_type(feldera_type: str) -> str:
     """Map Feldera DDL type names to Spark SQL type names (SURVEY §1.2).
@@ -288,11 +291,19 @@ class PipelineBuilder:
                 name = m.group("name").lower()
                 body = m.group("body")
                 decl = TableDecl(name)
-                for lm in _LATENESS_RE.finditer(body):
-                    secs = int(lm.group("n")) * _UNIT_SECONDS[lm.group("unit").lower()]
-                    decl.lateness[lm.group("col").lower()] = secs
-                for pm in _PK_RE.finditer(body):
-                    decl.primary_key.append(pm.group("col").lower())
+                from feldera_spark.frontend import _split_top_commas
+
+                for part in _split_top_commas(body):
+                    part = part.strip()
+                    lm = _LATENESS_RE.match(part)
+                    if lm:
+                        secs = int(lm.group("n")) * _UNIT_SECONDS[
+                            lm.group("unit").lower()
+                        ]
+                        decl.lateness[lm.group("col").lower()] = secs
+                    pm = _PK_RE.match(part)
+                    if pm:
+                        decl.primary_key.append(pm.group("col").lower())
                 decl.columns = _columns_from_body(body)
                 props = _parse_props(m.group("props"))
                 decl.append_only = props.get("append_only", "").lower() == "true"
@@ -473,6 +484,9 @@ class Pipeline:
                 append_only=append_only,
                 columns=known_cols,
                 exclude_functions=set(builder.aggregates),
+                lateness={
+                    t: d.lateness for t, d in self.tables.items() if d.lateness
+                },
             )
             if plan is not None:
                 self._ivm[name] = plan

@@ -692,3 +692,64 @@ def i13_ivm_rolling_max(spark, sf_dir):
     for chunk in deltas:
         view.step(chunk.select("user_id", "ts", "value", WEIGHT))
     return view.materialized()
+
+
+@q(
+    "i14_ddl_windowed_gc",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE NOT (event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20')
+    GROUP BY 1
+    """,
+)
+def i14_ddl_windowed_gc(spark, sf_dir):
+    """Windowed aggregate with LATENESS-driven GC compiled ENTIRELY from
+    DDL: ``LATENESS INTERVAL 15 DAYS`` on the table + ``GROUP BY
+    date_trunc('day', ts)`` select the windowed-GC strategy
+    automatically (the MonotoneAnalyzer +
+    ``DBSPIntegrateTraceRetainKeysOperator`` insertion the reference
+    compiler performs) — windows below the waterline freeze, live state
+    stays bounded, and the in-lateness deletion chunk still retracts.
+    No hand-assembled operators; the compile AND the freeze are
+    asserted."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import WindowedLinearAggregateView
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    cuts = ("2024-01-10", "2024-01-20")
+    mid = e.filter(
+        (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+    )
+    late = e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+    mid.createOrReplaceTempView("__i14_mid")
+    late.createOrReplaceTempView("__i14_late")
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT,"
+        " ts TIMESTAMP LATENESS INTERVAL 15 DAYS, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW daily AS "
+        "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,"
+        " SUM(value) AS total_dec "
+        "FROM ev GROUP BY date_trunc('day', ts)"
+    )
+    b.connect_table("ev", e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz")))
+    pipe = b.create()
+    plan = pipe._ivm["daily"]
+    assert isinstance(plan._agg, WindowedLinearAggregateView), (
+        "LATENESS + date_trunc GROUP BY must select the windowed-GC class"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i14_mid")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i14_late")
+    pipe.execute(
+        "DELETE FROM ev WHERE event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'"
+    )
+    assert plan._agg.frozen is not None, "waterline must have frozen windows"
+    return pipe.view("daily").select(
+        "day", "n", F.col("total_dec").cast("double").alias("total_value")
+    )

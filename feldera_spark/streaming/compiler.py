@@ -98,6 +98,9 @@ class _Shape:
     where: str | None = None
     distinct: bool = False
     keys: list[str] = field(default_factory=list)  # GROUP BY columns
+    # key name -> SQL expression, for GROUP BY over computed expressions
+    # (e.g. date_trunc) — materialized per delta before aggregation
+    computed_keys: dict[str, str] = field(default_factory=dict)
     aggs: list[_Agg] = field(default_factory=list)
     select: list[tuple[str, str]] = field(default_factory=list)  # (expr, name)
     out_cols: list[str] = field(default_factory=list)  # output column order
@@ -157,13 +160,11 @@ def parse_view_shape(sql: str) -> _Shape | None:
     where = m.group("where")
     shape.where = _strip_aliases(where.strip(), aliases) if where else None
     gb = m.group("gb")
+    raw_gb: list[str] = []
     if gb is not None:
-        shape.keys = [
-            _strip_aliases(k.strip(), aliases).lower()
-            for k in _split_top_commas(gb)
+        raw_gb = [
+            _strip_aliases(k.strip(), aliases) for k in _split_top_commas(gb)
         ]
-        if not all(re.match(r"^\w+$", k) for k in shape.keys):
-            return None  # positional / expression GROUP BY: batch fallback
 
     for item in _split_top_commas(m.group("sel")):
         item = item.strip()
@@ -196,12 +197,44 @@ def parse_view_shape(sql: str) -> _Shape | None:
         # GROUP BY without a recognized aggregate — e.g. a user-defined
         # aggregate (CREATE AGGREGATE) we cannot classify: batch fallback
         return None
+    if gb is not None:
+        # resolve GROUP BY entries: a bare column keys as-is; an entry
+        # textually equal to a select item's EXPRESSION (e.g. GROUP BY
+        # date_trunc('day', ts) with `date_trunc('day', ts) AS day` in
+        # the select list) keys by that item's alias, with the computed
+        # column materialized per delta (Calcite's expression-group-key
+        # lowering). Anything else: batch fallback.
+        def _norm(t: str) -> str:
+            return re.sub(r"\s+", " ", t.strip()).lower()
+
+        sel_by_expr = {_norm(e): n for e, n in shape.select}
+        for entry in raw_gb:
+            if re.match(r"^\w+$", entry.strip()):
+                k = entry.strip().lower()
+                # a bare entry naming a computed select alias keys by it
+                if k in {n for _, n in shape.select} and any(
+                    n == k and not re.match(r"^\w+$", e)
+                    for e, n in shape.select
+                ):
+                    shape.computed_keys[k] = next(
+                        e for e, n in shape.select if n == k
+                    )
+                shape.keys.append(k)
+            elif _norm(entry) in sel_by_expr:
+                name = sel_by_expr[_norm(entry)]
+                shape.computed_keys[name] = next(
+                    e for e, n in shape.select if n == name
+                )
+                shape.keys.append(name)
+            else:
+                return None
     if shape.aggs and gb is None:
         shape.keys = []  # global aggregate
     if shape.aggs:
-        # every non-aggregate select item must be a GROUP BY key
+        # every non-aggregate select item must be a GROUP BY key (by
+        # expression or by alias)
         for expr, name in shape.select:
-            if expr.lower() not in shape.keys:
+            if expr.lower() not in shape.keys and name not in shape.keys:
                 return None
     if shape.distinct and shape.aggs:
         return None
@@ -222,7 +255,12 @@ class CompiledView:
     batch evaluation of the same SQL.
     """
 
-    def __init__(self, shape: _Shape, append_only: set[str]):
+    def __init__(
+        self,
+        shape: _Shape,
+        append_only: set[str],
+        lateness: dict[str, dict[str, int]] | None = None,
+    ):
         from feldera_spark.streaming.incremental import (
             IncrementalDistinctView,
             IncrementalJoinView,
@@ -231,6 +269,8 @@ class CompiledView:
 
         self.shape = shape
         self.sources = [shape.left] + ([shape.right] if shape.right else [])
+        self._lateness = lateness or {}
+        self._waterline = None  # set when the windowed-GC strategy fires
         self._join = None
         self._agg = None
         self._distinct = None
@@ -300,6 +340,9 @@ class CompiledView:
                         )
                     )
 
+            windowed = self._windowed_strategy(sums)
+            if windowed is not None:
+                return windowed
             return IncrementalLinearAggregateView(
                 keys or ["__g"], sums, self._out_select
             )
@@ -344,6 +387,49 @@ class CompiledView:
 
         return IncrementalAggregateView(list(s.keys) or ["__g"], agg_fn)
 
+    _DATE_TRUNC_RE = re.compile(
+        r"^date_trunc\s*\(\s*'(\w+)'\s*,\s*(\w+)\s*\)$", re.IGNORECASE
+    )
+    # fixed-width units only (floor_ts-supported); month/year windows
+    # are not fixed-length and week is unsupported by floor_ts
+    _UNIT_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+    _FLOOR_UNITS = ("year", "month", "day", "hour", "minute")
+
+    def _windowed_strategy(self, sums):
+        """Event-time-windowed linear aggregate with LATENESS-driven GC
+        (the ``MonotoneAnalyzer`` + ``DBSPIntegrateTraceRetainKeysOperator``
+        insertion, compiled automatically): fires when a single-table
+        linear aggregate groups by ``date_trunc('<unit>', ts)`` and the
+        source table declares LATENESS on ``ts``. Late rows drop at the
+        view's waterline; windows wholly below it FREEZE — live state
+        stays bounded by (lateness / window) × |keys| regardless of
+        stream length, the unbounded-state fix a hand-written pipeline
+        would need to apply itself."""
+        from feldera_spark.streaming.incremental import (
+            WindowedLinearAggregateView,
+        )
+        from feldera_spark.streaming.watermark import Waterline
+
+        s = self.shape
+        if s.right is not None or len(s.computed_keys) != 1:
+            return None
+        (kname, kexpr), = s.computed_keys.items()
+        m = self._DATE_TRUNC_RE.match(kexpr.strip())
+        if m is None:
+            return None
+        unit, tscol = m.group(1).lower(), m.group(2).lower()
+        secs = self._UNIT_SECONDS.get(unit)
+        late = self._lateness.get(s.left, {}).get(tscol)
+        if secs is None or late is None:
+            return None
+        self._waterline = Waterline(tscol, late)
+        return WindowedLinearAggregateView(
+            window_col=kname,
+            window_seconds=secs,
+            keys=[k for k in s.keys if k != kname],
+            sums=sums,
+        )
+
     def _out_select(self, df: DataFrame, keep_weight: bool = False) -> DataFrame:
         """Map an internal state/output frame (raw key names + aggregate
         partials) to the view's declared output columns, in order —
@@ -361,7 +447,14 @@ class CompiledView:
                 cols.append(F.col(name))
             else:
                 e = key_expr[name]
-                cols.append(F.col(name) if e == name else F.expr(e).alias(name))
+                # computed keys are materialized under their alias in the
+                # state; bare aliased keys need re-aliasing from the raw
+                # state column
+                cols.append(
+                    F.col(name)
+                    if e == name or name in s.computed_keys
+                    else F.expr(e).alias(name)
+                )
         if keep_weight:
             cols.append(F.col(WEIGHT))
         return df.select(*cols)
@@ -401,13 +494,35 @@ class CompiledView:
             return None
         s = self.shape
         if self._agg is not None:
+            for kname, kexpr in s.computed_keys.items():
+                dm = self._DATE_TRUNC_RE.match(kexpr.strip())
+                if dm is not None and dm.group(1).lower() in self._FLOOR_UNITS:
+                    # NTZ-safe truncation: Spark's date_trunc coerces
+                    # TIMESTAMP_NTZ through the session timezone — the
+                    # silent-shift trap; Feldera's TIMESTAMP is tz-less
+                    from feldera_spark.functions import floor_ts
+
+                    rows = rows.withColumn(
+                        kname,
+                        floor_ts(F.col(dm.group(2)), dm.group(1).lower()),
+                    )
+                else:
+                    rows = rows.withColumn(kname, F.expr(kexpr))
             if not s.keys:
                 rows = rows.withColumn("__g", F.lit(0))
             if hasattr(self, "_chain_prep"):
                 for col, expr_sql in self._chain_prep.items():
                     rows = rows.withColumn(col, F.expr(expr_sql))
                 rows = zset.to_bag(rows)  # chain view ingests plain rows
-            out = self._agg.step(rows)
+            if self._waterline is not None:
+                # windowed-GC strategy: drop late rows, advance the
+                # waterline, freeze windows below the new bound
+                rows = self._waterline.step(rows)
+                out = self._agg.step(
+                    rows, waterline_bound=self._waterline.bound
+                )
+            else:
+                out = self._agg.step(rows)
             if out is None:
                 return None
             if set(s.out_cols) <= (set(out.columns) - {WEIGHT}):
@@ -465,6 +580,7 @@ def compile_view(
     append_only: set[str] | None = None,
     columns: dict[str, list[str]] | None = None,
     exclude_functions: set[str] | None = None,
+    lateness: dict[str, dict[str, int]] | None = None,
 ) -> CompiledView | None:
     """Compile a view body to an IVM plan if (a) its shape is in the
     recognizer grammar and (b) every source is in ``tables`` — base
@@ -495,6 +611,6 @@ def compile_view(
         if l_nonkey & r_nonkey:
             return None
     try:
-        return CompiledView(shape, append_only or set())
+        return CompiledView(shape, append_only or set(), lateness)
     except Exception:
         return None

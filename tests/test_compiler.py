@@ -376,3 +376,70 @@ def test_stream_table_drives_ivm_views(spark, tmp_path):
     # the table view reflects the upsert too
     rows = {(r["id"], r["k"], r["v"]) for r in pipe.view("s").collect()}
     assert rows == {(1, "a", 10), (2, "c", 25), (3, "a", 5)}
+
+
+def test_computed_group_key_equals_batch(spark):
+    chunks, live = _chunks(spark)
+    sql = "SELECT v % 7 AS vb, COUNT(*) AS n, SUM(v) AS s FROM t GROUP BY v % 7"
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None
+    live.createOrReplaceTempView("t")
+    expected = _canon(spark.sql(sql))
+    for c in chunks:
+        plan.step({"t": c})
+    assert _canon(plan.materialized()) == expected
+    # GROUP BY on the alias resolves to the same computed key
+    assert compile_view(
+        "SELECT v % 7 AS vb, COUNT(*) AS n FROM t GROUP BY vb", tables={"t"}
+    ) is not None
+
+
+def test_lateness_compiles_windowed_gc_aggregate(spark):
+    """DDL LATENESS + GROUP BY date_trunc compiles onto the windowed-GC
+    aggregate automatically: windows below the waterline FREEZE (live
+    state bounded), late rows drop, and within-lateness deletions still
+    retract — final state equals batch SQL."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import WindowedLinearAggregateView
+
+    # time-ordered arrival: ids 0-9 on Jan 1, ..., 190-199 on Jan 20 —
+    # the realistic stream shape a waterline assumes
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i // 10, 8, 0, 0), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP_NTZ, v DOUBLE")
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (id INT, ts TIMESTAMP LATENESS INTERVAL 5 DAYS,"
+        " v DOUBLE);"
+        "CREATE MATERIALIZED VIEW daily AS "
+        "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n, SUM(v) AS total "
+        "FROM ev GROUP BY date_trunc('day', ts)"
+    )
+    b.connect_table("ev", df.filter(F.col("id") < 100))
+    pipe = b.create()
+    plan = pipe._ivm["daily"]
+    assert isinstance(plan._agg, WindowedLinearAggregateView)
+    assert plan._waterline is not None
+
+    spark.createDataFrame(
+        [r for r in rows if r[0] >= 100], "id INT, ts TIMESTAMP_NTZ, v DOUBLE"
+    ).createOrReplaceTempView("__late_chunk")
+    pipe.execute("INSERT INTO ev SELECT * FROM __late_chunk")
+    # deletion within lateness (recent days only)
+    pipe.execute("DELETE FROM ev WHERE id % 10 = 3 AND ts >= TIMESTAMP '2024-01-16'")
+
+    df.filter(
+        ~((F.col("id") % 10 == 3) & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp_ntz")))
+    ).createOrReplaceTempView("__net")
+    expected = _canon(spark.sql(
+        "SELECT date_trunc('day', ts) AS day, COUNT(*) AS n, SUM(v) AS total "
+        "FROM __net GROUP BY date_trunc('day', ts)"
+    ))
+    assert _canon(pipe.view("daily")) == expected
+    # GC actually happened: some windows are frozen, live state is a
+    # strict subset of all 20 day-windows
+    assert plan._agg.frozen is not None
+    assert plan._agg.live_state_count() < 20
