@@ -792,6 +792,100 @@ class Pipeline:
                     stack.append(v)
         return seen_tables
 
+    def input_json(
+        self,
+        name: str,
+        data: list[dict],
+        update_format: str = "raw",
+    ) -> None:
+        """Programmatic row push — the SDK's HTTP ingress
+        (``python/feldera/pipeline.py`` ``input_json``; envelope format
+        ``docs/formats/json.md``):
+
+        - ``update_format="raw"``: each dict is an inserted row;
+        - ``update_format="insert_delete"``: dicts are
+          ``{"insert": {...}}`` / ``{"delete": {...}}`` envelopes.
+
+        The push becomes ONE circuit step: a Z-set delta (+1/−1) through
+        every IVM-compiled dependent view, table frame maintained as the
+        consolidated bag. PRIMARY KEY tables upsert on insert and delete
+        BY KEY (only the key columns of a delete payload are consulted —
+        the reference's PK-delete contract)."""
+        from feldera_spark import zset
+
+        if name not in self.tables:
+            raise KeyError(f"table {name} is not declared in this pipeline")
+        if update_format == "raw":
+            inserts, deletes = list(data), []
+        elif update_format == "insert_delete":
+            inserts, deletes = [], []
+            for env in data:
+                if "insert" in env:
+                    inserts.append(env["insert"])
+                elif "delete" in env:
+                    deletes.append(env["delete"])
+                else:
+                    raise ValueError(f"bad insert_delete envelope: {env}")
+        else:
+            raise ValueError(f"unknown update_format {update_format!r}")
+        decl = self.tables[name]
+        old = self._frames[name]
+        schema = old.schema
+
+        def _df(rows):
+            if not rows:
+                return None
+            return self.spark.createDataFrame(
+                [tuple(r.get(f.name) for f in schema.fields) for r in rows],
+                schema,
+            )
+
+        ins_df, del_df = _df(inserts), _df(deletes)
+        parts, frame = [], old
+        if decl.primary_key:
+            pk = decl.primary_key
+            if ins_df is not None:
+                ins_df = self._upsert_normalize(ins_df, pk)
+            # rows displaced by upserts + rows deleted by key
+            gone_keys = [
+                d.select(*pk) for d in (ins_df, del_df) if d is not None
+            ]
+            if gone_keys:
+                keys = gone_keys[0]
+                for k in gone_keys[1:]:
+                    keys = keys.unionByName(k)
+                replaced = old.join(keys.distinct(), on=pk, how="left_semi")
+                parts.append(zset.lift(replaced, -1))
+                frame = old.join(keys.distinct(), on=pk, how="left_anti")
+            if ins_df is not None:
+                parts.append(zset.lift(ins_df, 1))
+                frame = frame.unionByName(ins_df)
+        else:
+            if ins_df is not None:
+                parts.append(zset.lift(ins_df, 1))
+            if del_df is not None:
+                parts.append(zset.lift(del_df, -1))
+                # bag subtraction needs a consolidation pass; plain
+                # appends don't
+                frame = zset.to_bag(
+                    zset.consolidate(zset.plus(zset.lift(old), *parts))
+                )
+            elif ins_df is not None:
+                frame = old.unionByName(ins_df)
+        if not parts:
+            return
+        delta = zset.plus(*parts)
+        key = "spark.sql.constraintPropagation.enabled"
+        prev = self.spark.conf.get(key, "true")
+        self.spark.conf.set(key, "false")
+        try:
+            frame = frame.localCheckpoint(eager=True)
+            frame.createOrReplaceTempView(name)
+            self._frames[name] = frame
+            self._evaluate_views(deltas={name: delta})
+        finally:
+            self.spark.conf.set(key, prev)
+
     def stream_table(
         self,
         name: str,

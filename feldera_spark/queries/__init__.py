@@ -64,7 +64,7 @@ _GATE_ORDER = [
     "q80_create_aggregate", "e08_three_valued_logic_table", "e24_cast_matrix",
     "nx04_avg_closing_price", "nx05_hot_items", "nx09_winning_bids",
     "d01_exact_dedup", "d03_lsh_candidate_pairs", "d06_cosine_topk",
-    "d11_fingerprint", "i01_ivm_agg", "i10_ddl_ivm_agg",
+    "i01_ivm_agg", "i10_ddl_ivm_agg", "i14_ddl_windowed_gc",
 ]
 
 

@@ -443,3 +443,40 @@ def test_lateness_compiles_windowed_gc_aggregate(spark):
     # strict subset of all 20 day-windows
     assert plan._agg.frozen is not None
     assert plan._agg.live_state_count() < 20
+
+
+def test_input_json_push_api(spark):
+    """SDK-style input_json push (raw + insert_delete envelopes, PK
+    upsert/delete-by-key) advances compiled views by one delta step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE kv (k INT PRIMARY KEY, v INT);"
+        "CREATE TABLE log (k INT, v INT);"
+        "CREATE MATERIALIZED VIEW s AS SELECT SUM(v) AS total FROM kv;"
+        "CREATE MATERIALIZED VIEW lg AS "
+        "SELECT k, COUNT(*) AS n FROM log GROUP BY k"
+    )
+    b.connect_table("kv", spark.createDataFrame([(1, 10)], "k INT, v INT"))
+    b.connect_table("log", spark.createDataFrame([(7, 1)], "k INT, v INT"))
+    pipe = b.create()
+    assert {"s", "lg"} <= set(pipe._ivm)
+
+    pipe.input_json("kv", [{"k": 2, "v": 20}, {"k": 1, "v": 11}])  # upsert k=1
+    assert pipe.view("s").collect()[0]["total"] == 11 + 20
+    pipe.input_json(
+        "kv",
+        [{"insert": {"k": 3, "v": 30}}, {"delete": {"k": 2}}],
+        update_format="insert_delete",
+    )
+    assert pipe.view("s").collect()[0]["total"] == 11 + 30
+    rows = {(r["k"], r["v"]) for r in pipe.view("kv").collect()}
+    assert rows == {(1, 11), (3, 30)}
+
+    # non-PK table: deletes subtract one bag instance by full row
+    pipe.input_json("log", [{"k": 7, "v": 1}, {"k": 8, "v": 2}])
+    pipe.input_json(
+        "log", [{"delete": {"k": 7, "v": 1}}], update_format="insert_delete"
+    )
+    got = {r["k"]: r["n"] for r in pipe.view("lg").collect()}
+    assert got == {7: 1, 8: 1}
