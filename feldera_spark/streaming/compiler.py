@@ -79,6 +79,58 @@ _AGG_RE = re.compile(r"^(SUM|COUNT|AVG|MIN|MAX)\s*\((.*)\)$", re.IGNORECASE | re
 
 _EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
+_SQL_KEYWORDS = frozenset(
+    "and or not in is null true false between like case when then else end "
+    "cast as interval exists distinct".split()
+)
+
+
+def _split_top_and(text: str) -> list[str]:
+    """Split a predicate on top-level ANDs (paren- and quote-aware)."""
+    out, buf, depth, in_str = [], [], 0, False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and text[i : i + 3].upper() == "AND"
+                and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+                and (
+                    i + 3 >= n
+                    or not (text[i + 3].isalnum() or text[i + 3] == "_")
+                )
+            ):
+                out.append("".join(buf).strip())
+                buf = []
+                i += 3
+                continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _pred_columns(conj: str) -> set[str]:
+    """Column-candidate identifiers in a conjunct: word tokens that are
+    not function calls (not followed by '('), keywords, or literals."""
+    from feldera_spark.frontend import _protect_literals
+
+    no_lits, _ = _protect_literals(conj)
+    return {
+        t.lower()
+        for t in re.findall(r"\b[A-Za-z_]\w*\b(?!\s*\()", no_lits)
+        if t.lower() not in _SQL_KEYWORDS
+    }
+
 
 @dataclass
 class _Agg:
@@ -260,6 +312,7 @@ class CompiledView:
         shape: _Shape,
         append_only: set[str],
         lateness: dict[str, dict[str, int]] | None = None,
+        columns: dict[str, list[str]] | None = None,
     ):
         from feldera_spark.streaming.incremental import (
             IncrementalDistinctView,
@@ -271,6 +324,38 @@ class CompiledView:
         self.sources = [shape.left] + ([shape.right] if shape.right else [])
         self._lateness = lateness or {}
         self._waterline = None  # set when the windowed-GC strategy fires
+        # single-side WHERE conjuncts pushed BELOW an inner join: the
+        # join's spines then store only the filtered rows — state size is
+        # the dominant cost at scale, and Catalyst cannot push filters
+        # into already-materialized IVM state (predicate pushdown must
+        # happen at compile time, `OptimizeIncrementalVisitor`'s
+        # linear-operator commute). Outer joins keep the filter
+        # post-join (pushing would change NULL-padding semantics).
+        self._l_filters: list[str] = []
+        self._r_filters: list[str] = []
+        if (
+            shape.right is not None
+            and shape.how == "inner"
+            and shape.where is not None
+            and columns is not None
+        ):
+            l_cols = {c.lower() for c in columns[shape.left]}
+            r_cols = {c.lower() for c in columns[shape.right]}
+            residual = []
+            for conj in _split_top_and(shape.where):
+                cols_used = _pred_columns(conj) & (l_cols | r_cols)
+                if cols_used and cols_used <= l_cols:
+                    self._l_filters.append(conj)
+                elif cols_used and cols_used <= r_cols:
+                    # right keys are renamed to the left names in _prep —
+                    # rewrite references so the filter runs post-rename
+                    for lc, rc in shape.on:
+                        if rc != lc:
+                            conj = re.sub(rf"\b{rc}\b", lc, conj)
+                    self._r_filters.append(conj)
+                else:
+                    residual.append(conj)
+            shape.where = " AND ".join(residual) if residual else None
         self._join = None
         self._agg = None
         self._distinct = None
@@ -473,6 +558,10 @@ class CompiledView:
             for lc, rc in s.on:
                 if rc != lc:
                     delta = delta.withColumnRenamed(rc, lc)
+        # pushed single-side conjuncts: applied per delta, so the join
+        # spines never store rows the view would discard
+        for f in self._l_filters if side == "l" else self._r_filters:
+            delta = delta.filter(F.expr(f))
         if s.right is None and s.where is not None:
             delta = delta.filter(F.expr(s.where))
         return delta
@@ -611,6 +700,6 @@ def compile_view(
         if l_nonkey & r_nonkey:
             return None
     try:
-        return CompiledView(shape, append_only or set(), lateness)
+        return CompiledView(shape, append_only or set(), lateness, columns)
     except Exception:
         return None

@@ -480,3 +480,37 @@ def test_input_json_push_api(spark):
     )
     got = {r["k"]: r["n"] for r in pipe.view("lg").collect()}
     assert got == {7: 1, 8: 1}
+
+
+def test_join_where_pushdown_shrinks_spine_state(spark):
+    """Single-side WHERE conjuncts on an INNER join are pushed below the
+    join at compile time: the spines store only filtered rows (state
+    size is the scale cost Catalyst cannot fix post-materialization),
+    and results still match batch."""
+    chunks, live = _chunks(spark)
+    dim = spark.createDataFrame(
+        [("k0", "east"), ("k1", "west"), ("k2", "east")], ["dk", "region"]
+    )
+    sql = (
+        "SELECT d.region, COUNT(*) AS n FROM t f JOIN d ON f.k = d.dk "
+        "WHERE f.v >= 300 AND d.region = 'east' GROUP BY d.region"
+    )
+    plan = compile_view(
+        sql,
+        tables={"t", "d"},
+        columns={"t": ["id", "k", "v", "g"], "d": ["dk", "region"]},
+    )
+    assert plan is not None
+    assert plan._l_filters == ["f.v >= 300".replace("f.", "")] or plan._l_filters == ["v >= 300"]
+    assert plan._r_filters == ["region = 'east'"]
+    assert plan.shape.where is None
+    plan.step({"t": None, "d": zset.lift(dim)})
+    for c in chunks:
+        plan.step({"t": c, "d": None})
+    live.createOrReplaceTempView("t")
+    dim.createOrReplaceTempView("d")
+    expected = _canon(spark.sql(sql))
+    assert _canon(plan.materialized()) == expected
+    # the left spine holds ONLY v >= 300 rows
+    assert plan._join.a.read().filter("v < 300").count() == 0
+    assert plan._join.b.read().filter("region <> 'east'").count() == 0
