@@ -356,6 +356,49 @@ class CompiledView:
                 else:
                     residual.append(conj)
             shape.where = " AND ".join(residual) if residual else None
+        # column pruning into state: the spines/integrals must store only
+        # the columns the view can ever read (ReadSchema pruning, but at
+        # IVM-compile time — Catalyst cannot narrow already-materialized
+        # state). Needed = select exprs + aggregate args + computed keys
+        # + residual WHERE + join keys; everything else is dropped in the
+        # per-delta prep.
+        self._needed_l: list[str] | None = None
+        self._needed_r: list[str] | None = None
+        if columns is not None:
+            needed: set[str] = set()
+            for e, _ in shape.select:
+                needed |= _pred_columns(e)
+            for a in shape.aggs:
+                if a.arg is not None:
+                    needed |= _pred_columns(a.arg)
+            for e in shape.computed_keys.values():
+                needed |= _pred_columns(e)
+            if shape.where is not None:
+                needed |= _pred_columns(shape.where)
+            needed |= {k for k in shape.keys if k not in shape.computed_keys}
+            l_cols = [c for c in columns[shape.left] if c.lower() != WEIGHT]
+            if shape.right is None:
+                keep = [c for c in l_cols if c.lower() in needed]
+                if keep and len(keep) < len(l_cols):
+                    self._needed_l = keep
+            else:
+                lks = [lc for lc, _ in shape.on]
+                self._needed_l = [
+                    c
+                    for c in l_cols
+                    if c.lower() in needed or c.lower() in lks
+                ]
+                r_cols = [
+                    c for c in columns[shape.right] if c.lower() != WEIGHT
+                ]
+                rks = {rc for _, rc in shape.on}
+                # right side is pruned AFTER key rename: keys carry left
+                # names, payload keeps original names
+                self._needed_r = lks + [
+                    c
+                    for c in r_cols
+                    if c.lower() not in rks and c.lower() in needed
+                ]
         self._join = None
         self._agg = None
         self._distinct = None
@@ -564,6 +607,9 @@ class CompiledView:
             delta = delta.filter(F.expr(f))
         if s.right is None and s.where is not None:
             delta = delta.filter(F.expr(s.where))
+        keep = self._needed_l if side == "l" else self._needed_r
+        if keep is not None:
+            delta = delta.select(*keep, WEIGHT)
         return delta
 
     def _post_join(self, out: DataFrame) -> DataFrame:
