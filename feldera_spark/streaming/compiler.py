@@ -49,11 +49,18 @@ from pyspark.sql import functions as F
 from feldera_spark import zset
 from feldera_spark.zset import WEIGHT
 
-# constructs the recognizer does not incrementalize (batch fallback)
+# constructs the recognizer does not incrementalize (batch fallback).
+# NOW()/CURRENT_*/RAND/UUID are time-dependent or nondeterministic: a
+# compiled view evaluates expressions ONCE per delta, so rows filtered by
+# "now" would silently go stale — those views MUST re-evaluate as batch
+# (the reference handles NOW via a dedicated operator, streaming/now.py
+# holds our programmatic equivalent).
 _UNSUPPORTED_RE = re.compile(
-    r"\b(HAVING|ORDER\s+BY|LIMIT|UNION|EXCEPT|INTERSECT|OVER|WITH|"
+    r"\b(HAVING|UNION|EXCEPT|INTERSECT|OVER|WITH|"
     r"TUMBLE|HOP|SESSION|ASOF|LATERAL|CROSS\s+JOIN|"
-    r"LEFT\s+SEMI|LEFT\s+ANTI)\b|\(\s*SELECT\b",
+    r"LEFT\s+SEMI|LEFT\s+ANTI|"
+    r"NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
+    r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|SHUFFLE\s*\()|\(\s*SELECT\b",
     re.IGNORECASE,
 )
 
@@ -61,8 +68,14 @@ _SHAPE_RE = re.compile(
     r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<sel>.*?)\s+"
     r"FROM\s+(?P<from>.*?)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+_ORDER_ITEM_RE = re.compile(
+    r"^(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?$", re.IGNORECASE
 )
 
 _JOIN_RE = re.compile(
@@ -156,6 +169,8 @@ class _Shape:
     aggs: list[_Agg] = field(default_factory=list)
     select: list[tuple[str, str]] = field(default_factory=list)  # (expr, name)
     out_cols: list[str] = field(default_factory=list)  # output column order
+    order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
+    limit: int | None = None  # ORDER BY + LIMIT -> incremental top-k
 
 
 def _strip_aliases(text: str, aliases: dict[str, str]) -> str:
@@ -290,6 +305,23 @@ def parse_view_shape(sql: str) -> _Shape | None:
                 return None
     if shape.distinct and shape.aggs:
         return None
+    ob, lim = m.group("ob"), m.group("limit")
+    if lim is not None:
+        # ORDER BY + LIMIT = a maintained top-k view (operator/dynamic/
+        # topk.rs). Restricted to plain projections over one source with
+        # bare-column sort keys drawn from the output columns.
+        if ob is None or shape.aggs or shape.distinct or shape.keys:
+            return None
+        for item in _split_top_commas(ob):
+            om = _ORDER_ITEM_RE.match(item.strip())
+            if om is None or om.group("col").lower() not in shape.out_cols:
+                return None
+            shape.order.append(
+                (om.group("col").lower(), (om.group("dir") or "").upper() == "DESC")
+            )
+        shape.limit = int(lim)
+    # bare ORDER BY without LIMIT: the reference IGNORES it in view
+    # bodies (views are unordered relations) — compile as if absent
     return shape
 
 
@@ -410,12 +442,33 @@ class CompiledView:
                 self._join = IncrementalJoinView(on=on_names)
             else:
                 self._join = IncrementalOuterJoinView(on=on_names, how=s.how)
+        self._topk = None
         if s.aggs:
             self._agg = self._build_aggregate(
                 append_only=s.right is None and s.left in append_only
             )
         elif s.distinct:
             self._distinct = IncrementalDistinctView()
+        elif s.limit is not None:
+            # maintained top-k (topk.rs): per-step recompute over the
+            # kept integral via TakeOrdered (heap per partition — no
+            # full sort); a deletion inside the current top-k pulls the
+            # next row up automatically because the integral is whole
+            from feldera_spark.streaming.incremental import (
+                IncrementalKeyedRecomputeView,
+            )
+
+            order_cols = [
+                F.col(c).desc() if d else F.col(c).asc() for c, d in s.order
+            ]
+            k = s.limit
+
+            def _topk_fn(rows: DataFrame) -> DataFrame:
+                return rows.orderBy(*order_cols).limit(k)
+
+            self._topk = IncrementalKeyedRecomputeView(
+                keys=["__g"], fn=_topk_fn
+            )
         else:
             from feldera_spark.streaming.incremental import Spine
 
@@ -667,6 +720,15 @@ class CompiledView:
             return self._distinct.step(
                 rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
             )
+        if self._topk is not None:
+            out = self._topk.step(
+                rows.select(
+                    *[F.expr(e).alias(n) for e, n in s.select],
+                    F.lit(0).alias("__g"),
+                    WEIGHT,
+                )
+            )
+            return out.drop("__g") if out is not None else None
         out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
         self._linear_out.append(out)
         return out
@@ -706,6 +768,8 @@ class CompiledView:
             return self._out_select(df)  # raw keys / aliased outputs
         if self._distinct is not None:
             return self._distinct.materialized().select(*s.out_cols)
+        if self._topk is not None:
+            return self._topk.materialized().select(*s.out_cols)
         return zset.to_bag(self._linear_out.read()).select(*s.out_cols)
 
 

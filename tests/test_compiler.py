@@ -59,7 +59,7 @@ def test_parse_join_shape_with_aliases():
 def test_parse_rejects_unsupported():
     for sql in (
         "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 1",
-        "SELECT k FROM t ORDER BY k",
+        "SELECT k FROM t LIMIT 5",  # LIMIT without ORDER BY: arbitrary rows
         "SELECT k, row_number() OVER (ORDER BY k) AS r FROM t",
         "SELECT k FROM t UNION SELECT k FROM u",
         "SELECT k FROM (SELECT k FROM t)",
@@ -545,3 +545,46 @@ def test_state_column_pruning(spark):
     live.createOrReplaceTempView("t")
     dim.createOrReplaceTempView("d")
     assert _canon(plan.materialized()) == _canon(spark.sql(sql))
+
+
+def test_now_and_nondeterministic_force_batch_fallback():
+    """Time-dependent/nondeterministic expressions must NOT compile: a
+    compiled view evaluates expressions once per delta, so NOW()-based
+    filters would silently go stale."""
+    for sql in (
+        "SELECT id FROM t WHERE ts > NOW() - INTERVAL 1 DAY",
+        "SELECT id FROM t WHERE ts > CURRENT_TIMESTAMP",
+        "SELECT id, rand() AS r FROM t",
+        "SELECT id, uuid() AS u FROM t",
+    ):
+        assert parse_view_shape(sql) is None, sql
+
+
+def test_compiled_topk_view(spark):
+    """ORDER BY + LIMIT compiles to a maintained top-k; a deletion
+    inside the current top-k pulls the next row up (topk.rs)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id INT, v INT);"
+        "CREATE MATERIALIZED VIEW top3 AS "
+        "SELECT id, v FROM t ORDER BY v DESC, id LIMIT 3"
+    )
+    b.connect_table(
+        "t", spark.createDataFrame([(i, i * 10) for i in range(8)], "id INT, v INT")
+    )
+    pipe = b.create()
+    assert "top3" in pipe._ivm and pipe._ivm["top3"]._topk is not None
+    got = sorted((r["id"], r["v"]) for r in pipe.view("top3").collect())
+    assert got == [(5, 50), (6, 60), (7, 70)]
+    pipe.execute("DELETE FROM t WHERE id = 7")  # evict the current max
+    got = sorted((r["id"], r["v"]) for r in pipe.view("top3").collect())
+    assert got == [(4, 40), (5, 50), (6, 60)]
+    pipe.execute("INSERT INTO t VALUES (100, 99)")
+    got = sorted((r["id"], r["v"]) for r in pipe.view("top3").collect())
+    assert got == [(5, 50), (6, 60), (100, 99)]
+    # bare ORDER BY without LIMIT is ignored (reference semantics),
+    # still compiles as a plain linear view
+    from feldera_spark.streaming.compiler import compile_view as cv
+    plan = cv("SELECT id, v FROM t ORDER BY v", tables={"t"})
+    assert plan is not None and plan._topk is None
