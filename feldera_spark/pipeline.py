@@ -918,7 +918,13 @@ class Pipeline:
             raise KeyError(f"table {name} is not declared in this pipeline")
         decl = self.tables[name]
         if not hasattr(self, "_stream_spines"):
+            import threading
+
             self._stream_spines: dict[str, Spine] = {}
+            # several tables may stream concurrently; steps must
+            # serialize (the reference's single circuit thread,
+            # controller.rs:481) — view state is not concurrency-safe
+            self._step_lock = threading.Lock()
         spine = self._stream_spines.get(name)
         if spine is None:
             spine = Spine()
@@ -926,27 +932,10 @@ class Pipeline:
             self._stream_spines[name] = spine
 
         def on_batch(df: DataFrame, batch_id: int) -> None:
-            if decl.primary_key:
-                # within-batch last-write-wins, then retract the stored
-                # rows these keys replace (touched keys only)
-                batch = self._upsert_normalize(
-                    df, decl.primary_key, decl.sequence_col
-                )
-                keys = batch.select(*decl.primary_key).distinct()
-                replaced = zset.to_bag(
-                    spine.read_for_keys(keys, decl.primary_key)
-                )
-                delta = zset.plus(
-                    zset.lift(batch, 1), zset.lift(replaced, -1)
-                )
-            else:
-                delta = zset.lift(df)
-            spine.append(delta)  # eager: pins the batch at the step boundary
-            delta_ck = spine.batches[-1]
-            frame = zset.to_bag(spine.read())
-            frame.createOrReplaceTempView(name)
-            self._frames[name] = frame
-            self._evaluate_views(deltas={name: delta_ck})
+            # several tables may stream concurrently; steps serialize
+            # (the reference's single circuit thread, controller.rs:481)
+            with self._step_lock:
+                self._stream_step(decl, spine, df)
 
         writer = stream.writeStream.foreachBatch(on_batch)
         if checkpoint_dir:
@@ -954,6 +943,35 @@ class Pipeline:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _stream_step(self, decl: "TableDecl", spine, df: DataFrame) -> None:
+        """One circuit step for a streamed table batch (under the step
+        lock): build the Z-set delta, append to the table spine, advance
+        the views."""
+        from feldera_spark import zset
+
+        name = decl.name
+        if decl.primary_key:
+            # within-batch last-write-wins, then retract the stored
+            # rows these keys replace (touched keys only)
+            batch = self._upsert_normalize(
+                df, decl.primary_key, decl.sequence_col
+            )
+            keys = batch.select(*decl.primary_key).distinct()
+            replaced = zset.to_bag(
+                spine.read_for_keys(keys, decl.primary_key)
+            )
+            delta = zset.plus(
+                zset.lift(batch, 1), zset.lift(replaced, -1)
+            )
+        else:
+            delta = zset.lift(df)
+        spine.append(delta)  # eager: pins the batch at the step boundary
+        delta_ck = spine.batches[-1]
+        frame = zset.to_bag(spine.read())
+        frame.createOrReplaceTempView(name)
+        self._frames[name] = frame
+        self._evaluate_views(deltas={name: delta_ck})
 
     def view(self, name: str) -> DataFrame:
         return self._frames[name]

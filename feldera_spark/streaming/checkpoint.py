@@ -46,6 +46,12 @@ _SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
         ("frozen_bound",),
     ),
     "TemporalFilterView": (("integral",), ("prev_bound",)),
+    # attributes here are NESTED VIEW OBJECTS (saved recursively), plus
+    # the output spine; padding schemas are JSON-serializable scalars
+    "IncrementalOuterJoinView": (
+        ("inner", "_bk", "_semi_a", "_ak", "_semi_b", "output"),
+        ("_l_schema", "_r_schema"),
+    ),
 }
 
 
@@ -74,26 +80,64 @@ def _meta_decode(v):
     return v
 
 
+def _is_view_object(val) -> bool:
+    return (
+        not isinstance(val, (Spine, DataFrame))
+        and hasattr(val, "step")
+        and (
+            type(val).__name__ in _SPECS
+            or type(val).__name__ == "CompiledView"
+        )
+    )
+
+
 def save_view(view, path: str) -> dict:
     """Write a view's state frames under ``path``; return its scalar meta
-    (caller embeds it in the committed meta.json)."""
+    (caller embeds it in the committed meta.json). Recurses into nested
+    view objects (outer-join composition, SQL-compiled views)."""
+    if type(view).__name__ == "CompiledView":
+        comps = {
+            name: save_view(v, f"{path}/{name}")
+            if _is_view_object(v)
+            else _save_spine(v, f"{path}/{name}")
+            for name, v in view.state_components().items()
+        }
+        scalars = {}
+        wl = view._waterline
+        if wl is not None and wl.max_ts is not None:
+            scalars["waterline_max_ts"] = _meta_encode(wl.max_ts)
+        return {"class": "CompiledView", "components": comps, "scalars": scalars}
     spec = _SPECS.get(type(view).__name__)
     if spec is None:
         raise TypeError(f"not a checkpointable view: {type(view).__name__}")
     frames, metas = spec
-    present = []
+    present, components = [], {}
     for attr in frames:
         val = _get_path(view, attr)
         if val is None or (isinstance(val, Spine) and val.empty):
             continue
+        sub = f"{path}/{attr.replace('.', '__')}"
+        if _is_view_object(val):
+            components[attr] = save_view(val, sub)
+            continue
         df = val.read() if isinstance(val, Spine) else val
-        df.write.mode("overwrite").parquet(f"{path}/{attr.replace('.', '__')}")
+        df.write.mode("overwrite").parquet(sub)
         present.append(attr)
-    return {
+    out = {
         "class": type(view).__name__,
         "frames": present,
         "scalars": {m: _meta_encode(_get_path(view, m)) for m in metas},
     }
+    if components:
+        out["components"] = components
+    return out
+
+
+def _save_spine(spine: Spine, path: str) -> dict:
+    if spine.empty:
+        return {"class": "Spine", "empty": True}
+    spine.read().write.mode("overwrite").parquet(path)
+    return {"class": "Spine", "empty": False}
 
 
 def load_view(view, spark, path: str, meta: dict) -> None:
@@ -103,6 +147,20 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         raise TypeError(
             f"checkpoint is for {meta['class']}, view is {type(view).__name__}"
         )
+    if meta["class"] == "CompiledView":
+        comps = view.state_components()
+        for name, cmeta in meta["components"].items():
+            sub = f"{path}/{name}"
+            obj = comps[name]
+            if cmeta["class"] == "Spine":
+                if not cmeta.get("empty"):
+                    obj.batches = [_checkpoint(spark.read.parquet(sub))]
+            else:
+                load_view(obj, spark, sub, cmeta)
+        wl_ts = meta["scalars"].get("waterline_max_ts")
+        if wl_ts is not None and view._waterline is not None:
+            view._waterline.max_ts = _meta_decode(wl_ts)
+        return
     for attr in meta["frames"]:
         df = spark.read.parquet(f"{path}/{attr.replace('.', '__')}")
         cur = _get_path(view, attr)
@@ -116,6 +174,13 @@ def load_view(view, spark, path: str, meta: dict) -> None:
             _set_path(view, attr, restored)
         else:
             _set_path(view, attr, _checkpoint(df))
+    for attr, cmeta in meta.get("components", {}).items():
+        load_view(
+            _get_path(view, attr),
+            spark,
+            f"{path}/{attr.replace('.', '__')}",
+            cmeta,
+        )
     for name, enc in meta["scalars"].items():
         _set_path(view, name, _meta_decode(enc))
 

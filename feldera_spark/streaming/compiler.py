@@ -733,6 +733,16 @@ class CompiledView:
         self._linear_out.append(out)
         return out
 
+    def state_components(self):
+        """Stateful sub-objects, for durable checkpoint/restore
+        (streaming/checkpoint.py saves each recursively)."""
+        out = {}
+        for name in ("_agg", "_join", "_distinct", "_topk", "_linear_out"):
+            v = getattr(self, name)
+            if v is not None:
+                out[name] = v
+        return out
+
     def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
         """Give an outer join both sides' schemas up front (NULL padding
         may be needed before a side's first delta arrives)."""

@@ -588,3 +588,48 @@ def test_compiled_topk_view(spark):
     from feldera_spark.streaming.compiler import compile_view as cv
     plan = cv("SELECT id, v FROM t ORDER BY v", tables={"t"})
     assert plan is not None and plan._topk is None
+
+
+def test_compiled_view_checkpoint_restore(spark, tmp_path):
+    """Durable checkpoint/restore of SQL-compiled views (incl. an outer
+    join's nested composition): kill after 2 steps, restore into fresh
+    objects, apply the deletion step — final state equals batch."""
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    chunks, live = _chunks(spark)
+    dim = spark.createDataFrame(
+        [("k0", "east"), ("k1", "west"), ("k2", "east")], ["dk", "region"]
+    )
+    agg_sql = (
+        "SELECT d.region, COUNT(*) AS n, SUM(f.v) AS s FROM t f "
+        "JOIN d ON f.k = d.dk GROUP BY d.region"
+    )
+    oj_sql = "SELECT k, v, region FROM t LEFT JOIN d ON t.k = d.dk"
+    cols = {"t": ["id", "k", "v", "g"], "d": ["dk", "region"]}
+
+    def mk():
+        a = compile_view(agg_sql, tables={"t", "d"}, columns=cols)
+        o = compile_view(oj_sql, tables={"t", "d"}, columns=cols)
+        assert a is not None and o is not None
+        return a, o
+
+    a1, o1 = mk()
+    for p in (a1, o1):
+        p.step({"t": None, "d": zset.lift(dim)})
+        p.step({"t": chunks[0], "d": None})
+        p.step({"t": chunks[1], "d": None})
+    ck = PipelineCheckpointer(str(tmp_path / "state"))
+    ck.commit(1, {"agg": a1, "oj": o1})
+
+    a2, o2 = mk()
+    meta = ck.restore(spark, {"agg": a2, "oj": o2})
+    assert meta is not None and meta["batch_id"] == 1
+    for p in (a2, o2):
+        p.step({"t": chunks[2], "d": None})  # the deletion chunk
+
+    live.createOrReplaceTempView("t")
+    dim.createOrReplaceTempView("d")
+    assert _canon(a2.materialized()) == _canon(spark.sql(agg_sql))
+    assert _canon(o2.materialized()) == _canon(spark.sql(
+        "SELECT t.k, t.v, d.region FROM t LEFT JOIN d ON t.k = d.dk"
+    ))
