@@ -753,3 +753,47 @@ def i14_ddl_windowed_gc(spark, sf_dir):
     return pipe.view("daily").select(
         "day", "n", F.col("total_dec").cast("double").alias("total_value")
     )
+
+
+@q(
+    "i15_ddl_topk",
+    oracle="""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND NOT (event_id % 10 = 3)
+    ORDER BY value DESC, event_id ASC LIMIT 25
+    """,
+)
+def i15_ddl_topk(spark, sf_dir):
+    """Maintained top-k view from DDL (``operator/dynamic/topk.rs``):
+    ``ORDER BY value DESC LIMIT 25`` compiles to a per-step TakeOrdered
+    recompute over the kept integral; the deletion step retracts rows
+    INSIDE the current top-25 and the maintenance pulls the next rows
+    up — the case a "keep only k rows" shortcut gets wrong."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i15_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW topv AS "
+        "SELECT event_id, user_id, value FROM ev "
+        "WHERE event_type = 'purchase' "
+        "ORDER BY value DESC, event_id ASC LIMIT 25"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("topv")
+    assert plan is not None and plan._topk is not None, (
+        "ORDER BY + LIMIT view must compile to the maintained top-k"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i15_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i15_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("topv")
