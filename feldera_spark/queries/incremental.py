@@ -797,3 +797,93 @@ def i15_ddl_topk(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i15_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("topv")
+
+
+@q(
+    "i16_ddl_setop_except",
+    oracle=f"""
+    SELECT user_id FROM ({_NET})
+    WHERE event_type = 'click' AND user_id % 5 < 3
+    EXCEPT
+    SELECT user_id FROM ({_NET})
+    WHERE event_type = 'purchase' AND user_id % 3 = 0
+    """,
+)
+def i16_ddl_setop_except(spark, sf_dir):
+    """EXCEPT view from DDL compiled onto the Z-set lowering
+    ``distinct(distinct(A) − distinct(B))`` (Calcite ``LogicalMinus`` →
+    ``CalciteToDBSPCompiler``; weights per ``zset.rs:149-196``): users
+    who clicked but never purchased. The delete step retracts purchase
+    rows — membership flips INTO the result (a user whose only purchase
+    is deleted reappears), the direction a naive "emit once" shortcut
+    gets wrong — and click deletions flip rows out."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i16_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW diff_v AS "
+        "SELECT user_id FROM ev "
+        "WHERE event_type = 'click' AND user_id % 5 < 3 "
+        "EXCEPT "
+        "SELECT user_id FROM ev "
+        "WHERE event_type = 'purchase' AND user_id % 3 = 0"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("diff_v")
+    assert plan is not None and type(plan).__name__ == "CompiledSetOpView", (
+        "EXCEPT view must compile to the incremental set-op operators"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i16_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i16_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("diff_v")
+
+
+@q(
+    "i17_ddl_setop_union",
+    oracle=f"""
+    SELECT user_id, count(*) AS n FROM ({_NET})
+    WHERE event_type = 'click' GROUP BY user_id
+    UNION
+    SELECT user_id, count(*) AS n FROM ({_NET})
+    WHERE event_type = 'view' GROUP BY user_id
+    """,
+)
+def i17_ddl_setop_union(spark, sf_dir):
+    """UNION (set) over two compiled AGGREGATE sides: each side is an
+    incrementally maintained linear aggregate whose retract-old /
+    insert-new output deltas feed one maintained DISTINCT — deletions
+    move (user, n) pairs between sides, collapsing or splitting
+    cross-side duplicates exactly as batch UNION does."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i17_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW union_v AS "
+        "SELECT user_id, COUNT(*) AS n FROM ev "
+        "WHERE event_type = 'click' GROUP BY user_id "
+        "UNION "
+        "SELECT user_id, COUNT(*) AS n FROM ev "
+        "WHERE event_type = 'view' GROUP BY user_id"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("union_v")
+    assert plan is not None and type(plan).__name__ == "CompiledSetOpView", (
+        "UNION view must compile to the incremental set-op operators"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i17_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i17_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("union_v")

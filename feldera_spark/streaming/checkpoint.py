@@ -86,7 +86,7 @@ def _is_view_object(val) -> bool:
         and hasattr(val, "step")
         and (
             type(val).__name__ in _SPECS
-            or type(val).__name__ == "CompiledView"
+            or type(val).__name__ in ("CompiledView", "CompiledSetOpView")
         )
     )
 
@@ -95,7 +95,7 @@ def save_view(view, path: str) -> dict:
     """Write a view's state frames under ``path``; return its scalar meta
     (caller embeds it in the committed meta.json). Recurses into nested
     view objects (outer-join composition, SQL-compiled views)."""
-    if type(view).__name__ == "CompiledView":
+    if type(view).__name__ in ("CompiledView", "CompiledSetOpView"):
         comps = {
             name: save_view(v, f"{path}/{name}")
             if _is_view_object(v)
@@ -106,7 +106,11 @@ def save_view(view, path: str) -> dict:
         wl = view._waterline
         if wl is not None and wl.max_ts is not None:
             scalars["waterline_max_ts"] = _meta_encode(wl.max_ts)
-        return {"class": "CompiledView", "components": comps, "scalars": scalars}
+        return {
+            "class": type(view).__name__,
+            "components": comps,
+            "scalars": scalars,
+        }
     spec = _SPECS.get(type(view).__name__)
     if spec is None:
         raise TypeError(f"not a checkpointable view: {type(view).__name__}")
@@ -147,7 +151,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         raise TypeError(
             f"checkpoint is for {meta['class']}, view is {type(view).__name__}"
         )
-    if meta["class"] == "CompiledView":
+    if meta["class"] in ("CompiledView", "CompiledSetOpView"):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():
             sub = f"{path}/{name}"

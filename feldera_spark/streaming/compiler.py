@@ -33,6 +33,15 @@ constructs):
   ``join.rs``), optionally feeding an incremental aggregate;
   LEFT/RIGHT/FULL OUTER compose the inner join with incrementally
   maintained anti-join padding (``join.rs:374-396``).
+- **set operations** ``<side> UNION [ALL] | EXCEPT | INTERSECT <side>``
+  where each side is itself a recognized shape — compiled onto Z-set
+  algebra the way the reference lowers them (Calcite ``LogicalUnion`` /
+  ``LogicalMinus`` / ``LogicalIntersect`` →
+  ``CalciteToDBSPCompiler``'s sum/negate/distinct circuits): UNION ALL
+  is the linear delta sum; UNION adds one maintained DISTINCT; EXCEPT
+  is ``distinct(distinct(A) − distinct(B))``; INTERSECT uses
+  inclusion–exclusion ``distinct(distinct(A) + distinct(B) −
+  distinct(A ∪ B))``.
 
 Column-name contract: outputs are named exactly as aliased, so the
 compiled view's frame is a drop-in replacement for the batch frame.
@@ -184,9 +193,11 @@ def _strip_aliases(text: str, aliases: dict[str, str]) -> str:
 def parse_view_shape(sql: str) -> _Shape | None:
     """Parse a view body into the recognizer grammar; None = not
     incrementalizable (caller falls back to batch evaluation)."""
-    from feldera_spark.frontend import _split_top_commas
+    from feldera_spark.frontend import _protect_literals, _split_top_commas
 
-    if _UNSUPPORTED_RE.search(sql):
+    # keyword scan over literal-protected text: 'UNION' as *data* inside
+    # a string literal must not force batch fallback
+    if _UNSUPPORTED_RE.search(_protect_literals(sql)[0]):
         return None
     m = _SHAPE_RE.match(sql.strip())
     if m is None:
@@ -345,6 +356,7 @@ class CompiledView:
         append_only: set[str],
         lateness: dict[str, dict[str, int]] | None = None,
         columns: dict[str, list[str]] | None = None,
+        materialize_output: bool = True,
     ):
         from feldera_spark.streaming.incremental import (
             IncrementalDistinctView,
@@ -435,6 +447,7 @@ class CompiledView:
         self._agg = None
         self._distinct = None
         self._linear_out = None
+        self._stepped = False  # becomes True on the first non-empty delta
         s = shape
         if s.right is not None:
             on_names = [lc for lc, _ in s.on]
@@ -469,10 +482,13 @@ class CompiledView:
             self._topk = IncrementalKeyedRecomputeView(
                 keys=["__g"], fn=_topk_fn
             )
-        else:
+        elif materialize_output:
             from feldera_spark.streaming.incremental import Spine
 
             self._linear_out = Spine(eager=False)
+            # a set-op parent passes materialize_output=False: its
+            # terminal DISTINCT already integrates the output, so a
+            # plain-projection child keeps ZERO state of its own
 
     # -- aggregate strategy selection (CalciteToDBSPCompiler picking
     # chain / linear / general per docs/sql/aggregates.md:342-462) ----------
@@ -680,6 +696,7 @@ class CompiledView:
         circuit incrementalization)."""
         if rows is None:
             return None
+        self._stepped = True
         s = self.shape
         if self._agg is not None:
             for kname, kexpr in s.computed_keys.items():
@@ -730,7 +747,8 @@ class CompiledView:
             )
             return out.drop("__g") if out is not None else None
         out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
-        self._linear_out.append(out)
+        if self._linear_out is not None:
+            self._linear_out.append(out)
         return out
 
     def state_components(self):
@@ -780,7 +798,204 @@ class CompiledView:
             return self._distinct.materialized().select(*s.out_cols)
         if self._topk is not None:
             return self._topk.materialized().select(*s.out_cols)
+        if self._linear_out is None:
+            raise RuntimeError(
+                "view compiled with materialize_output=False has no "
+                "materialized form (read the parent set-op view instead)"
+            )
         return zset.to_bag(self._linear_out.read()).select(*s.out_cols)
+
+
+class CompiledSetOpView:
+    """A set operation between two compiled sides, maintained
+    incrementally over their output deltas.
+
+    Reference lowering (``CalciteToDBSPCompiler`` on Calcite's
+    ``LogicalUnion`` / ``LogicalMinus`` / ``LogicalIntersect``; Z-set
+    semantics per ``zset.rs``):
+
+    - ``UNION ALL``  — pure delta sum (linear, zero extra state here;
+      ``materialized()`` unions the children's integrals).
+    - ``UNION``      — one maintained DISTINCT over the summed deltas.
+    - ``EXCEPT``     — ``distinct(distinct(A) − distinct(B))``.
+    - ``INTERSECT``  — inclusion–exclusion:
+      ``distinct(distinct(A) + distinct(B) − distinct(A ∪ B))`` (a row
+      nets 1+1−1 = 1 iff present in both sides, else 0).
+
+    SQL set-op column contract: the LEFT side's output names win; the
+    right side's columns are renamed positionally."""
+
+    def __init__(self, op: str, left: "CompiledView", right: "CompiledView"):
+        from feldera_spark.streaming.incremental import IncrementalDistinctView
+
+        assert op in ("union_all", "union", "except", "intersect")
+        if len(left.shape.out_cols) != len(right.shape.out_cols):
+            raise ValueError("set-op sides have different column counts")
+        self.op = op
+        self.children = [left, right]
+        self.sources = list(
+            dict.fromkeys(left.sources + right.sources)
+        )
+        self.shape = _Shape(left=left.shape.left)
+        self.shape.out_cols = list(left.shape.out_cols)
+        self._rename = list(zip(right.shape.out_cols, left.shape.out_cols))
+        self._waterline = None
+        self._da = self._db = self._du = self._dd = None
+        if op in ("except", "intersect"):
+            self._da = IncrementalDistinctView()
+            self._db = IncrementalDistinctView()
+            self._dd = IncrementalDistinctView()
+        if op in ("union", "intersect"):
+            self._du = IncrementalDistinctView()
+
+    def _align(self, d: DataFrame | None) -> DataFrame | None:
+        if d is None:
+            return d
+        for rc, lc in self._rename:
+            if rc != lc:
+                d = d.withColumnRenamed(rc, lc)
+        return d
+
+    @staticmethod
+    def _sum(*deltas: DataFrame | None) -> DataFrame | None:
+        live = [d for d in deltas if d is not None]
+        return zset.plus(*live) if live else None
+
+    def bind_schemas(self, frames) -> None:
+        for c in self.children:
+            c.bind_schemas(frames)
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        lc, rc = self.children
+        a = lc.step({t: deltas.get(t) for t in lc.sources})
+        b = self._align(rc.step({t: deltas.get(t) for t in rc.sources}))
+        if self.op == "union_all":
+            return self._sum(a, b)
+        if self.op == "union":
+            comb = self._sum(a, b)
+            return self._du.step(comb) if comb is not None else None
+        da = self._da.step(a) if a is not None else None
+        db = self._db.step(b) if b is not None else None
+        if self.op == "except":
+            comb = self._sum(da, zset.neg(db) if db is not None else None)
+        else:  # intersect
+            u_in = self._sum(a, b)
+            du = self._du.step(u_in) if u_in is not None else None
+            comb = self._sum(da, db, zset.neg(du) if du is not None else None)
+        return self._dd.step(comb) if comb is not None else None
+
+    def materialized(self) -> DataFrame:
+        if self.op == "union_all":
+            sides = []
+            if self.children[0]._stepped:
+                sides.append(self.children[0].materialized())
+            if self.children[1]._stepped:
+                rm = self.children[1].materialized()
+                for rc, lc in self._rename:
+                    if rc != lc:
+                        rm = rm.withColumnRenamed(rc, lc)
+                sides.append(rm)
+            if not sides:
+                raise RuntimeError("set-op view has received no data")
+            return sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+        out = (self._du if self.op == "union" else self._dd).materialized()
+        return out.select(*self.shape.out_cols)
+
+    def state_components(self):
+        out = {"child_0": self.children[0], "child_1": self.children[1]}
+        for name in ("_da", "_db", "_du", "_dd"):
+            v = getattr(self, name)
+            if v is not None:
+                out[name] = v
+        return out
+
+
+_SETOP_RE = re.compile(
+    r"\b(UNION\s+ALL|UNION|EXCEPT|INTERSECT)\b", re.IGNORECASE
+)
+
+
+def _split_setop(sql: str) -> tuple[str, str, str] | None:
+    """Find a single top-level (outside parens/quotes) set operation;
+    return (op, left_sql, right_sql) or None. More than one top-level
+    set op (n-ary chains) falls back to batch — precedence rules beyond
+    one binary op aren't worth hand-parsing."""
+    depth, in_str = 0, False
+    hits: list[tuple[int, int, str]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch.isalpha():
+                m = _SETOP_RE.match(sql, i)
+                if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                    hits.append((m.start(), m.end(), m.group(1)))
+                    i = m.end()
+                    continue
+                # skip the rest of this word
+                while i < n and (sql[i].isalnum() or sql[i] == "_"):
+                    i += 1
+                continue
+        i += 1
+    if len(hits) != 1:
+        return None
+    s, e, kw = hits[0]
+    op = re.sub(r"\s+", " ", kw.upper())
+    op = {"UNION ALL": "union_all", "UNION": "union",
+          "EXCEPT": "except", "INTERSECT": "intersect"}[op]
+    return op, sql[:s].strip(), sql[e:].strip()
+
+
+def _strip_parens(sql: str) -> str:
+    """Strip a fully-wrapping outer paren pair (``(SELECT …)``)."""
+    sql = sql.strip().rstrip(";").strip()
+    while sql.startswith("(") and sql.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(sql):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(sql) - 1:
+                    return sql  # parens don't wrap the whole text
+        sql = sql[1:-1].strip()
+    return sql
+
+
+def _compile_simple(
+    sql: str,
+    tables: set[str],
+    append_only: set[str],
+    columns: dict[str, list[str]] | None,
+    lateness: dict[str, dict[str, int]] | None,
+    materialize_output: bool = True,
+) -> CompiledView | None:
+    shape = parse_view_shape(sql)
+    if shape is None:
+        return None
+    srcs = [shape.left] + ([shape.right] if shape.right else [])
+    if not all(t in tables for t in srcs):
+        return None
+    if shape.right is not None and columns is not None:
+        lk = {lc for lc, _ in shape.on}
+        rk = {rc for _, rc in shape.on}
+        l_nonkey = set(columns[shape.left]) - lk
+        r_nonkey = set(columns[shape.right]) - rk
+        if l_nonkey & r_nonkey:
+            return None
+    try:
+        return CompiledView(
+            shape, append_only, lateness, columns,
+            materialize_output=materialize_output,
+        )
+    except Exception:
+        return None
 
 
 def compile_view(
@@ -790,7 +1005,7 @@ def compile_view(
     columns: dict[str, list[str]] | None = None,
     exclude_functions: set[str] | None = None,
     lateness: dict[str, dict[str, int]] | None = None,
-) -> CompiledView | None:
+) -> "CompiledView | CompiledSetOpView | None":
     """Compile a view body to an IVM plan if (a) its shape is in the
     recognizer grammar and (b) every source is in ``tables`` — base
     tables OR upstream views that are themselves IVM-compiled (the
@@ -806,20 +1021,28 @@ def compile_view(
         # scalar calls — any reference forces batch evaluation
         if re.search(rf"\b{re.escape(fn_name)}\s*\(", sql, re.IGNORECASE):
             return None
-    shape = parse_view_shape(sql)
-    if shape is None:
-        return None
-    srcs = [shape.left] + ([shape.right] if shape.right else [])
-    if not all(t in tables for t in srcs):
-        return None
-    if shape.right is not None and columns is not None:
-        lk = {lc for lc, _ in shape.on}
-        rk = {rc for _, rc in shape.on}
-        l_nonkey = set(columns[shape.left]) - lk
-        r_nonkey = set(columns[shape.right]) - rk
-        if l_nonkey & r_nonkey:
+    split = _split_setop(sql)
+    if split is not None:
+        op, lsql, rsql = split
+        # UNION ALL children feed the parent's integral-free delta sum,
+        # so they must keep their own materialized form; the other ops'
+        # terminal DISTINCT is the integral — children stay stateless
+        # where they can (plain projections)
+        mat = op == "union_all"
+        left = _compile_simple(
+            _strip_parens(lsql), tables, append_only or set(), columns,
+            lateness, materialize_output=mat,
+        )
+        right = _compile_simple(
+            _strip_parens(rsql), tables, append_only or set(), columns,
+            lateness, materialize_output=mat,
+        )
+        if left is None or right is None:
             return None
-    try:
-        return CompiledView(shape, append_only or set(), lateness, columns)
-    except Exception:
-        return None
+        try:
+            return CompiledSetOpView(op, left, right)
+        except Exception:
+            return None
+    return _compile_simple(
+        sql, tables, append_only or set(), columns, lateness
+    )
