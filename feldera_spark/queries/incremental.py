@@ -887,3 +887,49 @@ def i17_ddl_setop_union(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i17_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("union_v")
+
+
+@q(
+    "i18_ddl_having",
+    oracle=f"""
+    SELECT user_id, count(*) AS n,
+           CAST(sum(value) AS DOUBLE) AS total
+    FROM ({_NET})
+    WHERE event_type IN ('click', 'view')
+    GROUP BY user_id
+    HAVING count(*) > 20
+    """,
+)
+def i18_ddl_having(spark, sf_dir):
+    """HAVING from DDL: the predicate compiles to a LINEAR filter over
+    the maintained aggregate's output Z-set (Δσ(V) = σ(ΔV), the
+    ``OptimizeIncrementalVisitor`` filter-commute) — groups cross the
+    count threshold in BOTH directions as inserts then deletes land."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i18_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW hv AS "
+        "SELECT user_id, COUNT(*) AS n, SUM(value) AS total FROM ev "
+        "WHERE event_type IN ('click', 'view') "
+        "GROUP BY user_id HAVING COUNT(*) > 20"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("hv")
+    assert plan is not None and plan.shape.having == "n > 20", (
+        "HAVING view must compile to the IVM filter-over-delta plan"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i18_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i18_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("hv")

@@ -65,7 +65,7 @@ from feldera_spark.zset import WEIGHT
 # (the reference handles NOW via a dedicated operator, streaming/now.py
 # holds our programmatic equivalent).
 _UNSUPPORTED_RE = re.compile(
-    r"\b(HAVING|UNION|EXCEPT|INTERSECT|OVER|WITH|"
+    r"\b(UNION|EXCEPT|INTERSECT|OVER|WITH|"
     r"TUMBLE|HOP|SESSION|ASOF|LATERAL|CROSS\s+JOIN|"
     r"LEFT\s+SEMI|LEFT\s+ANTI|"
     r"NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
@@ -78,6 +78,7 @@ _SHAPE_RE = re.compile(
     r"FROM\s+(?P<from>.*?)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
+    r"(?:\s+HAVING\s+(?P<having>.*?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -178,6 +179,7 @@ class _Shape:
     aggs: list[_Agg] = field(default_factory=list)
     select: list[tuple[str, str]] = field(default_factory=list)  # (expr, name)
     out_cols: list[str] = field(default_factory=list)  # output column order
+    having: str | None = None  # post-aggregate filter (output-column terms)
     order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
     limit: int | None = None  # ORDER BY + LIMIT -> incremental top-k
 
@@ -316,6 +318,35 @@ def parse_view_shape(sql: str) -> _Shape | None:
                 return None
     if shape.distinct and shape.aggs:
         return None
+    having = m.group("having")
+    if having is not None:
+        if not shape.aggs:
+            return None
+        hv = _strip_aliases(having.strip(), aliases)
+        # rewrite aggregate calls to their select alias (HAVING COUNT(*)
+        # > 5 with COUNT(*) AS n selected). The filter is LINEAR over the
+        # aggregate's output Z-set, so Δ(σ(V)) = σ(ΔV) — apply it to the
+        # output delta (OptimizeIncrementalVisitor's filter-commute).
+        def _norm_call(t: str) -> str:
+            return re.sub(r"\s+", "", t).lower()
+
+        alias_of = {
+            _norm_call(f"{a.fn}({a.arg if a.arg is not None else '*'})"): a.name
+            for a in shape.aggs
+        }
+        def _sub_call(mm: re.Match) -> str:
+            alias = alias_of.get(_norm_call(mm.group(0)))
+            return alias if alias is not None else mm.group(0)
+
+        hv = re.sub(
+            r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(([^()]*)\)",
+            _sub_call, hv, flags=re.IGNORECASE,
+        )
+        # every term must now be an output column (an aggregate not in
+        # the select list, or an unprojected key, forces batch fallback)
+        if not _pred_columns(hv) <= {c.lower() for c in shape.out_cols}:
+            return None
+        shape.having = hv
     ob, lim = m.group("ob"), m.group("limit")
     if lim is not None:
         # ORDER BY + LIMIT = a maintained top-k view (operator/dynamic/
@@ -731,8 +762,13 @@ class CompiledView:
             if out is None:
                 return None
             if set(s.out_cols) <= (set(out.columns) - {WEIGHT}):
-                return out.select(*s.out_cols, WEIGHT)
-            return self._out_select(out, keep_weight=True)
+                out = out.select(*s.out_cols, WEIGHT)
+            else:
+                out = self._out_select(out, keep_weight=True)
+            # HAVING: linear filter over the output delta — retractions
+            # are filtered by the OLD aggregate value, insertions by the
+            # new one, which is exactly σ(ΔV)
+            return out.filter(F.expr(s.having)) if s.having else out
         if self._distinct is not None:
             return self._distinct.step(
                 rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
@@ -792,8 +828,10 @@ class CompiledView:
             if not s.keys:
                 df = df.drop("__g")
             if set(s.out_cols) <= set(df.columns):
-                return df.select(*s.out_cols)  # already projected (linear)
-            return self._out_select(df)  # raw keys / aliased outputs
+                df = df.select(*s.out_cols)  # already projected (linear)
+            else:
+                df = self._out_select(df)  # raw keys / aliased outputs
+            return df.filter(F.expr(s.having)) if s.having else df
         if self._distinct is not None:
             return self._distinct.materialized().select(*s.out_cols)
         if self._topk is not None:

@@ -735,3 +735,71 @@ def test_setop_checkpoint_restore(spark, tmp_path):
     t_live.createOrReplaceTempView("t")
     u_live.createOrReplaceTempView("u")
     assert _canon(p2.materialized()) == _canon(spark.sql(sql))
+
+
+# ---------------------------------------------------------------------------
+# HAVING (linear filter over the aggregate's output delta)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_having():
+    s = parse_view_shape(
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 5"
+    )
+    assert s is not None and s.having == "n > 5"
+    s = parse_view_shape(
+        "SELECT k, SUM(v) AS s FROM t GROUP BY k HAVING s >= 100 AND k <> 'k2'"
+    )
+    assert s is not None and s.having == "s >= 100 AND k <> 'k2'"
+    # aggregate not in the select list → batch fallback
+    assert parse_view_shape(
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING SUM(v) > 5"
+    ) is None
+    # HAVING without aggregates → batch fallback
+    assert parse_view_shape("SELECT k FROM t HAVING k > 1") is None
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 12",
+        "SELECT k, SUM(v) AS s, MIN(v) AS lo FROM t GROUP BY k "
+        "HAVING s > 3000 AND lo < 100",
+        "SELECT g, AVG(v) AS a FROM t GROUP BY g HAVING a > 280",
+    ],
+)
+def test_compiled_having_equals_batch_per_step(spark, sql):
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None, sql
+    acc = None
+    for c in chunks:
+        plan.step({"t": c})
+        acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        assert _canon(plan.materialized()) == _canon(spark.sql(sql)), sql
+
+
+def test_having_output_delta_chains_downstream(spark):
+    """A compiled view READING a HAVING view must see filtered deltas
+    (groups leaving/entering the filter emit net retract/insert)."""
+    chunks, live = _chunks(spark)
+    base = compile_view(
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 12",
+        tables={"t"},
+    )
+    downstream = compile_view(
+        "SELECT COUNT(*) AS big_groups FROM hv", tables={"hv"}
+    )
+    acc = None
+    for c in chunks:
+        out = base.step({"t": c})
+        downstream.step({"hv": out})
+        acc = c if acc is None else zset.plus(acc, c)
+    zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+    [row] = downstream.materialized().collect()
+    [exp] = spark.sql(
+        "SELECT COUNT(*) AS big_groups FROM "
+        "(SELECT k FROM t GROUP BY k HAVING COUNT(*) > 12)"
+    ).collect()
+    assert row.big_groups == exp.big_groups
