@@ -933,3 +933,64 @@ def i18_ddl_having(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i18_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("hv")
+
+
+@q(
+    "i19_ddl_rolling",
+    oracle="""
+    SELECT user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling
+    FROM (SELECT * FROM events
+          WHERE NOT (event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'))
+    """,
+)
+def i19_ddl_rolling(spark, sf_dir):
+    """i05's rolling OVER-RANGE aggregate driven ENTIRELY from DDL: the
+    window expression compiles onto
+    ``IncrementalRollingAggregateView`` (the
+    ``partitioned_rolling_aggregate`` lowering,
+    ``rolling_aggregate.rs:81``) — per-INSERT work bounded to touched
+    keys' frame context, no hand-assembled operators."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    cuts = ("2024-01-10", "2024-01-20")
+    mid = e.filter(
+        (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+    )
+    late = e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+    mid.createOrReplaceTempView("__i19_mid")
+    late.createOrReplaceTempView("__i19_late")
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " ts TIMESTAMP, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW roll AS "
+        "SELECT user_id, ts, SUM(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts RANGE BETWEEN INTERVAL '6' HOUR PRECEDING"
+        " AND CURRENT ROW) AS dec_rolling "
+        "FROM ev"
+    )
+    b.connect_table(
+        "ev", e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz"))
+    )
+    pipe = b.create()
+    plan = pipe._ivm.get("roll")
+    assert plan is not None and type(plan).__name__ == "CompiledRollingView", (
+        "rolling OVER view must compile to the incremental rolling operator"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i19_mid")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i19_late")
+    pipe.execute(
+        "DELETE FROM ev WHERE event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'"
+    )
+    return pipe.view("roll").select(
+        "user_id", "ts", F.col("dec_rolling").cast("double").alias("rolling")
+    )

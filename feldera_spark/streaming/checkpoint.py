@@ -86,7 +86,8 @@ def _is_view_object(val) -> bool:
         and hasattr(val, "step")
         and (
             type(val).__name__ in _SPECS
-            or type(val).__name__ in ("CompiledView", "CompiledSetOpView")
+            or type(val).__name__
+            in ("CompiledView", "CompiledSetOpView", "CompiledRollingView")
         )
     )
 
@@ -95,7 +96,9 @@ def save_view(view, path: str) -> dict:
     """Write a view's state frames under ``path``; return its scalar meta
     (caller embeds it in the committed meta.json). Recurses into nested
     view objects (outer-join composition, SQL-compiled views)."""
-    if type(view).__name__ in ("CompiledView", "CompiledSetOpView"):
+    if type(view).__name__ in (
+        "CompiledView", "CompiledSetOpView", "CompiledRollingView"
+    ):
         comps = {
             name: save_view(v, f"{path}/{name}")
             if _is_view_object(v)
@@ -151,7 +154,9 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         raise TypeError(
             f"checkpoint is for {meta['class']}, view is {type(view).__name__}"
         )
-    if meta["class"] in ("CompiledView", "CompiledSetOpView"):
+    if meta["class"] in (
+        "CompiledView", "CompiledSetOpView", "CompiledRollingView"
+    ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():
             sub = f"{path}/{name}"

@@ -844,6 +844,211 @@ class CompiledView:
         return zset.to_bag(self._linear_out.read()).select(*s.out_cols)
 
 
+_ROLLING_OVER_RE = re.compile(
+    r"^(?P<fn>SUM|COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|[^()]*?)\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ts>\w+)\s+"
+    r"RANGE\s+BETWEEN\s+INTERVAL\s+'?(?P<n>\d+)'?\s+"
+    r"(?P<unit>SECONDS?|MINUTES?|HOURS?|DAYS?)\s+PRECEDING\s+"
+    r"AND\s+CURRENT\s+ROW\s*\)$",
+    re.IGNORECASE,
+)
+
+_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+@dataclass
+class _RollingShape:
+    """``SELECT cols…, AGG(x) OVER (PARTITION BY k ORDER BY ts RANGE
+    BETWEEN INTERVAL n unit PRECEDING AND CURRENT ROW) AS r FROM t
+    [WHERE p]`` — the reference's ``partitioned_rolling_aggregate``
+    physical shape (``rolling_aggregate.rs:81,231``)."""
+
+    left: str
+    where: str | None
+    select: list[tuple[str, str]]  # non-window items (expr, name)
+    fn: str  # sum/count/min/max
+    arg: str | None  # None for COUNT(*)
+    partition: list[str]
+    ts: str
+    secs: int
+    out_name: str
+    out_cols: list[str] = field(default_factory=list)
+
+
+def parse_rolling_shape(sql: str) -> _RollingShape | None:
+    """Recognize a single rolling OVER-RANGE window over one table."""
+    from feldera_spark.frontend import _protect_literals, _split_top_commas
+
+    protected, _ = _protect_literals(sql)
+    if re.search(
+        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
+        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|JOIN|"
+        r"GROUP\s+BY|HAVING|TUMBLE|HOP|SESSION)\b",
+        protected,
+        re.IGNORECASE,
+    ):
+        return None
+    m = _SHAPE_RE.match(sql.strip())
+    if (
+        m is None
+        or m.group("distinct")
+        or m.group("gb")
+        or m.group("having")
+        or m.group("ob")
+        or m.group("limit")
+    ):
+        return None
+    tm = _TABLE_RE.match(m.group("from").strip())
+    if tm is None:
+        return None
+    aliases = (
+        {tm.group("a").lower(): "l"} if tm.group("a") else {}
+    )
+    where = m.group("where")
+    select: list[tuple[str, str]] = []
+    out_cols: list[str] = []
+    window: tuple[str, str | None, list[str], str, int, str] | None = None
+    for item in _split_top_commas(m.group("sel")):
+        item = _strip_aliases(item.strip(), aliases)
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item, re.IGNORECASE | re.DOTALL)
+        expr, name = (
+            (am.group("e").strip(), am.group("n").lower()) if am else (item, None)
+        )
+        wm = _ROLLING_OVER_RE.match(expr)
+        if wm is not None:
+            if window is not None or name is None:
+                return None  # one window item, and it must be aliased
+            fn = wm.group("fn").lower()
+            arg = wm.group("arg").strip()
+            if fn == "count":
+                if arg != "*":
+                    return None  # COUNT(expr) has NULL-skip semantics
+                arg = None
+            elif arg == "*" or not arg:
+                return None
+            unit = wm.group("unit").lower().rstrip("s")
+            secs = int(wm.group("n")) * _UNIT_SECS[unit]
+            partition = [
+                p.strip().lower() for p in wm.group("pb").split(",")
+            ]
+            if not all(re.match(r"^\w+$", p) for p in partition):
+                return None
+            window = (fn, arg, partition, wm.group("ts").lower(), secs, name)
+            out_cols.append(name)
+        else:
+            if name is None:
+                if not re.match(r"^\w+$", expr):
+                    return None
+                name = expr.lower()
+            select.append((expr, name))
+            out_cols.append(name)
+    if window is None:
+        return None
+    fn, arg, partition, ts, secs, out_name = window
+    return _RollingShape(
+        left=tm.group("t").lower(),
+        where=_strip_aliases(where.strip(), aliases) if where else None,
+        select=select,
+        fn=fn,
+        arg=arg,
+        partition=partition,
+        ts=ts,
+        secs=secs,
+        out_name=out_name,
+        out_cols=out_cols,
+    )
+
+
+class CompiledRollingView:
+    """A rolling OVER-RANGE view compiled from DDL onto
+    ``IncrementalRollingAggregateView`` — per-step work bounded to each
+    touched key's frame context, the
+    ``partitioned_rolling_aggregate_with_waterline`` plan
+    (``rolling_aggregate.rs:231``) selected automatically."""
+
+    def __init__(self, rs: _RollingShape):
+        from feldera_spark.streaming.incremental import (
+            IncrementalRollingAggregateView,
+        )
+
+        self.shape = rs
+        self.sources = [rs.left]
+        self._waterline = None
+        self._val_expr: str | None = None
+        value_col = None
+        if rs.fn != "count":
+            if re.match(r"^\w+$", rs.arg):
+                value_col = rs.arg
+            else:
+                value_col = "__val"
+                self._val_expr = rs.arg
+        self._view = IncrementalRollingAggregateView(
+            keys=rs.partition,
+            ts_col=rs.ts,
+            window_seconds=rs.secs,
+            agg=rs.fn,
+            value_col=value_col,
+            out_col=rs.out_name,
+        )
+        # state keeps only what the view reads: partition keys, order
+        # column, selected columns, and the aggregate argument
+        need = list(
+            dict.fromkeys(
+                rs.partition
+                + [rs.ts]
+                + [e for e, _ in rs.select if re.match(r"^\w+$", e)]
+                + ([value_col] if value_col and value_col != "__val" else [])
+            )
+        )
+        self._keep = need
+
+    def bind_schemas(self, frames) -> None:
+        pass
+
+    def _out(self, rows: DataFrame) -> DataFrame:
+        rs = self.shape
+        cols = []
+        for name in rs.out_cols:
+            if name == rs.out_name:
+                cols.append(F.col(name))
+            else:
+                e = next(e for e, n in rs.select if n == name)
+                cols.append(F.col(e).alias(name) if e != name else F.col(name))
+        return cols
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        rs = self.shape
+        d = deltas.get(rs.left)
+        if d is None:
+            return None
+        d = zset.lift(d)
+        if rs.where is not None:
+            d = d.filter(F.expr(rs.where))
+        keep = list(self._keep)
+        if self._val_expr is not None:
+            d = d.withColumn("__val", F.expr(self._val_expr))
+            keep.append("__val")
+        # non-bare select exprs need their inputs kept too
+        extra = set()
+        for e, _ in rs.select:
+            if not re.match(r"^\w+$", e):
+                extra |= _pred_columns(e)
+        keep += [c for c in d.columns if c.lower() in extra and c not in keep]
+        d = d.select(*keep, WEIGHT)
+        out = self._view.step(d)
+        if out is None:
+            return None
+        return out.select(*self._out(out), WEIGHT)
+
+    def materialized(self) -> DataFrame:
+        rows = self._view.materialized()
+        return rows.select(*self._out(rows))
+
+    def state_components(self):
+        return {"_view": self._view}
+
+
 class CompiledSetOpView:
     """A set operation between two compiled sides, maintained
     incrementally over their output deltas.
@@ -1013,7 +1218,15 @@ def _compile_simple(
     columns: dict[str, list[str]] | None,
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
-) -> CompiledView | None:
+) -> "CompiledView | CompiledRollingView | None":
+    rolling = parse_rolling_shape(sql)
+    if rolling is not None:
+        if rolling.left not in tables:
+            return None
+        try:
+            return CompiledRollingView(rolling)
+        except Exception:
+            return None
     shape = parse_view_shape(sql)
     if shape is None:
         return None

@@ -803,3 +803,88 @@ def test_having_output_delta_chains_downstream(spark):
         "(SELECT k FROM t GROUP BY k HAVING COUNT(*) > 12)"
     ).collect()
     assert row.big_groups == exp.big_groups
+
+
+# ---------------------------------------------------------------------------
+# rolling OVER-RANGE windows from DDL
+# ---------------------------------------------------------------------------
+
+
+def _ts_chunks(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, "k%d" % (i % 3), float(i), base + dt.timedelta(minutes=7 * i))
+        for i in range(48)
+    ]
+    mk = lambda rs, w: spark.createDataFrame(
+        [(i, k, v, ts, w) for i, k, v, ts in rs],
+        "id INT, k STRING, v DOUBLE, ts TIMESTAMP_NTZ, __weight LONG",
+    )
+    dead = [r for r in rows if r[0] % 5 == 0]
+    live = [r for r in rows if r[0] % 5 != 0]
+    return (
+        [mk(rows[:20], 1), mk(rows[20:], 1), mk(dead, -1)],
+        spark.createDataFrame(
+            live, "id INT, k STRING, v DOUBLE, ts TIMESTAMP_NTZ"
+        ),
+    )
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT k, ts, v, SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+        "BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS r FROM t",
+        "SELECT k, ts, MAX(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+        "BETWEEN INTERVAL 45 MINUTES PRECEDING AND CURRENT ROW) AS hi "
+        "FROM t WHERE id <> 7",
+        "SELECT k, ts, COUNT(*) OVER (PARTITION BY k ORDER BY ts RANGE "
+        "BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW) AS c FROM t",
+    ],
+)
+def test_compiled_rolling_equals_batch(spark, sql):
+    chunks, live = _ts_chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and type(plan).__name__ == "CompiledRollingView", sql
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    assert _canon(plan.materialized()) == _canon(spark.sql(sql)), sql
+
+
+def test_rolling_rejects_non_range_windows():
+    for sql in (
+        # ROWS frames are order-dependent under ties — not this operator
+        "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
+        "BETWEEN 3 PRECEDING AND CURRENT ROW) AS r FROM t",
+        "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn FROM t",
+        # unbounded following frames see the future
+        "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS r FROM t",
+        # COUNT(expr) skips NULLs — only COUNT(*) maps to weight-count
+        "SELECT k, ts, COUNT(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+        "BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS c FROM t",
+    ):
+        assert compile_view(sql, tables={"t"}) is None, sql
+
+
+def test_rolling_checkpoint_restore(spark, tmp_path):
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    sql = (
+        "SELECT k, ts, v, SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE "
+        "BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS r FROM t"
+    )
+    chunks, live = _ts_chunks(spark)
+    p1 = compile_view(sql, tables={"t"})
+    p1.step({"t": chunks[0]}); p1.step({"t": chunks[1]})
+    ck = PipelineCheckpointer(str(tmp_path / "state"))
+    ck.commit(1, {"v": p1})
+
+    p2 = compile_view(sql, tables={"t"})
+    meta = ck.restore(spark, {"v": p2})
+    assert meta is not None and meta["batch_id"] == 1
+    p2.step({"t": chunks[2]})
+    live.createOrReplaceTempView("t")
+    assert _canon(p2.materialized()) == _canon(spark.sql(sql))
