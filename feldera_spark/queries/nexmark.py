@@ -724,3 +724,77 @@ def nx12_bid_count_per_bidder(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("bid_count"))
         .select("bidder", F.col("w.start").alias("window_start"), "bid_count")
     )
+
+
+@q(
+    "nx10_log_to_filesystem",
+    oracle=f"""
+    WITH {NEXMARK_CTE}
+    SELECT auction, bidder, price, date_time,
+           strftime(date_time, '%Y-%m-%d') AS dt,
+           strftime(date_time, '%H:%M') AS hm
+    FROM bid
+    """,
+)
+def nx10_log_to_filesystem(spark, sf_dir):
+    """Nexmark q10 "log to file system" (queries/q10.sql): every bid
+    with formatted date/hour-minute partition columns. In production
+    this view feeds a partitioned file sink
+    (``-- PARTITIONED BY (dt, hm)`` in the reference SQL) —
+    ``sources.connectors.open_sink``'s file transport +
+    ``partitionBy(dt, hm)`` on the writer; the query itself is a pure
+    projection, so Catalyst keeps it scan-pipelined (no shuffle; at
+    100 TB the only cost is the sink's partition fan-out)."""
+    b = _bid(spark, sf_dir)
+    return b.select(
+        "auction", "bidder", "price", "date_time",
+        F.date_format("date_time", "yyyy-MM-dd").alias("dt"),
+        F.date_format("date_time", "HH:mm").alias("hm"),
+    )
+
+
+@q(
+    "nx11_user_sessions",
+    oracle=f"""
+    WITH {NEXMARK_CTE},
+    marked AS (
+      SELECT bidder, date_time,
+             CASE WHEN date_time - lag(date_time) OVER
+                       (PARTITION BY bidder ORDER BY date_time, event_id)
+                       > INTERVAL '1 hour' OR
+                  lag(date_time) OVER
+                       (PARTITION BY bidder ORDER BY date_time, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM bid
+    ), sessions AS (
+      SELECT bidder, date_time,
+             sum(new_session) OVER (PARTITION BY bidder ORDER BY date_time
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT bidder, min(date_time) AS starttime,
+           max(date_time) + INTERVAL '1 hour' AS endtime,
+           count(*) AS bid_count
+    FROM sessions GROUP BY bidder, session_id
+    """,
+)
+def nx11_user_sessions(spark, sf_dir):
+    """Nexmark q11 "user sessions": bids per bidder per SESSION window
+    (1-hour inactivity gap). The reference benchmark suite omits q11
+    (no queries/q11.sql — SESSION arrived later in Feldera; docs
+    ``docs.feldera.com`` list SESSION as a table function); implemented
+    here via Spark's native ``session_window`` so the 22-query Nexmark
+    surface is complete. One shuffle on (bidder) — the session merge is
+    per-key local state, the same cost shape as the reference's
+    ``window.rs`` session operator."""
+    b = _bid(spark, sf_dir)
+    return (
+        b.groupBy("bidder", F.session_window("date_time", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("bid_count"))
+        .select(
+            "bidder",
+            F.col("w.start").alias("starttime"),
+            F.col("w.end").alias("endtime"),
+            "bid_count",
+        )
+    )
