@@ -33,7 +33,11 @@ def _tokens(text_col) -> F.Column:
 def token_shingles(df: DataFrame, text: str, n: int = 3) -> DataFrame:
     """Explode each doc into its n-token shingles (space-joined)."""
     toks = _tokens(F.col(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard: sequence(1, 0) DESCENDS in Spark — a doc with < n tokens
+    # must yield zero shingles, not junk slices at indices 0 and 1
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return df.withColumn("shingle", F.explode(shingles))
 
@@ -289,3 +293,77 @@ def simhash(
         )
         fp = term if fp is None else fp + term
     return wide.select(id_col, fp.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` has columns (id_a, id_b); ``vertices`` provides every node
+    (isolated docs label themselves). Returns (id_col, cluster_id) with
+    cluster_id = min node id in the component.
+
+    Scale shape: each round is one equi-join + one min-aggregation on
+    the node key — no driver-side graph. Rounds needed = component
+    DIAMETER, and near-dup components are band-bucket quasi-cliques
+    (diameter ≤ ~3), so the loop converges in a handful of rounds even
+    at 100 TB. The convergence check is a single count per round on the
+    (small) changed-label frame; state is truncated per round with an
+    eager checkpoint so Catalyst never re-analyzes the whole loop
+    history (the same recipe as ``operators/recursion.fixpoint``, which
+    this mirrors — label(n) = min(n, min over neighbors) is a semi-naive
+    datalog fixpoint specialized to the min lattice)."""
+    sym = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), on="nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate clusters: LSH candidate pairs → connected
+    components. Every document gets a cluster_id (= min doc id in its
+    near-dup group; singletons label themselves) — the grouping step a
+    dedup pipeline uses to pick one canonical doc per cluster."""
+    pairs = lsh_candidate_pairs(
+        df, id_col, text, num_hashes=num_hashes,
+        rows_per_band=rows_per_band, shingle_n=shingle_n,
+    )
+    return connected_components(pairs, df.select(id_col), id_col)

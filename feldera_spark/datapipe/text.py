@@ -86,3 +86,106 @@ def fingerprint(df: DataFrame, id_col: str, text: str) -> DataFrame:
         md5_i64(F.col(text)).alias("content_fp"),
         md5_i64(bag).alias("bag_fp"),
     )
+
+
+def contamination(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    bench_pred,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of a document's distinct
+    token shingles that appear in ANY benchmark document.
+
+    ``bench_pred`` is a Column predicate selecting the benchmark set.
+    Returns (id, n_shingles, n_contaminated, contamination, flagged)
+    for every non-benchmark doc with >= 1 shingle; ``flagged`` is INT
+    (BOOLEAN reprs differ across engines — the q37/q54 dtype lesson).
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are fixed-size) → broadcast semi-join per
+    shingle; corpus side is one explode + two keyed aggregations. No
+    pairwise doc×bench comparison ever happens — membership is resolved
+    per SHINGLE, the decontamination recipe used for LLM training
+    corpora (n-gram overlap against eval sets)."""
+    from feldera_spark.datapipe.dedup import token_shingles
+
+    sh = (
+        token_shingles(df.select(id_col, text, bench_pred.alias("__bench")),
+                       text, n=shingle_n)
+        .select(id_col, "__bench", "shingle")
+        .distinct()
+    )
+    bench_shingles = sh.filter(F.col("__bench")).select("shingle").distinct()
+    scored = sh.filter(~F.col("__bench"))
+    hits = (
+        scored.join(F.broadcast(bench_shingles), on="shingle", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = scored.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        sizes.join(hits, on=id_col, how="left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            ratio.cast("double").alias("contamination"),
+            (ratio >= threshold).cast("int").alias("flagged"),
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    bigram_threshold: float = 0.2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-token
+    ratio, top-token fraction, top-bigram fraction, and a repetitive
+    flag (INT). Docs need >= 2 tokens (both ratios defined).
+
+    Scale shape: two explode → groupBy chains keyed on doc_id — high
+    cardinality, no hot keys, fully codegen'd; nothing leaves the JVM."""
+    from feldera_spark.datapipe.dedup import token_shingles
+
+    toks = df.select(id_col, F.explode(_tokens(F.col(text))).alias("tok"))
+    tok_stats = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bi = (
+        token_shingles(df.select(id_col, text), text, n=2)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi"))
+    )
+    top_bi_frac = F.col("top_bi") / F.col("n_bigrams")
+    return (
+        tok_stats.join(bi, on=id_col)
+        .filter(F.col("n_tokens") >= 2)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).cast("double").alias(
+                "distinct_ratio"
+            ),
+            (F.col("top_tok") / F.col("n_tokens")).cast("double").alias(
+                "top_token_ratio"
+            ),
+            top_bi_frac.cast("double").alias("top_bigram_ratio"),
+            (top_bi_frac >= bigram_threshold).cast("int").alias("repetitive"),
+        )
+    )

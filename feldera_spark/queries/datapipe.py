@@ -17,6 +17,7 @@ from feldera_spark.datapipe.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -27,7 +28,14 @@ from feldera_spark.datapipe.similarity import (
     hyperplane_lsh_buckets,
     ivf_topk,
 )
-from feldera_spark.datapipe.text import fingerprint, language_id, quality_score, token_stats
+from feldera_spark.datapipe.text import (
+    contamination,
+    fingerprint,
+    language_id,
+    quality_score,
+    repetition_signals,
+    token_stats,
+)
 from feldera_spark.queries._util import t
 
 QUERIES = {}
@@ -478,3 +486,121 @@ def d12_multimodal_meta(spark, sf_dir):
     mapInPandas metadata extraction (deterministic fake decode)."""
     d = t(spark, sf_dir, "documents")
     return extract_metadata(documents_as_binary(d), "doc_id", "payload")
+
+
+_LSH_CAND = f"""
+  {_SHINGLES}, {_MINHASH},
+  bb AS (
+    SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
+           string_agg(CAST(minv AS VARCHAR), ',' ORDER BY j) AS band_key
+    FROM mh GROUP BY doc_id, j // 2
+  ),
+  buckets AS (
+    SELECT doc_id, band,
+           {_MD5.format(x="CAST(band AS VARCHAR) || ':' || band_key")} AS bucket
+    FROM bb
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+  )
+"""
+
+
+@q(
+    "d15_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CAND},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def d15_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: LSH candidate pairs → distributed connected
+    components (min-label propagation; rounds = component diameter,
+    quasi-clique dup groups converge in ~2). Every doc gets the min doc
+    id of its component — the canonical-doc grouping a dedup pipeline
+    keys on. The oracle computes the same components via a recursive
+    reachability CTE."""
+    d = t(spark, sf_dir, "documents")
+    return neardup_clusters(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+
+
+@q(
+    "d16_contamination",
+    oracle=f"""
+    WITH {_SHINGLES},
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+    scored AS (SELECT * FROM dsh WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM scored GROUP BY doc_id),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_cont
+      FROM scored s JOIN bench b ON s.shingle = b.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT sizes.doc_id, n_shingles,
+           coalesce(n_cont, 0) AS n_contaminated,
+           CAST(coalesce(n_cont, 0) AS DOUBLE) / n_shingles AS contamination,
+           CAST(CAST(coalesce(n_cont, 0) AS DOUBLE) / n_shingles >= 0.5 AS INT)
+             AS flagged
+    FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+    """,
+)
+def d16_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-doc fraction of distinct 3-token
+    shingles that appear in the benchmark set (doc_id % 97 = 0 as the
+    deterministic stand-in eval suite). Membership resolves per SHINGLE
+    against a broadcast benchmark set — no doc×bench pairing."""
+    d = t(spark, sf_dir, "documents")
+    return contamination(
+        d, "doc_id", "text", bench_pred=F.col("doc_id") % 97 == 0,
+        shingle_n=3, threshold=0.5,
+    )
+
+
+@q(
+    "d17_repetition_signals",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tok AS (SELECT doc_id, tk[i] AS tok
+            FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    tstats AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+             max(c) AS top_tok
+      FROM tc GROUP BY doc_id
+    ),
+    sh2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(tk), 1))) AS u(i)),
+    bc AS (SELECT doc_id, shingle, count(*) AS c FROM sh2 GROUP BY doc_id, shingle),
+    bstats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(top_tok AS DOUBLE) / n_tokens AS top_token_ratio,
+           CAST(top_bi AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+           CAST(CAST(top_bi AS DOUBLE) / n_bigrams >= 0.2 AS INT) AS repetitive
+    FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+    WHERE t.n_tokens >= 2
+    """,
+)
+def d17_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals: distinct-token ratio,
+    top-token fraction, top-bigram fraction + repetitive flag. Two
+    explode→groupBy chains keyed on doc_id, fully JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text", bigram_threshold=0.2)
