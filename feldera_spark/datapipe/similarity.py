@@ -174,15 +174,23 @@ def _lloyd_round(samp: DataFrame, cent: DataFrame) -> DataFrame:
     out (their id simply stops being probeable)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("sid").orderBy(F.col("scos").desc(), F.col("cell").asc())
+    # argmax by (scos desc, cell asc) as ONE hash aggregation (max_by on
+    # a (scos, -cell) ordering struct) — a partial-agg shuffle instead of
+    # a window's shuffle + per-partition sort
     assigned = (
         samp.join(F.broadcast(cent))
         .withColumn(
             "scos",
             _dot(F.col("sv"), F.col("centv")) / (F.col("sn") * F.col("centn")),
         )
-        .withColumn("srn", F.row_number().over(w))
-        .filter(F.col("srn") == 1)
+        .groupBy("sid")
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("scos"), (-F.col("cell")).alias("nc")),
+            ).alias("cell"),
+            F.any_value(F.col("sv")).alias("sv"),
+        )
         .select("cell", "sv")
     )
     means = (
@@ -259,15 +267,21 @@ def ivf_topk(
     def _cos(av, an, bv, bn):
         return _dot(av, bv) / (an * bn)
 
-    # assign: argmax cosine over centroids (deterministic tiebreak on cell)
-    w_assign = Window.partitionBy("cid_").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc()
-    )
+    # assign: argmax cosine over centroids (deterministic tiebreak on
+    # cell) — hash-agg max_by, not a window sort; one partial-agg
+    # shuffle over the corpus, the only corpus-sized pass in the build
     assigned = (
         c.join(F.broadcast(cent))
         .withColumn("ccos", _cos(F.col("cv"), F.col("cn"), F.col("centv"), F.col("centn")))
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
+        .groupBy("cid_")
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("ccos"), (-F.col("cell")).alias("nc")),
+            ).alias("cell"),
+            F.any_value(F.col("cv")).alias("cv"),
+            F.any_value(F.col("cn")).alias("cn"),
+        )
         .select(F.col("cid_").alias("neighbor_id"), "cell", F.col("cv"), F.col("cn"))
     )
 

@@ -108,7 +108,8 @@ class Spine:
         return zset.consolidate(zset.plus(*self.batches))
 
     def read_for_keys(
-        self, keys_df: DataFrame, on: list[str], prefilter=None
+        self, keys_df: DataFrame, on: list[str], prefilter=None,
+        consolidate: bool = True,
     ) -> DataFrame:
         """State restricted to the given keys: semi-join each batch down
         BEFORE the merge shuffle — the IVM O(touched) read path.
@@ -117,7 +118,14 @@ class Spine:
         by the touched slice, not the full history. It is either a
         boolean Column (static predicate — parquet row-group pruning on
         spilled batches) or a callable ``DataFrame -> DataFrame`` (for
-        data-dependent bounds evaluated in-plan, no driver sync)."""
+        data-dependent bounds evaluated in-plan, no driver sync).
+
+        ``consolidate=False`` returns the raw weighted batch union
+        (duplicate rows with unmerged ±weights). Correct ONLY for
+        LINEAR consumers — weighted sums, or pipelines whose final
+        consolidate absorbs the merge — where it saves one full-slice
+        shuffle per read; multiplicity-blind consumers (MIN/MAX over
+        row liveness) need the merged net weights."""
         assert self.batches, "empty spine"
         parts = []
         for b in self.batches:
@@ -128,7 +136,8 @@ class Spine:
             else:
                 fb = prefilter(b)
             parts.append(fb.join(keys_df, on=on, how="left_semi"))
-        return zset.consolidate(zset.plus(*parts))
+        merged = zset.plus(*parts)
+        return zset.consolidate(merged) if consolidate else merged
 
     def truncate(self, keep: F.Column) -> None:
         """GC: drop state rows not matching ``keep`` (e.g. below a lateness
@@ -550,8 +559,17 @@ class IncrementalRollingAggregateView:
                 )
                 .drop("__pre_lo")
             )
+        # linear aggs (sum/count) multiply by weight, so the window is
+        # exact over the RAW batch union — net-zero row pairs contribute
+        # 0 to every frame and their own ± output rows cancel in the
+        # final consolidate. That skips the full-slice consolidation
+        # shuffle per step. MIN/MAX are multiplicity-blind: a dead row
+        # (+1/−1) would still poison the extremum, so they keep the
+        # merged read.
+        linear = self.agg in ("sum", "count")
         slice_ = self.integral.read_for_keys(
-            dmins.select(*self.keys), self.keys, prefilter=pre
+            dmins.select(*self.keys), self.keys, prefilter=pre,
+            consolidate=not linear,
         ).join(dmins, on=self.keys)
         lower = (
             F.col("__dmin") - F.expr(f"INTERVAL {self.w_secs} SECONDS")
@@ -566,9 +584,12 @@ class IncrementalRollingAggregateView:
         if self.output.empty:
             out_delta = zset.consolidate(new_out)
         else:
+            # the old-output read feeds minus(...) + consolidate — the
+            # final consolidate absorbs the merge, so never pre-merge
             old_affected = (
                 self.output.read_for_keys(
-                    dmins.select(*self.keys), self.keys, prefilter=pre
+                    dmins.select(*self.keys), self.keys, prefilter=pre,
+                    consolidate=False,
                 )
                 .join(dmins, on=self.keys)
                 .filter(F.col(self.ts_col) >= F.col("__dmin"))
