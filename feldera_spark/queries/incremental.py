@@ -994,3 +994,66 @@ def i19_ddl_rolling(spark, sf_dir):
     return pipe.view("roll").select(
         "user_id", "ts", F.col("dec_rolling").cast("double").alias("rolling")
     )
+
+
+@q(
+    "i20_ddl_tumble_ivm",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT * FROM events
+          WHERE NOT (event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def i20_ddl_tumble_ivm(spark, sf_dir):
+    """TUMBLE table-function view compiled straight onto the
+    incremental aggregate: ``TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts),
+    INTERVAL '6' HOUR))`` canonicalizes to an epoch-floor computed key
+    (the reference's ``TUMBLE`` lowering in
+    ``CalciteToDBSPCompiler``) and window_start/window_end come out
+    maintained — INSERT/DELETE advance per-window sums by delta steps,
+    no hand-assembled operators and no batch fallback (asserted)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    cuts = ("2024-01-10", "2024-01-20")
+    mid = e.filter(
+        (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+    )
+    late = e.filter(F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
+    mid.createOrReplaceTempView("__i20_mid")
+    late.createOrReplaceTempView("__i20_late")
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR,"
+        " ts TIMESTAMP, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW tumbled AS "
+        "SELECT window_start, window_end, event_type, COUNT(*) AS n,"
+        " SUM(value) AS total_dec "
+        "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '6' HOUR)) "
+        "GROUP BY window_start, window_end, event_type"
+    )
+    b.connect_table(
+        "ev", e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz"))
+    )
+    pipe = b.create()
+    plan = pipe._ivm.get("tumbled")
+    assert plan is not None and plan._agg is not None, (
+        "TUMBLE view must compile onto the incremental aggregate"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i20_mid")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i20_late")
+    pipe.execute(
+        "DELETE FROM ev WHERE event_id % 10 = 3 AND ts >= TIMESTAMP '2024-01-20'"
+    )
+    return pipe.view("tumbled").select(
+        "window_start", "window_end", "event_type", "n",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )

@@ -312,8 +312,17 @@ def parse_view_shape(sql: str) -> _Shape | None:
         shape.keys = []  # global aggregate
     if shape.aggs:
         # every non-aggregate select item must be a GROUP BY key (by
-        # expression or by alias)
+        # expression or by alias) — except window_end, which is
+        # functionally determined by the window_start key
+        start_keys = {
+            _TUMBLE_START_RE.match(e.strip()).groups()
+            for e in shape.computed_keys.values()
+            if _TUMBLE_START_RE.match(e.strip())
+        }
         for expr, name in shape.select:
+            em = _TUMBLE_END_RE.match(expr.strip())
+            if em is not None and em.groups() in start_keys:
+                continue
             if expr.lower() not in shape.keys and name not in shape.keys:
                 return None
     if shape.distinct and shape.aggs:
@@ -642,11 +651,17 @@ class CompiledView:
         if s.right is not None or len(s.computed_keys) != 1:
             return None
         (kname, kexpr), = s.computed_keys.items()
-        m = self._DATE_TRUNC_RE.match(kexpr.strip())
-        if m is None:
-            return None
-        unit, tscol = m.group(1).lower(), m.group(2).lower()
-        secs = self._UNIT_SECONDS.get(unit)
+        tm = _TUMBLE_START_RE.match(kexpr.strip())
+        if tm is not None:
+            # TUMBLE(...) table function → same windowed-GC class, any
+            # fixed window size
+            tscol, secs = tm.group("ts").lower(), int(tm.group("secs"))
+        else:
+            m = self._DATE_TRUNC_RE.match(kexpr.strip())
+            if m is None:
+                return None
+            unit, tscol = m.group(1).lower(), m.group(2).lower()
+            secs = self._UNIT_SECONDS.get(unit)
         late = self._lateness.get(s.left, {}).get(tscol)
         if secs is None or late is None:
             return None
@@ -675,6 +690,22 @@ class CompiledView:
                 cols.append(F.col(name))
             else:
                 e = key_expr[name]
+                em = _TUMBLE_END_RE.match(e.strip())
+                if em is not None:
+                    # window_end derives from the window_start KEY (the
+                    # raw ts is pruned out of aggregate state)
+                    ets, esecs = em.group("ts"), em.group("secs")
+                    start_alias = next(
+                        n for n, ke in s.computed_keys.items()
+                        if (mm := _TUMBLE_START_RE.match(ke.strip()))
+                        and mm.groups() == (ets, esecs)
+                    )
+                    cols.append(
+                        F.expr(
+                            f"timestampadd(SECOND, {esecs}, {start_alias})"
+                        ).alias(name)
+                    )
+                    continue
                 # computed keys are materialized under their alias in the
                 # state; bare aliased keys need re-aliasing from the raw
                 # state column
@@ -731,6 +762,10 @@ class CompiledView:
         s = self.shape
         if self._agg is not None:
             for kname, kexpr in s.computed_keys.items():
+                tc = _tumble_col(kexpr)
+                if tc is not None:
+                    rows = rows.withColumn(kname, tc)
+                    continue
                 dm = self._DATE_TRUNC_RE.match(kexpr.strip())
                 if dm is not None and dm.group(1).lower() in self._FLOOR_UNITS:
                     # NTZ-safe truncation: Spark's date_trunc coerces
@@ -842,6 +877,76 @@ class CompiledView:
                 "materialized form (read the parent set-op view instead)"
             )
         return zset.to_bag(self._linear_out.read()).select(*s.out_cols)
+
+
+_TUMBLE_FROM_RE = re.compile(
+    r"TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(?P<t>\w+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+    r"INTERVAL\s+'?(?P<n>\d+)'?\s+(?P<unit>SECONDS?|MINUTES?|HOURS?|DAYS?)\s*"
+    r"\)\s*\)",
+    re.IGNORECASE,
+)
+_TUMBLE_START_RE = re.compile(
+    r"^__tumble_start\((?P<ts>\w+),\s*(?P<secs>\d+)\)$", re.IGNORECASE
+)
+_TUMBLE_END_RE = re.compile(
+    r"^__tumble_end\((?P<ts>\w+),\s*(?P<secs>\d+)\)$", re.IGNORECASE
+)
+
+
+def _rewrite_tumble(sql: str) -> str:
+    """Canonicalize a ``FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts),
+    INTERVAL n unit))`` view body into the recognizer grammar: the
+    table function becomes a plain FROM, ``window_start`` becomes the
+    computed key ``__tumble_start(ts, secs)`` (aliased in the select
+    list, bare in GROUP BY — the existing expression-group-key path),
+    and ``window_end`` the derived ``__tumble_end``. Feldera's TUMBLE
+    is exactly an epoch-aligned floor (``docs/sql/table.md`` TUMBLE;
+    Spark's ``window()`` agrees), so the rewrite is semantics-neutral.
+    TUMBLE with an offset argument, HOP, and SESSION stay batch."""
+    m = _TUMBLE_FROM_RE.search(sql)
+    if m is None:
+        return sql
+    secs = int(m.group("n")) * _UNIT_SECS[m.group("unit").lower().rstrip("s")]
+    ts = m.group("ts")
+    sql = sql[: m.start()] + m.group("t") + sql[m.end():]
+    if _TUMBLE_FROM_RE.search(sql):
+        return sql  # two table functions: let the parse fail → batch
+    start = f"__tumble_start({ts}, {secs})"
+    end = f"__tumble_end({ts}, {secs})"
+    # select-list occurrences get an alias; GROUP BY stays bare. Split
+    # at the top-level FROM (the select list precedes it).
+    parts = re.split(r"(\bFROM\b)", sql, maxsplit=1, flags=re.IGNORECASE)
+    head = parts[0]
+    head = re.sub(
+        r"\bwindow_start\b(?!\s+AS)", f"{start} AS window_start", head,
+        flags=re.IGNORECASE,
+    )
+    head = re.sub(
+        r"\bwindow_end\b(?!\s+AS)", f"{end} AS window_end", head,
+        flags=re.IGNORECASE,
+    )
+    tail = "".join(parts[1:])
+    tail = re.sub(r"\bwindow_start\b", start, tail, flags=re.IGNORECASE)
+    tail = re.sub(r"\bwindow_end\b", end, tail, flags=re.IGNORECASE)
+    return head + tail
+
+
+def _tumble_col(kexpr: str):
+    """Column for a ``__tumble_start/end`` marker expr, NTZ-safe
+    (session-timezone-independent epoch arithmetic)."""
+    for rx, shift in ((_TUMBLE_START_RE, 0), (_TUMBLE_END_RE, 1)):
+        m = rx.match(kexpr.strip())
+        if m:
+            ts, secs = m.group("ts"), int(m.group("secs"))
+            us = secs * 1_000_000
+            return F.expr(
+                f"timestampadd(MICROSECOND, "
+                f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                f"CAST({ts} AS TIMESTAMP_NTZ)) DIV {us}) * {us} + {shift * us}, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            )
+    return None
 
 
 _ROLLING_OVER_RE = re.compile(
@@ -1219,6 +1324,7 @@ def _compile_simple(
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
+    sql = _rewrite_tumble(sql)
     rolling = parse_rolling_shape(sql)
     if rolling is not None:
         if rolling.left not in tables:

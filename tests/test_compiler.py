@@ -888,3 +888,63 @@ def test_rolling_checkpoint_restore(spark, tmp_path):
     p2.step({"t": chunks[2]})
     live.createOrReplaceTempView("t")
     assert _canon(p2.materialized()) == _canon(spark.sql(sql))
+
+
+# ---------------------------------------------------------------------------
+# TUMBLE table-function views compiled onto the windowed aggregate
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_tumble_equals_batch(spark):
+    chunks, live = _ts_chunks(spark)
+    sql = (
+        "SELECT window_start, window_end, k, COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end, k"
+    )
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and plan._agg is not None, "TUMBLE view must compile"
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    expected = _canon(spark.sql(
+        "SELECT w.start AS window_start, w.end AS window_end, k, "
+        "COUNT(*) AS n, SUM(v) AS s FROM "
+        "(SELECT *, window(ts, '1 hour') AS w FROM t) "
+        "GROUP BY w.start, w.end, k"
+    ))
+    assert _canon(plan.materialized()) == expected
+
+
+def test_tumble_windowed_gc_strategy(spark):
+    """TUMBLE + table LATENESS selects the windowed-GC aggregate class
+    (frozen windows, bounded live state) with no date_trunc needed."""
+    from feldera_spark.streaming.incremental import WindowedLinearAggregateView
+
+    sql = (
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    )
+    # lateness must cover the whole ~5.6h data span: the deletion chunk
+    # retracts rows from the earliest windows, and anything below the
+    # waterline would be late-DROPPED (by design — that's q73/i07
+    # behavior), which this test isn't about
+    plan = compile_view(
+        sql, tables={"t"}, lateness={"t": {"ts": 8 * 3600}}
+    )
+    assert plan is not None
+    assert isinstance(plan._agg, WindowedLinearAggregateView)
+    chunks, live = _ts_chunks(spark)
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    # late-dropping applies: batch reference filters the same waterline
+    got = {(r.window_start, r.n) for r in plan.materialized().collect()}
+    exp = {(r.window_start, r.n) for r in spark.sql(
+        "SELECT w.start AS window_start, COUNT(*) AS n FROM "
+        "(SELECT *, window(ts, '1 hour') AS w FROM t) GROUP BY w.start"
+    ).collect()}
+    # deltas arrive in ts order and deletions are within lateness, so
+    # nothing was late-dropped: maintained == batch
+    assert got == exp
