@@ -1057,3 +1057,60 @@ def i20_ddl_tumble_ivm(spark, sf_dir):
         "window_start", "window_end", "event_type", "n",
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+@q(
+    "i21_ddl_session",
+    oracle=f"""
+    WITH src AS ({_NET}),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM src
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def i21_ddl_session(spark, sf_dir):
+    """i08's incremental SESSION windows driven ENTIRELY from DDL:
+    ``TABLE(SESSION(TABLE ev PARTITION BY user_id, DESCRIPTOR(ts),
+    INTERVAL '30' MINUTE))`` compiles onto the per-key generic
+    recompute — the delete step SPLITS sessions whose bridging rows
+    vanish; no hand-assembled operators (compile asserted)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i21_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, ts TIMESTAMP);"
+        "CREATE MATERIALIZED VIEW sess AS "
+        "SELECT user_id, window_start AS session_start,"
+        " window_end AS session_end, COUNT(*) AS n_events "
+        "FROM TABLE(SESSION(TABLE ev PARTITION BY user_id,"
+        " DESCRIPTOR(ts), INTERVAL '30' MINUTE)) "
+        "GROUP BY user_id, window_start, window_end"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("sess")
+    assert plan is not None and type(plan).__name__ == "CompiledSessionView", (
+        "SESSION view must compile to the per-key incremental recompute"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i21_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i21_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("sess")

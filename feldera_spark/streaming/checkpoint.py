@@ -41,6 +41,7 @@ _SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "IncrementalJoinView": (("a", "b", "output"), ()),
     "IncrementalDistinctView": (("integral",), ()),
     "IncrementalRollingAggregateView": (("integral", "output"), ()),
+    "IncrementalKeyedRecomputeView": (("integral", "output"), ()),
     "WindowedLinearAggregateView": (
         ("inner.state", "frozen"),
         ("frozen_bound",),
@@ -87,7 +88,10 @@ def _is_view_object(val) -> bool:
         and (
             type(val).__name__ in _SPECS
             or type(val).__name__
-            in ("CompiledView", "CompiledSetOpView", "CompiledRollingView")
+            in (
+                "CompiledView", "CompiledSetOpView",
+                "CompiledRollingView", "CompiledSessionView",
+            )
         )
     )
 
@@ -97,7 +101,8 @@ def save_view(view, path: str) -> dict:
     (caller embeds it in the committed meta.json). Recurses into nested
     view objects (outer-join composition, SQL-compiled views)."""
     if type(view).__name__ in (
-        "CompiledView", "CompiledSetOpView", "CompiledRollingView"
+        "CompiledView", "CompiledSetOpView",
+        "CompiledRollingView", "CompiledSessionView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -155,7 +160,8 @@ def load_view(view, spark, path: str, meta: dict) -> None:
             f"checkpoint is for {meta['class']}, view is {type(view).__name__}"
         )
     if meta["class"] in (
-        "CompiledView", "CompiledSetOpView", "CompiledRollingView"
+        "CompiledView", "CompiledSetOpView",
+        "CompiledRollingView", "CompiledSessionView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

@@ -1065,6 +1065,206 @@ def parse_rolling_shape(sql: str) -> _RollingShape | None:
     )
 
 
+_SESSION_FROM_RE = re.compile(
+    r"TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(?P<t>\w+)"
+    r"(?:\s+PARTITION\s+BY\s+(?P<pb>[\w\s,]+?))?\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+    r"INTERVAL\s+'?(?P<n>\d+)'?\s+(?P<unit>SECONDS?|MINUTES?|HOURS?|DAYS?)\s*"
+    r"\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class _SessionShape:
+    """``SELECT keys…, window_start, window_end, AGG(x) AS a… FROM
+    TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL n
+    unit)) GROUP BY keys…, window_start[, window_end]``."""
+
+    left: str
+    where: str | None
+    keys: list[str]  # partition keys
+    ts: str
+    gap_secs: int
+    start_name: str | None  # selected alias for window_start (or None)
+    end_name: str | None
+    aggs: list[_Agg]
+    out_cols: list[str] = field(default_factory=list)
+
+
+def parse_session_shape(sql: str) -> _SessionShape | None:
+    """Recognize a SESSION-windowed aggregate over one table."""
+    from feldera_spark.frontend import _protect_literals, _split_top_commas
+
+    fm = _SESSION_FROM_RE.search(sql)
+    if fm is None:
+        return None
+    protected, _ = _protect_literals(sql)
+    if re.search(
+        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
+        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|JOIN|"
+        r"HAVING|OVER|TUMBLE|HOP)\b",
+        protected,
+        re.IGNORECASE,
+    ):
+        return None
+    gap = int(fm.group("n")) * _UNIT_SECS[fm.group("unit").lower().rstrip("s")]
+    keys = [
+        p.strip().lower()
+        for p in (fm.group("pb") or "").split(",")
+        if p.strip()
+    ]
+    sql2 = sql[: fm.start()] + fm.group("t") + sql[fm.end():]
+    m = _SHAPE_RE.match(sql2.strip())
+    if (
+        m is None
+        or m.group("distinct")
+        or m.group("having")
+        or m.group("ob")
+        or m.group("limit")
+        or m.group("gb") is None
+    ):
+        return None
+    gb = {e.strip().lower() for e in _split_top_commas(m.group("gb"))}
+    if not (set(keys) <= gb and "window_start" in gb):
+        return None
+    if gb - set(keys) - {"window_start", "window_end"}:
+        return None
+    start_name = end_name = None
+    aggs: list[_Agg] = []
+    out_cols: list[str] = []
+    seen_keys: set[str] = set()
+    for item in _split_top_commas(m.group("sel")):
+        item = item.strip()
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item, re.IGNORECASE | re.DOTALL)
+        expr, name = (
+            (am.group("e").strip(), am.group("n").lower()) if am else (item, None)
+        )
+        gm = _AGG_RE.match(expr)
+        if gm is not None:
+            if name is None:
+                return None
+            arg = gm.group(2).strip()
+            fn = gm.group(1).lower()
+            if fn == "count" and arg == "*":
+                arg = None
+            aggs.append(_Agg(name, fn, arg))
+            out_cols.append(name)
+            continue
+        if not re.match(r"^\w+$", expr):
+            return None
+        col = expr.lower()
+        name = name or col
+        if col == "window_start":
+            start_name = name
+        elif col == "window_end":
+            end_name = name
+        elif col in keys:
+            seen_keys.add(col)
+            if name != col:
+                return None  # aliased partition keys: keep it simple
+        else:
+            return None
+        out_cols.append(name)
+    if not aggs:
+        return None
+    where = m.group("where")
+    return _SessionShape(
+        left=fm.group("t").lower(),
+        where=where.strip() if where else None,
+        keys=keys,
+        ts=fm.group("ts").lower(),
+        gap_secs=gap,
+        start_name=start_name,
+        end_name=end_name,
+        aggs=aggs,
+        out_cols=out_cols,
+    )
+
+
+class CompiledSessionView:
+    """SESSION windows from DDL, maintained incrementally.
+
+    The hard streaming case — a delta row can MERGE two neighboring
+    sessions or a deletion can SPLIT one — handled by the per-key
+    generic recompute (``IncrementalKeyedRecomputeView``): keep the
+    input integral, re-sessionize ONLY touched partition keys per step,
+    emit new − old (the reference's general aggregate strategy extended
+    to set-valued output, ``operator/dynamic/aggregate.rs``; SESSION
+    lowering per ``docs/sql/table.md``). Sessionization itself is
+    Spark's native ``session_window`` over the touched keys' bag."""
+
+    def __init__(self, ss: _SessionShape):
+        from feldera_spark.streaming.incremental import (
+            IncrementalKeyedRecomputeView,
+        )
+
+        self.shape = ss
+        self.sources = [ss.left]
+        self._waterline = None
+        gap = f"{ss.gap_secs} seconds"
+
+        def sessionize(rows: DataFrame) -> DataFrame:
+            exprs = []
+            for a in ss.aggs:
+                if a.fn == "count" and a.arg is None:
+                    exprs.append(F.count(F.lit(1)).alias(a.name))
+                else:
+                    exprs.append(getattr(F, a.fn)(F.expr(a.arg)).alias(a.name))
+            out = rows.groupBy(
+                *ss.keys, F.session_window(F.col(ss.ts), gap).alias("__w")
+            ).agg(*exprs)
+            cols = list(ss.keys)
+            if ss.start_name is not None:
+                cols.append(F.col("__w.start").alias(ss.start_name))
+            if ss.end_name is not None:
+                cols.append(F.col("__w.end").alias(ss.end_name))
+            return out.select(*cols, *[a.name for a in ss.aggs])
+
+        # keys for touched-key state restriction; global sessions (no
+        # PARTITION BY) recompute the single global timeline
+        self._view = IncrementalKeyedRecomputeView(
+            keys=ss.keys or ["__g"], fn=sessionize
+        )
+        self._global = not ss.keys
+
+    def bind_schemas(self, frames) -> None:
+        pass
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        ss = self.shape
+        d = deltas.get(ss.left)
+        if d is None:
+            return None
+        d = zset.lift(d)
+        if ss.where is not None:
+            d = d.filter(F.expr(ss.where))
+        keep = list(dict.fromkeys(ss.keys + [ss.ts])) + [
+            c for c in d.columns
+            if c.lower() in {
+                a.arg.lower() for a in ss.aggs if a.arg is not None
+            } and c.lower() not in ss.keys and c.lower() != ss.ts
+        ]
+        d = d.select(*keep, WEIGHT)
+        if self._global:
+            d = d.withColumn("__g", F.lit(0))
+        out = self._view.step(d)
+        if out is None:
+            return None
+        if self._global:
+            out = out.drop("__g")
+        return out.select(*ss.out_cols, WEIGHT)
+
+    def materialized(self) -> DataFrame:
+        out = self._view.materialized()
+        if self._global:
+            out = out.drop("__g")
+        return out.select(*self.shape.out_cols)
+
+    def state_components(self):
+        return {"_view": self._view}
+
+
 class CompiledRollingView:
     """A rolling OVER-RANGE view compiled from DDL onto
     ``IncrementalRollingAggregateView`` — per-step work bounded to each
@@ -1325,6 +1525,14 @@ def _compile_simple(
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
     sql = _rewrite_tumble(sql)
+    session = parse_session_shape(sql)
+    if session is not None:
+        if session.left not in tables:
+            return None
+        try:
+            return CompiledSessionView(session)
+        except Exception:
+            return None
     rolling = parse_rolling_shape(sql)
     if rolling is not None:
         if rolling.left not in tables:

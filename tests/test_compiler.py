@@ -948,3 +948,94 @@ def test_tumble_windowed_gc_strategy(spark):
     # deltas arrive in ts order and deletions are within lateness, so
     # nothing was late-dropped: maintained == batch
     assert got == exp
+
+
+def test_topk_view_checkpoint_restore(spark, tmp_path):
+    """Compiled ORDER BY + LIMIT views (IncrementalKeyedRecomputeView
+    state) must round-trip through the durable checkpoint."""
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    sql = "SELECT id, v FROM t ORDER BY v DESC, id ASC LIMIT 7"
+    chunks, live = _chunks(spark)
+    p1 = compile_view(sql, tables={"t"})
+    assert p1 is not None and p1._topk is not None
+    p1.step({"t": chunks[0]}); p1.step({"t": chunks[1]})
+    ck = PipelineCheckpointer(str(tmp_path / "state"))
+    ck.commit(1, {"v": p1})
+
+    p2 = compile_view(sql, tables={"t"})
+    meta = ck.restore(spark, {"v": p2})
+    assert meta is not None and meta["batch_id"] == 1
+    p2.step({"t": chunks[2]})  # deletions INSIDE the current top-k
+    live.createOrReplaceTempView("t")
+    assert _canon(p2.materialized()) == _canon(
+        spark.sql("SELECT id, v FROM t ORDER BY v DESC, id ASC LIMIT 7")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SESSION table-function views (per-key incremental recompute)
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_session_equals_batch_per_step(spark):
+    """Deltas engineered to MERGE sessions (a bridging row lands between
+    two existing sessions) and SPLIT one (the bridge is deleted)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    mk = lambda rows, w: spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), float(v), w) for k, m, v in rows],
+        "k STRING, ts TIMESTAMP_NTZ, v DOUBLE, __weight LONG",
+    )
+    steps = [
+        mk([("a", 0, 1), ("a", 10, 2), ("a", 60, 3), ("b", 5, 4)], 1),
+        mk([("a", 35, 9)], 1),            # bridges a's two sessions -> merge
+        mk([("a", 35, 9)], -1),           # bridge deleted -> split again
+        mk([("b", 5, 4)], -1),            # b loses its only session
+    ]
+    sql = (
+        "SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE)) GROUP BY k, window_start, window_end"
+    )
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and type(plan).__name__ == "CompiledSessionView"
+    acc = None
+    for st in steps:
+        plan.step({"t": st})
+        acc = st if acc is None else zset.plus(acc, st)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        expected = _canon(
+            spark.table("t")
+            .groupBy("k", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select("k", F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "n", "s")
+        )
+        assert _canon(plan.materialized()) == expected
+
+
+def test_session_checkpoint_restore(spark, tmp_path):
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    mk = lambda rows, w: spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), float(v), w) for k, m, v in rows],
+        "k STRING, ts TIMESTAMP_NTZ, v DOUBLE, __weight LONG",
+    )
+    sql = (
+        "SELECT k, window_start, COUNT(*) AS n "
+        "FROM TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE)) GROUP BY k, window_start"
+    )
+    p1 = compile_view(sql, tables={"t"})
+    p1.step({"t": mk([("a", 0, 1), ("a", 10, 2), ("a", 60, 3)], 1)})
+    ck = PipelineCheckpointer(str(tmp_path / "state"))
+    ck.commit(1, {"v": p1})
+    p2 = compile_view(sql, tables={"t"})
+    assert ck.restore(spark, {"v": p2})["batch_id"] == 1
+    p2.step({"t": mk([("a", 35, 9)], 1)})  # merge across the restore
+    rows = {(r.k, r.window_start, r.n) for r in p2.materialized().collect()}
+    assert rows == {("a", base, 4)}
