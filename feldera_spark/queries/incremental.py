@@ -1114,3 +1114,46 @@ def i21_ddl_session(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i21_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("sess")
+
+
+@q(
+    "i22_ddl_hop",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '6 hours', ts) - (k * INTERVAL '6 hours')
+             AS window_start,
+           event_type, count(*) AS n
+    FROM ({_NET}), (VALUES (0),(1),(2),(3)) AS offs(k)
+    GROUP BY 1, 2
+    """,
+)
+def i22_ddl_hop(spark, sf_dir):
+    """HOP table-function view from DDL (slide 6h, size 24h): HOP is a
+    LINEAR flat-map — each row explodes into size/slide = 4 windows
+    (the reference's ``ExpandHop``, ``CircuitOptimizer.java:143``) —
+    so the view compiles onto the ordinary incremental aggregate and
+    INSERT/DELETE advance all 4 affected windows per row by deltas."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i22_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR, ts TIMESTAMP);"
+        "CREATE MATERIALIZED VIEW hopped AS "
+        "SELECT window_start, event_type, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '6' HOUR,"
+        " INTERVAL '24' HOUR)) "
+        "GROUP BY window_start, event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("hopped")
+    assert plan is not None and plan._agg is not None, (
+        "HOP view must compile onto the incremental aggregate"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i22_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i22_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("hopped")

@@ -315,13 +315,20 @@ def parse_view_shape(sql: str) -> _Shape | None:
         # expression or by alias) — except window_end, which is
         # functionally determined by the window_start key
         start_keys = {
-            _TUMBLE_START_RE.match(e.strip()).groups()
+            ("t",) + _TUMBLE_START_RE.match(e.strip()).groups()
             for e in shape.computed_keys.values()
             if _TUMBLE_START_RE.match(e.strip())
+        } | {
+            ("h",) + _HOP_START_RE.match(e.strip()).groups()
+            for e in shape.computed_keys.values()
+            if _HOP_START_RE.match(e.strip())
         }
         for expr, name in shape.select:
             em = _TUMBLE_END_RE.match(expr.strip())
-            if em is not None and em.groups() in start_keys:
+            if em is not None and ("t",) + em.groups() in start_keys:
+                continue
+            hm = _HOP_END_RE.match(expr.strip())
+            if hm is not None and ("h",) + hm.groups() in start_keys:
                 continue
             if expr.lower() not in shape.keys and name not in shape.keys:
                 return None
@@ -652,10 +659,15 @@ class CompiledView:
             return None
         (kname, kexpr), = s.computed_keys.items()
         tm = _TUMBLE_START_RE.match(kexpr.strip())
+        hm = _HOP_START_RE.match(kexpr.strip())
         if tm is not None:
             # TUMBLE(...) table function → same windowed-GC class, any
             # fixed window size
             tscol, secs = tm.group("ts").lower(), int(tm.group("secs"))
+        elif hm is not None:
+            # HOP windows freeze once start + SIZE is below the
+            # waterline — same class, window_seconds = hop size
+            tscol, secs = hm.group("ts").lower(), int(hm.group("size"))
         else:
             m = self._DATE_TRUNC_RE.match(kexpr.strip())
             if m is None:
@@ -690,15 +702,21 @@ class CompiledView:
                 cols.append(F.col(name))
             else:
                 e = key_expr[name]
-                em = _TUMBLE_END_RE.match(e.strip())
-                if em is not None:
+                end_m = _TUMBLE_END_RE.match(e.strip())
+                hop_m = _HOP_END_RE.match(e.strip()) if end_m is None else None
+                if end_m is not None or hop_m is not None:
                     # window_end derives from the window_start KEY (the
                     # raw ts is pruned out of aggregate state)
-                    ets, esecs = em.group("ts"), em.group("secs")
+                    if end_m is not None:
+                        start_rx, esecs = _TUMBLE_START_RE, end_m.group("secs")
+                        want = end_m.groups()
+                    else:
+                        start_rx, esecs = _HOP_START_RE, hop_m.group("size")
+                        want = hop_m.groups()
                     start_alias = next(
                         n for n, ke in s.computed_keys.items()
-                        if (mm := _TUMBLE_START_RE.match(ke.strip()))
-                        and mm.groups() == (ets, esecs)
+                        if (mm := start_rx.match(ke.strip()))
+                        and mm.groups() == want
                     )
                     cols.append(
                         F.expr(
@@ -761,7 +779,40 @@ class CompiledView:
         self._stepped = True
         s = self.shape
         if self._agg is not None:
-            for kname, kexpr in s.computed_keys.items():
+            # hop starts explode FIRST: hop ends derive from them
+            ordered_keys = sorted(
+                s.computed_keys.items(),
+                key=lambda kv: bool(_HOP_END_RE.match(kv[1].strip())),
+            )
+            for kname, kexpr in ordered_keys:
+                hm = _HOP_START_RE.match(kexpr.strip())
+                if hm is not None:
+                    rows = rows.withColumn(
+                        kname,
+                        F.explode(
+                            _hop_starts_col(
+                                hm.group("ts"),
+                                int(hm.group("slide")),
+                                int(hm.group("size")),
+                            )
+                        ),
+                    )
+                    continue
+                em = _HOP_END_RE.match(kexpr.strip())
+                if em is not None:
+                    start_alias = next(
+                        n for n, ke in s.computed_keys.items()
+                        if (mm := _HOP_START_RE.match(ke.strip()))
+                        and mm.groups() == em.groups()
+                    )
+                    rows = rows.withColumn(
+                        kname,
+                        F.expr(
+                            f"timestampadd(SECOND, {em.group('size')}, "
+                            f"{start_alias})"
+                        ),
+                    )
+                    continue
                 tc = _tumble_col(kexpr)
                 if tc is not None:
                     rows = rows.withColumn(kname, tc)
@@ -930,6 +981,76 @@ def _rewrite_tumble(sql: str) -> str:
     tail = re.sub(r"\bwindow_start\b", start, tail, flags=re.IGNORECASE)
     tail = re.sub(r"\bwindow_end\b", end, tail, flags=re.IGNORECASE)
     return head + tail
+
+
+_HOP_FROM_RE = re.compile(
+    r"TABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(?P<t>\w+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+    r"INTERVAL\s+'?(?P<sn>\d+)'?\s+(?P<su>SECONDS?|MINUTES?|HOURS?|DAYS?)\s*,\s*"
+    r"INTERVAL\s+'?(?P<zn>\d+)'?\s+(?P<zu>SECONDS?|MINUTES?|HOURS?|DAYS?)\s*"
+    r"\)\s*\)",
+    re.IGNORECASE,
+)
+_HOP_START_RE = re.compile(
+    r"^__hop_start\((?P<ts>\w+),\s*(?P<slide>\d+),\s*(?P<size>\d+)\)$",
+    re.IGNORECASE,
+)
+_HOP_END_RE = re.compile(
+    r"^__hop_end\((?P<ts>\w+),\s*(?P<slide>\d+),\s*(?P<size>\d+)\)$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_hop(sql: str) -> str:
+    """Canonicalize ``FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL
+    slide, INTERVAL size))``: HOP is a LINEAR flat-map — each row lands
+    in size/slide windows (the reference's ``ExpandHop`` rewrite,
+    ``CircuitOptimizer.java:143``) — so the view compiles onto the
+    ordinary incremental aggregate with an explode-materialized key."""
+    m = _HOP_FROM_RE.search(sql)
+    if m is None:
+        return sql
+    slide = int(m.group("sn")) * _UNIT_SECS[m.group("su").lower().rstrip("s")]
+    size = int(m.group("zn")) * _UNIT_SECS[m.group("zu").lower().rstrip("s")]
+    if size % slide != 0:
+        return sql  # ragged hops: batch fallback
+    ts = m.group("ts")
+    sql = sql[: m.start()] + m.group("t") + sql[m.end():]
+    if _HOP_FROM_RE.search(sql) or _TUMBLE_FROM_RE.search(sql):
+        return sql
+    start = f"__hop_start({ts}, {slide}, {size})"
+    end = f"__hop_end({ts}, {slide}, {size})"
+    parts = re.split(r"(\bFROM\b)", sql, maxsplit=1, flags=re.IGNORECASE)
+    head = parts[0]
+    head = re.sub(
+        r"\bwindow_start\b(?!\s+AS)", f"{start} AS window_start", head,
+        flags=re.IGNORECASE,
+    )
+    head = re.sub(
+        r"\bwindow_end\b(?!\s+AS)", f"{end} AS window_end", head,
+        flags=re.IGNORECASE,
+    )
+    tail = "".join(parts[1:])
+    tail = re.sub(r"\bwindow_start\b", start, tail, flags=re.IGNORECASE)
+    tail = re.sub(r"\bwindow_end\b", end, tail, flags=re.IGNORECASE)
+    return head + tail
+
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _hop_starts_col(ts: str, slide: int, size: int):
+    """Array of epoch-aligned hop window starts containing ``ts`` —
+    NTZ-safe micros arithmetic (floor DIV is exact for ts >= epoch)."""
+    sl, sz = slide * 1_000_000, size * 1_000_000
+    return F.expr(
+        f"transform(sequence("
+        f"(timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts} AS TIMESTAMP_NTZ))"
+        f" DIV {sl}) * {sl} - {sz} + {sl}, "
+        f"(timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts} AS TIMESTAMP_NTZ))"
+        f" DIV {sl}) * {sl}, {sl}), "
+        f"u -> timestampadd(MICROSECOND, u, {_EPOCH}))"
+    )
 
 
 def _tumble_col(kexpr: str):
@@ -1524,7 +1645,7 @@ def _compile_simple(
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
-    sql = _rewrite_tumble(sql)
+    sql = _rewrite_hop(_rewrite_tumble(sql))
     session = parse_session_shape(sql)
     if session is not None:
         if session.left not in tables:

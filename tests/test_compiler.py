@@ -1039,3 +1039,37 @@ def test_session_checkpoint_restore(spark, tmp_path):
     p2.step({"t": mk([("a", 35, 9)], 1)})  # merge across the restore
     rows = {(r.k, r.window_start, r.n) for r in p2.materialized().collect()}
     assert rows == {("a", base, 4)}
+
+
+def test_compiled_hop_equals_batch(spark):
+    """HOP = linear flat-map into size/slide windows (ExpandHop):
+    compiles onto the ordinary incremental aggregate."""
+    chunks, live = _ts_chunks(spark)
+    sql = (
+        "SELECT window_start, window_end, k, COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '15' MINUTE, "
+        "INTERVAL '1' HOUR)) GROUP BY window_start, window_end, k"
+    )
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and plan._agg is not None, "HOP view must compile"
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    expected = _canon(
+        spark.table("t")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "k", "n", "s")
+    )
+    assert _canon(plan.materialized()) == expected
+
+
+def test_hop_ragged_falls_back():
+    # size not a multiple of slide: batch fallback
+    assert compile_view(
+        "SELECT window_start, COUNT(*) AS n FROM TABLE(HOP(TABLE t, "
+        "DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start",
+        tables={"t"},
+    ) is None
