@@ -1157,3 +1157,64 @@ def i22_ddl_hop(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i22_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("hopped")
+
+
+@q(
+    "i23_ddl_asof_ivm",
+    oracle=f"""
+    WITH src AS ({_NET}),
+    v AS (SELECT event_id, user_id, ts FROM src WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id,
+                 max(CAST(value AS DOUBLE)) AS purchase_value
+          FROM src WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    ranked AS (
+      SELECT v.event_id, v.user_id, v.ts,
+             p.purchase_id, p.purchase_value,
+             row_number() OVER (PARTITION BY v.event_id
+                                ORDER BY p.pts DESC) AS rn
+      FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.pts <= v.ts
+    )
+    SELECT event_id, user_id, ts, purchase_id, purchase_value
+    FROM ranked WHERE rn = 1 OR purchase_id IS NULL
+    """,
+)
+def i23_ddl_asof_ivm(spark, sf_dir):
+    """LEFT ASOF JOIN maintained INCREMENTALLY from DDL — the whole
+    three-view DAG compiles (filter view → aggregate view → ASOF view
+    consuming both delta streams); the delete chunk retracts purchase
+    rows and the as-of matches FALL BACK to the next-earlier purchase
+    (``asof_join.rs`` retraction semantics). Compile is asserted for
+    all three views — no batch fallback anywhere in the DAG."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i23_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, ts TIMESTAMP, value DOUBLE);"
+        "CREATE LOCAL VIEW views AS "
+        "SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view';"
+        "CREATE LOCAL VIEW purchases AS "
+        "SELECT user_id, ts AS pts, MAX(event_id) AS purchase_id,"
+        " MAX(value) AS purchase_value "
+        "FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts;"
+        "CREATE MATERIALIZED VIEW attributed AS "
+        "SELECT event_id, user_id, ts, purchase_id, purchase_value "
+        "FROM views v LEFT ASOF JOIN purchases p "
+        "MATCH_CONDITION (v.ts >= p.pts) ON v.user_id = p.user_id"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    for vname in ("views", "purchases", "attributed"):
+        assert vname in pipe._ivm, f"{vname} must compile to IVM"
+    assert type(pipe._ivm["attributed"]).__name__ == "CompiledAsofView"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i23_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i23_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("attributed")

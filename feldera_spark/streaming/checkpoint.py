@@ -42,6 +42,7 @@ _SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "IncrementalDistinctView": (("integral",), ()),
     "IncrementalRollingAggregateView": (("integral", "output"), ()),
     "IncrementalKeyedRecomputeView": (("integral", "output"), ()),
+    "IncrementalBinaryKeyedRecomputeView": (("a", "b", "output"), ()),
     "WindowedLinearAggregateView": (
         ("inner.state", "frozen"),
         ("frozen_bound",),
@@ -91,6 +92,7 @@ def _is_view_object(val) -> bool:
             in (
                 "CompiledView", "CompiledSetOpView",
                 "CompiledRollingView", "CompiledSessionView",
+                "CompiledAsofView",
             )
         )
     )
@@ -102,7 +104,7 @@ def save_view(view, path: str) -> dict:
     view objects (outer-join composition, SQL-compiled views)."""
     if type(view).__name__ in (
         "CompiledView", "CompiledSetOpView",
-        "CompiledRollingView", "CompiledSessionView",
+        "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -161,7 +163,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         )
     if meta["class"] in (
         "CompiledView", "CompiledSetOpView",
-        "CompiledRollingView", "CompiledSessionView",
+        "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

@@ -1186,6 +1186,171 @@ def parse_rolling_shape(sql: str) -> _RollingShape | None:
     )
 
 
+_ASOF_FROM_RE = re.compile(
+    r"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!LEFT\b)\w+))?\s+"
+    r"LEFT\s+ASOF\s+JOIN\s+(?P<rt>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<ra>(?!MATCH_CONDITION\b)\w+))?\s+"
+    r"MATCH_CONDITION\s*\(\s*(?P<cond>[^()]*)\)\s*"
+    r"ON\s+(?P<on>.*?)(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CMP_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)\s*$")
+
+
+@dataclass
+class _AsofShape:
+    """``SELECT cols FROM l LEFT ASOF JOIN r MATCH_CONDITION
+    (l.lts >= r.rts) ON l.k = r.k [WHERE p]`` — the reference's ASOF
+    join (``operator/dynamic/asof_join.rs``; SQL surface
+    ``docs/sql/grammar.md`` ASOF)."""
+
+    left: str
+    right: str
+    keys: list[str]  # left-side key names (right renamed to these)
+    renames: dict[str, str]  # right col -> left name
+    left_ts: str
+    right_ts: str
+    select: list[tuple[str, str]]  # (expr, name) — bare columns only
+    where: str | None
+    out_cols: list[str] = field(default_factory=list)
+
+
+def parse_asof_shape(sql: str) -> _AsofShape | None:
+    from feldera_spark.frontend import _protect_literals, _split_top_commas
+
+    protected, _ = _protect_literals(sql)
+    if re.search(
+        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
+        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|"
+        r"GROUP\s+BY|HAVING|OVER|TUMBLE|HOP|SESSION|LIMIT)\b",
+        protected,
+        re.IGNORECASE,
+    ):
+        return None
+    fm = _ASOF_FROM_RE.search(sql)
+    if fm is None:
+        return None
+    sm = re.match(r"^\s*SELECT\s+(?P<sel>.*)$", sql[: fm.start()].strip(),
+                  re.IGNORECASE | re.DOTALL)
+    if sm is None:
+        return None
+    la = (fm.group("la") or fm.group("lt")).lower()
+    ra = (fm.group("ra") or fm.group("rt")).lower()
+    cm = _CMP_RE.match(fm.group("cond"))
+    if cm is None:
+        return None
+    a_al, a_col, op, b_al, b_col = (g.lower() for g in cm.groups())
+    if op == "<=":
+        a_al, a_col, b_al, b_col = b_al, b_col, a_al, a_col
+    if (a_al, b_al) != (la, ra):
+        return None  # right side must carry the at-or-before timestamp
+    left_ts, right_ts = a_col, b_col
+    keys: list[str] = []
+    renames: dict[str, str] = {}
+    for term in re.split(r"\bAND\b", fm.group("on"), flags=re.IGNORECASE):
+        em = _EQ_RE.match(term)
+        if em is None:
+            return None
+        x_al, x_col, y_al, y_col = (g.lower() for g in em.groups())
+        if x_al == ra:
+            x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
+        if x_al != la or y_al != ra:
+            return None
+        keys.append(x_col)
+        renames[y_col] = x_col
+    if right_ts in renames:
+        right_ts = renames[right_ts]
+    aliases = {la: "l", ra: "r"}
+    select: list[tuple[str, str]] = []
+    out_cols: list[str] = []
+    for item in _split_top_commas(sm.group("sel")):
+        item = _strip_aliases(item.strip(), aliases)
+        am = re.match(r"^(?P<e>\w+)(?:\s+AS\s+(?P<n>\w+))?$", item, re.IGNORECASE)
+        if am is None:
+            return None  # computed select items: batch fallback
+        expr = am.group("e").lower()
+        name = (am.group("n") or expr).lower()
+        select.append((expr, name))
+        out_cols.append(name)
+    where = fm.group("where")
+    return _AsofShape(
+        left=fm.group("lt").lower(),
+        right=fm.group("rt").lower(),
+        keys=keys,
+        renames=renames,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        select=select,
+        where=_strip_aliases(where.strip(), aliases) if where else None,
+        out_cols=out_cols,
+    )
+
+
+class CompiledAsofView:
+    """LEFT ASOF JOIN maintained incrementally via binary per-key
+    recompute: a delta on either side re-evaluates the as-of matching
+    ONLY for its touched keys (new − old emitted). The reference
+    maintains the same per-key invariant with finer timestamp slicing
+    (``asof_join.rs``); per-key recompute is the general, retraction-
+    correct form — deleting a matched right row falls back to the next
+    earlier one, deleting a left row retracts its output."""
+
+    def __init__(self, ash: _AsofShape):
+        from feldera_spark.operators.joins import asof_join
+        from feldera_spark.streaming.incremental import (
+            IncrementalBinaryKeyedRecomputeView,
+        )
+
+        self.shape = ash
+        self.sources = [ash.left] + ([ash.right] if ash.right != ash.left else [])
+        self._waterline = None
+
+        def fn(a_rows: DataFrame, b_rows: DataFrame) -> DataFrame:
+            out = asof_join(
+                a_rows, b_rows, on=ash.keys,
+                left_ts=ash.left_ts, right_ts=ash.right_ts,
+            )
+            if ash.where is not None:
+                out = out.filter(F.expr(ash.where))
+            return out
+
+        self._view = IncrementalBinaryKeyedRecomputeView(keys=ash.keys, fn=fn)
+
+    def bind_schemas(self, frames) -> None:
+        ash = self.shape
+        l = frames.get(ash.left)
+        r = frames.get(ash.right)
+        self._view.set_schemas(l, self._prep_r(r) if r is not None else None)
+
+    def _prep_r(self, d: DataFrame) -> DataFrame:
+        for rc, lc in self.shape.renames.items():
+            if rc != lc:
+                d = d.withColumnRenamed(rc, lc)
+        return d
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        ash = self.shape
+        da = deltas.get(ash.left)
+        db = deltas.get(ash.right)
+        if da is not None:
+            da = zset.lift(da)
+        if db is not None:
+            db = self._prep_r(zset.lift(db))
+        out = self._view.step(da, db)
+        if out is None:
+            return None
+        return out.select(
+            *[F.col(e).alias(n) for e, n in ash.select], WEIGHT
+        )
+
+    def materialized(self) -> DataFrame:
+        out = self._view.materialized()
+        return out.select(*[F.col(e).alias(n) for e, n in self.shape.select])
+
+    def state_components(self):
+        return {"_view": self._view}
+
+
 _SESSION_FROM_RE = re.compile(
     r"TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(?P<t>\w+)"
     r"(?:\s+PARTITION\s+BY\s+(?P<pb>[\w\s,]+?))?\s*,\s*"
@@ -1646,6 +1811,14 @@ def _compile_simple(
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
     sql = _rewrite_hop(_rewrite_tumble(sql))
+    asof = parse_asof_shape(sql)
+    if asof is not None:
+        if not {asof.left, asof.right} <= tables:
+            return None
+        try:
+            return CompiledAsofView(asof)
+        except Exception:
+            return None
     session = parse_session_shape(sql)
     if session is not None:
         if session.left not in tables:

@@ -784,3 +784,72 @@ class IncrementalDistinctView:
     def materialized(self) -> DataFrame:
         assert not self.integral.empty
         return zset.distinct(self.integral.read()).drop(WEIGHT)
+
+
+class IncrementalBinaryKeyedRecomputeView:
+    """Binary-input per-key incremental maintenance: output per key is
+    an arbitrary deterministic function of BOTH sides' full row sets
+    for that key. The incremental ASOF join uses this — a delta on
+    either side can only change output rows of its own keys
+    (``operator/dynamic/asof_join.rs`` maintains the same per-key
+    invariant with finer-grained timestamps; the per-key recompute is
+    the general form, work = O(touched keys' state)).
+
+    ``fn(a_rows, b_rows) -> DataFrame`` consumes bags (weights already
+    expanded) and must be per-key (no cross-key state). Schemas for a
+    not-yet-seen side come from ``set_schemas`` templates (NULL-side
+    outputs may be needed before that side's first delta)."""
+
+    def __init__(self, keys: list[str], fn):
+        self.keys = keys
+        self.fn = fn
+        self.a = Spine()
+        self.b = Spine()
+        self.output = Spine()
+        self._a_template: DataFrame | None = None
+        self._b_template: DataFrame | None = None
+
+    def set_schemas(self, a_df: DataFrame | None, b_df: DataFrame | None):
+        if a_df is not None:
+            self._a_template = a_df.limit(0).drop(WEIGHT) \
+                if WEIGHT in a_df.columns else a_df.limit(0)
+        if b_df is not None:
+            self._b_template = b_df.limit(0).drop(WEIGHT) \
+                if WEIGHT in b_df.columns else b_df.limit(0)
+
+    def _side(self, spine: Spine, template: DataFrame | None, touched):
+        if spine.empty:
+            assert template is not None, (
+                "side has no deltas and no schema template (call set_schemas)"
+            )
+            return template
+        return zset.to_bag(spine.read_for_keys(touched, self.keys))
+
+    def step(
+        self, da: DataFrame | None, db: DataFrame | None
+    ) -> DataFrame | None:
+        if da is None and db is None:
+            return None
+        parts = []
+        for d in (da, db):
+            if d is not None:
+                parts.append(zset.lift(d).select(*self.keys).distinct())
+        touched = parts[0] if len(parts) == 1 else parts[0].union(parts[1]).distinct()
+        if da is not None:
+            self.a.append(zset.lift(da))
+        if db is not None:
+            self.b.append(zset.lift(db))
+        a_rows = self._side(self.a, self._a_template, touched)
+        b_rows = self._side(self.b, self._b_template, touched)
+        new_rows = zset.lift(self.fn(a_rows, b_rows))
+        if self.output.empty:
+            out_delta = zset.consolidate(new_rows)
+        else:
+            old_rows = self.output.read_for_keys(touched, self.keys)
+            out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
+        self.output.append(out_delta)
+        return out_delta
+
+    def materialized(self) -> DataFrame:
+        assert not self.output.empty
+        return zset.to_bag(self.output.read())

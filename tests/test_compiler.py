@@ -1073,3 +1073,92 @@ def test_hop_ragged_falls_back():
         "GROUP BY window_start",
         tables={"t"},
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# incremental ASOF JOIN views (binary per-key recompute)
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_asof_equals_batch_per_step(spark):
+    """Deltas engineered so a deletion removes the CURRENT as-of match
+    and the maintenance falls back to the next-earlier right row."""
+    import datetime as dt
+
+    from feldera_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 5, 1)
+    L = lambda rows, w: spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), f"l{i}", w) for k, m, i in rows],
+        "k INT, lts TIMESTAMP_NTZ, lv STRING, __weight LONG",
+    )
+    R = lambda rows, w: spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), float(p), w) for k, m, p in rows],
+        "k INT, rts TIMESTAMP_NTZ, price DOUBLE, __weight LONG",
+    )
+    steps = [
+        {"l": L([(1, 10, 0), (1, 50, 1), (2, 30, 2)], 1),
+         "r": R([(1, 5, 100), (1, 40, 200)], 1)},
+        {"l": None, "r": R([(2, 25, 300)], 1)},
+        {"l": None, "r": R([(1, 40, 200)], -1)},  # match falls back to ts=5
+        {"l": L([(2, 30, 2)], -1), "r": None},    # left row retracted
+    ]
+    sql = (
+        "SELECT l.k, l.lts, l.lv, r.price FROM l "
+        "LEFT ASOF JOIN r MATCH_CONDITION (l.lts >= r.rts) ON l.k = r.k"
+    )
+    plan = compile_view(sql, tables={"l", "r"})
+    assert plan is not None and type(plan).__name__ == "CompiledAsofView"
+    plan.bind_schemas({
+        "l": spark.createDataFrame([], "k INT, lts TIMESTAMP_NTZ, lv STRING"),
+        "r": spark.createDataFrame([], "k INT, rts TIMESTAMP_NTZ, price DOUBLE"),
+    })
+    l_acc = r_acc = None
+    for st in steps:
+        plan.step(st)
+        if st["l"] is not None:
+            l_acc = st["l"] if l_acc is None else zset.plus(l_acc, st["l"])
+        if st["r"] is not None:
+            r_acc = st["r"] if r_acc is None else zset.plus(r_acc, st["r"])
+        l_now = zset.to_bag(zset.consolidate(l_acc))
+        r_now = (
+            zset.to_bag(zset.consolidate(r_acc))
+            if r_acc is not None
+            else spark.createDataFrame([], "k INT, rts TIMESTAMP_NTZ, price DOUBLE")
+        )
+        expected = _canon(
+            asof_join(l_now, r_now, on=["k"], left_ts="lts", right_ts="rts")
+            .select("k", "lts", "lv", "price")
+        )
+        assert _canon(plan.materialized()) == expected
+
+
+def test_compiled_asof_checkpoint(spark, tmp_path):
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    sql = (
+        "SELECT l.k, l.lts, r.price FROM l "
+        "LEFT ASOF JOIN r MATCH_CONDITION (l.lts >= r.rts) ON l.k = r.k"
+    )
+    L = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=10), 1)],
+        "k INT, lts TIMESTAMP_NTZ, __weight LONG",
+    )
+    R = spark.createDataFrame(
+        [(1, base, 9.0, 1)], "k INT, rts TIMESTAMP_NTZ, price DOUBLE, __weight LONG"
+    )
+    p1 = compile_view(sql, tables={"l", "r"})
+    p1.bind_schemas({"l": L.drop(WEIGHT), "r": R.drop(WEIGHT)})
+    p1.step({"l": L, "r": R})
+    ck = PipelineCheckpointer(str(tmp_path / "s"))
+    ck.commit(1, {"v": p1})
+    p2 = compile_view(sql, tables={"l", "r"})
+    p2.bind_schemas({"l": L.drop(WEIGHT), "r": R.drop(WEIGHT)})
+    assert ck.restore(spark, {"v": p2})["batch_id"] == 1
+    p2.step({"r": spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=5), 11.0, 1)],
+        "k INT, rts TIMESTAMP_NTZ, price DOUBLE, __weight LONG"), "l": None})
+    rows = {(r.k, r.price) for r in p2.materialized().collect()}
+    assert rows == {(1, 11.0)}
