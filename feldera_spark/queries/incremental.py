@@ -1218,3 +1218,57 @@ def i23_ddl_asof_ivm(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i23_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("attributed")
+
+
+@q(
+    "i24_ddl_three_way_join",
+    oracle=f"""
+    SELECT n.n_name, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ({_NET}) e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def i24_ddl_three_way_join(spark, sf_dir):
+    """Three-way star join + aggregate from DDL: the left-deep bilinear
+    chain (events ⋈ customer) ⋈ nation compiles as an internal compiled
+    join whose output deltas feed an outer join+aggregate view — the
+    reference's per-node binary ``join.rs`` lowering. INSERT/DELETE
+    touch only delta-keyed state at every level (compile asserted)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i24_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, value DECIMAL(12,2));"
+        "CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT);"
+        "CREATE TABLE nat (n_nationkey INT, n_name VARCHAR);"
+        "CREATE MATERIALIZED VIEW star AS "
+        "SELECT n.n_name, COUNT(*) AS n_events, SUM(e.value) AS total_dec "
+        "FROM ev e JOIN cust c ON e.user_id = c.c_custkey "
+        "JOIN nat n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    b.connect_table("cust", c)
+    b.connect_table("nat", n)
+    pipe = b.create()
+    plan = pipe._ivm.get("star")
+    assert plan is not None and type(plan).__name__ == "CompiledChainJoinView", (
+        "3-way join view must compile to the chained bilinear plan"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i24_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i24_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("star").select(
+        "n_name", "n_events", F.col("total_dec").cast("double").alias("total_value")
+    )

@@ -92,7 +92,7 @@ def _is_view_object(val) -> bool:
             in (
                 "CompiledView", "CompiledSetOpView",
                 "CompiledRollingView", "CompiledSessionView",
-                "CompiledAsofView",
+                "CompiledAsofView", "CompiledChainJoinView",
             )
         )
     )
@@ -105,6 +105,7 @@ def save_view(view, path: str) -> dict:
     if type(view).__name__ in (
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
+        "CompiledChainJoinView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -164,6 +165,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
     if meta["class"] in (
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
+        "CompiledChainJoinView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

@@ -1802,6 +1802,180 @@ def _strip_parens(sql: str) -> str:
     return sql
 
 
+_JOIN_KW_RE = re.compile(
+    r"\b(?:(?P<how>INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|"
+    r"FULL(?:\s+OUTER)?|CROSS)\s+)?JOIN\b",
+    re.IGNORECASE,
+)
+
+
+def _split_chain_from(frm: str) -> list[str] | None:
+    """Split a FROM clause into [base, join-seg, join-seg, …] at
+    top-level JOIN keywords (each seg starts with its JOIN). Returns
+    None unless there are >= 2 joins, all INNER."""
+    depth, in_str = 0, False
+    cuts: list[int] = []
+    i = 0
+    for m in _JOIN_KW_RE.finditer(frm):
+        # verify top-level: count parens/quotes up to match start
+        seg = frm[i: m.start()]
+        for ch in seg:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+        i = m.start()
+        if depth == 0 and not in_str:
+            how = (m.group("how") or "inner").lower().replace(" outer", "")
+            if how != "inner":
+                return None  # outer/cross chains: batch fallback
+            cuts.append(m.start())
+    if len(cuts) < 2:
+        return None
+    parts = []
+    prev = 0
+    for c in cuts:
+        parts.append(frm[prev:c].strip())
+        prev = c
+    parts.append(frm[prev:].strip())
+    return parts
+
+
+def _compile_chain_join(
+    sql: str,
+    tables: set[str],
+    append_only: set[str],
+    columns: dict[str, list[str]] | None,
+    lateness: dict[str, dict[str, int]] | None,
+) -> "CompiledChainJoinView | None":
+    """N-way (N >= 3) left-deep INNER join chains: peel the LAST join
+    into an outer binary view over an internal compiled view holding
+    the rest — the reference's left-deep bilinear lowering (each
+    ``join.rs`` node is binary; Calcite emits the same chain). Delta
+    chaining between the two halves is the ordinary compiled-view
+    composition, so per-step work stays O(delta + touched state) at
+    every level."""
+    if columns is None:
+        return None
+    m = _SHAPE_RE.match(sql.strip())
+    if m is None or m.group("distinct"):
+        return None
+    frm = m.group("from").strip()
+    parts = _split_chain_from(frm)
+    if parts is None:
+        return None
+    inner_from = " ".join(parts[:-1])
+    last_seg = parts[-1]
+    # inner aliases: "tbl [AS al]" for base, "JOIN tbl [AS al] ON …"
+    inner_aliases: dict[str, str] = {}
+    bm = _TABLE_RE.match(parts[0])
+    if bm is None:
+        return None
+    inner_aliases[(bm.group("a") or bm.group("t")).lower()] = bm.group("t").lower()
+    # right-side join keys that the equi-join renames to the left name
+    # must NOT be exposed by the inner view (they no longer exist in
+    # the join output under their own name)
+    renamed_away: set[tuple[str, str]] = set()
+    for seg in parts[1:-1]:
+        jm = re.match(
+            r"^(?:INNER\s+)?JOIN\s+(?P<t>\w+)(?:\s+(?:AS\s+)?"
+            r"(?P<a>(?!ON\b)\w+))?\s+ON\s+(?P<on>.*)$",
+            seg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if jm is None:
+            return None
+        tbl = jm.group("t").lower()
+        al = (jm.group("a") or jm.group("t")).lower()
+        inner_aliases[al] = tbl
+        for term in re.split(r"\bAND\b", jm.group("on"), flags=re.IGNORECASE):
+            em = _EQ_RE.match(term)
+            if em is None:
+                return None
+            x_al, x_col, y_al, y_col = (g.lower() for g in em.groups())
+            if x_al == al:
+                x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
+            if y_al == al and y_col != x_col:
+                renamed_away.add((tbl, y_col))
+    inner_tables = set(inner_aliases.values())
+    if not inner_tables <= set(columns):
+        return None
+    if len(inner_tables) < len(inner_aliases):
+        return None  # self-joins in the chain: fallback
+    # inner view exposes every inner column once (non-key collisions
+    # are rejected downstream exactly as the batch path would)
+    inner_cols: list[str] = []
+    for t in inner_aliases.values():
+        for c in columns[t]:
+            if (t, c.lower()) in renamed_away:
+                continue
+            if c.lower() not in {x.lower() for x in inner_cols}:
+                inner_cols.append(c)
+    inner_sql = f"SELECT {', '.join(inner_cols)} FROM {inner_from}"
+    inner = _compile_simple(
+        inner_sql, tables, append_only, columns, lateness,
+        materialize_output=False,
+    )
+    if inner is None:
+        return None
+    # outer: original statement with the inner FROM replaced by the
+    # synthetic name and inner alias qualifiers rewritten to it
+    outer_sql = sql.replace(frm, f"__chain {last_seg}", 1)
+    for al in inner_aliases:
+        outer_sql = re.sub(rf"\b{re.escape(al)}\.", "__chain.", outer_sql)
+    outer = _compile_simple(
+        outer_sql,
+        tables | {"__chain"},
+        append_only,
+        {**columns, "__chain": list(inner.shape.out_cols)},
+        lateness,
+    )
+    if outer is None or getattr(outer.shape, "right", None) is None:
+        return None
+    if outer.shape.how != "inner":
+        return None
+    try:
+        return CompiledChainJoinView(inner, outer)
+    except Exception:
+        return None
+
+
+class CompiledChainJoinView:
+    """Composition of an internal compiled join chain and an outer
+    binary compiled view consuming its output deltas."""
+
+    def __init__(self, inner, outer):
+        self.inner = inner
+        self.outer = outer
+        self.shape = outer.shape
+        self.sources = list(dict.fromkeys(
+            inner.sources + [t for t in outer.sources if t != "__chain"]
+        ))
+        self._waterline = None
+
+    def bind_schemas(self, frames) -> None:
+        self.inner.bind_schemas(frames)
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        d_inner = self.inner.step(
+            {t: deltas.get(t) for t in self.inner.sources}
+        )
+        outer_deltas = {"__chain": d_inner}
+        for t in self.outer.sources:
+            if t != "__chain":
+                outer_deltas[t] = deltas.get(t)
+        return self.outer.step(outer_deltas)
+
+    def materialized(self) -> DataFrame:
+        return self.outer.materialized()
+
+    def state_components(self):
+        return {"inner": self.inner, "outer": self.outer}
+
+
 def _compile_simple(
     sql: str,
     tables: set[str],
@@ -1835,6 +2009,10 @@ def _compile_simple(
             return CompiledRollingView(rolling)
         except Exception:
             return None
+    if not _UNSUPPORTED_RE.search(sql):
+        chain = _compile_chain_join(sql, tables, append_only, columns, lateness)
+        if chain is not None:
+            return chain
     shape = parse_view_shape(sql)
     if shape is None:
         return None

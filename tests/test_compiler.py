@@ -1162,3 +1162,82 @@ def test_compiled_asof_checkpoint(spark, tmp_path):
         "k INT, rts TIMESTAMP_NTZ, price DOUBLE, __weight LONG"), "l": None})
     rows = {(r.k, r.price) for r in p2.materialized().collect()}
     assert rows == {(1, 11.0)}
+
+
+# ---------------------------------------------------------------------------
+# multi-way join chains (left-deep bilinear composition)
+# ---------------------------------------------------------------------------
+
+
+def _three_way_fixture(spark):
+    f = lambda rows, w: spark.createDataFrame(
+        [r + (w,) for r in rows], ["id", "ck", "sk", "v", WEIGHT]
+    )
+    cust = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "gold")], ["ck", "tier"]
+    )
+    supp = spark.createDataFrame(
+        [(10, "us"), (20, "eu")], ["sk", "region"]
+    )
+    rows = [(i, 1 + i % 3, 10 * (1 + i % 2), i * 5) for i in range(30)]
+    cols = {
+        "fact": ["id", "ck", "sk", "v"],
+        "cust": ["ck", "tier"],
+        "supp": ["sk", "region"],
+    }
+    steps = [
+        {"fact": f([r for r in rows if r[0] % 2 == 0], 1),
+         "cust": zset.lift(cust), "supp": zset.lift(supp)},
+        {"fact": f([r for r in rows if r[0] % 2 == 1], 1),
+         "cust": None, "supp": None},
+        {"fact": f([r for r in rows if r[0] % 5 == 0], -1),
+         "cust": None, "supp": None},
+    ]
+    live = [r for r in rows if r[0] % 5 != 0]
+    return steps, cols, spark.createDataFrame(live, ["id", "ck", "sk", "v"]), cust, supp
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT f.id, c.tier, s.region, f.v FROM fact f "
+        "JOIN cust c ON f.ck = c.ck JOIN supp s ON f.sk = s.sk",
+        "SELECT c.tier, s.region, COUNT(*) AS n, SUM(f.v) AS total "
+        "FROM fact f JOIN cust c ON f.ck = c.ck "
+        "JOIN supp s ON f.sk = s.sk "
+        "WHERE f.v > 10 GROUP BY c.tier, s.region",
+    ],
+)
+def test_compiled_three_way_join_equals_batch(spark, sql):
+    steps, cols, live, cust, supp = _three_way_fixture(spark)
+    plan = compile_view(sql, tables={"fact", "cust", "supp"}, columns=cols)
+    assert plan is not None and type(plan).__name__ == "CompiledChainJoinView", sql
+    live.createOrReplaceTempView("fact")
+    cust.createOrReplaceTempView("cust")
+    supp.createOrReplaceTempView("supp")
+    expected = _canon(spark.sql(sql))
+    for st in steps:
+        plan.step(st)
+    assert _canon(plan.materialized()) == expected, sql
+
+
+def test_chain_join_checkpoint(spark, tmp_path):
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    sql = (
+        "SELECT c.tier, s.region, SUM(f.v) AS total FROM fact f "
+        "JOIN cust c ON f.ck = c.ck JOIN supp s ON f.sk = s.sk "
+        "GROUP BY c.tier, s.region"
+    )
+    steps, cols, live, cust, supp = _three_way_fixture(spark)
+    p1 = compile_view(sql, tables={"fact", "cust", "supp"}, columns=cols)
+    p1.step(steps[0]); p1.step(steps[1])
+    ck = PipelineCheckpointer(str(tmp_path / "s"))
+    ck.commit(1, {"v": p1})
+    p2 = compile_view(sql, tables={"fact", "cust", "supp"}, columns=cols)
+    assert ck.restore(spark, {"v": p2})["batch_id"] == 1
+    p2.step(steps[2])
+    live.createOrReplaceTempView("fact")
+    cust.createOrReplaceTempView("cust")
+    supp.createOrReplaceTempView("supp")
+    assert _canon(p2.materialized()) == _canon(spark.sql(sql))
