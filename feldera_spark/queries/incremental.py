@@ -1272,3 +1272,42 @@ def i24_ddl_three_way_join(spark, sf_dir):
     return pipe.view("star").select(
         "n_name", "n_events", F.col("total_dec").cast("double").alias("total_value")
     )
+
+
+@q(
+    "i25_ddl_count_distinct",
+    oracle=f"""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i25_ddl_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT …) from DDL: lowered to a maintained DISTINCT
+    over (keys, arg) whose ±1 zero-crossing deltas chain into a linear
+    aggregate (the reference's distinct-aggregate rewrite in
+    ``CalciteToDBSPCompiler``; ``zset.rs:149-196``). The delete chunk
+    only decrements a count when a user's LAST event of that type
+    vanishes — the case a naive weighted count gets wrong."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i25_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW cd AS "
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+        "FROM ev GROUP BY event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("cd")
+    assert plan is not None and type(plan).__name__ == "CompiledDistinctAggView", (
+        "COUNT DISTINCT view must compile to the distinct->linear chain"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i25_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i25_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("cd")

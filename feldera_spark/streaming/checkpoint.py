@@ -93,6 +93,7 @@ def _is_view_object(val) -> bool:
                 "CompiledView", "CompiledSetOpView",
                 "CompiledRollingView", "CompiledSessionView",
                 "CompiledAsofView", "CompiledChainJoinView",
+                "CompiledDistinctAggView",
             )
         )
     )
@@ -105,7 +106,7 @@ def save_view(view, path: str) -> dict:
     if type(view).__name__ in (
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
-        "CompiledChainJoinView",
+        "CompiledChainJoinView", "CompiledDistinctAggView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -165,7 +166,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
     if meta["class"] in (
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
-        "CompiledChainJoinView",
+        "CompiledChainJoinView", "CompiledDistinctAggView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

@@ -1640,6 +1640,117 @@ class CompiledRollingView:
         return {"_view": self._view}
 
 
+class CompiledDistinctAggView:
+    """``SELECT keys, COUNT(DISTINCT x) [, SUM(DISTINCT x)] FROM t
+    [WHERE p] GROUP BY keys`` — the reference lowers DISTINCT
+    aggregates to a DISTINCT over (keys, arg) feeding an ordinary
+    aggregate (``CalciteToDBSPCompiler`` distinct-aggregate rewrite;
+    Z-set distinct per ``zset.rs:149-196``). Here: an
+    ``IncrementalDistinctView`` whose ±1 output deltas chain into a
+    LINEAR aggregate — both states bounded by |distinct (keys, x)|."""
+
+    def __init__(self, keys: list[str], arg: str, aggs: list[tuple[str, str]],
+                 left: str, where: str | None, out_cols: list[str]):
+        from feldera_spark.streaming.incremental import (
+            IncrementalDistinctView,
+            IncrementalLinearAggregateView,
+            wcount,
+        )
+
+        self.keys = keys
+        self.arg = arg
+        self.left = left
+        self.where = where
+        self.sources = [left]
+        self.shape = _Shape(left=left)
+        self.shape.out_cols = list(out_cols)
+        self._waterline = None
+        self._distinct = IncrementalDistinctView()
+        sums = {}
+        for name, fn in aggs:
+            if fn == "count":
+                # COUNT(DISTINCT x) skips NULL x; the (keys, NULL) row
+                # still keeps the group ALIVE via the hidden liveness
+                # count (a group of all-NULL x reports 0, not absence)
+                sums[name] = F.sum(
+                    F.when(F.col(arg).isNotNull(), F.col(WEIGHT)).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+            else:  # sum over the distinct stream (NULL * w = NULL, skipped)
+                sums[name] = F.sum(F.col(arg) * F.col(WEIGHT))
+        self._agg = IncrementalLinearAggregateView(
+            keys or ["__g"], sums,
+            lambda df: df.select(*self.shape.out_cols),
+        )
+        self._global = not keys
+
+    def bind_schemas(self, frames) -> None:
+        pass
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        d = deltas.get(self.left)
+        if d is None:
+            return None
+        d = zset.lift(d)
+        if self.where is not None:
+            d = d.filter(F.expr(self.where))
+        d = d.select(*self.keys, self.arg, WEIGHT)
+        dd = self._distinct.step(d)
+        if self._global:
+            dd = dd.withColumn("__g", F.lit(0))
+        out = self._agg.step(dd)
+        if out is None:
+            return None
+        if self._global:
+            out = out.drop("__g")
+        return out.select(*self.shape.out_cols, WEIGHT)
+
+    def materialized(self) -> DataFrame:
+        out = self._agg.materialized()
+        if self._global:
+            out = out.drop("__g")
+        return out.select(*self.shape.out_cols)
+
+    def state_components(self):
+        return {"_distinct": self._distinct, "_agg": self._agg}
+
+
+def _compile_distinct_agg(shape: _Shape) -> CompiledDistinctAggView | None:
+    """Fire when every aggregate is COUNT/SUM DISTINCT over one shared
+    column; plain-column select items must be group keys (already
+    checked by the caller's grammar)."""
+    if shape.right is not None or not shape.aggs or shape.having:
+        return None
+    arg = None
+    aggs: list[tuple[str, str]] = []
+    for a in shape.aggs:
+        if a.arg is None:
+            return None
+        m = re.match(r"^DISTINCT\s+(\w+)$", a.arg.strip(), re.IGNORECASE)
+        if m is None:
+            return None
+        col = m.group(1).lower()
+        if arg is None:
+            arg = col
+        elif arg != col:
+            return None  # mixed distinct columns: fallback
+        if a.fn not in ("count", "sum"):
+            return None
+        aggs.append((a.name, a.fn))
+    if arg is None or shape.computed_keys:
+        return None
+    if any(e != n for e, n in shape.select):
+        return None  # aliased keys: raw state names wouldn't resolve
+    try:
+        return CompiledDistinctAggView(
+            keys=list(shape.keys), arg=arg, aggs=aggs, left=shape.left,
+            where=shape.where, out_cols=list(shape.out_cols),
+        )
+    except Exception:
+        return None
+
+
 class CompiledSetOpView:
     """A set operation between two compiled sides, maintained
     incrementally over their output deltas.
@@ -2026,6 +2137,12 @@ def _compile_simple(
         r_nonkey = set(columns[shape.right]) - rk
         if l_nonkey & r_nonkey:
             return None
+    if any(
+        a.arg is not None
+        and re.match(r"^DISTINCT\b", a.arg.strip(), re.IGNORECASE)
+        for a in shape.aggs
+    ):
+        return _compile_distinct_agg(shape)
     try:
         return CompiledView(
             shape, append_only, lateness, columns,

@@ -1241,3 +1241,47 @@ def test_chain_join_checkpoint(spark, tmp_path):
     cust.createOrReplaceTempView("cust")
     supp.createOrReplaceTempView("supp")
     assert _canon(p2.materialized()) == _canon(spark.sql(sql))
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT aggregates (distinct stream -> linear aggregate chain)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT k, COUNT(DISTINCT g) AS n FROM t GROUP BY k",
+        "SELECT k, COUNT(DISTINCT v) AS n, SUM(DISTINCT v) AS s "
+        "FROM t WHERE g <> 4 GROUP BY k",
+        "SELECT COUNT(DISTINCT g) AS n FROM t",
+    ],
+)
+def test_compiled_distinct_agg_equals_batch(spark, sql):
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and type(plan).__name__ == "CompiledDistinctAggView", sql
+    acc = None
+    for c in chunks:
+        plan.step({"t": c})
+        acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        assert _canon(plan.materialized()) == _canon(spark.sql(sql)), sql
+
+
+def test_distinct_agg_null_and_mixed_fallback(spark):
+    # NULL args: COUNT(DISTINCT x) skips NULLs but the group survives
+    mk = lambda rows, w: spark.createDataFrame(
+        [(k, x, w) for k, x in rows], "k STRING, x INT, __weight LONG"
+    )
+    plan = compile_view(
+        "SELECT k, COUNT(DISTINCT x) AS n FROM t GROUP BY k", tables={"t"}
+    )
+    plan.step({"t": mk([("a", 1), ("a", 1), ("a", None), ("b", None)], 1)})
+    rows = {(r.k, r.n) for r in plan.materialized().collect()}
+    assert rows == {("a", 1), ("b", 0)}
+    # mixed distinct columns fall back to batch
+    assert compile_view(
+        "SELECT k, COUNT(DISTINCT x) AS a, COUNT(DISTINCT y) AS b "
+        "FROM t GROUP BY k", tables={"t"}
+    ) is None
