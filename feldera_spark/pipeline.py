@@ -394,14 +394,21 @@ class PipelineBuilder:
         self._table_data[name] = df
         return self
 
-    def create(self) -> "Pipeline":
-        return Pipeline(self)
+    def create(self, storage_dir: str | None = None) -> "Pipeline":
+        """``storage_dir``: when set, every compiled view's spine spills
+        its compactions to parquet under it (the reference's pipeline
+        ``storage`` config / ``spine_async.rs`` object-store spill) —
+        executor memory then holds at most ONE spine level per view and
+        state survives as readable parquet. On a cluster this is an
+        object-store URI."""
+        return Pipeline(self, storage_dir=storage_dir)
 
 
 class Pipeline:
     """Evaluated pipeline: views registered, shared subplans cached."""
 
-    def __init__(self, builder: PipelineBuilder):
+    def __init__(self, builder: PipelineBuilder, storage_dir: str | None = None):
+        self.storage_dir = storage_dir
         self.spark = builder.spark
         self.tables = builder.tables
         self.views = builder.views
@@ -489,6 +496,10 @@ class Pipeline:
                 },
             )
             if plan is not None:
+                if self.storage_dir is not None:
+                    from feldera_spark.streaming.compiler import enable_spill
+
+                    enable_spill(plan, f"{self.storage_dir}/{name}")
                 self._ivm[name] = plan
                 compilable.add(name)
                 known_cols[name] = list(plan.shape.out_cols)

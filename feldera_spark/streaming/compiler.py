@@ -2200,3 +2200,41 @@ def compile_view(
     return _compile_simple(
         sql, tables, append_only or set(), columns, lateness
     )
+
+
+def enable_spill(plan, base_dir: str) -> int:
+    """Point every Spine inside a compiled plan at durable storage:
+    compactions then write consolidated state to parquet under
+    ``base_dir`` (one ``gen-N`` per compaction) instead of holding it
+    as in-memory checkpoints — the reference's spine spill
+    (``spine_async.rs:968-1012``; pipeline ``storage`` config). Returns
+    the number of spines wired. Walks the composed view graph
+    (set-ops, chains, outer joins, nested aggregate views)."""
+    from feldera_spark.streaming.incremental import Spine
+
+    count = 0
+    seen: set[int] = set()
+
+    def walk(obj, path: str):
+        nonlocal count
+        if id(obj) in seen or not hasattr(obj, "__dict__"):
+            return
+        seen.add(id(obj))
+        for name, val in vars(obj).items():
+            sub = f"{path}/{name.strip('_')}"
+            if isinstance(val, Spine):
+                val.spill_dir = sub
+                count += 1
+            elif isinstance(val, list):
+                for i, item in enumerate(val):
+                    if hasattr(item, "step") and hasattr(item, "__dict__"):
+                        walk(item, f"{sub}/{i}")
+            elif (
+                hasattr(val, "step")
+                and hasattr(val, "__dict__")
+                and not isinstance(val, DataFrame)
+            ):
+                walk(val, sub)
+
+    walk(plan, base_dir)
+    return count

@@ -58,7 +58,8 @@ def test_parse_join_shape_with_aliases():
 
 def test_parse_rejects_unsupported():
     for sql in (
-        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 1",
+        # HAVING over an aggregate NOT in the select list stays batch
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING SUM(v) > 1",
         "SELECT k FROM t LIMIT 5",  # LIMIT without ORDER BY: arbitrary rows
         "SELECT k, row_number() OVER (ORDER BY k) AS r FROM t",
         "SELECT k FROM t UNION SELECT k FROM u",
@@ -1285,3 +1286,53 @@ def test_distinct_agg_null_and_mixed_fallback(spark):
         "SELECT k, COUNT(DISTINCT x) AS a, COUNT(DISTINCT y) AS b "
         "FROM t GROUP BY k", tables={"t"}
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# durable spine spill (pipeline storage config)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_storage_spills_compacted_state(spark, tmp_path):
+    """With create(storage_dir=...), compiled-view spines compact to
+    parquet generations instead of in-memory checkpoints — state
+    survives as readable files and results stay correct."""
+    import glob
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import enable_spill
+
+    sql = "SELECT k, MIN(v) AS lo, MAX(v) AS hi FROM t GROUP BY k"
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    n = enable_spill(plan, str(tmp_path / "state"))
+    assert n >= 1
+    # force compactions: tiny spine levels
+    for sp in plan._agg.__dict__.values():
+        if hasattr(sp, "max_batches"):
+            sp.max_batches = 1
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    assert _canon(plan.materialized()) == _canon(spark.sql(sql))
+    gens = glob.glob(str(tmp_path / "state" / "**" / "gen-*"), recursive=True)
+    assert gens, "compaction must have spilled at least one generation"
+
+    # end-to-end through the Pipeline storage config
+    p = tmp_path / "t.parquet"
+    spark.createDataFrame(
+        [(i, "k%d" % (i % 3), i) for i in range(30)], ["id", "k", "v"]
+    ).write.mode("overwrite").parquet(str(p))
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t2 (id INT, k VARCHAR, v INT);"
+        "CREATE MATERIALIZED VIEW m AS "
+        "SELECT k, COUNT(*) AS n FROM t2 GROUP BY k"
+    )
+    b.connect_table("t2", spark.read.parquet(str(p)))
+    pipe = b.create(storage_dir=str(tmp_path / "pstate"))
+    assert "m" in pipe._ivm
+    # a pure linear aggregate keeps values-only state (no spine to
+    # spill) — the wiring is exercised by the spine-bearing plan above;
+    # here assert the storage-configured pipeline still answers right
+    [row] = pipe.view("m").filter(F.col("k") == "k0").collect()
+    assert row.n == 10
