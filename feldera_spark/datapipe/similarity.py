@@ -216,7 +216,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int | None = None,
     n_probe: int | None = None,
-    lloyd_rounds: int = 2,
+    lloyd_rounds: int = 1,
     sample_mod: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer ANN

@@ -407,26 +407,11 @@ def d13_embedding_neardup(spark, sf_dir):
                                            c.cell ASC) AS rn
         FROM samp s CROSS JOIN cent0 c) WHERE rn = 1
     ),
-    cent1 AS (
-      SELECT cell, centv, sqrt(CAST(list_dot_product(centv, centv) AS DOUBLE)) AS centn FROM (
-        SELECT cell, list(m ORDER BY i) AS centv FROM (
-          SELECT a.cell, r.i, CAST(floor(CAST(sum(a.v[r.i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
-          FROM assign1 a, range(1, 65) r(i) GROUP BY a.cell, r.i
-        ) GROUP BY cell)
-    ),
-    assign2 AS (
-      SELECT sid, cell, v FROM (
-        SELECT s.sid, c.cell, s.v,
-               row_number() OVER (PARTITION BY s.sid
-                                  ORDER BY CAST(list_dot_product(s.v, c.centv) AS DOUBLE) / (s.n * c.centn) DESC,
-                                           c.cell ASC) AS rn
-        FROM samp s CROSS JOIN cent1 c) WHERE rn = 1
-    ),
     cent AS (
       SELECT cell, centv, sqrt(CAST(list_dot_product(centv, centv) AS DOUBLE)) AS centn FROM (
         SELECT cell, list(m ORDER BY i) AS centv FROM (
           SELECT a.cell, r.i, CAST(floor(CAST(sum(a.v[r.i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
-          FROM assign2 a, range(1, 65) r(i) GROUP BY a.cell, r.i
+          FROM assign1 a, range(1, 65) r(i) GROUP BY a.cell, r.i
         ) GROUP BY cell)
     ),
     assigned AS (
@@ -460,7 +445,7 @@ def d13_embedding_neardup(spark, sf_dir):
 )
 def d14_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: sqrt(N)-scaled cell count, centroids
-    refined by 2 deterministic Lloyd rounds over a modulus sample, and
+    refined by one deterministic Lloyd round over a modulus sample, and
     sqrt(n_cells) probes per query — probed work grows ~N^(3/4), not
     O(N). The full index build (seeds -> sampled k-means -> assignment
     -> probing) is mirrored step-for-step in the DuckDB oracle, so the
