@@ -55,8 +55,8 @@ _GATE_ORDER = [
     "q12_grouping_sets", "q15_pivot", "q16_window_rank",
     "q17_window_lag_lead", "q19_window_range_interval", "q21_topk_per_group",
     "q24_except_all", "q26_values_join", "q27_unnest_words",
-    "q30_correlated_subquery", "q32_scalar_subquery", "q34_case_expr",
-    "q35_string_funcs", "q37_math_funcs", "q39_json_extract",
+    "q30_correlated_subquery", "q32_scalar_subquery", "i18_ddl_having",
+    "q35_string_funcs", "i20_ddl_tumble_ivm", "q39_json_extract",
     "q53_array_agg_ordered", "q55_stats_exact", "q56_try_cast",
     "q41_tumble", "q43_session", "q44_asof_join", "q45_range_join",
     "q46_latest_by_key", "q48_recursive_hierarchy", "q49_temporal_filter",
