@@ -633,6 +633,58 @@ class Pipeline:
                 self._frames[name] = remaining
                 self._evaluate_views(deltas={name: zset.lift(removed, -1)})
             return None
+        mu = re.match(
+            r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.*?)"
+            r"(?:\s+WHERE\s+(?P<pred>.*))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if mu is not None:
+            # UPDATE = retract matching rows + insert their modified
+            # form, ONE circuit step (Z-set identity: there is no
+            # in-place mutation — an update IS a −1/+1 pair, exactly how
+            # the reference's connectors encode updates). SET on PRIMARY
+            # KEY columns is identity change and composes the same way.
+            from feldera_spark.frontend import _split_top_commas
+
+            name = mu.group("table").lower()
+            if name not in self.tables:
+                raise KeyError(f"table {name} is not declared in this pipeline")
+            assignments: dict[str, str] = {}
+            for item in _split_top_commas(mu.group("sets")):
+                am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", item, re.DOTALL)
+                if am is None:
+                    raise ValueError(f"unsupported SET clause: {item!r}")
+                assignments[am.group(1).lower()] = am.group(2).strip()
+            old = self._frames[name]
+            bad = set(assignments) - {c.lower() for c in old.columns}
+            if bad:
+                raise KeyError(f"UPDATE sets unknown columns: {sorted(bad)}")
+            pred = F.expr(mu.group("pred")) if mu.group("pred") else F.lit(True)
+            with _no_constraint_prop():
+                hit = old.filter(pred).localCheckpoint(eager=True)
+                changed = hit.select(
+                    *[
+                        F.expr(assignments[c.lower()]).cast(
+                            old.schema[c].dataType
+                        ).alias(c)
+                        if c.lower() in assignments
+                        else F.col(c)
+                        for c in old.columns
+                    ]
+                ).localCheckpoint(eager=True)
+                kept = old.filter(~F.coalesce(pred, F.lit(False)))
+                merged = kept.unionByName(changed).localCheckpoint(eager=True)
+                merged.createOrReplaceTempView(name)
+                self._frames[name] = merged
+                self._evaluate_views(
+                    deltas={
+                        name: zset.plus(
+                            zset.lift(hit, -1), zset.lift(changed, 1)
+                        )
+                    }
+                )
+            return None
         m = re.match(
             r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<src>.*)$",
             stmt,

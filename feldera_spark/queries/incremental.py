@@ -1311,3 +1311,56 @@ def i25_ddl_count_distinct(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i25_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("cd")
+
+
+@q(
+    "i26_ddl_update",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'error' AND event_id % 2 = 0
+                  THEN CAST(value AS DOUBLE) * 0.5
+                  ELSE CAST(value AS DOUBLE) END AS value
+      FROM ({_NET})
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(value) AS DOUBLE) AS total
+    FROM src GROUP BY event_type
+    """,
+)
+def i26_ddl_update(spark, sf_dir):
+    """Ad-hoc ``UPDATE … SET … WHERE`` as a circuit step: the mutation
+    becomes a −old/+new Z-set pair (there is no in-place mutation in
+    Z-set algebra — updates ARE retract+insert pairs, the same encoding
+    the reference's connectors use for the ``update`` operation) and
+    advances the compiled aggregate by ONE delta step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i26_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW agg AS "
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS total "
+        "FROM ev GROUP BY event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "agg" in pipe._ivm
+    pipe.execute("INSERT INTO ev SELECT * FROM __i26_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i26_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    pipe.execute(
+        "UPDATE ev SET value = value * 0.5 "
+        "WHERE event_type = 'error' AND event_id % 2 = 0"
+    )
+    return pipe.view("agg").select(
+        "event_type", "n", F.col("total").cast("double").alias("total")
+    )

@@ -1336,3 +1336,29 @@ def test_pipeline_storage_spills_compacted_state(spark, tmp_path):
     # here assert the storage-configured pipeline still answers right
     [row] = pipe.view("m").filter(F.col("k") == "k0").collect()
     assert row.n == 10
+
+
+def test_adhoc_update_advances_views_by_delta(spark, tmp_path):
+    """UPDATE = one −old/+new circuit step through compiled views (no
+    rescan: the source parquet is deleted before the UPDATE)."""
+    p = str(tmp_path / "t.parquet")
+    pipe = _build_pipe(spark, p)
+    # first mutation pins the table frame; THEN drop the source files —
+    # the subsequent UPDATE must work off deltas + pinned state only
+    pipe.execute("UPDATE t SET v = v + 1000 WHERE id % 10 = 0")
+    shutil.rmtree(p)
+    rows = {r.k: (r.n, r.total) for r in pipe.view("agg_v").collect()}
+    base = [(i, "k%d" % (i % 3), i * 10) for i in range(50)]
+    upd = [
+        (i, k, v + 1000 if i % 10 == 0 else v) for i, k, v in base
+    ]
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0])
+    for i, k, v in upd:
+        exp[k][0] += 1
+        exp[k][1] += v
+    assert rows == {k: (n, s) for k, (n, s) in exp.items()}
+    # UPDATE on a key column moves rows BETWEEN groups
+    pipe.execute("UPDATE t SET k = 'k0' WHERE k = 'k2'")
+    rows2 = {r.k: r.n for r in pipe.view("agg_v").collect()}
+    assert "k2" not in rows2 and rows2["k0"] == exp["k0"][0] + exp["k2"][0]
