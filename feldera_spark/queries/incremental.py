@@ -1364,3 +1364,52 @@ def i26_ddl_update(spark, sf_dir):
     return pipe.view("agg").select(
         "event_type", "n", F.col("total").cast("double").alias("total")
     )
+
+
+@q(
+    "i27_ddl_general_aggs",
+    oracle=f"""
+    SELECT event_type,
+           arg_max(event_id, value) AS top_event,
+           CAST(stddev(value) AS DOUBLE) AS sd,
+           CAST(var_samp(value) AS DOUBLE) AS vr,
+           bit_xor(event_id) AS xid,
+           count(*) FILTER (WHERE value > 500) AS big
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i27_ddl_general_aggs(spark, sf_dir):
+    """General-class aggregate breadth from DDL: ARG_MAX, STDDEV,
+    VAR_SAMP, BIT_XOR, COUNTIF maintained under deletions by
+    touched-group recompute from the integral (``docs/sql/
+    aggregates.md`` general class — retracting the current arg-max
+    winner or a variance contributor re-derives the group exactly)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i27_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW ga AS "
+        "SELECT event_type, ARG_MAX(event_id, value) AS top_event,"
+        " STDDEV(value) AS sd, VAR_SAMP(value) AS vr,"
+        " BIT_XOR(event_id) AS xid, COUNTIF(value > 500) AS big "
+        "FROM ev GROUP BY event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "ga" in pipe._ivm, "general-aggregate view must compile"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i27_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i27_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("ga").select(
+        "event_type", "top_event",
+        F.col("sd").cast("double").alias("sd"),
+        F.col("vr").cast("double").alias("vr"),
+        "xid", "big",
+    )

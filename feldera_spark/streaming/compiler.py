@@ -98,7 +98,33 @@ _JOIN_RE = re.compile(
 
 _TABLE_RE = re.compile(r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?$", re.IGNORECASE)
 
-_AGG_RE = re.compile(r"^(SUM|COUNT|AVG|MIN|MAX)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+_AGG_RE = re.compile(
+    r"^(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
+    r"VAR_SAMP|VAR_POP|VARIANCE|BOOL_AND|BOOL_OR|BIT_AND|BIT_OR|BIT_XOR|"
+    r"COUNTIF)\s*\((.*)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# non-linear aggregate fns usable in the GENERAL class (touched-group
+# recompute from the integral is exact for ANY deterministic aggregate;
+# ``docs/sql/aggregates.md`` general class). Maps the dialect name to a
+# builder over the comma-split argument list.
+_GENERAL_AGG_FNS = {
+    "arg_min": lambda a: F.min_by(F.expr(a[0]), F.expr(a[1])),
+    "arg_max": lambda a: F.max_by(F.expr(a[0]), F.expr(a[1])),
+    "stddev": lambda a: F.stddev_samp(F.expr(a[0])),
+    "stddev_samp": lambda a: F.stddev_samp(F.expr(a[0])),
+    "stddev_pop": lambda a: F.stddev_pop(F.expr(a[0])),
+    "variance": lambda a: F.var_samp(F.expr(a[0])),
+    "var_samp": lambda a: F.var_samp(F.expr(a[0])),
+    "var_pop": lambda a: F.var_pop(F.expr(a[0])),
+    "bool_and": lambda a: F.bool_and(F.expr(a[0])),
+    "bool_or": lambda a: F.bool_or(F.expr(a[0])),
+    "bit_and": lambda a: F.bit_and(F.expr(a[0])),
+    "bit_or": lambda a: F.bit_or(F.expr(a[0])),
+    "bit_xor": lambda a: F.bit_xor(F.expr(a[0])),
+    "countif": lambda a: F.count_if(F.expr(a[0])),
+}
 
 _EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
@@ -595,7 +621,22 @@ class CompiledView:
         # State/output stay keyed by RAW key names (the spine's
         # key-restricted reads depend on them); output aliasing happens
         # in materialized() via _out_select.
+        from feldera_spark.frontend import _split_top_commas
+
+        # multiplicity-SENSITIVE fns (a net weight of 2 means the row
+        # counts twice in the variance) force a bag expansion of the
+        # touched slice; the blind fns (MIN/MAX/ARG_*/BOOL/BIT) and the
+        # weight-aware linear forms don't need it
+        sensitive = {
+            "stddev", "stddev_samp", "stddev_pop",
+            "var_samp", "var_pop", "variance",
+        }
+        expand = bool(fns & sensitive)
+
         def agg_fn(df: DataFrame) -> DataFrame:
+            df = df.filter(F.col(WEIGHT) > 0)
+            if expand:
+                df = zset.lift(zset.to_bag(df))  # weights become 1
             exprs = []
             for a in s.aggs:
                 if a.fn == "count" and a.arg is None:
@@ -621,11 +662,12 @@ class CompiledView:
                             )
                         ).alias(a.name)
                     )
+                elif a.fn in _GENERAL_AGG_FNS:
+                    args = [t.strip() for t in _split_top_commas(a.arg)]
+                    exprs.append(_GENERAL_AGG_FNS[a.fn](args).alias(a.name))
                 else:
                     exprs.append(getattr(F, a.fn)(F.expr(a.arg)).alias(a.name))
-            return df.filter(F.col(WEIGHT) > 0).groupBy(*(keys or ["__g"])).agg(
-                *exprs
-            )
+            return df.groupBy(*(keys or ["__g"])).agg(*exprs)
 
         from feldera_spark.streaming.incremental import IncrementalAggregateView
 
@@ -1491,10 +1533,15 @@ class CompiledSessionView:
         gap = f"{ss.gap_secs} seconds"
 
         def sessionize(rows: DataFrame) -> DataFrame:
+            from feldera_spark.frontend import _split_top_commas
+
             exprs = []
             for a in ss.aggs:
                 if a.fn == "count" and a.arg is None:
                     exprs.append(F.count(F.lit(1)).alias(a.name))
+                elif a.fn in _GENERAL_AGG_FNS:
+                    args = [t.strip() for t in _split_top_commas(a.arg)]
+                    exprs.append(_GENERAL_AGG_FNS[a.fn](args).alias(a.name))
                 else:
                     exprs.append(getattr(F, a.fn)(F.expr(a.arg)).alias(a.name))
             out = rows.groupBy(

@@ -1362,3 +1362,41 @@ def test_adhoc_update_advances_views_by_delta(spark, tmp_path):
     pipe.execute("UPDATE t SET k = 'k0' WHERE k = 'k2'")
     rows2 = {r.k: r.n for r in pipe.view("agg_v").collect()}
     assert "k2" not in rows2 and rows2["k0"] == exp["k0"][0] + exp["k2"][0]
+
+
+def test_compiled_general_aggregate_functions(spark):
+    """ARG_MIN/ARG_MAX, STDDEV/VARIANCE, BOOL/BIT aggregates in the
+    general class (touched-group recompute is exact for any agg);
+    variance is multiplicity-sensitive, so weighted rows expand."""
+    chunks, live = _chunks(spark)
+    sql = (
+        "SELECT k, ARG_MAX(id, v) AS best_id, STDDEV(v) AS sd, "
+        "BOOL_OR(g = 2) AS any_g2, BIT_XOR(id) AS xid, "
+        "COUNTIF(v > 200) AS big FROM t GROUP BY k"
+    )
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and plan._agg is not None, "must compile (general)"
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    expected = _canon(spark.sql(
+        "SELECT k, MAX_BY(id, v) AS best_id, STDDEV(v) AS sd, "
+        "BOOL_OR(g = 2) AS any_g2, BIT_XOR(id) AS xid, "
+        "COUNT_IF(v > 200) AS big FROM t GROUP BY k"
+    ))
+    assert _canon(plan.materialized()) == expected
+
+
+def test_variance_weighted_multiplicity(spark):
+    """A row with net weight 2 must count TWICE in the variance."""
+    mk = lambda rows, w: spark.createDataFrame(
+        [(k, v, w) for k, v in rows], "k STRING, v DOUBLE, __weight LONG"
+    )
+    plan = compile_view(
+        "SELECT k, VAR_SAMP(v) AS vr FROM t GROUP BY k", tables={"t"}
+    )
+    plan.step({"t": mk([("a", 1.0), ("a", 5.0)], 1)})
+    plan.step({"t": mk([("a", 1.0)], 1)})  # duplicate -> net weight 2
+    [row] = plan.materialized().collect()
+    import statistics
+    assert abs(row.vr - statistics.variance([1.0, 1.0, 5.0])) < 1e-9
