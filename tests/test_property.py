@@ -130,3 +130,79 @@ def test_compiled_view_equals_batch_property(spark, rows, sql_idx):
     expected = sorted(tuple(r) for r in spark.sql(sql).collect())
     got = sorted(tuple(r) for r in plan.materialized().collect())
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# compiled-view shapes under arbitrary delta schedules
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_compiled_setop_property(spark, rows):
+    """EXCEPT compiled view == set difference of the net inputs, for
+    arbitrary interleavings: rows with even chunk feed t, odd feed u."""
+    from feldera_spark.streaming.compiler import compile_view
+
+    t_net, u_net = Counter(), Counter()
+    t_chunks, u_chunks = [[] for _ in range(4)], [[] for _ in range(4)]
+    for k, v, c, dele in rows:
+        side_chunks, side_net = (
+            (t_chunks, t_net) if v % 2 == 0 else (u_chunks, u_net)
+        )
+        side_chunks[c].append((f"k{k}", v, 1))
+        side_net[(f"k{k}", v)] += 1
+        if dele:
+            side_chunks[3].append((f"k{k}", v, -1))
+            side_net[(f"k{k}", v)] -= 1
+    plan = compile_view(
+        "SELECT k, v FROM t EXCEPT SELECT k, v FROM u", tables={"t", "u"}
+    )
+    for i in range(4):
+        td = (
+            spark.createDataFrame(t_chunks[i], ["k", "v", WEIGHT])
+            if t_chunks[i]
+            else None
+        )
+        ud = (
+            spark.createDataFrame(u_chunks[i], ["k", "v", WEIGHT])
+            if u_chunks[i]
+            else None
+        )
+        if td is not None or ud is not None:
+            plan.step({"t": td, "u": ud})
+    t_set = {kv for kv, m in (+t_net).items()}
+    u_set = {kv for kv, m in (+u_net).items()}
+    want = t_set - u_set
+    if not (t_net or u_net):
+        return
+    got = {(r.k, r.v) for r in plan.materialized().collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_compiled_having_property(spark, rows):
+    from feldera_spark.streaming.compiler import compile_view
+
+    dfs, net = _chunks_and_net(spark, rows)
+    plan = compile_view(
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 2",
+        tables={"t"},
+    )
+    for d in dfs:
+        plan.step({"t": d})
+    want = {}
+    for (k, v), m in net.items():
+        want[k] = want.get(k, 0) + m
+    want = {k: n for k, n in want.items() if n > 2}
+    got = {r.k: r.n for r in plan.materialized().collect()}
+    assert got == want
