@@ -214,6 +214,33 @@ def _restore_literals(sql: str, lits: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
 
 
+_UNNEST_RE = re.compile(
+    r",\s*UNNEST\s*\((?P<e>[^()]*(?:\([^()]*\)[^()]*)*)\)\s+"
+    r"AS\s+(?P<al>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_unnest(sql: str) -> str:
+    """``FROM t, UNNEST(expr) AS w(c)`` (the reference's Uncollect,
+    ``docs/sql/grammar.md`` UNNEST) → Spark ``LATERAL VIEW explode``.
+    Qualified references ``w.c`` become bare ``c``. WITH ORDINALITY
+    stays unsupported in SQL text (programmatic posexplode covers it —
+    queries/relational.py q28)."""
+    protected, lits = _protect_literals(sql)
+    m = _UNNEST_RE.search(protected)
+    if m is None:
+        return sql
+    out = (
+        protected[: m.start()]
+        + f" LATERAL VIEW explode({m.group('e')}) {m.group('al')} "
+        f"AS {m.group('c')}"
+        + protected[m.end():]
+    )
+    out = re.sub(rf"\b{re.escape(m.group('al'))}\.", "", out)
+    return _restore_literals(out, lits)
+
+
 def rewrite_scalars(sql: str) -> str:
     """SAFE_CAST → TRY_CAST; 1-based ``arr[i]`` → ``element_at``.
 
@@ -403,6 +430,7 @@ def prepare_view(
     appear (semi-naive: each round sees the previous frontier).
     """
     sql = rewrite_table_functions(sql)
+    sql = rewrite_unnest(sql)
     sql = rewrite_scalars(sql)
     sql = rewrite_cast_timestamp(sql)
     if recursive_schema is not None:

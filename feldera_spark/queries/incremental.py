@@ -1413,3 +1413,39 @@ def i27_ddl_general_aggs(spark, sf_dir):
         F.col("vr").cast("double").alias("vr"),
         "xid", "big",
     )
+
+
+@q(
+    "i28_ddl_unnest",
+    oracle="""
+    WITH net AS (SELECT * FROM documents WHERE doc_id % 7 <> 2),
+    words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM net)
+    SELECT word, count(*) AS n FROM words
+    GROUP BY word HAVING count(*) > 50
+    """,
+)
+def i28_ddl_unnest(spark, sf_dir):
+    """UNNEST from DDL compiled as a LINEAR flat-map (Uncollect,
+    ``docs/sql/grammar.md`` UNNEST): each delta row explodes into its
+    words before the maintained aggregate + HAVING; the delete chunk
+    retracts whole documents' word multisets in one step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d.filter(F.col("doc_id") % 2 == 1).createOrReplaceTempView("__i28_chunk1")
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR);"
+        "CREATE MATERIALIZED VIEW words AS "
+        "SELECT w.word, COUNT(*) AS n FROM docs,"
+        " UNNEST(split(text, ' ')) AS w(word) "
+        "GROUP BY w.word HAVING COUNT(*) > 50"
+    )
+    b.connect_table("docs", d.filter(F.col("doc_id") % 2 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("words")
+    assert plan is not None and plan.shape.unnest is not None, (
+        "UNNEST view must compile with the flat-map attached"
+    )
+    pipe.execute("INSERT INTO docs SELECT * FROM __i28_chunk1")
+    pipe.execute("DELETE FROM docs WHERE doc_id % 7 = 2")
+    return pipe.view("words")

@@ -206,6 +206,8 @@ class _Shape:
     select: list[tuple[str, str]] = field(default_factory=list)  # (expr, name)
     out_cols: list[str] = field(default_factory=list)  # output column order
     having: str | None = None  # post-aggregate filter (output-column terms)
+    # UNNEST flat-map applied per delta before WHERE: (out col, array expr)
+    unnest: tuple[str, str] | None = None
     order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
     limit: int | None = None  # ORDER BY + LIMIT -> incremental top-k
 
@@ -492,6 +494,8 @@ class CompiledView:
                 needed |= _pred_columns(e)
             if shape.where is not None:
                 needed |= _pred_columns(shape.where)
+            if shape.unnest is not None:
+                needed |= _pred_columns(shape.unnest[1])
             needed |= {k for k in shape.keys if k not in shape.computed_keys}
             l_cols = [c for c in columns[shape.left] if c.lower() != WEIGHT]
             if shape.right is None:
@@ -792,6 +796,11 @@ class CompiledView:
             for lc, rc in s.on:
                 if rc != lc:
                     delta = delta.withColumnRenamed(rc, lc)
+        if s.unnest is not None and side == "l":
+            # UNNEST flat-map: linear, so it applies per delta BEFORE
+            # the filter (WHERE may reference the exploded column)
+            col, arr = s.unnest
+            delta = delta.withColumn(col, F.explode(F.expr(arr)))
         # pushed single-side conjuncts: applied per delta, so the join
         # spines never store rows the view would discard
         for f in self._l_filters if side == "l" else self._r_filters:
@@ -800,6 +809,8 @@ class CompiledView:
             delta = delta.filter(F.expr(s.where))
         keep = self._needed_l if side == "l" else self._needed_r
         if keep is not None:
+            if s.unnest is not None and side == "l":
+                keep = keep + [s.unnest[0]]
             delta = delta.select(*keep, WEIGHT)
         return delta
 
@@ -2143,37 +2154,58 @@ def _compile_simple(
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
     sql = _rewrite_hop(_rewrite_tumble(sql))
-    asof = parse_asof_shape(sql)
-    if asof is not None:
-        if not {asof.left, asof.right} <= tables:
-            return None
-        try:
-            return CompiledAsofView(asof)
-        except Exception:
-            return None
-    session = parse_session_shape(sql)
-    if session is not None:
-        if session.left not in tables:
-            return None
-        try:
-            return CompiledSessionView(session)
-        except Exception:
-            return None
-    rolling = parse_rolling_shape(sql)
-    if rolling is not None:
-        if rolling.left not in tables:
-            return None
-        try:
-            return CompiledRollingView(rolling)
-        except Exception:
-            return None
-    if not _UNSUPPORTED_RE.search(sql):
-        chain = _compile_chain_join(sql, tables, append_only, columns, lateness)
-        if chain is not None:
-            return chain
+    # UNNEST is a LINEAR flat-map (Uncollect): strip the clause, parse
+    # the remainder, and attach the per-delta explode to the shape
+    from feldera_spark.frontend import _UNNEST_RE, _protect_literals
+
+    unnest: tuple[str, str] | None = None
+    um = _UNNEST_RE.search(_protect_literals(sql)[0])
+    if um is not None:
+        um = _UNNEST_RE.search(sql)  # literal-free match position differs
+    if um is not None:
+        unnest = (um.group("c").lower(), um.group("e"))
+        sql = sql[: um.start()] + sql[um.end():]
+        sql = re.sub(rf"\b{re.escape(um.group('al'))}\.", "", sql)
+    if unnest is None:
+        # specialized paths don't model the flat-map; with UNNEST
+        # present only the plain shape (which composes it) may fire
+        asof = parse_asof_shape(sql)
+        if asof is not None:
+            if not {asof.left, asof.right} <= tables:
+                return None
+            try:
+                return CompiledAsofView(asof)
+            except Exception:
+                return None
+        session = parse_session_shape(sql)
+        if session is not None:
+            if session.left not in tables:
+                return None
+            try:
+                return CompiledSessionView(session)
+            except Exception:
+                return None
+        rolling = parse_rolling_shape(sql)
+        if rolling is not None:
+            if rolling.left not in tables:
+                return None
+            try:
+                return CompiledRollingView(rolling)
+            except Exception:
+                return None
+        if not _UNSUPPORTED_RE.search(sql):
+            chain = _compile_chain_join(
+                sql, tables, append_only, columns, lateness
+            )
+            if chain is not None:
+                return chain
     shape = parse_view_shape(sql)
     if shape is None:
         return None
+    if unnest is not None:
+        if shape.right is not None or shape.distinct or shape.limit:
+            return None  # flat-map composes with filter/agg only (so far)
+        shape.unnest = unnest
     srcs = [shape.left] + ([shape.right] if shape.right else [])
     if not all(t in tables for t in srcs):
         return None

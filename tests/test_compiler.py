@@ -1400,3 +1400,50 @@ def test_variance_weighted_multiplicity(spark):
     [row] = plan.materialized().collect()
     import statistics
     assert abs(row.vr - statistics.variance([1.0, 1.0, 5.0])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# UNNEST views (linear flat-map / Uncollect)
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_unnest_equals_batch(spark):
+    mk = lambda rows, w: spark.createDataFrame(
+        [(i, t_, w) for i, t_ in rows], "id INT, txt STRING, __weight LONG"
+    )
+    steps = [
+        mk([(1, "a b c"), (2, "b b d")], 1),
+        mk([(3, "a e")], 1),
+        mk([(2, "b b d")], -1),
+    ]
+    sql = (
+        "SELECT w.word, COUNT(*) AS n FROM t, "
+        "UNNEST(split(txt, ' ')) AS w(word) GROUP BY w.word"
+    )
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and plan.shape.unnest is not None, (
+        "UNNEST view must compile with the flat-map attached"
+    )
+    acc = None
+    for st in steps:
+        plan.step({"t": st})
+        acc = st if acc is None else zset.plus(acc, st)
+    zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+    expected = _canon(spark.sql(
+        "SELECT word, COUNT(*) AS n FROM t "
+        "LATERAL VIEW explode(split(txt, ' ')) w AS word GROUP BY word"
+    ))
+    assert _canon(plan.materialized()) == expected
+
+
+def test_frontend_unnest_rewrite(spark):
+    from feldera_spark.frontend import rewrite_unnest
+
+    out = rewrite_unnest(
+        "SELECT id, w.x FROM t, UNNEST(arr) AS w(x) WHERE w.x > 1"
+    )
+    assert "LATERAL VIEW explode(arr) w AS x" in out
+    assert "w.x" not in out
+    # UNNEST inside a string literal is data
+    lit = "SELECT ', UNNEST(a) AS w(x)' AS s FROM t"
+    assert rewrite_unnest(lit) == lit
