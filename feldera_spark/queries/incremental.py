@@ -1449,3 +1449,56 @@ def i28_ddl_unnest(spark, sf_dir):
     pipe.execute("INSERT INTO docs SELECT * FROM __i28_chunk1")
     pipe.execute("DELETE FROM docs WHERE doc_id % 7 = 2")
     return pipe.view("words")
+
+
+@q(
+    "i29_ddl_grouping_sets",
+    oracle=f"""
+    SELECT event_type, CAST(user_id % 5 AS BIGINT) AS cohort,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE) AS total,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(CAST(user_id % 5 AS BIGINT)) AS INT) AS g_cohort
+    FROM (SELECT event_id, event_type, user_id, value FROM ({_NET}))
+    GROUP BY GROUPING SETS ((event_type, CAST(user_id % 5 AS BIGINT)),
+                            (event_type), ())
+    """,
+)
+def i29_ddl_grouping_sets(spark, sf_dir):
+    """GROUPING SETS from DDL: the Calcite expansion — one maintained
+    aggregate per key set, concatenated by a linear UNION ALL with
+    typed-NULL padding and per-branch GROUPING() literals. Deletions
+    update every branch's counts in the same circuit step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.col("user_id") % 5).alias("cohort"),
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i29_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR,"
+        " cohort BIGINT, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW gs AS "
+        "SELECT event_type, cohort, COUNT(*) AS n, SUM(value) AS total,"
+        " GROUPING(event_type) AS g_type, GROUPING(cohort) AS g_cohort "
+        "FROM ev "
+        "GROUP BY GROUPING SETS ((event_type, cohort), (event_type), ())"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("gs")
+    assert plan is not None and type(plan).__name__ == "CompiledGroupingSetsView", (
+        "GROUPING SETS view must compile to the per-set aggregate union"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i29_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i29_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("gs").select(
+        "event_type", "cohort", "n",
+        F.col("total").cast("double").alias("total"), "g_type", "g_cohort",
+    )

@@ -93,7 +93,7 @@ def _is_view_object(val) -> bool:
                 "CompiledView", "CompiledSetOpView",
                 "CompiledRollingView", "CompiledSessionView",
                 "CompiledAsofView", "CompiledChainJoinView",
-                "CompiledDistinctAggView",
+                "CompiledDistinctAggView", "CompiledGroupingSetsView",
             )
         )
     )
@@ -107,6 +107,7 @@ def save_view(view, path: str) -> dict:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
+        "CompiledGroupingSetsView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -167,6 +168,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
+        "CompiledGroupingSetsView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

@@ -1809,6 +1809,215 @@ def _compile_distinct_agg(shape: _Shape) -> CompiledDistinctAggView | None:
         return None
 
 
+_GROUPING_GB_RE = re.compile(
+    r"^\s*(?:GROUPING\s+SETS\s*\((?P<sets>.*)\)|"
+    r"ROLLUP\s*\(\s*(?P<rollup>[\w\s,]+?)\s*\)|"
+    r"CUBE\s*\(\s*(?P<cube>[\w\s,]+?)\s*\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GROUPING_CALL_RE = re.compile(
+    r"^GROUPING\s*\(\s*(\w+)\s*\)$", re.IGNORECASE
+)
+
+
+def _parse_grouping_sets(gb: str) -> list[list[str]] | None:
+    """GROUP BY GROUPING SETS/ROLLUP/CUBE → the list of key sets
+    (Calcite expands the same way before ``LogicalAggregate``)."""
+    m = _GROUPING_GB_RE.match(gb)
+    if m is None:
+        return None
+    if m.group("rollup") is not None:
+        ks = [k.strip().lower() for k in m.group("rollup").split(",")]
+        return [ks[:i] for i in range(len(ks), -1, -1)]
+    if m.group("cube") is not None:
+        import itertools
+
+        ks = [k.strip().lower() for k in m.group("cube").split(",")]
+        if len(ks) > 6:
+            return None  # 2^k explosion fence
+        out = []
+        for r in range(len(ks), -1, -1):
+            for combo in itertools.combinations(ks, r):
+                out.append(list(combo))
+        return out
+    # GROUPING SETS ((a, b), (a), ())
+    text = m.group("sets")
+    sets: list[list[str]] = []
+    depth, buf = 0, []
+    for ch in text:
+        if ch == "(":
+            if depth == 1:
+                return None  # nested parens inside a set: fallback
+            depth += 1
+            buf = []
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                inner = "".join(buf).strip()
+                ks = (
+                    [k.strip().lower() for k in inner.split(",")]
+                    if inner
+                    else []
+                )
+                if not all(re.match(r"^\w+$", k) for k in ks):
+                    return None
+                sets.append(ks)
+        elif depth == 1:
+            buf.append(ch)
+        elif depth == 0 and ch not in ", \n\t":
+            return None
+    return sets if sets else None
+
+
+class CompiledGroupingSetsView:
+    """GROUPING SETS / ROLLUP / CUBE maintained incrementally as the
+    UNION ALL of one compiled aggregate per key set — exactly the
+    Calcite expansion the reference compiles (each set is its own
+    ``LogicalAggregate``; the union is linear, so per-branch deltas
+    just concatenate). Missing keys surface as typed NULLs and
+    ``GROUPING(col)`` markers as per-branch literals, so grouping-NULL
+    vs data-NULL rows stay distinguishable the standard way."""
+
+    def __init__(
+        self,
+        branches: list["CompiledView"],
+        branch_keys: list[list[str]],
+        key_cols: list[str],
+        agg_names: list[str],
+        grouping_cols: list[tuple[str, str]],  # (out name, key it marks)
+        out_cols: list[str],
+        left: str,
+    ):
+        self.branches = branches
+        self.branch_keys = branch_keys
+        self.key_cols = key_cols
+        self.agg_names = agg_names
+        self.grouping_cols = grouping_cols
+        self.sources = [left]
+        self.shape = _Shape(left=left)
+        self.shape.out_cols = list(out_cols)
+        self._waterline = None
+
+    def bind_schemas(self, frames) -> None:
+        for b in self.branches:
+            b.bind_schemas(frames)
+
+    def _align(self, df: DataFrame, keys: list[str], with_weight: bool):
+        cols = []
+        for name in self.shape.out_cols:
+            gk = next((k for n, k in self.grouping_cols if n == name), None)
+            if gk is not None:
+                cols.append(
+                    F.lit(0 if gk in keys else 1).cast("int").alias(name)
+                )
+            elif name in self.key_cols and name not in keys:
+                cols.append(F.lit(None).alias(name))
+            else:
+                cols.append(F.col(name))
+        if with_weight:
+            cols.append(F.col(WEIGHT))
+        return df.select(*cols)
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        outs = []
+        for b, keys in zip(self.branches, self.branch_keys):
+            out = b.step({t: deltas.get(t) for t in b.sources})
+            if out is not None:
+                outs.append(self._align(out, keys, with_weight=True))
+        return zset.plus(*outs) if outs else None
+
+    def materialized(self) -> DataFrame:
+        parts = [
+            self._align(b.materialized(), keys, with_weight=False)
+            for b, keys in zip(self.branches, self.branch_keys)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def state_components(self):
+        return {f"branch_{i}": b for i, b in enumerate(self.branches)}
+
+
+def _compile_grouping_sets(
+    sql: str,
+    tables: set[str],
+    append_only: set[str],
+    columns: dict[str, list[str]] | None,
+    lateness: dict[str, dict[str, int]] | None,
+) -> CompiledGroupingSetsView | None:
+    from feldera_spark.frontend import _split_top_commas
+
+    m = _SHAPE_RE.match(sql.strip())
+    if m is None or m.group("gb") is None or m.group("distinct") \
+            or m.group("having") or m.group("ob") or m.group("limit"):
+        return None
+    sets = _parse_grouping_sets(m.group("gb"))
+    if sets is None:
+        return None
+    tm = _TABLE_RE.match(m.group("from").strip())
+    if tm is None:
+        return None
+    left = tm.group("t").lower()
+    if left not in tables:
+        return None
+    aliases = {tm.group("a").lower(): "l"} if tm.group("a") else {}
+    all_keys = {k for s in sets for k in s}
+    key_cols: list[str] = []
+    agg_items: list[str] = []
+    agg_names: list[str] = []
+    grouping_cols: list[tuple[str, str]] = []
+    out_cols: list[str] = []
+    for item in _split_top_commas(m.group("sel")):
+        item = _strip_aliases(item.strip(), aliases)
+        am = re.match(
+            r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item, re.IGNORECASE | re.DOTALL
+        )
+        expr, name = (
+            (am.group("e").strip(), am.group("n").lower()) if am else (item, None)
+        )
+        gm = _GROUPING_CALL_RE.match(expr)
+        if gm is not None:
+            if name is None:
+                return None
+            gk = gm.group(1).lower()
+            if gk not in all_keys:
+                return None
+            grouping_cols.append((name, gk))
+            out_cols.append(name)
+            continue
+        if _AGG_RE.match(expr):
+            if name is None:
+                return None
+            agg_items.append(f"{expr} AS {name}")
+            agg_names.append(name)
+            out_cols.append(name)
+            continue
+        if not re.match(r"^\w+$", expr) or (name and name != expr.lower()):
+            return None
+        k = expr.lower()
+        if k not in all_keys:
+            return None
+        key_cols.append(k)
+        out_cols.append(k)
+    if not agg_items:
+        return None
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    branches: list[CompiledView] = []
+    for keys in sets:
+        sel = ", ".join(keys + agg_items) if keys else ", ".join(agg_items)
+        gb = f" GROUP BY {', '.join(keys)}" if keys else ""
+        bsql = f"SELECT {sel} FROM {left}{where}{gb}"
+        b = _compile_simple(bsql, tables, append_only, columns, lateness)
+        if b is None or not isinstance(b, CompiledView):
+            return None
+        branches.append(b)
+    return CompiledGroupingSetsView(
+        branches, sets, key_cols, agg_names, grouping_cols, out_cols, left
+    )
+
+
 class CompiledSetOpView:
     """A set operation between two compiled sides, maintained
     incrementally over their output deltas.
@@ -2199,6 +2408,11 @@ def _compile_simple(
             )
             if chain is not None:
                 return chain
+            gsets = _compile_grouping_sets(
+                sql, tables, append_only, columns, lateness
+            )
+            if gsets is not None:
+                return gsets
     shape = parse_view_shape(sql)
     if shape is None:
         return None

@@ -1447,3 +1447,63 @@ def test_frontend_unnest_rewrite(spark):
     # UNNEST inside a string literal is data
     lit = "SELECT ', UNNEST(a) AS w(x)' AS s FROM t"
     assert rewrite_unnest(lit) == lit
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP / CUBE views (union of compiled aggregates)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql,batch_sql",
+    [
+        (
+            "SELECT k, g, COUNT(*) AS n, SUM(v) AS s, "
+            "GROUPING(k) AS gk, GROUPING(g) AS gg FROM t "
+            "GROUP BY GROUPING SETS ((k, g), (k), ())",
+            "SELECT k, g, COUNT(*) AS n, SUM(v) AS s, "
+            "CAST(grouping(k) AS INT) AS gk, CAST(grouping(g) AS INT) AS gg "
+            "FROM t GROUP BY GROUPING SETS ((k, g), (k), ())",
+        ),
+        (
+            "SELECT k, g, COUNT(*) AS n FROM t WHERE v > 50 "
+            "GROUP BY ROLLUP (k, g)",
+            "SELECT k, g, COUNT(*) AS n FROM t WHERE v > 50 "
+            "GROUP BY ROLLUP (k, g)",
+        ),
+        (
+            "SELECT k, g, MIN(v) AS lo FROM t GROUP BY CUBE (k, g)",
+            "SELECT k, g, MIN(v) AS lo FROM t GROUP BY CUBE (k, g)",
+        ),
+    ],
+)
+def test_compiled_grouping_sets_equals_batch(spark, sql, batch_sql):
+    canon = lambda df: sorted(
+        tuple(str(x) for x in r) for r in df.collect()
+    )  # grouping NULLs mix with values in one column; sort as strings
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and type(plan).__name__ == "CompiledGroupingSetsView", sql
+    acc = None
+    for c in chunks:
+        plan.step({"t": c})
+        acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        assert canon(plan.materialized()) == canon(spark.sql(batch_sql)), sql
+
+
+def test_grouping_sets_checkpoint(spark, tmp_path):
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    sql = "SELECT k, COUNT(*) AS n FROM t GROUP BY ROLLUP (k)"
+    chunks, live = _chunks(spark)
+    p1 = compile_view(sql, tables={"t"})
+    p1.step({"t": chunks[0]}); p1.step({"t": chunks[1]})
+    ck = PipelineCheckpointer(str(tmp_path / "s"))
+    ck.commit(1, {"v": p1})
+    p2 = compile_view(sql, tables={"t"})
+    assert ck.restore(spark, {"v": p2})["batch_id"] == 1
+    p2.step({"t": chunks[2]})
+    live.createOrReplaceTempView("t")
+    canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+    assert canon(p2.materialized()) == canon(spark.sql(sql))
