@@ -1507,3 +1507,58 @@ def test_grouping_sets_checkpoint(spark, tmp_path):
     live.createOrReplaceTempView("t")
     canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
     assert canon(p2.materialized()) == canon(spark.sql(sql))
+
+
+def test_stream_table_drives_setop_and_tumble_views(spark, tmp_path):
+    """readStream micro-batches drive the ROUND-3 compiled classes
+    (set-op EXCEPT + TUMBLE windowed aggregate) with streamed deletions
+    via the __weight column; final state equals batch SQL."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+
+    base = dt.datetime(2024, 6, 1)
+    src = str(tmp_path / "stream_src")
+    mkrows = lambda rows: spark.createDataFrame(
+        [(i, ty, base + dt.timedelta(minutes=m), w) for i, ty, m, w in rows],
+        "id INT, ty STRING, ts TIMESTAMP_NTZ, __weight LONG",
+    )
+    mkrows(
+        [(1, "a", 5, 1), (2, "b", 10, 1), (3, "a", 70, 1), (4, "b", 80, 1)]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE s (id INT, ty VARCHAR, ts TIMESTAMP);"
+        "CREATE MATERIALIZED VIEW diff AS "
+        "SELECT id FROM s WHERE ty = 'a' EXCEPT SELECT id FROM s WHERE ty = 'b';"
+        "CREATE MATERIALIZED VIEW tw AS "
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE s, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    )
+    b.connect_table("s", spark.createDataFrame([], "id INT, ty STRING, ts TIMESTAMP_NTZ"))
+    pipe = b.create()
+    assert type(pipe._ivm["diff"]).__name__ == "CompiledSetOpView"
+    assert pipe._ivm["tw"]._agg is not None
+
+    stream = (
+        spark.readStream.schema("id INT, ty STRING, ts TIMESTAMP_NTZ, __weight LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "stream_ckpt")
+    pipe.stream_table("s", stream, checkpoint_dir=ckpt).awaitTermination(120)
+    assert {r.id for r in pipe.view("diff").collect()} == {1, 3}
+    assert {(r.window_start, r.n) for r in pipe.view("tw").collect()} == {
+        (base.replace(minute=0), 2), (base.replace(hour=1, minute=0), 2)
+    }
+
+    # batch 2: DELETE row 3 (weight −1) and add id=1 on the b side
+    mkrows([(3, "a", 70, -1), (1, "b", 90, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    pipe.stream_table("s", stream, checkpoint_dir=ckpt).awaitTermination(120)
+    assert {r.id for r in pipe.view("diff").collect()} == set()
+    assert {(r.window_start, r.n) for r in pipe.view("tw").collect()} == {
+        (base.replace(minute=0), 2), (base.replace(hour=1, minute=0), 2)
+    }
