@@ -1502,3 +1502,49 @@ def i29_ddl_grouping_sets(spark, sf_dir):
         "event_type", "cohort", "n",
         F.col("total").cast("double").alias("total"), "g_type", "g_cohort",
     )
+
+
+@q(
+    "i30_ddl_in_subquery",
+    oracle=f"""
+    SELECT event_id, user_id, event_type FROM ({_NET})
+    WHERE user_id IN (
+      SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    ) AND event_type = 'purchase'
+    """,
+)
+def i30_ddl_in_subquery(spark, sf_dir):
+    """Uncorrelated ``IN (SELECT …)`` decorrelated to an incremental
+    LEFT SEMI JOIN (Calcite's IN rewrite; ``semijoin.rs:28``): the
+    membership side is a compiled filter view whose deltas flip rows in
+    and out of the result. The deletion chunk only retracts events —
+    membership survives because the customer side is static."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i30_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT);"
+        "CREATE LOCAL VIEW members AS "
+        "SELECT c_custkey FROM cust WHERE c_nationkey < 5;"
+        "CREATE MATERIALIZED VIEW purchases AS "
+        "SELECT event_id, user_id, event_type FROM ev "
+        "WHERE user_id IN (SELECT c_custkey FROM members)"
+        " AND event_type = 'purchase'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    b.connect_table("cust", c)
+    pipe = b.create()
+    plan = pipe._ivm.get("purchases")
+    assert plan is not None and plan.shape.how == "semi", (
+        "IN-subquery view must compile to the incremental semi join"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i30_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i30_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("purchases")

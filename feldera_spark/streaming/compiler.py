@@ -67,7 +67,6 @@ from feldera_spark.zset import WEIGHT
 _UNSUPPORTED_RE = re.compile(
     r"\b(UNION|EXCEPT|INTERSECT|OVER|WITH|"
     r"TUMBLE|HOP|SESSION|ASOF|LATERAL|CROSS\s+JOIN|"
-    r"LEFT\s+SEMI|LEFT\s+ANTI|"
     r"NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
     r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|SHUFFLE\s*\()|\(\s*SELECT\b",
     re.IGNORECASE,
@@ -90,7 +89,8 @@ _ORDER_ITEM_RE = re.compile(
 
 _JOIN_RE = re.compile(
     r"^(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b)\w+))?\s+"
-    r"(?:(?P<how>INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\s+"
+    r"(?:(?P<how>INNER|LEFT\s+SEMI|LEFT\s+ANTI|"
+    r"LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\s+"
     r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)\w+))?\s+"
     r"ON\s+(?P<on>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -241,7 +241,10 @@ def parse_view_shape(sql: str) -> _Shape | None:
     if jm:
         shape.left = jm.group("lt").lower()
         shape.right = jm.group("rt").lower()
-        how = (jm.group("how") or "inner").lower().replace(" outer", "")
+        how = re.sub(
+            r"\s+", " ", (jm.group("how") or "inner").lower()
+        ).replace(" outer", "")
+        how = {"left semi": "semi", "left anti": "anti"}.get(how, how)
         shape.how = how
         aliases[(jm.group("la") or jm.group("lt")).lower()] = "l"
         aliases[(jm.group("ra") or jm.group("rt")).lower()] = "r"
@@ -514,12 +517,17 @@ class CompiledView:
                 ]
                 rks = {rc for _, rc in shape.on}
                 # right side is pruned AFTER key rename: keys carry left
-                # names, payload keeps original names
-                self._needed_r = lks + [
-                    c
-                    for c in r_cols
-                    if c.lower() not in rks and c.lower() in needed
-                ]
+                # names, payload keeps original names. Semi/anti joins
+                # never surface right payload — keys only.
+                self._needed_r = lks + (
+                    []
+                    if shape.how in ("semi", "anti")
+                    else [
+                        c
+                        for c in r_cols
+                        if c.lower() not in rks and c.lower() in needed
+                    ]
+                )
         self._join = None
         self._agg = None
         self._distinct = None
@@ -2354,6 +2362,55 @@ class CompiledChainJoinView:
         return {"inner": self.inner, "outer": self.outer}
 
 
+_IN_SUBQ_RE = re.compile(
+    r"^(?P<col>\w+)\s+IN\s*\(\s*SELECT\s+(?P<c>\w+)\s+FROM\s+(?P<u>\w+)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_in_subquery(sql: str) -> str:
+    """One top-level WHERE conjunct ``col IN (SELECT c FROM u)`` over a
+    single-table FROM becomes a LEFT SEMI JOIN (Calcite's uncorrelated
+    IN decorrelation): IN ≡ semi join exactly — no duplicate
+    amplification, UNKNOWN rows filtered either way. ``NOT IN`` stays
+    batch (its three-valued NULL semantics are not an anti join)."""
+    m = _SHAPE_RE.match(sql.strip())
+    if m is None or m.group("where") is None:
+        return sql
+    tm = _TABLE_RE.match(m.group("from").strip())
+    if tm is None:
+        return sql
+    conjs = _split_top_and(m.group("where"))
+    hit = None
+    for i, cj in enumerate(conjs):
+        mm = _IN_SUBQ_RE.match(cj.strip())
+        if mm is not None:
+            if hit is not None:
+                return sql  # two IN-subqueries: keep it batch
+            hit = (i, mm)
+    if hit is None:
+        return sql
+    i, mm = hit
+    rest = [c for j, c in enumerate(conjs) if j != i]
+    al = tm.group("a") or tm.group("t")
+    new_from = (
+        f"{m.group('from').strip()} LEFT SEMI JOIN {mm.group('u')} __inq "
+        f"ON {al}.{mm.group('col')} = __inq.{mm.group('c')}"
+    )
+    out = f"SELECT {m.group('sel')} FROM {new_from}"
+    if rest:
+        out += f" WHERE {' AND '.join(rest)}"
+    if m.group("gb"):
+        out += f" GROUP BY {m.group('gb')}"
+    if m.group("having"):
+        out += f" HAVING {m.group('having')}"
+    if m.group("ob"):
+        out += f" ORDER BY {m.group('ob')}"
+    if m.group("limit"):
+        out += f" LIMIT {m.group('limit')}"
+    return out
+
+
 def _compile_simple(
     sql: str,
     tables: set[str],
@@ -2362,7 +2419,7 @@ def _compile_simple(
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
-    sql = _rewrite_hop(_rewrite_tumble(sql))
+    sql = _rewrite_in_subquery(_rewrite_hop(_rewrite_tumble(sql)))
     # UNNEST is a LINEAR flat-map (Uncollect): strip the clause, parse
     # the remainder, and attach the per-delta explode to the shape
     from feldera_spark.frontend import _UNNEST_RE, _protect_literals
@@ -2423,7 +2480,11 @@ def _compile_simple(
     srcs = [shape.left] + ([shape.right] if shape.right else [])
     if not all(t in tables for t in srcs):
         return None
-    if shape.right is not None and columns is not None:
+    if (
+        shape.right is not None
+        and columns is not None
+        and shape.how not in ("semi", "anti")  # no right payload surfaces
+    ):
         lk = {lc for lc, _ in shape.on}
         rk = {rc for _, rc in shape.on}
         l_nonkey = set(columns[shape.left]) - lk

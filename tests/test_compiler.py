@@ -1562,3 +1562,75 @@ def test_stream_table_drives_setop_and_tumble_views(spark, tmp_path):
     assert {(r.window_start, r.n) for r in pipe.view("tw").collect()} == {
         (base.replace(minute=0), 2), (base.replace(hour=1, minute=0), 2)
     }
+
+
+# ---------------------------------------------------------------------------
+# semi/anti join views + IN-subquery decorrelation
+# ---------------------------------------------------------------------------
+
+def _semi_fixture(spark):
+    mkt = lambda rows, w: spark.createDataFrame(
+        [(i, k, v, w) for i, k, v in rows], "id INT, k INT, v INT, __weight LONG"
+    )
+    mku = lambda rows, w: spark.createDataFrame(
+        [(k, s, w) for k, s in rows], "uk INT, s STRING, __weight LONG"
+    )
+    steps = [
+        {"t": mkt([(1, 10, 5), (2, 20, 6), (3, 30, 7)], 1),
+         "u": mku([(10, "x"), (20, "y")], 1)},
+        {"t": mkt([(4, 20, 8)], 1), "u": None},
+        {"t": None, "u": mku([(20, "y")], -1)},  # 20 loses membership
+        {"t": None, "u": mku([(30, "z")], 1)},   # 30 gains membership
+    ]
+    return steps
+
+
+@pytest.mark.parametrize("kw,how", [("LEFT SEMI JOIN", "left_semi"),
+                                    ("LEFT ANTI JOIN", "left_anti")])
+def test_compiled_semi_anti_join_views(spark, kw, how):
+    steps = _semi_fixture(spark)
+    sql = f"SELECT t.id, t.k, t.v FROM t {kw} u ON t.k = u.uk"
+    plan = compile_view(
+        sql, tables={"t", "u"},
+        columns={"t": ["id", "k", "v"], "u": ["uk", "s"]},
+    )
+    assert plan is not None and plan.shape.how in ("semi", "anti"), sql
+    t_acc = u_acc = None
+    for st in steps:
+        plan.step(st)
+        if st["t"] is not None:
+            t_acc = st["t"] if t_acc is None else zset.plus(t_acc, st["t"])
+        if st["u"] is not None:
+            u_acc = st["u"] if u_acc is None else zset.plus(u_acc, st["u"])
+        t_now = zset.to_bag(zset.consolidate(t_acc))
+        u_now = (zset.to_bag(zset.consolidate(u_acc))
+                 if u_acc is not None
+                 else spark.createDataFrame([], "uk INT, s STRING"))
+        expected = _canon(
+            t_now.join(u_now, t_now.k == u_now.uk, how).select("id", "k", "v")
+        )
+        assert _canon(plan.materialized()) == expected, sql
+
+
+def test_in_subquery_compiles_to_semi_join(spark):
+    from feldera_spark.streaming.compiler import _rewrite_in_subquery
+
+    steps = _semi_fixture(spark)
+    sql = "SELECT id, k, v FROM t WHERE k IN (SELECT uk FROM u) AND v > 5"
+    assert "LEFT SEMI JOIN" in _rewrite_in_subquery(sql)
+    plan = compile_view(
+        sql, tables={"t", "u"},
+        columns={"t": ["id", "k", "v"], "u": ["uk", "s"]},
+    )
+    assert plan is not None and plan.shape.how == "semi"
+    for st in steps:
+        plan.step(st)
+    rows = {(r.id, r.k, r.v) for r in plan.materialized().collect()}
+    # after all steps: members = {10, 30}; v > 5 excludes id=1
+    assert rows == {(3, 30, 7)}
+    # NOT IN keeps its 3VL semantics: batch fallback
+    assert compile_view(
+        "SELECT id FROM t WHERE k NOT IN (SELECT uk FROM u)",
+        tables={"t", "u"},
+        columns={"t": ["id", "k", "v"], "u": ["uk", "s"]},
+    ) is None
