@@ -1548,3 +1548,49 @@ def i30_ddl_in_subquery(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i30_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("purchases")
+
+
+@q(
+    "i31_ddl_not_exists",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_NET}) e
+      WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+    )
+    """,
+)
+def i31_ddl_not_exists(spark, sf_dir):
+    """``NOT EXISTS`` decorrelated to an incremental ANTI join
+    (``join.rs:374 antijoin``) — customers with no purchases. The
+    delete chunk retracts purchase events, so customers whose LAST
+    purchase vanishes flip INTO the anti-join result mid-stream (the
+    matched→unmatched boundary crossing)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i31_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE TABLE cust (c_custkey BIGINT, c_nationkey INT);"
+        "CREATE LOCAL VIEW buyers AS "
+        "SELECT event_id, user_id FROM ev WHERE event_type = 'purchase';"
+        "CREATE MATERIALIZED VIEW lapsed AS "
+        "SELECT c_custkey, c_nationkey FROM cust c "
+        "WHERE NOT EXISTS (SELECT 1 FROM buyers b WHERE b.user_id = c.c_custkey)"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    b.connect_table("cust", c)
+    pipe = b.create()
+    plan = pipe._ivm.get("lapsed")
+    assert plan is not None and plan.shape.how == "anti", (
+        "NOT EXISTS view must compile to the incremental anti join"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i31_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i31_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("lapsed")

@@ -2368,6 +2368,69 @@ _IN_SUBQ_RE = re.compile(
 )
 
 
+_EXISTS_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\(\s*SELECT\s+[^()]+?\s+FROM\s+"
+    r"(?P<u>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?\s+WHERE\s+(?P<p>[^()]*)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_exists_subquery(sql: str) -> str:
+    """A top-level WHERE conjunct ``[NOT] EXISTS (SELECT … FROM u WHERE
+    <equi-terms>)`` over a single-table FROM becomes a LEFT SEMI (anti
+    for NOT EXISTS — which, unlike NOT IN, IS exactly an anti join)
+    join on the correlation columns: Calcite's EXISTS decorrelation
+    onto ``semijoin.rs:28`` / ``antijoin``."""
+    m = _SHAPE_RE.match(sql.strip())
+    if m is None or m.group("where") is None:
+        return sql
+    tm = _TABLE_RE.match(m.group("from").strip())
+    if tm is None:
+        return sql
+    outer_al = (tm.group("a") or tm.group("t")).lower()
+    conjs = _split_top_and(m.group("where"))
+    hit = None
+    for i, cj in enumerate(conjs):
+        em = _EXISTS_RE.match(cj.strip())
+        if em is not None:
+            if hit is not None:
+                return sql
+            hit = (i, em)
+    if hit is None:
+        return sql
+    i, em = hit
+    inner_al = (em.group("a") or em.group("u")).lower()
+    on_terms = []
+    for term in _split_top_and(em.group("p")):
+        eq = _EQ_RE.match(term)
+        if eq is None:
+            return sql  # non-equi correlation: batch
+        x_al, x_col, y_al, y_col = (g.lower() for g in eq.groups())
+        if x_al == inner_al:
+            x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
+        if x_al != outer_al or y_al != inner_al:
+            return sql
+        on_terms.append(f"{outer_al}.{x_col} = __ex.{y_col}")
+    kw = "LEFT ANTI JOIN" if em.group("neg") else "LEFT SEMI JOIN"
+    rest = [c for j, c in enumerate(conjs) if j != i]
+    new_from = (
+        f"{m.group('from').strip()} {kw} {em.group('u')} __ex "
+        f"ON {' AND '.join(on_terms)}"
+    )
+    out = f"SELECT {m.group('sel')} FROM {new_from}"
+    if rest:
+        out += f" WHERE {' AND '.join(rest)}"
+    if m.group("gb"):
+        out += f" GROUP BY {m.group('gb')}"
+    if m.group("having"):
+        out += f" HAVING {m.group('having')}"
+    if m.group("ob"):
+        out += f" ORDER BY {m.group('ob')}"
+    if m.group("limit"):
+        out += f" LIMIT {m.group('limit')}"
+    return out
+
+
 def _rewrite_in_subquery(sql: str) -> str:
     """One top-level WHERE conjunct ``col IN (SELECT c FROM u)`` over a
     single-table FROM becomes a LEFT SEMI JOIN (Calcite's uncorrelated
@@ -2419,7 +2482,9 @@ def _compile_simple(
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
-    sql = _rewrite_in_subquery(_rewrite_hop(_rewrite_tumble(sql)))
+    sql = _rewrite_exists_subquery(
+        _rewrite_in_subquery(_rewrite_hop(_rewrite_tumble(sql)))
+    )
     # UNNEST is a LINEAR flat-map (Uncollect): strip the clause, parse
     # the remainder, and attach the per-delta explode to the shape
     from feldera_spark.frontend import _UNNEST_RE, _protect_literals

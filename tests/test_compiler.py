@@ -1634,3 +1634,22 @@ def test_in_subquery_compiles_to_semi_join(spark):
         tables={"t", "u"},
         columns={"t": ["id", "k", "v"], "u": ["uk", "s"]},
     ) is None
+
+
+def test_exists_subquery_compiles(spark):
+    steps = _semi_fixture(spark)
+    cols = {"t": ["id", "k", "v"], "u": ["uk", "s"]}
+    sql_e = ("SELECT t.id, t.k FROM t "
+             "WHERE EXISTS (SELECT 1 FROM u WHERE u.uk = t.k)")
+    sql_ne = ("SELECT t.id, t.k FROM t "
+              "WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.uk = t.k)")
+    pe = compile_view(sql_e, tables={"t", "u"}, columns=cols)
+    pn = compile_view(sql_ne, tables={"t", "u"}, columns=cols)
+    assert pe is not None and pe.shape.how == "semi"
+    assert pn is not None and pn.shape.how == "anti"
+    for st in steps:
+        pe.step(st)
+        pn.step(st)
+    # final membership: {10, 30}
+    assert {r.id for r in pe.materialized().collect()} == {1, 3}
+    assert {r.id for r in pn.materialized().collect()} == {2, 4}
