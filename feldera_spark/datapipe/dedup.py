@@ -321,7 +321,10 @@ def connected_components(
         F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
     ).unionByName(
         edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pin the edge list ONCE: without this, every propagation round
+    # re-executes the upstream plan that produced the edges (for LSH
+    # candidates that is the whole shingle->minhash->band pipeline)
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
