@@ -1594,3 +1594,54 @@ def i31_ddl_not_exists(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i31_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("lapsed")
+
+
+@q(
+    "i32_ddl_outer_join_agg",
+    oracle=f"""
+    SELECT c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(e.value AS DOUBLE)) AS DOUBLE) AS total
+    FROM ({_NET}) e
+    LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 13) c
+      ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def i32_ddl_outer_join_agg(spark, sf_dir):
+    """LEFT OUTER join FEEDING an aggregate, from DDL: NULL-padded rows
+    form a real NULL group, and deletions that flip rows across the
+    matched/unmatched boundary move counts between the NULL group and
+    value groups. Exercises the NULL-SAFE state routing (a plain
+    semi-join would silently duplicate the NULL group's state — the
+    bug class this query regression-locks)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13).select(
+        "c_custkey", "c_mktsegment"
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i32_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, value DOUBLE);"
+        "CREATE TABLE cust (c_custkey BIGINT, c_mktsegment VARCHAR);"
+        "CREATE MATERIALIZED VIEW seg AS "
+        "SELECT c.c_mktsegment, COUNT(*) AS n, SUM(e.value) AS total "
+        "FROM ev e LEFT JOIN cust c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    b.connect_table("cust", c)
+    pipe = b.create()
+    plan = pipe._ivm.get("seg")
+    assert plan is not None and plan.shape.how == "left" and plan._agg is not None
+    pipe.execute("INSERT INTO ev SELECT * FROM __i32_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i32_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("seg").select(
+        "c_mktsegment", "n", F.col("total").cast("double").alias("total")
+    )

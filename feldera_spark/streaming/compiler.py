@@ -2201,6 +2201,7 @@ def _split_chain_from(frm: str) -> list[str] | None:
     None unless there are >= 2 joins, all INNER."""
     depth, in_str = 0, False
     cuts: list[int] = []
+    hows: list[str] = []
     i = 0
     for m in _JOIN_KW_RE.finditer(frm):
         # verify top-level: count parens/quotes up to match start
@@ -2216,10 +2217,13 @@ def _split_chain_from(frm: str) -> list[str] | None:
         i = m.start()
         if depth == 0 and not in_str:
             how = (m.group("how") or "inner").lower().replace(" outer", "")
-            if how != "inner":
-                return None  # outer/cross chains: batch fallback
+            hows.append(how)
             cuts.append(m.start())
     if len(cuts) < 2:
+        return None
+    # inner stages must be INNER; the LAST join may be any kind the
+    # binary compiled view supports (it rides on the outer stage)
+    if any(h != "inner" for h in hows[:-1]) or hows[-1] == "cross":
         return None
     parts = []
     prev = 0
@@ -2294,12 +2298,14 @@ def _compile_chain_join(
     # inner view exposes every inner column once (non-key collisions
     # are rejected downstream exactly as the batch path would)
     inner_cols: list[str] = []
+    col_map: list[tuple[str, str]] = []  # (table, col) for schema donors
     for t in inner_aliases.values():
         for c in columns[t]:
             if (t, c.lower()) in renamed_away:
                 continue
             if c.lower() not in {x.lower() for x in inner_cols}:
                 inner_cols.append(c)
+                col_map.append((t, c))
     inner_sql = f"SELECT {', '.join(inner_cols)} FROM {inner_from}"
     inner = _compile_simple(
         inner_sql, tables, append_only, columns, lateness,
@@ -2321,10 +2327,8 @@ def _compile_chain_join(
     )
     if outer is None or getattr(outer.shape, "right", None) is None:
         return None
-    if outer.shape.how != "inner":
-        return None
     try:
-        return CompiledChainJoinView(inner, outer)
+        return CompiledChainJoinView(inner, outer, col_map)
     except Exception:
         return None
 
@@ -2333,9 +2337,10 @@ class CompiledChainJoinView:
     """Composition of an internal compiled join chain and an outer
     binary compiled view consuming its output deltas."""
 
-    def __init__(self, inner, outer):
+    def __init__(self, inner, outer, col_map=None):
         self.inner = inner
         self.outer = outer
+        self._col_map = col_map or []
         self.shape = outer.shape
         self.sources = list(dict.fromkeys(
             inner.sources + [t for t in outer.sources if t != "__chain"]
@@ -2344,6 +2349,22 @@ class CompiledChainJoinView:
 
     def bind_schemas(self, frames) -> None:
         self.inner.bind_schemas(frames)
+        # an OUTER last stage needs the synthetic chain's schema before
+        # its first delta (NULL padding): donate a zero-row frame
+        # assembled from the source tables' columns
+        if self._col_map and all(
+            t in frames for t, _ in self._col_map
+        ) and "__chain" in self.outer.sources:
+            from functools import reduce
+
+            by_table: dict[str, list[str]] = {}
+            for t, c in self._col_map:
+                by_table.setdefault(t, []).append(c)
+            parts = [
+                frames[t].select(*cs).limit(0) for t, cs in by_table.items()
+            ]
+            template = reduce(lambda a, b: a.crossJoin(b), parts)
+            self.outer.bind_schemas({**frames, "__chain": template})
 
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         d_inner = self.inner.step(

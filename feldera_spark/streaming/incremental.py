@@ -35,6 +35,25 @@ from feldera_spark import zset
 from feldera_spark.zset import WEIGHT
 
 
+def nullsafe_keys_join(
+    df: DataFrame, keys_df: DataFrame, on: list[str], anti: bool = False
+) -> DataFrame:
+    """Semi/anti join used for STATE ROUTING (touched-key restriction,
+    touched/untouched splits). Must be NULL-SAFE: a group key may be
+    NULL (outer-join padding feeding an aggregate, GROUP BY a nullable
+    column) and plain equi-semi-join semantics would never match it —
+    NULL-keyed state rows would silently duplicate or never merge.
+    ``eqNullSafe`` still plans as a hash join (it is an equality key)."""
+    kd = keys_df.select(
+        *[F.col(k).alias(f"__ks_{k}") for k in on]
+    ).distinct()
+    cond = None
+    for k in on:
+        c = df[k].eqNullSafe(kd[f"__ks_{k}"])
+        cond = c if cond is None else cond & c
+    return df.join(kd, cond, "left_anti" if anti else "left_semi")
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
     # EAGER: each step's state materializes at the step boundary (on a
     # cluster this becomes a Delta-table write / state-store commit).
@@ -135,7 +154,7 @@ class Spine:
                 fb = b.filter(prefilter)
             else:
                 fb = prefilter(b)
-            parts.append(fb.join(keys_df, on=on, how="left_semi"))
+            parts.append(nullsafe_keys_join(fb, keys_df, on))
         merged = zset.plus(*parts)
         return zset.consolidate(merged) if consolidate else merged
 
@@ -281,7 +300,7 @@ class IncrementalLinearAggregateView:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
         touched = partial.select(*self.keys)
-        old_t = self.state.join(touched, on=self.keys, how="left_semi")
+        old_t = nullsafe_keys_join(self.state, touched, self.keys)
         merged = (
             old_t.unionByName(partial)
             .groupBy(*self.keys)
@@ -291,11 +310,11 @@ class IncrementalLinearAggregateView:
             )
         )
         live = merged.filter(F.col("__n") != 0)
-        untouched = self.state.join(touched, on=self.keys, how="left_anti")
+        untouched = nullsafe_keys_join(self.state, touched, self.keys, anti=True)
         prev_state = self.state
         self.state = _checkpoint(untouched.unionByName(live))
-        live_now = self.state.join(touched, on=self.keys, how="left_semi")
-        old_t_prev = prev_state.join(touched, on=self.keys, how="left_semi")
+        live_now = nullsafe_keys_join(self.state, touched, self.keys)
+        old_t_prev = nullsafe_keys_join(prev_state, touched, self.keys)
         return zset.consolidate(
             zset.plus(self._out(live_now, 1), self._out(old_t_prev, -1))
         )
@@ -646,7 +665,7 @@ class AppendOnlyAggregateView:
         # merge: union of old state + new partials, re-reduced per key —
         # both sides are already one-row-per-key, so this is tiny
         touched = partial.select(*self.keys)
-        old_touched = self.state.join(touched, on=self.keys, how="left_semi")
+        old_touched = nullsafe_keys_join(self.state, touched, self.keys)
         merged = (
             old_touched.unionByName(partial)
             .groupBy(*self.keys)
@@ -657,11 +676,11 @@ class AppendOnlyAggregateView:
                 ]
             )
         )
-        untouched = self.state.join(touched, on=self.keys, how="left_anti")
+        untouched = nullsafe_keys_join(self.state, touched, self.keys, anti=True)
         prev_state = self.state
         self.state = _checkpoint(untouched.unionByName(merged))
-        merged_now = self.state.join(touched, on=self.keys, how="left_semi")
-        old_prev = prev_state.join(touched, on=self.keys, how="left_semi")
+        merged_now = nullsafe_keys_join(self.state, touched, self.keys)
+        old_prev = nullsafe_keys_join(prev_state, touched, self.keys)
         return zset.consolidate(
             zset.plus(
                 merged_now.withColumn(WEIGHT, F.lit(1).cast("long")),

@@ -1653,3 +1653,65 @@ def test_exists_subquery_compiles(spark):
     # final membership: {10, 30}
     assert {r.id for r in pe.materialized().collect()} == {1, 3}
     assert {r.id for r in pn.materialized().collect()} == {2, 4}
+
+
+def test_chain_with_outer_last_stage(spark):
+    """inner chain + LEFT OUTER last join: unmatched keys NULL-pad and
+    deletions flip them back."""
+    steps, cols, live, cust, supp = _three_way_fixture(spark)
+    # extra dim with PARTIAL coverage (some sk values unmatched)
+    extra = spark.createDataFrame([(10, "night")], ["xk", "shift"])
+    cols = dict(cols, extra=["xk", "shift"])
+    sql = (
+        "SELECT f.id, c.tier, x.shift FROM fact f "
+        "JOIN cust c ON f.ck = c.ck LEFT JOIN extra x ON f.sk = x.xk"
+    )
+    plan = compile_view(
+        sql, tables={"fact", "cust", "supp", "extra"}, columns=cols
+    )
+    assert plan is not None and type(plan).__name__ == "CompiledChainJoinView"
+    assert plan.outer.shape.how == "left"
+    frames = {
+        "fact": live.limit(0), "cust": cust.limit(0), "extra": extra.limit(0)
+    }
+    plan.bind_schemas(frames)
+    for st in steps:
+        plan.step({**st, "extra": zset.lift(extra) if st.get("cust") is not None else None})
+    live.createOrReplaceTempView("fact")
+    cust.createOrReplaceTempView("cust")
+    extra.createOrReplaceTempView("extra")
+    expected = _canon(spark.sql(sql))
+    assert _canon(plan.materialized()) == expected
+
+
+def test_outer_join_feeding_aggregate(spark):
+    """LEFT OUTER join + aggregate in one compiled view: NULL-padded
+    rows participate in the aggregate and deletions that flip the
+    padding re-derive the group."""
+    steps = _join_steps(spark)
+    sql = (
+        "SELECT b_v, COUNT(*) AS n FROM a "
+        "LEFT JOIN b ON a.k = b.k GROUP BY b_v"
+    )
+    plan = compile_view(
+        sql, tables={"a", "b"},
+        columns={"a": ["k", "a_v"], "b": ["k", "b_v"]},
+    )
+    assert plan is not None and plan._agg is not None
+    plan.bind_schemas({
+        "a": spark.createDataFrame([], "k INT, a_v STRING"),
+        "b": spark.createDataFrame([], "k INT, b_v STRING"),
+    })
+    a_acc, b_acc = [], []
+    for da, db in steps:
+        plan.step({"a": da, "b": db})
+        if da is not None:
+            a_acc.append(da)
+        if db is not None:
+            b_acc.append(db)
+    a_now = zset.to_bag(zset.integrate(*a_acc))
+    b_now = zset.to_bag(zset.integrate(*b_acc))
+    a_now.createOrReplaceTempView("a")
+    b_now.createOrReplaceTempView("b")
+    canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+    assert canon(plan.materialized()) == canon(spark.sql(sql))
