@@ -586,10 +586,28 @@ class IncrementalRollingAggregateView:
         # (+1/−1) would still poison the extremum, so they keep the
         # merged read.
         linear = self.agg in ("sum", "count")
-        slice_ = self.integral.read_for_keys(
-            dmins.select(*self.keys), self.keys, prefilter=pre,
-            consolidate=not linear,
-        ).join(dmins, on=self.keys)
+
+        def attach_dmin(rows: DataFrame) -> DataFrame:
+            # null-safe inner join: a NULL partition key is one window
+            # group (Spark PARTITION BY groups NULLs); a plain equi-join
+            # would drop its rows from the recompute slice
+            dm = dmins.select(
+                *[F.col(k).alias(f"__dk_{k}") for k in self.keys], "__dmin"
+            )
+            cond = None
+            for k in self.keys:
+                c = rows[k].eqNullSafe(dm[f"__dk_{k}"])
+                cond = c if cond is None else cond & c
+            return rows.join(dm, cond).drop(
+                *[f"__dk_{k}" for k in self.keys]
+            )
+
+        slice_ = attach_dmin(
+            self.integral.read_for_keys(
+                dmins.select(*self.keys), self.keys, prefilter=pre,
+                consolidate=not linear,
+            )
+        )
         lower = (
             F.col("__dmin") - F.expr(f"INTERVAL {self.w_secs} SECONDS")
             if is_ts
@@ -606,11 +624,12 @@ class IncrementalRollingAggregateView:
             # the old-output read feeds minus(...) + consolidate — the
             # final consolidate absorbs the merge, so never pre-merge
             old_affected = (
-                self.output.read_for_keys(
-                    dmins.select(*self.keys), self.keys, prefilter=pre,
-                    consolidate=False,
+                attach_dmin(
+                    self.output.read_for_keys(
+                        dmins.select(*self.keys), self.keys, prefilter=pre,
+                        consolidate=False,
+                    )
                 )
-                .join(dmins, on=self.keys)
                 .filter(F.col(self.ts_col) >= F.col("__dmin"))
                 .drop("__dmin")
             )

@@ -281,3 +281,29 @@ def test_keyed_recompute_view_topk_and_untouched_keys(spark):
     assert {r["k"] for r in delta.collect()} == {"a"}
     got = sorted((r.k, r.id, r.v) for r in view.materialized().collect())
     assert got == [("a", 2, 4.0), ("a", 3, 3.0), ("b", 4, 9.0)]
+
+
+def test_rolling_null_partition_key(spark):
+    """A NULL partition key is ONE window group (Spark PARTITION BY
+    groups NULLs); the incremental recompute must route it like any
+    other key instead of dropping its rows at the dmin attach."""
+    import datetime as dt
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalRollingAggregateView,
+    )
+    from feldera_spark.zset import WEIGHT
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows, w: spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), float(v), w) for k, m, v in rows],
+        "k STRING, ts TIMESTAMP_NTZ, v DOUBLE, __weight LONG",
+    )
+    view = IncrementalRollingAggregateView(
+        keys=["k"], ts_col="ts", window_seconds=3600, agg="sum", value_col="v"
+    )
+    view.step(mk([("a", 0, 1), (None, 5, 10), (None, 30, 20)], 1))
+    view.step(mk([(None, 50, 40)], 1))
+    rows = {(r.k, r.ts, r.rolling) for r in view.materialized().collect()}
+    assert (None, base + dt.timedelta(minutes=50), 70.0) in rows
+    assert (None, base + dt.timedelta(minutes=30), 30.0) in rows
