@@ -189,3 +189,60 @@ def repetition_signals(
             (top_bi_frac >= bigram_threshold).cast("int").alias("repetitive"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, int],
+    default_mod: int = 0,
+) -> DataFrame:
+    """Deterministic stratified (training-mix) sampling: keep 1/mod of
+    each stratum via the portable keyed hash — per-language /
+    per-source mix control for a training corpus. ``rates`` maps
+    stratum value -> keep-one-in-N (``default_mod`` for unlisted
+    strata; 0 drops them). Fully reproducible (re-runs and engines
+    agree), pushed down as an ordinary filter — no coordinator round,
+    no sampling state, scales as a scan."""
+    h = md5_i64(F.col(id_col).cast("string"))
+    cond = F.lit(False)
+    for value, mod in rates.items():
+        if mod > 0:
+            cond = cond | (
+                (F.col(stratum_col) == value) & (h % mod == 0)
+            )
+    if default_mod > 0:
+        known = list(rates)
+        cond = cond | (
+            ~F.col(stratum_col).isin(*known) & (h % default_mod == 0)
+        )
+    return df.filter(cond)
+
+
+# PII patterns: conservative, deterministic regexes (emails, simple
+# international/NANP phone shapes). Precision over recall — a scrub
+# pass at 100 TB must not mangle ordinary numerics.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str, text: str, out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails and phone-shaped tokens with typed placeholders and
+    count the redactions per document — the pre-training PII pass.
+    Pure ``regexp_replace``/``regexp_count`` Catalyst expressions: one
+    codegen'd scan, no UDFs, no shuffle."""
+    c = F.col(text)
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(after_email, F.lit(PII_PHONE_RE))
+    cleaned = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        cleaned.alias(out_col),
+        n_email.cast("bigint").alias("n_emails"),
+        n_phone.cast("bigint").alias("n_phones"),
+        (n_email + n_phone > 0).cast("int").alias("had_pii"),
+    )

@@ -32,8 +32,10 @@ from feldera_spark.datapipe.text import (
     contamination,
     fingerprint,
     language_id,
+    pii_scrub,
     quality_score,
     repetition_signals,
+    stratified_sample,
     token_stats,
 )
 from feldera_spark.queries._util import t
@@ -589,3 +591,77 @@ def d17_repetition_signals(spark, sf_dir):
     explode→groupBy chains keyed on doc_id, fully JVM-side."""
     d = t(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text", bigram_threshold=0.2)
+
+
+@q(
+    "d18_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (lang = 'en' AND {_MD5.format(x="CAST(doc_id AS VARCHAR)")} % 2 = 0)
+       OR (lang = 'de' AND {_MD5.format(x="CAST(doc_id AS VARCHAR)")} % 5 = 0)
+       OR (lang NOT IN ('en', 'de')
+           AND {_MD5.format(x="CAST(doc_id AS VARCHAR)")} % 10 = 0)
+    """,
+)
+def d18_stratified_sample(spark, sf_dir):
+    """Stratified training-mix sampling: keep 1/2 of English, 1/5 of
+    German, 1/10 of everything else — deterministic keyed-hash
+    Bernoulli per stratum (portable md5, identical across engines and
+    re-runs), evaluated as one pushed-down filter; the per-language mix
+    control every pre-training corpus build needs."""
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", rates={"en": 2, "de": 5}, default_mod=10
+    ).select("doc_id", "lang", "source")
+
+
+@q(
+    "d19_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 11 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or +1-555-123-4567 now'
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}',
+             '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}'))
+             AS BIGINT) AS n_phones,
+           CAST(doc_id % 11 = 0 AS INT) AS had_pii
+    FROM seeded
+    """,
+)
+def d19_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails + phone-shaped tokens → typed
+    placeholders, redaction counts per doc): pure codegen'd
+    regexp_replace/regexp_count — no UDFs, no shuffle, a scan at any
+    scale. PII is deterministically seeded into 1/11 of the docs so
+    the redaction itself (not just a no-op pass) is value-checked."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1-555-123-4567 now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(d, "doc_id", "text")
