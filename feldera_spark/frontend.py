@@ -215,7 +215,7 @@ def _restore_literals(sql: str, lits: list[str]) -> str:
 
 
 _UNNEST_RE = re.compile(
-    r",\s*UNNEST\s*\((?P<e>[^()]*(?:\([^()]*\)[^()]*)*)\)\s+"
+    r"(?:,|\bCROSS\s+JOIN\b)\s*UNNEST\s*\((?P<e>[^()]*(?:\([^()]*\)[^()]*)*)\)\s+"
     r"AS\s+(?P<al>\w+)\s*\(\s*(?P<c>\w+)\s*\)",
     re.IGNORECASE,
 )

@@ -1715,3 +1715,18 @@ def test_outer_join_feeding_aggregate(spark):
     b_now.createOrReplaceTempView("b")
     canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
     assert canon(plan.materialized()) == canon(spark.sql(sql))
+
+
+def test_unnest_cross_join_syntax(spark):
+    from feldera_spark.frontend import rewrite_unnest
+
+    out = rewrite_unnest(
+        "SELECT id, w.x FROM t CROSS JOIN UNNEST(arr) AS w(x)"
+    )
+    assert "LATERAL VIEW explode(arr) w AS x" in out
+    plan = compile_view(
+        "SELECT w.word, COUNT(*) AS n FROM t CROSS JOIN "
+        "UNNEST(split(txt, ' ')) AS w(word) GROUP BY w.word",
+        tables={"t"},
+    )
+    assert plan is not None and plan.shape.unnest is not None
