@@ -2506,6 +2506,22 @@ def _compile_simple(
     sql = _rewrite_exists_subquery(
         _rewrite_in_subquery(_rewrite_hop(_rewrite_tumble(sql)))
     )
+    # SELECT * over a single declared table: expand from the known
+    # column list so identity/filter views compile
+    if columns is not None:
+        sm = re.match(
+            r"^\s*SELECT\s+\*\s+FROM\s+(?P<t>\w+)(?P<rest>\s.*|)$",
+            sql.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if sm is not None and sm.group("t").lower() in columns:
+            cols = [
+                c for c in columns[sm.group("t").lower()] if c != WEIGHT
+            ]
+            sql = (
+                f"SELECT {', '.join(cols)} FROM {sm.group('t')}"
+                f"{sm.group('rest')}"
+            )
     # UNNEST is a LINEAR flat-map (Uncollect): strip the clause, parse
     # the remainder, and attach the per-delta explode to the shape
     from feldera_spark.frontend import _UNNEST_RE, _protect_literals

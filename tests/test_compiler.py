@@ -1730,3 +1730,18 @@ def test_unnest_cross_join_syntax(spark):
         tables={"t"},
     )
     assert plan is not None and plan.shape.unnest is not None
+
+
+def test_select_star_view_compiles(spark):
+    chunks, live = _chunks(spark)
+    plan = compile_view(
+        "SELECT * FROM t WHERE v >= 100", tables={"t"},
+        columns={"t": ["id", "k", "v", "g"]},
+    )
+    assert plan is not None and type(plan).__name__ == "CompiledView"
+    for c in chunks:
+        plan.step({"t": c})
+    live.createOrReplaceTempView("t")
+    assert _canon(plan.materialized()) == _canon(
+        spark.sql("SELECT * FROM t WHERE v >= 100")
+    )
