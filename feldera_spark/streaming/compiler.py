@@ -286,6 +286,21 @@ def parse_view_shape(sql: str) -> _Shape | None:
             expr, name = item, None
         expr = _strip_aliases(expr, aliases)
         gm = _AGG_RE.match(expr)
+        if gm is not None:
+            # the greedy arg capture must be a BALANCED expression:
+            # "SUM(a) / SUM(b)" matches with arg "a) / SUM(b" — that is
+            # a compound-aggregate item, not one call (batch fallback)
+            depth = 0
+            for ch in gm.group(2):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        gm = None
+                        break
+            if gm is not None and depth != 0:
+                gm = None
         # reject nested aggregates inside the argument
         if gm and not _AGG_RE.match(gm.group(2).strip()):
             if name is None:
@@ -297,6 +312,16 @@ def parse_view_shape(sql: str) -> _Shape | None:
             shape.aggs.append(_Agg(name, fn, arg))
             shape.out_cols.append(name)
         else:
+            if re.search(
+                r"\b(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV\w*|"
+                r"VAR_\w+|VARIANCE|BOOL_AND|BOOL_OR|BIT_\w+|COUNTIF)\s*\(",
+                _protect_literals(expr)[0],
+                re.IGNORECASE,
+            ):
+                # an aggregate call buried in a compound expression
+                # (SUM(a)/SUM(b), COALESCE(MAX(x),0), …): treating it as
+                # a row-wise projection would be WRONG — batch fallback
+                return None
             if name is None:
                 if not re.match(r"^\w+$", expr):
                     return None  # computed columns must be aliased
