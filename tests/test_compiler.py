@@ -1745,3 +1745,17 @@ def test_select_star_view_compiles(spark):
     assert _canon(plan.materialized()) == _canon(
         spark.sql("SELECT * FROM t WHERE v >= 100")
     )
+
+
+def test_compound_aggregate_falls_back():
+    """Aggregate calls buried in compound expressions must NOT parse as
+    plain aggregates or projections — they'd miscompute at runtime;
+    batch evaluation handles them (regression for SUM(a)/SUM(b))."""
+    for sql in (
+        "SELECT SUM(total) / SUM(n) AS avg_big FROM t",
+        "SELECT COALESCE(MAX(v), 0) AS m FROM t",
+        "SELECT k, SUM(v) + 1 AS s1 FROM t GROUP BY k",
+    ):
+        assert parse_view_shape(sql) is None, sql
+    # literal containing an aggregate-looking word still projects
+    assert parse_view_shape("SELECT id, 'SUM(x)' AS tag FROM t") is not None
