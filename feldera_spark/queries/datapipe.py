@@ -665,3 +665,51 @@ def d19_pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     return pii_scrub(d, "doc_id", "text")
+
+
+@q(
+    "d20_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CAND},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE c.cluster_id = d.doc_id) AS n_survivors,
+           CAST(sum(CASE WHEN c.cluster_id = d.doc_id THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS surviving_chars
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    """,
+)
+def d20_dedup_survivors(spark, sf_dir):
+    """The dedup pipeline END-TO-END: LSH candidates → connected
+    components → keep one canonical doc per cluster (min doc_id) →
+    per-source retention stats. The shape a corpus build actually
+    runs — candidate generation, clustering, and the survivor filter
+    composed, with the final aggregate showing what dedup kept."""
+    d = t(spark, sf_dir, "documents")
+    clusters = neardup_clusters(d, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    joined = d.join(clusters, on="doc_id")
+    survivor = F.col("cluster_id") == F.col("doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(survivor, 1)).alias("n_survivors"),
+            F.sum(F.when(survivor, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("surviving_chars"),
+        )
+    )
