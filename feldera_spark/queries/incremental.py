@@ -1645,3 +1645,50 @@ def i32_ddl_outer_join_agg(spark, sf_dir):
     return pipe.view("seg").select(
         "c_mktsegment", "n", F.col("total").cast("double").alias("total")
     )
+
+
+@q(
+    "i33_ddl_rank_view",
+    oracle=f"""
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY CAST(value AS DOUBLE) DESC, event_id)
+             AS rn
+    FROM ({_NET}) WHERE event_type = 'purchase'
+    """,
+)
+def i33_ddl_rank_view(spark, sf_dir):
+    """Ranked view from DDL (``topk.rs`` rank variants): ROW_NUMBER per
+    user maintained by per-key recompute — the delete chunk retracts
+    top-ranked purchases and every lower row in the touched users
+    shifts up by exactly one. ORDER BY carries a unique tiebreak
+    (event_id), the same determinism contract batch evaluation needs."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i33_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW ranked AS "
+        "SELECT user_id, event_id, value,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id"
+        " ORDER BY value DESC, event_id) AS rn "
+        "FROM ev WHERE event_type = 'purchase'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("ranked")
+    assert plan is not None and type(plan).__name__ == "CompiledRankView", (
+        "ranked view must compile to the per-key incremental recompute"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i33_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i33_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("ranked")

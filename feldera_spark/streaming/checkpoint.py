@@ -94,6 +94,7 @@ def _is_view_object(val) -> bool:
                 "CompiledRollingView", "CompiledSessionView",
                 "CompiledAsofView", "CompiledChainJoinView",
                 "CompiledDistinctAggView", "CompiledGroupingSetsView",
+                "CompiledRankView",
             )
         )
     )
@@ -107,7 +108,7 @@ def save_view(view, path: str) -> dict:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
-        "CompiledGroupingSetsView",
+        "CompiledGroupingSetsView", "CompiledRankView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -168,7 +169,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
-        "CompiledGroupingSetsView",
+        "CompiledGroupingSetsView", "CompiledRankView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

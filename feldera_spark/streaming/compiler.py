@@ -1156,6 +1156,180 @@ def _tumble_col(kexpr: str):
     return None
 
 
+_RANK_OVER_RE = re.compile(
+    r"^(?P<fn>ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class _RankShape:
+    """``SELECT cols…, ROW_NUMBER()/RANK()/DENSE_RANK() OVER (PARTITION
+    BY k ORDER BY s [DESC][, …]) AS r FROM t [WHERE p]`` — the
+    reference's ranked views (``operator/dynamic/topk.rs`` rank
+    variants)."""
+
+    left: str
+    where: str | None
+    select: list[tuple[str, str]]
+    fn: str
+    partition: list[str]
+    order: list[tuple[str, bool]]  # (col, desc)
+    out_name: str
+    out_cols: list[str] = field(default_factory=list)
+
+
+def parse_rank_shape(sql: str) -> _RankShape | None:
+    from feldera_spark.frontend import _protect_literals, _split_top_commas
+
+    protected, _ = _protect_literals(sql)
+    if re.search(
+        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
+        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|JOIN|"
+        r"GROUP\s+BY|HAVING|TUMBLE|HOP|SESSION|LIMIT)\b",
+        protected,
+        re.IGNORECASE,
+    ):
+        return None
+    m = _SHAPE_RE.match(sql.strip())
+    if (
+        m is None
+        or m.group("distinct")
+        or m.group("gb")
+        or m.group("having")
+        or m.group("limit")
+    ):
+        return None
+    tm = _TABLE_RE.match(m.group("from").strip())
+    if tm is None:
+        return None
+    aliases = {tm.group("a").lower(): "l"} if tm.group("a") else {}
+    select: list[tuple[str, str]] = []
+    out_cols: list[str] = []
+    window = None
+    for item in _split_top_commas(m.group("sel")):
+        item = _strip_aliases(item.strip(), aliases)
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item, re.IGNORECASE | re.DOTALL)
+        expr, name = (
+            (am.group("e").strip(), am.group("n").lower()) if am else (item, None)
+        )
+        wm = _RANK_OVER_RE.match(expr)
+        if wm is not None:
+            if window is not None or name is None:
+                return None
+            partition = [p.strip().lower() for p in wm.group("pb").split(",")]
+            if not all(re.match(r"^\w+$", p) for p in partition):
+                return None
+            order = []
+            for ob in _split_top_commas(wm.group("ob")):
+                om = _ORDER_ITEM_RE.match(ob.strip())
+                if om is None:
+                    return None
+                order.append(
+                    (om.group("col").lower(),
+                     (om.group("dir") or "").upper() == "DESC")
+                )
+            window = (wm.group("fn").lower(), partition, order, name)
+            out_cols.append(name)
+            continue
+        if name is None:
+            if not re.match(r"^\w+$", expr):
+                return None
+            name = expr.lower()
+        elif not re.match(r"^\w+$", expr):
+            return None  # computed non-window items: batch
+        select.append((expr, name))
+        out_cols.append(name)
+    if window is None:
+        return None
+    fn, partition, order, out_name = window
+    where = m.group("where")
+    return _RankShape(
+        left=tm.group("t").lower(),
+        where=where.strip() if where else None,
+        select=select,
+        fn=fn,
+        partition=partition,
+        order=order,
+        out_name=out_name,
+        out_cols=out_cols,
+    )
+
+
+class CompiledRankView:
+    """Ranked view maintained incrementally: per-key recompute — a
+    delta re-ranks ONLY its touched partition keys (new − old emitted),
+    the general set-valued strategy specialized to ranking. ROW_NUMBER
+    needs a total order (include a unique tiebreak in ORDER BY — the
+    same determinism contract batch evaluation has); RANK/DENSE_RANK
+    are tie-stable."""
+
+    def __init__(self, rs: _RankShape):
+        from pyspark.sql.window import Window
+
+        from feldera_spark.streaming.incremental import (
+            IncrementalKeyedRecomputeView,
+        )
+
+        self.shape = rs
+        self.sources = [rs.left]
+        self._waterline = None
+        order_cols = [
+            F.col(c).desc() if d else F.col(c).asc() for c, d in rs.order
+        ]
+        w = Window.partitionBy(*rs.partition).orderBy(*order_cols)
+        fn_col = {
+            "row_number": F.row_number,
+            "rank": F.rank,
+            "dense_rank": F.dense_rank,
+        }[rs.fn]
+
+        def rank_fn(rows: DataFrame) -> DataFrame:
+            return rows.withColumn(rs.out_name, fn_col().over(w))
+
+        self._view = IncrementalKeyedRecomputeView(
+            keys=rs.partition, fn=rank_fn
+        )
+
+    def bind_schemas(self, frames) -> None:
+        pass
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        rs = self.shape
+        d = deltas.get(rs.left)
+        if d is None:
+            return None
+        d = zset.lift(d)
+        if rs.where is not None:
+            d = d.filter(F.expr(rs.where))
+        keep = list(dict.fromkeys(
+            rs.partition
+            + [c for c, _ in rs.order]
+            + [e for e, _ in rs.select]
+        ))
+        d = d.select(*keep, WEIGHT)
+        out = self._view.step(d)
+        if out is None:
+            return None
+        return out.select(
+            *[F.col(e).alias(n) for e, n in rs.select],
+            rs.out_name, WEIGHT,
+        ).select(*rs.out_cols, WEIGHT)
+
+    def materialized(self) -> DataFrame:
+        out = self._view.materialized()
+        rs = self.shape
+        return out.select(
+            *[F.col(e).alias(n) for e, n in rs.select], rs.out_name
+        ).select(*rs.out_cols)
+
+    def state_components(self):
+        return {"_view": self._view}
+
+
 _ROLLING_OVER_RE = re.compile(
     r"^(?P<fn>SUM|COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|[^()]*?)\s*\)\s+OVER\s*\(\s*"
     r"PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
@@ -2584,6 +2758,14 @@ def _compile_simple(
                 return None
             try:
                 return CompiledRollingView(rolling)
+            except Exception:
+                return None
+        rank = parse_rank_shape(sql)
+        if rank is not None:
+            if rank.left not in tables:
+                return None
+            try:
+                return CompiledRankView(rank)
             except Exception:
                 return None
         if not _UNSUPPORTED_RE.search(sql):

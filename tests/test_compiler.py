@@ -1759,3 +1759,48 @@ def test_compound_aggregate_falls_back():
         assert parse_view_shape(sql) is None, sql
     # literal containing an aggregate-looking word still projects
     assert parse_view_shape("SELECT id, 'SUM(x)' AS tag FROM t") is not None
+
+
+# ---------------------------------------------------------------------------
+# ranked views (ROW_NUMBER / RANK / DENSE_RANK per key)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT k, id, v, ROW_NUMBER() OVER (PARTITION BY k "
+        "ORDER BY v DESC, id) AS rn FROM t",
+        "SELECT k, id, g, RANK() OVER (PARTITION BY k ORDER BY g) AS r "
+        "FROM t WHERE v > 50",
+        "SELECT k, g, DENSE_RANK() OVER (PARTITION BY k ORDER BY g DESC) AS dr "
+        "FROM t",
+    ],
+)
+def test_compiled_rank_views_equal_batch(spark, sql):
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None and type(plan).__name__ == "CompiledRankView", sql
+    acc = None
+    for c in chunks:
+        plan.step({"t": c})
+        acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        assert _canon(plan.materialized()) == _canon(spark.sql(sql)), sql
+
+
+def test_rank_view_checkpoint(spark, tmp_path):
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    sql = ("SELECT k, id, ROW_NUMBER() OVER (PARTITION BY k "
+           "ORDER BY v DESC, id) AS rn FROM t")
+    chunks, live = _chunks(spark)
+    p1 = compile_view(sql, tables={"t"})
+    p1.step({"t": chunks[0]}); p1.step({"t": chunks[1]})
+    ck = PipelineCheckpointer(str(tmp_path / "s"))
+    ck.commit(1, {"v": p1})
+    p2 = compile_view(sql, tables={"t"})
+    assert ck.restore(spark, {"v": p2})["batch_id"] == 1
+    p2.step({"t": chunks[2]})  # deletions re-rank the touched keys
+    live.createOrReplaceTempView("t")
+    assert _canon(p2.materialized()) == _canon(spark.sql(sql))
