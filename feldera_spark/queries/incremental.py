@@ -1692,3 +1692,44 @@ def i33_ddl_rank_view(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i33_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("ranked")
+
+
+@q(
+    "i34_ddl_lag_view",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_event
+    FROM ({_NET}) WHERE event_type = 'click'
+    """,
+)
+def i34_ddl_lag_view(spark, sf_dir):
+    """LAG view from DDL maintained by per-key recompute — deleting a
+    row RELINKS its neighbors' prev pointers (the i09 invariant, now
+    with zero hand assembly)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i34_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, ts TIMESTAMP);"
+        "CREATE MATERIALIZED VIEW lagged AS "
+        "SELECT user_id, event_id, ts,"
+        " LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS prev_event "
+        "FROM ev WHERE event_type = 'click'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("lagged")
+    assert plan is not None and type(plan).__name__ == "CompiledRankView"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i34_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i34_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("lagged")

@@ -1163,6 +1163,13 @@ _RANK_OVER_RE = re.compile(
     r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)\s*\)$",
     re.IGNORECASE,
 )
+_LAG_OVER_RE = re.compile(
+    r"^(?P<fn>LAG|LEAD)\s*\(\s*(?P<arg>\w+)(?:\s*,\s*(?P<n>\d+))?\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)\s*\)$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -1179,6 +1186,8 @@ class _RankShape:
     partition: list[str]
     order: list[tuple[str, bool]]  # (col, desc)
     out_name: str
+    arg: str | None = None  # LAG/LEAD value column
+    offset: int = 1
     out_cols: list[str] = field(default_factory=list)
 
 
@@ -1217,14 +1226,16 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
             (am.group("e").strip(), am.group("n").lower()) if am else (item, None)
         )
         wm = _RANK_OVER_RE.match(expr)
-        if wm is not None:
+        lm = _LAG_OVER_RE.match(expr) if wm is None else None
+        if wm is not None or lm is not None:
+            mm = wm or lm
             if window is not None or name is None:
                 return None
-            partition = [p.strip().lower() for p in wm.group("pb").split(",")]
+            partition = [p.strip().lower() for p in mm.group("pb").split(",")]
             if not all(re.match(r"^\w+$", p) for p in partition):
                 return None
             order = []
-            for ob in _split_top_commas(wm.group("ob")):
+            for ob in _split_top_commas(mm.group("ob")):
                 om = _ORDER_ITEM_RE.match(ob.strip())
                 if om is None:
                     return None
@@ -1232,7 +1243,9 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                     (om.group("col").lower(),
                      (om.group("dir") or "").upper() == "DESC")
                 )
-            window = (wm.group("fn").lower(), partition, order, name)
+            arg = lm.group("arg").lower() if lm is not None else None
+            off = int(lm.group("n") or 1) if lm is not None else 1
+            window = (mm.group("fn").lower(), partition, order, name, arg, off)
             out_cols.append(name)
             continue
         if name is None:
@@ -1245,7 +1258,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         out_cols.append(name)
     if window is None:
         return None
-    fn, partition, order, out_name = window
+    fn, partition, order, out_name, arg, off = window
     where = m.group("where")
     return _RankShape(
         left=tm.group("t").lower(),
@@ -1255,6 +1268,8 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         partition=partition,
         order=order,
         out_name=out_name,
+        arg=arg,
+        offset=off,
         out_cols=out_cols,
     )
 
@@ -1281,14 +1296,19 @@ class CompiledRankView:
             F.col(c).desc() if d else F.col(c).asc() for c, d in rs.order
         ]
         w = Window.partitionBy(*rs.partition).orderBy(*order_cols)
-        fn_col = {
-            "row_number": F.row_number,
-            "rank": F.rank,
-            "dense_rank": F.dense_rank,
-        }[rs.fn]
+        if rs.fn in ("lag", "lead"):
+            getter = F.lag if rs.fn == "lag" else F.lead
+            wexpr = getter(F.col(rs.arg), rs.offset).over(w)
+        else:
+            fn_col = {
+                "row_number": F.row_number,
+                "rank": F.rank,
+                "dense_rank": F.dense_rank,
+            }[rs.fn]
+            wexpr = fn_col().over(w)
 
         def rank_fn(rows: DataFrame) -> DataFrame:
-            return rows.withColumn(rs.out_name, fn_col().over(w))
+            return rows.withColumn(rs.out_name, wexpr)
 
         self._view = IncrementalKeyedRecomputeView(
             keys=rs.partition, fn=rank_fn
@@ -1308,6 +1328,7 @@ class CompiledRankView:
         keep = list(dict.fromkeys(
             rs.partition
             + [c for c, _ in rs.order]
+            + ([rs.arg] if rs.arg is not None else [])
             + [e for e, _ in rs.select]
         ))
         d = d.select(*keep, WEIGHT)

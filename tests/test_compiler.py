@@ -1804,3 +1804,20 @@ def test_rank_view_checkpoint(spark, tmp_path):
     p2.step({"t": chunks[2]})  # deletions re-rank the touched keys
     live.createOrReplaceTempView("t")
     assert _canon(p2.materialized()) == _canon(spark.sql(sql))
+
+
+def test_compiled_lag_lead_views(spark):
+    chunks, live = _chunks(spark)
+    for sql in (
+        "SELECT k, id, v, LAG(v) OVER (PARTITION BY k ORDER BY id) AS pv FROM t",
+        "SELECT k, id, LEAD(v, 2) OVER (PARTITION BY k ORDER BY id) AS nv FROM t",
+    ):
+        plan = compile_view(sql, tables={"t"})
+        assert plan is not None and type(plan).__name__ == "CompiledRankView", sql
+        acc = None
+        for c in chunks:
+            plan.step({"t": c})
+            acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+        assert canon(plan.materialized()) == canon(spark.sql(sql)), sql
