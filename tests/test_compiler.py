@@ -860,7 +860,8 @@ def test_rolling_rejects_non_range_windows():
         # ROWS frames are order-dependent under ties — not this operator
         "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
         "BETWEEN 3 PRECEDING AND CURRENT ROW) AS r FROM t",
-        "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn FROM t",
+        # ROW_NUMBER with a RANGE frame spec is malformed
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM t",  # no PARTITION BY: global sort
         # unbounded following frames see the future
         "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS r FROM t",
         # COUNT(expr) skips NULLs — only COUNT(*) maps to weight-count
