@@ -1170,6 +1170,15 @@ _LAG_OVER_RE = re.compile(
     r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)\s*\)$",
     re.IGNORECASE,
 )
+_FIRST_LAST_OVER_RE = re.compile(
+    r"^(?P<fn>FIRST_VALUE|LAST_VALUE)\s*\(\s*(?P<arg>\w+)\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)"
+    r"(?P<frame>\s+ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+    r"UNBOUNDED\s+FOLLOWING)?\s*\)$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -1227,6 +1236,18 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         )
         wm = _RANK_OVER_RE.match(expr)
         lm = _LAG_OVER_RE.match(expr) if wm is None else None
+        if wm is None and lm is None:
+            lm = _FIRST_LAST_OVER_RE.match(expr)
+            # frameless LAST_VALUE means Spark's RUNNING frame, not the
+            # whole partition — demand the explicit unbounded frame so
+            # compiled and batch semantics agree (FIRST_VALUE is
+            # frame-insensitive: first of any prefix is the first)
+            if (
+                lm is not None
+                and lm.group("fn").lower() == "last_value"
+                and lm.group("frame") is None
+            ):
+                return None
         if wm is not None or lm is not None:
             mm = wm or lm
             if window is not None or name is None:
@@ -1244,7 +1265,11 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                      (om.group("dir") or "").upper() == "DESC")
                 )
             arg = lm.group("arg").lower() if lm is not None else None
-            off = int(lm.group("n") or 1) if lm is not None else 1
+            off = (
+                int(lm.group("n") or 1)
+                if lm is not None and "n" in lm.groupdict() and lm.re is _LAG_OVER_RE
+                else 1
+            )
             window = (mm.group("fn").lower(), partition, order, name, arg, off)
             out_cols.append(name)
             continue
@@ -1299,6 +1324,14 @@ class CompiledRankView:
         if rs.fn in ("lag", "lead"):
             getter = F.lag if rs.fn == "lag" else F.lead
             wexpr = getter(F.col(rs.arg), rs.offset).over(w)
+        elif rs.fn in ("first_value", "last_value"):
+            # whole-partition frame (the reference's unbounded-only
+            # FIRST/LAST restriction)
+            wfull = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            getter = F.first if rs.fn == "first_value" else F.last
+            wexpr = getter(F.col(rs.arg)).over(wfull)
         else:
             fn_col = {
                 "row_number": F.row_number,

@@ -1822,3 +1822,36 @@ def test_compiled_lag_lead_views(spark):
         zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
         canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
         assert canon(plan.materialized()) == canon(spark.sql(sql)), sql
+
+
+def test_compiled_first_last_value_views(spark):
+    chunks, live = _chunks(spark)
+    for sql in (
+        "SELECT k, id, FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY id) AS fv "
+        "FROM t",
+        "SELECT k, id, LAST_VALUE(v) OVER (PARTITION BY k ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM t",
+    ):
+        plan = compile_view(sql, tables={"t"})
+        assert plan is not None and type(plan).__name__ == "CompiledRankView", sql
+        acc = None
+        for c in chunks:
+            plan.step({"t": c})
+            acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        # batch reference: whole-partition frame both ways
+        bsql = sql.replace(
+            "OVER (PARTITION BY k ORDER BY id)",
+            "OVER (PARTITION BY k ORDER BY id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING)",
+        )
+        assert _canon(plan.materialized()) == _canon(spark.sql(bsql)), sql
+
+
+def test_frameless_last_value_falls_back():
+    # frameless LAST_VALUE = Spark's RUNNING frame; the compiled view
+    # is whole-partition, so the shapes must not silently diverge
+    assert compile_view(
+        "SELECT k, LAST_VALUE(v) OVER (PARTITION BY k ORDER BY id) AS lv "
+        "FROM t", tables={"t"},
+    ) is None
