@@ -288,14 +288,15 @@ class IncrementalLinearAggregateView:
     def step(self, delta: DataFrame) -> DataFrame:
         """Apply one delta (mixed-sign weights); returns the output delta.
 
-        Exactly TWO materialization jobs per step: the delta's partial
-        sums (one shuffle over the delta — small, one row per touched
-        key) and the merged state. The output delta is DERIVED lazily
-        from the already-checkpointed new state (touched slice) and the
-        old state — callers that only read the final ``materialized()``
-        never pay a third job for it."""
+        Exactly ONE materialization job per step: the merged state. The
+        delta's partial sums stay LAZY — the plan re-executes inside the
+        touched-routing and merge branches, but it is one shallow
+        shuffle over the delta (deterministic: deltas are parquet scans
+        or checkpointed upstream outputs), and skipping its dedicated
+        job shaves ~1/3 off the step latency. The output delta is also
+        derived lazily from the checkpointed states."""
         delta = zset.lift(delta)
-        partial = _checkpoint(self._partial(delta))
+        partial = self._partial(delta)
         if self.state is None:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
