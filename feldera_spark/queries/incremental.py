@@ -1733,3 +1733,52 @@ def i34_ddl_lag_view(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i34_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("lagged")
+
+
+@q(
+    "i35_ddl_compound_agg",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+               AS mean_value,
+           CAST(COALESCE(max(CAST(value AS DECIMAL(12,2))), 0)
+                - min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS spread,
+           count(*) AS n
+    FROM ({_NET}) GROUP BY event_type
+    """,
+)
+def i35_ddl_compound_agg(spark, sf_dir):
+    """Compound aggregate expressions from DDL: ``SUM(v)/COUNT(*)`` and
+    ``COALESCE(MAX(v),0)-MIN(v)`` decompose into hidden aggregates + a
+    linear post-projection over the output Z-set (the reference's
+    ``AggregateCompiler`` extracts each call the same way;
+    ``frontend/aggregates/AggregateCompiler.java``). MIN/MAX under
+    deletion selects the general class — the projection rides on the
+    touched-group recompute."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i35_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR,"
+        " value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW c AS "
+        "SELECT event_type, CAST(SUM(value) AS DOUBLE) / COUNT(*)"
+        " AS mean_value, "
+        "CAST(COALESCE(MAX(value), 0) - MIN(value) AS DOUBLE) AS spread, "
+        "COUNT(*) AS n "
+        "FROM ev GROUP BY event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "c" in pipe._ivm, "compound aggregate view must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i35_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i35_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("c")

@@ -105,6 +105,23 @@ _AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# aggregate-call head inside a larger expression (compound decomposition)
+_AGG_HEAD_RE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
+    r"VAR_SAMP|VAR_POP|VARIANCE|BOOL_AND|BOOL_OR|BIT_AND|BIT_OR|BIT_XOR|"
+    r"COUNTIF)\s*\(",
+    re.IGNORECASE,
+)
+
+# non-column words legal in a post-aggregate expression (cast targets
+# etc.) — validation-only; NOT merged into _SQL_KEYWORDS because the
+# state-pruning passes must keep treating these as possible column names
+_POST_EXPR_WORDS = frozenset(
+    "int integer bigint smallint tinyint double float real decimal numeric "
+    "varchar string boolean date timestamp timestamp_ntz char precision "
+    "long short byte".split()
+)
+
 # non-linear aggregate fns usable in the GENERAL class (touched-group
 # recompute from the integral is exact for ANY deterministic aggregate;
 # ``docs/sql/aggregates.md`` general class). Maps the dialect name to a
@@ -206,10 +223,73 @@ class _Shape:
     select: list[tuple[str, str]] = field(default_factory=list)  # (expr, name)
     out_cols: list[str] = field(default_factory=list)  # output column order
     having: str | None = None  # post-aggregate filter (output-column terms)
+    # output name -> SQL expression over hidden aggregate aliases + keys,
+    # for compound aggregate items (SUM(a)/SUM(b) AS r). The reference
+    # decomposes the same way: AggregateCompiler extracts each call,
+    # a post-projection recombines (a LINEAR map over the output Z-set).
+    post_exprs: dict[str, str] = field(default_factory=dict)
     # UNNEST flat-map applied per delta before WHERE: (out col, array expr)
     unnest: tuple[str, str] | None = None
     order: list[tuple[str, bool]] = field(default_factory=list)  # (col, desc)
     limit: int | None = None  # ORDER BY + LIMIT -> incremental top-k
+
+
+def _decompose_agg_expr(expr: str, shape: "_Shape") -> str | None:
+    """Extract every aggregate call out of a compound select item,
+    appending hidden ``_Agg`` entries to ``shape`` and returning the
+    item rewritten over their aliases — the reference's
+    ``AggregateCompiler`` decomposition (each call becomes one
+    aggregate; a projection recombines them, which is linear over the
+    aggregate's output Z-set). Returns None when the item cannot be
+    decomposed (nested/DISTINCT aggregates)."""
+    from feldera_spark.frontend import _protect_literals, _restore_literals
+
+    protected, lits = _protect_literals(expr)
+    # reuse an existing aggregate computing the same call (dedup:
+    # SUM(a)/SUM(b) AS r plus SUM(a) AS s share one state column)
+    def _norm(fn: str, arg: str | None) -> tuple[str, str | None]:
+        return fn, re.sub(r"\s+", " ", arg.strip()) if arg is not None else None
+
+    existing = {_norm(a.fn, a.arg): a.name for a in shape.aggs}
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _AGG_HEAD_RE.search(protected, i)
+        if m is None:
+            out.append(protected[i:])
+            break
+        out.append(protected[i : m.start()])
+        depth = 0
+        j = None
+        for k in range(m.end() - 1, len(protected)):
+            ch = protected[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    j = k
+                    break
+        if j is None:
+            return None  # unbalanced
+        arg = protected[m.end() : j]
+        if _AGG_HEAD_RE.search(arg) or re.match(
+            r"^\s*DISTINCT\b", arg, re.IGNORECASE
+        ):
+            return None  # nested or DISTINCT aggregate: batch fallback
+        fn = m.group(1).lower()
+        a = _restore_literals(arg, lits).strip()
+        if fn == "count" and a == "*":
+            a = None
+        key = _norm(fn, a)
+        alias = existing.get(key)
+        if alias is None:
+            alias = f"__ha{len(shape.aggs)}"
+            shape.aggs.append(_Agg(alias, fn, a))
+            existing[key] = alias
+        out.append(alias)
+        i = j + 1
+    return _restore_literals("".join(out), lits)
 
 
 def _strip_aliases(text: str, aliases: dict[str, str]) -> str:
@@ -312,16 +392,18 @@ def parse_view_shape(sql: str) -> _Shape | None:
             shape.aggs.append(_Agg(name, fn, arg))
             shape.out_cols.append(name)
         else:
-            if re.search(
-                r"\b(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV\w*|"
-                r"VAR_\w+|VARIANCE|BOOL_AND|BOOL_OR|BIT_\w+|COUNTIF)\s*\(",
-                _protect_literals(expr)[0],
-                re.IGNORECASE,
-            ):
+            if _AGG_HEAD_RE.search(_protect_literals(expr)[0]):
                 # an aggregate call buried in a compound expression
-                # (SUM(a)/SUM(b), COALESCE(MAX(x),0), …): treating it as
-                # a row-wise projection would be WRONG — batch fallback
-                return None
+                # (SUM(a)/SUM(b), COALESCE(MAX(x),0), …): decompose into
+                # hidden aggregates + a linear post-projection
+                if name is None:
+                    return None  # compound aggregates must be aliased
+                post = _decompose_agg_expr(expr, shape)
+                if post is None:
+                    return None
+                shape.post_exprs[name] = post
+                shape.out_cols.append(name)
+                continue
             if name is None:
                 if not re.match(r"^\w+$", expr):
                     return None  # computed columns must be aliased
@@ -390,6 +472,19 @@ def parse_view_shape(sql: str) -> _Shape | None:
                 return None
     if shape.distinct and shape.aggs:
         return None
+    if shape.post_exprs:
+        # a post-projection may reference only the hidden/visible
+        # aggregate aliases and group keys (the columns present in the
+        # aggregate's output frame); anything else is not resolvable
+        # over the maintained state — batch fallback
+        avail = (
+            {a.name for a in shape.aggs}
+            | {k.lower() for k in shape.keys}
+            | _POST_EXPR_WORDS
+        )
+        for p in shape.post_exprs.values():
+            if not _pred_columns(p) <= avail:
+                return None
     having = m.group("having")
     if having is not None:
         if not shape.aggs:
@@ -771,9 +866,22 @@ class CompiledView:
         division."""
         s = self.shape
         agg_by_name = {a.name: a for a in s.aggs}
+        # hidden aggregates feeding compound post-projections must exist
+        # as real columns before F.expr can reference them; AVG's
+        # partial pair divides here (general/chain classes already emit
+        # the value under the hidden name)
+        for a in s.aggs:
+            if a.name.startswith("__ha") and a.name not in df.columns:
+                if a.fn == "avg" and f"__s_{a.name}" in df.columns:
+                    df = df.withColumn(
+                        a.name, F.col(f"__s_{a.name}") / F.col(f"__c_{a.name}")
+                    )
         key_expr = {n: e for e, n in s.select}
         cols = []
         for name in s.out_cols:
+            if name in s.post_exprs:
+                cols.append(F.expr(s.post_exprs[name]).alias(name))
+                continue
             a = agg_by_name.get(name)
             if a is not None and a.fn == "avg" and f"__s_{name}" in df.columns:
                 cols.append((F.col(f"__s_{name}") / F.col(f"__c_{name}")).alias(name))

@@ -1748,18 +1748,55 @@ def test_select_star_view_compiles(spark):
     )
 
 
-def test_compound_aggregate_falls_back():
-    """Aggregate calls buried in compound expressions must NOT parse as
-    plain aggregates or projections — they'd miscompute at runtime;
-    batch evaluation handles them (regression for SUM(a)/SUM(b))."""
+def test_compound_aggregate_decomposition():
+    """Aggregate calls buried in compound expressions decompose into
+    hidden aggregates + a linear post-projection (the reference's
+    AggregateCompiler extraction); the projection may reference only
+    aggregate aliases and group keys."""
+    s = parse_view_shape(
+        "SELECT k, SUM(v) / SUM(g) AS r, SUM(v) AS sv FROM t GROUP BY k"
+    )
+    assert s is not None and s.post_exprs == {"r": "__ha0 / __ha1"}
+    # SUM(v) computed once: the visible alias duplicates the hidden one
+    # only when declared after it (dedup is first-occurrence)
+    assert [(a.name, a.fn, a.arg) for a in s.aggs][:2] == [
+        ("__ha0", "sum", "v"), ("__ha1", "sum", "g")
+    ]
+    # still-unsupported compound forms fall back to batch
     for sql in (
-        "SELECT SUM(total) / SUM(n) AS avg_big FROM t",
-        "SELECT COALESCE(MAX(v), 0) AS m FROM t",
-        "SELECT k, SUM(v) + 1 AS s1 FROM t GROUP BY k",
+        "SELECT k, SUM(v)/id AS bad FROM t GROUP BY k",  # non-key column
+        "SELECT k, MAX(SUM(v)) AS nested FROM t GROUP BY k",
+        "SELECT k, COUNT(DISTINCT v) * 2 AS d FROM t GROUP BY k",
+        "SELECT SUM(v) / SUM(g) FROM t",  # must be aliased
     ):
         assert parse_view_shape(sql) is None, sql
     # literal containing an aggregate-looking word still projects
     assert parse_view_shape("SELECT id, 'SUM(x)' AS tag FROM t") is not None
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT k, SUM(v) * 1.0 / SUM(g + 1) AS ratio, COUNT(*) AS n "
+        "FROM t GROUP BY k",
+        "SELECT k, COALESCE(MAX(v), 0) + MIN(v) AS mm FROM t GROUP BY k",
+        "SELECT k, CAST(AVG(v) AS DOUBLE) * 2 AS davg FROM t WHERE g <> 4 "
+        "GROUP BY k",
+        "SELECT SUM(v) * 1.0 / COUNT(*) AS m FROM t",
+    ],
+)
+def test_compound_aggregate_equals_batch(spark, sql):
+    """Compound aggregate views maintain incrementally == batch at every
+    step, across linear (SUM/COUNT/AVG) and general (MIN/MAX) classes."""
+    chunks, live = _chunks(spark)
+    plan = compile_view(sql, tables={"t"})
+    assert plan is not None, sql
+    acc = None
+    for c in chunks:
+        plan.step({"t": c})
+        acc = c if acc is None else zset.plus(acc, c)
+        zset.to_bag(zset.consolidate(acc)).createOrReplaceTempView("t")
+        assert _canon(plan.materialized()) == _canon(spark.sql(sql)), sql
 
 
 # ---------------------------------------------------------------------------
