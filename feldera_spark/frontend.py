@@ -456,3 +456,73 @@ def _run_plain(spark: SparkSession, sql: str) -> DataFrame:
         sql = _rewrite_asof(spark, sql)
         sql = rewrite_scalars(sql)
     return spark.sql(sql)
+
+
+# -- CTE desugaring (WITH ... AS (...) SELECT ...) ---------------------------
+
+_WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
+_CTE_NAME_RE = re.compile(r"\s*(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+
+def split_ctes(sql: str) -> tuple[list[tuple[str, str]], str] | None:
+    """Parse a top-level ``WITH a AS (...), b AS (...) SELECT ...`` view
+    body into ``([(name, body), ...], main_select)``. Returns None when
+    the body is not a plain WITH chain (no WITH, or WITH RECURSIVE —
+    Feldera recursion goes through DECLARE RECURSIVE VIEW instead).
+
+    Calcite inlines CTEs before lowering; our pipeline desugars them to
+    hidden LOCAL views so each CTE compiles (or falls back) on its own
+    and the main body sees ordinary view references — IVM delta chaining
+    then flows through the whole WITH chain for free."""
+    m = _WITH_HEAD_RE.match(sql)
+    if m is None or m.group(1) is not None:
+        return None
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        nm = _CTE_NAME_RE.match(sql, i)
+        if nm is None:
+            return None
+        open_idx = nm.end() - 1
+        try:
+            end = _balanced(sql, open_idx)
+        except ValueError:
+            return None
+        ctes.append((nm.group(1).lower(), sql[open_idx + 1 : end - 1].strip()))
+        # skip whitespace; a comma continues the chain, otherwise the
+        # main SELECT begins
+        j = end
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == ",":
+            i = j + 1
+            continue
+        main = sql[j:].strip()
+        if not re.match(r"^SELECT\b", main, re.IGNORECASE):
+            return None
+        return ctes, main
+
+
+def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
+    """Rewrite bare table references (FROM/JOIN targets and their
+    qualified-column uses) per ``mapping``. Quote-aware; skips function
+    calls (``name(``) and qualified trailers (``x.name``)."""
+    if not mapping:
+        return sql
+    protected, lits = _protect_literals(sql)
+
+    def sub(m: re.Match) -> str:
+        word = m.group(0)
+        start = m.start()
+        if start > 0 and protected[start - 1] == ".":
+            return word  # a column trailer, not a table reference
+        tail = protected[m.end() : m.end() + 1]
+        if tail == "(":
+            return word  # function call
+        return mapping.get(word.lower(), word)
+
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in mapping) + r")\b",
+        re.IGNORECASE,
+    )
+    return _restore_literals(pat.sub(sub, protected), lits)

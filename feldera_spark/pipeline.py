@@ -278,6 +278,29 @@ class PipelineBuilder:
         emit_final: str | None = None,
     ) -> "PipelineBuilder":
         assert (sql is None) != (fn is None), "exactly one of sql/fn"
+        if sql is not None and name not in self.recursive_views:
+            # desugar a top-level WITH chain into hidden LOCAL views
+            # (Calcite inlines CTEs before lowering; hidden views give
+            # the same scoping AND let each CTE compile to IVM on its
+            # own, so delta chaining flows through the whole chain)
+            from feldera_spark.frontend import (
+                split_ctes,
+                substitute_table_names,
+            )
+
+            parsed = split_ctes(sql)
+            if parsed is not None:
+                ctes, main = parsed
+                mapping: dict[str, str] = {}
+                for cname, cbody in ctes:
+                    hidden = f"__cte_{name}_{cname}"
+                    self.add_view(
+                        hidden,
+                        sql=substitute_table_names(cbody, mapping),
+                        materialized=False,
+                    )
+                    mapping[cname] = hidden
+                sql = substitute_table_names(main, mapping)
         self.views[name] = ViewDecl(name, sql, fn, materialized, emit_final)
         self._view_order.append(name)
         return self

@@ -1782,3 +1782,49 @@ def i35_ddl_compound_agg(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i35_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("c")
+
+
+@q(
+    "i36_ddl_cte_chain",
+    oracle=f"""
+    WITH net AS ({_NET}),
+         clicks AS (SELECT user_id, count(*) AS n_click FROM net
+                    WHERE event_type = 'click' GROUP BY user_id),
+         buys AS (SELECT user_id, count(*) AS n_buy FROM net
+                  WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT c.user_id, c.n_click, b.n_buy
+    FROM clicks c JOIN buys b ON c.user_id = b.user_id
+    """,
+)
+def i36_ddl_cte_chain(spark, sf_dir):
+    """A WITH chain in a view body desugars to hidden LOCAL views
+    (Calcite inlines CTEs the same way before lowering) and the WHOLE
+    chain compiles to IVM: two CTE aggregates plus a main-body join of
+    the two maintain incrementally, deltas chaining CTE -> CTE -> view.
+    INSERT/DELETE advance all three by one step each."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i36_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW funnel AS "
+        "WITH clicks AS (SELECT user_id, COUNT(*) AS n_click FROM ev"
+        " WHERE event_type = 'click' GROUP BY user_id), "
+        "buys AS (SELECT user_id, COUNT(*) AS n_buy FROM ev"
+        " WHERE event_type = 'purchase' GROUP BY user_id) "
+        "SELECT c.user_id, c.n_click, b.n_buy "
+        "FROM clicks c JOIN buys b ON c.user_id = b.user_id"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    for v in ("__cte_funnel_clicks", "__cte_funnel_buys", "funnel"):
+        assert v in pipe._ivm, f"{v} must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i36_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i36_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("funnel")
