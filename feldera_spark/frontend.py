@@ -526,3 +526,51 @@ def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
         re.IGNORECASE,
     )
     return _restore_literals(pat.sub(sub, protected), lits)
+
+
+_DERIVED_RE = re.compile(r"\b(FROM|JOIN)\s*\(\s*SELECT\b", re.IGNORECASE)
+
+
+def extract_derived_tables(
+    sql: str, prefix: str
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Pull ``FROM (SELECT ...) AS x`` derived tables out of a view body
+    into hidden views named ``{prefix}_{alias}``, returning the rewritten
+    body and the extracted ``[(hidden_name, subquery_body), ...]``.
+    Returns None when the body has no derived tables. Scalar subqueries
+    (``(SELECT ...)`` outside FROM/JOIN position) are left alone.
+
+    Same rationale as CTE desugaring: Calcite treats a derived table as
+    an anonymous view; naming it lets the sub-select and the outer body
+    each compile to IVM and chain deltas."""
+    protected, lits = _protect_literals(sql)
+    out: list[tuple[str, str]] = []
+    while True:
+        m = _DERIVED_RE.search(protected)
+        if m is None:
+            break
+        open_idx = protected.index("(", m.end(1))
+        try:
+            end = _balanced(protected, open_idx)
+        except ValueError:
+            return None
+        body = protected[open_idx + 1 : end - 1].strip()
+        am = re.match(r"\s*(?:AS\s+)?(\w+)", protected[end:], re.IGNORECASE)
+        if am is None:
+            return None  # alias-less derived table: leave for batch
+        alias = am.group(1).lower()
+        if alias.upper() in ("ON", "WHERE", "GROUP", "ORDER", "JOIN",
+                             "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+                             "UNION", "EXCEPT", "INTERSECT", "HAVING",
+                             "LIMIT"):
+            return None
+        hidden = f"{prefix}_{alias}"
+        out.append((hidden, _restore_literals(body, lits)))
+        protected = (
+            protected[: m.start()]
+            + f"{m.group(1)} {hidden} {alias}"
+            + protected[end + am.end():]
+        )
+    if not out:
+        return None
+    return _restore_literals(protected, lits), out

@@ -301,6 +301,15 @@ class PipelineBuilder:
                     )
                     mapping[cname] = hidden
                 sql = substitute_table_names(main, mapping)
+            # derived tables (FROM (SELECT ...) AS x) extract to hidden
+            # views the same way — an anonymous view is still a view
+            from feldera_spark.frontend import extract_derived_tables
+
+            derived = extract_derived_tables(sql, f"__dt_{name}")
+            if derived is not None:
+                sql, subs = derived
+                for hidden, body in subs:
+                    self.add_view(hidden, sql=body, materialized=False)
         self.views[name] = ViewDecl(name, sql, fn, materialized, emit_final)
         self._view_order.append(name)
         return self

@@ -360,3 +360,73 @@ def test_with_recursive_not_desugared(spark):
     )
     assert list(b.views) == ["r"]
     assert "WITH RECURSIVE" in b.views["r"].sql
+
+
+# ---------------------------------------------------------------------------
+# Derived tables (FROM (SELECT ...) AS x) desugar to hidden local views
+# ---------------------------------------------------------------------------
+
+
+def test_derived_table_compiles_to_ivm(spark):
+    """A subquery in FROM position extracts into a hidden view; both the
+    sub-select and the outer body compile to IVM and chain deltas."""
+    df = _cte_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT k, sv FROM (SELECT k, SUM(v) AS sv, COUNT(*) AS n FROM t"
+        " WHERE v > 3 GROUP BY k) s WHERE n >= 2"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert {"__dt_w_s", "w"} <= set(p._ivm)
+    df.filter("id > 15").createOrReplaceTempView("__dt_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __dt_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.createOrReplaceTempView("__dt_all")
+    got = sorted(tuple(r) for r in p.view("w").collect())
+    exp = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT k, sv FROM (SELECT k, SUM(v) AS sv, COUNT(*) AS n"
+            " FROM __dt_all WHERE v > 3 AND id % 5 != 2 GROUP BY k)"
+            " WHERE n >= 2"
+        ).collect()
+    )
+    assert got == exp
+
+
+def test_derived_table_in_join_compiles(spark):
+    """JOIN (SELECT ...) agg extracts too; the outer join compiles."""
+    df = _cte_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT t.id, t.v, agg.sv FROM t "
+        "JOIN (SELECT k, SUM(v) AS sv FROM t GROUP BY k) agg"
+        " ON t.k = agg.k"
+    )
+    b.connect_table("t", df.filter("id <= 20"))
+    p = b.create()
+    assert {"__dt_w_agg", "w"} <= set(p._ivm)
+    df.filter("id > 20").createOrReplaceTempView("__dt_chunk2")
+    p.execute("INSERT INTO t SELECT * FROM __dt_chunk2")
+    df.createOrReplaceTempView("__dt_all2")
+    got = sorted(tuple(r) for r in p.view("w").collect())
+    exp = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT t.id, t.v, agg.sv FROM __dt_all2 t "
+            "JOIN (SELECT k, SUM(v) AS sv FROM __dt_all2 GROUP BY k) agg"
+            " ON t.k = agg.k"
+        ).collect()
+    )
+    assert got == exp
+
+
+def test_string_literal_derived_table_untouched(spark):
+    """'FROM (SELECT' inside a string literal is data, not a derived
+    table — the body passes through unmodified."""
+    b = PipelineBuilder(spark)
+    b.add_view("r", sql="SELECT 'FROM (SELECT x) y' AS s, k FROM t")
+    assert list(b.views) == ["r"]
