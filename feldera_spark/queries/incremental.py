@@ -1828,3 +1828,55 @@ def i36_ddl_cte_chain(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i36_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("funnel")
+
+
+@q(
+    "i37_ddl_topk_subquery",
+    oracle=f"""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(value AS DOUBLE) DESC,
+                                         event_id) AS rn
+      FROM ({_NET}) WHERE event_type = 'purchase') ranked
+    WHERE rn <= 3
+    """,
+)
+def i37_ddl_topk_subquery(spark, sf_dir):
+    """Top-k-per-group from plain SQL (the reference's ``topk.rs``
+    surfaced as the standard ROW_NUMBER-subquery idiom Calcite lowers
+    to LogicalTopK): the FROM-position derived table extracts into a
+    hidden view that compiles to the per-key rank recompute, and the
+    outer ``WHERE rn <= 3`` compiles as a linear filter over its output
+    Z-set. Deleting a group's top row pulls successors up INTO the
+    top-3 — maintained, not recomputed."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i37_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW top3 AS "
+        "SELECT user_id, event_id, value FROM "
+        "(SELECT user_id, event_id, value,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id"
+        " ORDER BY value DESC, event_id) AS rn "
+        "FROM ev WHERE event_type = 'purchase') ranked "
+        "WHERE rn <= 3"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    hidden = pipe._ivm.get("__dt_top3_ranked")
+    assert hidden is not None and type(hidden).__name__ == "CompiledRankView"
+    assert "top3" in pipe._ivm, "outer rn-filter view must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i37_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i37_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("top3")
