@@ -574,3 +574,163 @@ def extract_derived_tables(
     if not out:
         return None
     return _restore_literals(protected, lits), out
+
+
+_SCALAR_SUBQ_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_SCALAR_BODY_RE = re.compile(
+    r"^SELECT\s+(?P<item>.*?)\s+FROM\s+(?P<t>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<al>(?!WHERE\b)\w+))?"
+    r"(?:\s+WHERE\s+(?P<w>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# words allowed in an uncorrelated subquery besides the inner table's
+# own columns: SQL keywords, literals, and CAST type names
+_SCALAR_OK_WORDS = frozenset(
+    """and or not null is in like between case when then else end true
+    false as distinct cast interval int integer bigint smallint tinyint
+    double float real decimal numeric varchar char string boolean date
+    time timestamp day days hour hours minute minutes second seconds
+    month months year years unsigned""".split()
+)
+_SCALAR_AGG_RE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|STDDEV|STDDEV_POP|STDDEV_SAMP|VAR_POP|"
+    r"VAR_SAMP|VARIANCE|ARG_MIN|ARG_MAX|BOOL_AND|BOOL_OR|EVERY|"
+    r"BIT_AND|BIT_OR|BIT_XOR|COUNTIF)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def extract_scalar_subqueries(
+    sql: str, prefix: str, table_columns: dict[str, set[str]]
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Pull UNCORRELATED scalar subqueries — ``(SELECT AGG(...) FROM u
+    [WHERE ...])`` in value position — out of a view body into hidden
+    global-aggregate views, rewriting each occurrence to a column of a
+    CROSS JOIN against that view. Calcite lowers scalar subqueries to
+    exactly this plan (a join on the unit key against a single-row
+    aggregate); with the hidden view compiled to IVM and the cross join
+    incremental, a threshold like ``v > (SELECT AVG(v) FROM t)`` is
+    maintained: when the scalar moves, the join's A×ΔS term re-derives
+    every row against the new value — the correct DBSP cost model.
+
+    Conservative recognizer: the subquery must be a GLOBAL aggregate
+    (always exactly one row — a plain ``SELECT v FROM u WHERE ...`` can
+    change cardinality, which a cross join would amplify) over one
+    DECLARED table, and every bare identifier in it must resolve to that
+    table's own columns (SQL scoping: innermost binding wins, so this
+    guarantees uncorrelatedness). IN/EXISTS subqueries and FROM-position
+    derived tables are other passes' business. Returns None when nothing
+    extracts."""
+    protected, lits = _protect_literals(sql)
+    # a top-level set-op makes the FROM-splice ambiguous: leave alone
+    depth = 0
+    for i, ch in enumerate(protected):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and protected[i : i + 5].upper() in ("UNION", "EXCEP", "INTER"):
+            if re.match(r"\b(UNION|EXCEPT|INTERSECT)\b", protected[i:], re.IGNORECASE):
+                return None
+    out: list[tuple[str, str]] = []
+    refs: list[tuple[str, str]] = []  # (hidden_name, join alias)
+    pos = 0
+    while True:
+        m = _SCALAR_SUBQ_RE.search(protected, pos)
+        if m is None:
+            break
+        start = m.start()
+        before = protected[:start]
+        # FROM/JOIN position = derived table; IN/EXISTS have own passes
+        if re.search(r"\b(FROM|JOIN|IN|EXISTS)\s*$", before, re.IGNORECASE):
+            pos = start + 1
+            continue
+        try:
+            end = _balanced(protected, start)
+        except ValueError:
+            return None
+        body = protected[start + 1 : end - 1].strip()
+        bm = _SCALAR_BODY_RE.match(body)
+        ok = False
+        if bm is not None:
+            tbl = bm.group("t").lower()
+            item = bm.group("item")
+            w = bm.group("w")
+            inner_al = (bm.group("al") or tbl).lower()
+            if (
+                tbl in table_columns
+                and _SCALAR_AGG_RE.search(item)
+                and not re.search(
+                    r"\b(GROUP|ORDER|LIMIT|HAVING|JOIN|UNION)\b",
+                    body, re.IGNORECASE,
+                )
+                and "," not in _mask_parens(item)
+            ):
+                text = item + " " + (w or "")
+                dotted = {d.lower() for d in re.findall(r"\b(\w+)\s*\.", text)}
+                words = {
+                    t.lower()
+                    for t in re.findall(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", text)
+                }
+                known = table_columns[tbl] | _SCALAR_OK_WORDS | {inner_al}
+                if dotted <= {inner_al} and words <= known:
+                    ok = True
+        if not ok:
+            pos = end
+            continue
+        n = len(out)
+        col, al, hidden = f"__sv{n}", f"__sq{n}", f"{prefix}_{n}"
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+\w+\s*$", item, re.IGNORECASE | re.DOTALL)
+        item_core = am.group("e") if am else item
+        inner_sql = f"SELECT {item_core.strip()} AS {col} FROM {bm.group('t')}"
+        if bm.group("al"):
+            inner_sql += f" {bm.group('al')}"
+        if w:
+            inner_sql += f" WHERE {w}"
+        out.append((hidden, _restore_literals(inner_sql, lits)))
+        refs.append((hidden, al))
+        protected = protected[:start] + f"{al}.{col}" + protected[end:]
+        pos = start
+    if not out:
+        return None
+    # splice the CROSS JOINs at the end of the top-level FROM clause
+    insert_at = None
+    depth = 0
+    from_at = None
+    for mm in re.finditer(r"[()]|\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT)\b",
+                          protected, re.IGNORECASE):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            kw = tok.upper()
+            if kw == "FROM" and from_at is None:
+                from_at = mm.end()
+            elif from_at is not None and kw != "FROM":
+                insert_at = mm.start()
+                break
+    if from_at is None:
+        return None
+    if insert_at is None:
+        insert_at = len(protected)
+    joins = "".join(f" CROSS JOIN {h} {a}" for h, a in refs)
+    protected = protected[:insert_at].rstrip() + joins + " " + protected[insert_at:]
+    return _restore_literals(protected.strip(), lits), out
+
+
+def _mask_parens(text: str) -> str:
+    """Blank out parenthesized spans so top-level-only scans (e.g. a
+    comma check) ignore function arguments."""
+    out, depth = [], 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+            out.append(" ")
+        elif ch == ")":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)

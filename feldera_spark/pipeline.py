@@ -310,6 +310,21 @@ class PipelineBuilder:
                 sql, subs = derived
                 for hidden, body in subs:
                     self.add_view(hidden, sql=body, materialized=False)
+            # uncorrelated scalar subqueries extract to hidden global-
+            # aggregate views + a CROSS JOIN (Calcite's scalar-subquery
+            # lowering: join on the unit key against a 1-row aggregate)
+            from feldera_spark.frontend import extract_scalar_subqueries
+
+            tcols = {
+                tn: {c.lower() for c in td.columns}
+                for tn, td in self.tables.items()
+                if td.columns
+            }
+            scal = extract_scalar_subqueries(sql, f"__sq_{name}", tcols)
+            if scal is not None:
+                sql, subs = scal
+                for hidden, body in subs:
+                    self.add_view(hidden, sql=body, materialized=False)
         self.views[name] = ViewDecl(name, sql, fn, materialized, emit_final)
         self._view_order.append(name)
         return self

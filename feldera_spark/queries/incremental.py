@@ -1880,3 +1880,87 @@ def i37_ddl_topk_subquery(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i37_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("top3")
+
+
+@q(
+    "i38_ddl_scalar_subquery",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM ({_NET})
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT MAX(CAST(value AS DOUBLE)) FROM ({_NET})) / 2
+    """,
+)
+def i38_ddl_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery from DDL (Calcite's scalar-subquery
+    lowering: join on the unit key against a 1-row aggregate): the
+    threshold extracts into a hidden global-MAX view and the body
+    compiles to a CROSS JOIN over it — the delete chunk retracts the
+    maximum itself, so the threshold MOVES and the join's A×ΔS term
+    re-derives every row against the new value. MAX is exact, so the
+    comparison is bit-stable across engines (no float-summation-order
+    hazard an AVG threshold would have)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i38_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW above_half_max AS "
+        "SELECT event_id, user_id, value FROM ev "
+        "WHERE value > (SELECT MAX(value) FROM ev) / 2"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert {"__sq_above_half_max_0", "above_half_max"} <= set(pipe._ivm), (
+        "scalar subquery must compile: hidden global aggregate + cross join"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i38_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i38_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("above_half_max")
+
+
+@q(
+    "i39_ddl_global_aggregate",
+    oracle=f"""
+    SELECT count(*) AS n, max(CAST(value AS DOUBLE)) AS mx
+    FROM ({_NET}) WHERE event_type = 'no_such_type'
+    """,
+)
+def i39_ddl_global_aggregate(spark, sf_dir):
+    """GLOBAL aggregate over an empty selection: SQL returns exactly ONE
+    row (COUNT=0, MAX NULL). DBSP aggregation over an empty Z-set is
+    empty, so the compiler maintains the reference's empty-group fix-up
+    (a default row retracted/inserted as the group becomes live/dead) —
+    here the filter never matches, so the maintained view must hold the
+    default row through every step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i39_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR,"
+        " value DOUBLE);"
+        "CREATE MATERIALIZED VIEW g AS "
+        "SELECT COUNT(*) AS n, MAX(value) AS mx FROM ev"
+        " WHERE event_type = 'no_such_type'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "g" in pipe._ivm
+    pipe.execute("INSERT INTO ev SELECT * FROM __i39_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i39_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("g")

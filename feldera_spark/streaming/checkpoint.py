@@ -120,6 +120,10 @@ def save_view(view, path: str) -> dict:
         wl = view._waterline
         if wl is not None and wl.max_ts is not None:
             scalars["waterline_max_ts"] = _meta_encode(wl.max_ts)
+        # global-aggregate default-row bookkeeping (CompiledView)
+        for attr in ("_g_live", "_g_init"):
+            if hasattr(view, attr):
+                scalars[attr] = getattr(view, attr)
         return {
             "class": type(view).__name__,
             "components": comps,
@@ -183,6 +187,9 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         wl_ts = meta["scalars"].get("waterline_max_ts")
         if wl_ts is not None and view._waterline is not None:
             view._waterline.max_ts = _meta_decode(wl_ts)
+        for attr in ("_g_live", "_g_init"):
+            if attr in meta["scalars"] and hasattr(view, attr):
+                setattr(view, attr, meta["scalars"][attr])
         return
     for attr in meta["frames"]:
         df = spark.read.parquet(f"{path}/{attr.replace('.', '__')}")

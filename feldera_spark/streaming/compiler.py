@@ -66,7 +66,7 @@ from feldera_spark.zset import WEIGHT
 # holds our programmatic equivalent).
 _UNSUPPORTED_RE = re.compile(
     r"\b(UNION|EXCEPT|INTERSECT|OVER|WITH|"
-    r"TUMBLE|HOP|SESSION|ASOF|LATERAL|CROSS\s+JOIN|"
+    r"TUMBLE|HOP|SESSION|ASOF|LATERAL|CROSS\s+JOIN\s+UNNEST|"
     r"NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
     r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|SHUFFLE\s*\()|\(\s*SELECT\b",
     re.IGNORECASE,
@@ -97,6 +97,14 @@ _JOIN_RE = re.compile(
 )
 
 _TABLE_RE = re.compile(r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?$", re.IGNORECASE)
+
+# CROSS JOIN has no ON clause: the empty-key join (scalar-subquery
+# lowering joins against a 1-row aggregate view this way)
+_CROSS_JOIN_RE = re.compile(
+    r"^(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!CROSS\b)\w+))?\s+"
+    r"CROSS\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _AGG_RE = re.compile(
     r"^(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
@@ -317,7 +325,16 @@ def parse_view_shape(sql: str) -> _Shape | None:
 
     frm = m.group("from").strip()
     aliases: dict[str, str] = {}
-    jm = _JOIN_RE.match(frm)
+    cm = _CROSS_JOIN_RE.match(frm)
+    if cm:
+        shape.left = cm.group("lt").lower()
+        shape.right = cm.group("rt").lower()
+        shape.how = "inner"  # cross join = inner equi-join on the empty key
+        aliases[(cm.group("la") or cm.group("lt")).lower()] = "l"
+        aliases[(cm.group("ra") or cm.group("rt")).lower()] = "r"
+        jm = None
+    else:
+        jm = _JOIN_RE.match(frm)
     if jm:
         shape.left = jm.group("lt").lower()
         shape.right = jm.group("rt").lower()
@@ -340,7 +357,7 @@ def parse_view_shape(sql: str) -> _Shape | None:
                 shape.on.append((yc, xc))
             else:
                 return None
-    else:
+    elif cm is None:
         tm = _TABLE_RE.match(frm)
         if tm is None:
             return None
@@ -653,6 +670,19 @@ class CompiledView:
         self._distinct = None
         self._linear_out = None
         self._stepped = False  # becomes True on the first non-empty delta
+        # GLOBAL aggregate (no GROUP BY) over empty input: SQL returns ONE
+        # row (COUNT=0, other aggregates NULL). DBSP aggregation over an
+        # empty Z-set is naturally empty, so the reference's compiler
+        # inserts an empty-group fix-up when lowering a single-group
+        # Calcite aggregate; we maintain the same default row.
+        # ``_g_default`` (the 1-row output-space frame) is built in
+        # bind_schemas from the source's empty frame — batch typing, so
+        # the compiled schema matches batch exactly. ``_g_live`` tracks
+        # whether a REAL output row currently exists (None = unknown,
+        # recomputed from state after a checkpoint restore).
+        self._g_default: DataFrame | None = None
+        self._g_live: bool | None = None
+        self._g_init = False  # default row emitted / output stream started
         s = shape
         if s.right is not None:
             on_names = [lc for lc, _ in s.on]
@@ -1039,12 +1069,37 @@ class CompiledView:
                 )
             else:
                 out = self._agg.step(rows)
+            if out is not None:
+                if set(s.out_cols) <= (set(out.columns) - {WEIGHT}):
+                    out = out.select(*s.out_cols, WEIGHT)
+                else:
+                    out = self._out_select(out, keep_weight=True)
+            # global-aggregate default row: maintain the SQL "one row
+            # over empty input" fix-up in the OUTPUT DELTA stream —
+            # transitions between live and empty retract/insert the
+            # default row so downstream compiled views stay consistent
+            # with materialized()
+            if self._g_default is not None:
+                try:
+                    new_live = not (
+                        self._agg.materialized().limit(1).isEmpty()
+                    )
+                except Exception:
+                    new_live = False
+                extra: DataFrame | None = None
+                if not self._g_init:
+                    self._g_init = True
+                    if not new_live:
+                        extra = zset.lift(self._g_default, 1)
+                elif self._g_live and not new_live:
+                    extra = zset.lift(self._g_default, 1)
+                elif (not self._g_live) and new_live:
+                    extra = zset.lift(self._g_default, -1)
+                self._g_live = new_live
+                if extra is not None:
+                    out = extra if out is None else zset.plus(out, extra)
             if out is None:
                 return None
-            if set(s.out_cols) <= (set(out.columns) - {WEIGHT}):
-                out = out.select(*s.out_cols, WEIGHT)
-            else:
-                out = self._out_select(out, keep_weight=True)
             # HAVING: linear filter over the output delta — retractions
             # are filtered by the OLD aggregate value, insertions by the
             # new one, which is exactly σ(ΔV)
@@ -1079,7 +1134,9 @@ class CompiledView:
 
     def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
         """Give an outer join both sides' schemas up front (NULL padding
-        may be needed before a side's first delta arrives)."""
+        may be needed before a side's first delta arrives), and build the
+        GLOBAL aggregate's empty-input default row (batch-evaluated over
+        the source's empty frame, so dtypes match batch exactly)."""
         from feldera_spark.streaming.outer_join import IncrementalOuterJoinView
 
         if isinstance(self._join, IncrementalOuterJoinView):
@@ -1087,6 +1144,27 @@ class CompiledView:
                 self._prep(frames[self.shape.left], "l"),
                 self._prep(frames[self.shape.right], "r"),
             )
+        s = self.shape
+        if (
+            self._agg is not None
+            and not s.keys
+            and s.right is None
+            and s.unnest is None
+            and s.left in frames
+        ):
+            try:
+                src0 = frames[s.left].drop(WEIGHT).limit(0) \
+                    if WEIGHT in frames[s.left].columns \
+                    else frames[s.left].limit(0)
+                row = src0.agg(*[
+                    F.expr(
+                        f"{a.fn}({a.arg if a.arg is not None else '*'})"
+                    ).alias(a.name)
+                    for a in s.aggs
+                ])
+                self._g_default = self._out_select(row)
+            except Exception:
+                self._g_default = None  # unresolvable arg: keep old behavior
 
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         """Advance the view by one step of source deltas (Z-sets; weight
@@ -1111,6 +1189,17 @@ class CompiledView:
                 df = df.select(*s.out_cols)  # already projected (linear)
             else:
                 df = self._out_select(df)  # raw keys / aliased outputs
+            if self._g_default is not None:
+                # SQL global-aggregate over empty input = the default row
+                # (COUNT 0 / NULLs). In-plan: prefer the real row, fall
+                # back to the default — no driver-side emptiness check.
+                df = (
+                    df.withColumn("__m", F.lit(0))
+                    .unionByName(self._g_default.withColumn("__m", F.lit(1)))
+                    .orderBy("__m")
+                    .limit(1)
+                    .drop("__m")
+                )
             return df.filter(F.expr(s.having)) if s.having else df
         if self._distinct is not None:
             return self._distinct.materialized().select(*s.out_cols)

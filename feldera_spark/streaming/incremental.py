@@ -326,7 +326,15 @@ class IncrementalLinearAggregateView:
 
 
 class IncrementalJoinView:
-    """Bilinear incremental equi-join: ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB."""
+    """Bilinear incremental equi-join: ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB.
+
+    ``on=[]`` is the CROSS JOIN degenerate case (Calcite lowers a scalar
+    subquery to exactly this: a join on the empty key against a 1-row
+    aggregate — ``join.rs`` with unit keys). The delta rule is unchanged;
+    the stored-side read is the FULL other side, which is the correct
+    cost model: when the 1-row side changes, every output row's
+    derivation changes. Keep the big side on the LEFT so the full read
+    is of the small one except on small-side changes."""
 
     def __init__(self, on: list[str], how: str = "inner"):
         assert how == "inner", (
@@ -346,24 +354,33 @@ class IncrementalJoinView:
     def _wjoin(x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
         xr = x.withColumnRenamed(WEIGHT, "__wx")
         yr = y.withColumnRenamed(WEIGHT, "__wy")
+        joined = (
+            xr.crossJoin(F.broadcast(yr))
+            if not on
+            else xr.join(yr, on=on, how="inner")
+        )
         return (
-            xr.join(yr, on=on, how="inner")
+            joined
             .withColumn(WEIGHT, F.col("__wx") * F.col("__wy"))
             .drop("__wx", "__wy")
         )
 
+    def _slice(self, spine: "Spine", delta: DataFrame) -> DataFrame:
+        if not self.on:
+            return zset.consolidate(spine.read())
+        return spine.read_for_keys(delta.select(*self.on).distinct(), self.on)
+
     def step(self, delta_a: DataFrame | None, delta_b: DataFrame | None) -> DataFrame:
         """ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. The stored sides are read
-        key-restricted to the delta's keys — O(|delta| + matching state)."""
+        key-restricted to the delta's keys — O(|delta| + matching state).
+        With ``on=[]`` (cross join) the slice is the whole other side."""
         da = zset.lift(delta_a) if delta_a is not None else None
         db = zset.lift(delta_b) if delta_b is not None else None
         parts = []
         if da is not None and not self.b.empty:
-            b_slice = self.b.read_for_keys(da.select(*self.on).distinct(), self.on)
-            parts.append(self._wjoin(da, b_slice, self.on))
+            parts.append(self._wjoin(da, self._slice(self.b, da), self.on))
         if db is not None and not self.a.empty:
-            a_slice = self.a.read_for_keys(db.select(*self.on).distinct(), self.on)
-            parts.append(self._wjoin(a_slice, db, self.on))
+            parts.append(self._wjoin(self._slice(self.a, db), db, self.on))
         if da is not None and db is not None:
             parts.append(self._wjoin(da, db, self.on))
         if da is not None:

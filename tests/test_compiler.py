@@ -1892,3 +1892,177 @@ def test_frameless_last_value_falls_back():
         "SELECT k, LAST_VALUE(v) OVER (PARTITION BY k ORDER BY id) AS lv "
         "FROM t", tables={"t"},
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# cross joins, global-aggregate default rows, scalar subqueries
+# ---------------------------------------------------------------------------
+
+
+def _sq_src(spark):
+    return spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i * 7 % 13)) for i in range(1, 31)],
+        "id bigint, k string, v double",
+    )
+
+
+def test_cross_join_view_compiles(spark):
+    """CROSS JOIN (empty-key join) compiles; a change on the 1-row side
+    re-derives every pair via the A×ΔS bilinear term."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    sc = spark.createDataFrame([(5.0,)], "s double")
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE TABLE thresh (s DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT t.id, t.v FROM t CROSS JOIN thresh WHERE t.v > thresh.s"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    b.connect_table("thresh", sc)
+    p = b.create()
+    assert "w" in p._ivm
+    df.filter("id > 15").createOrReplaceTempView("__cj_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __cj_chunk")
+    p.execute("DELETE FROM thresh WHERE s = 5.0")
+    p.execute("INSERT INTO thresh VALUES (9.0)")
+    p.execute("DELETE FROM t WHERE id % 2 = 0")
+    got = _canon(p.view("w"))
+    exp = _canon(
+        df.filter("v > 9.0 and id % 2 != 0").select("id", "v")
+    )
+    assert got == exp
+
+
+def test_global_aggregate_default_row(spark):
+    """A GLOBAL aggregate over empty input is ONE row (COUNT=0, others
+    NULL) — SQL semantics the reference's lowering preserves with an
+    empty-group fix-up. Maintained across live<->empty transitions."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW g AS "
+        "SELECT COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS m FROM t"
+    )
+    b.connect_table("t", df.limit(0))
+    p = b.create()
+    assert "g" in p._ivm
+    assert _canon(p.view("g")) == [(0, None, None)]
+    df.createOrReplaceTempView("__gd_all")
+    p.execute("INSERT INTO t SELECT * FROM __gd_all")
+    exp = _canon(spark.sql("SELECT COUNT(*), SUM(v), AVG(v) FROM __gd_all"))
+    assert _canon(p.view("g")) == exp
+    p.execute("DELETE FROM t WHERE id >= 1")
+    assert _canon(p.view("g")) == [(0, None, None)]
+
+
+def test_global_default_chains_downstream(spark):
+    """The default row participates in the OUTPUT DELTA stream: a
+    downstream compiled view over the global aggregate sees retract/
+    insert of the default on live<->empty transitions."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW g AS "
+        "SELECT COUNT(*) AS n, SUM(v) AS sv FROM t;"
+        "CREATE MATERIALIZED VIEW w AS SELECT n, sv FROM g WHERE n >= 0"
+    )
+    b.connect_table("t", df.limit(0))
+    p = b.create()
+    assert {"g", "w"} <= set(p._ivm)
+    assert _canon(p.view("w")) == [(0, None)]
+    df.createOrReplaceTempView("__gc_all")
+    p.execute("INSERT INTO t SELECT * FROM __gc_all")
+    assert _canon(p.view("w")) == _canon(
+        spark.sql("SELECT COUNT(*) AS n, SUM(v) AS sv FROM __gc_all")
+    )
+    p.execute("DELETE FROM t WHERE id >= 1")
+    assert _canon(p.view("w")) == [(0, None)]
+
+
+def test_scalar_subquery_compiles_to_ivm(spark):
+    """``WHERE v > (SELECT AVG(v) FROM t)`` desugars to a hidden global
+    aggregate + CROSS JOIN; both compile and the threshold is
+    maintained as the aggregate moves under inserts AND deletes."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT id, k, v FROM t WHERE v > (SELECT AVG(v) FROM t)"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert {"__sq_w_0", "w"} <= set(p._ivm)
+    df.filter("id > 15").createOrReplaceTempView("__sq_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __sq_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__sq_now")
+    got = _canon(p.view("w"))
+    exp = _canon(
+        spark.sql(
+            "SELECT id, k, v FROM __sq_now "
+            "WHERE v > (SELECT AVG(v) FROM __sq_now)"
+        )
+    )
+    assert got == exp
+
+
+def test_scalar_subquery_in_select_item(spark):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT id, v - (SELECT AVG(v) FROM t) AS diff FROM t"
+    )
+    b.connect_table("t", df.filter("id <= 20"))
+    p = b.create()
+    assert {"__sq_w_0", "w"} <= set(p._ivm)
+    df.filter("id > 20").createOrReplaceTempView("__sq2_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __sq2_chunk")
+    df.createOrReplaceTempView("__sq2_all")
+    got = _canon(p.view("w"))
+    exp = _canon(
+        spark.sql(
+            "SELECT id, v - (SELECT AVG(v) FROM __sq2_all) AS diff "
+            "FROM __sq2_all"
+        )
+    )
+    assert got == exp
+
+
+def test_correlated_scalar_subquery_stays_batch(spark):
+    """A correlated subquery (references an outer column) must NOT be
+    extracted — it is per-row, not a constant. Batch fallback, correct
+    results."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT a.id, a.v FROM t a "
+        "WHERE a.v > (SELECT AVG(v) FROM t WHERE k = a.k)"
+    )
+    b.connect_table("t", df)
+    p = b.create()
+    assert "w" not in p._ivm and not any(
+        n.startswith("__sq_w") for n in p._ivm
+    )
+    df.createOrReplaceTempView("__corr_all")
+    got = _canon(p.view("w"))
+    exp = _canon(
+        spark.sql(
+            "SELECT a.id, a.v FROM __corr_all a "
+            "WHERE a.v > (SELECT AVG(v) FROM __corr_all WHERE k = a.k)"
+        )
+    )
+    assert got == exp
