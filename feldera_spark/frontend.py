@@ -613,12 +613,22 @@ def extract_scalar_subqueries(
     maintained: when the scalar moves, the join's A×ΔS term re-derives
     every row against the new value — the correct DBSP cost model.
 
-    Conservative recognizer: the subquery must be a GLOBAL aggregate
-    (always exactly one row — a plain ``SELECT v FROM u WHERE ...`` can
-    change cardinality, which a cross join would amplify) over one
-    DECLARED table, and every bare identifier in it must resolve to that
-    table's own columns (SQL scoping: innermost binding wins, so this
-    guarantees uncorrelatedness). IN/EXISTS subqueries and FROM-position
+    CORRELATED scalar aggregates with equi-correlation — ``(SELECT
+    AGG(...) FROM u WHERE u.c = a.oc [AND inner-only terms])`` — extract
+    too, Calcite-style: the hidden view aggregates GROUP BY the
+    correlation columns and the outer body LEFT JOINs on them. LEFT (not
+    inner) is exact: a missing group NULL-pads ``__sv``, which is
+    precisely the empty-subquery NULL scalar, so comparisons go UNKNOWN
+    and select-position uses stay NULL — no conjunct-position analysis
+    needed.
+
+    Conservative recognizer: the subquery must be an aggregate with no
+    GROUP BY (exactly one row per binding — a plain ``SELECT v FROM u
+    WHERE ...`` can change cardinality, which a join would amplify) over
+    one DECLARED table, and every bare identifier in it must resolve to
+    that table's own columns (SQL scoping: innermost binding wins).
+    Correlation terms must be top-level equi conjuncts against a
+    single-table outer FROM. IN/EXISTS subqueries and FROM-position
     derived tables are other passes' business. Returns None when nothing
     extracts."""
     protected, lits = _protect_literals(sql)
@@ -633,7 +643,7 @@ def extract_scalar_subqueries(
             if re.match(r"\b(UNION|EXCEPT|INTERSECT)\b", protected[i:], re.IGNORECASE):
                 return None
     out: list[tuple[str, str]] = []
-    refs: list[tuple[str, str]] = []  # (hidden_name, join alias)
+    joins: list[str] = []  # spliced join clauses, one per hidden view
     pos = 0
     while True:
         m = _SCALAR_SUBQ_RE.search(protected, pos)
@@ -651,12 +661,14 @@ def extract_scalar_subqueries(
             return None
         body = protected[start + 1 : end - 1].strip()
         bm = _SCALAR_BODY_RE.match(body)
-        ok = False
+        parsed = None  # (inner_sql_builder args, join clause builder)
         if bm is not None:
             tbl = bm.group("t").lower()
             item = bm.group("item")
             w = bm.group("w")
             inner_al = (bm.group("al") or tbl).lower()
+            outer = _single_outer_table(protected)
+            outer_al = outer[1] if outer else None
             if (
                 tbl in table_columns
                 and _SCALAR_AGG_RE.search(item)
@@ -666,39 +678,176 @@ def extract_scalar_subqueries(
                 )
                 and "," not in _mask_parens(item)
             ):
-                text = item + " " + (w or "")
-                dotted = {d.lower() for d in re.findall(r"\b(\w+)\s*\.", text)}
-                words = {
-                    t.lower()
-                    for t in re.findall(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", text)
+                item_dots = {
+                    d.lower() for d in re.findall(r"\b(\w+)\s*\.", item)
                 }
                 known = table_columns[tbl] | _SCALAR_OK_WORDS | {inner_al}
-                if dotted <= {inner_al} and words <= known:
-                    ok = True
-        if not ok:
+
+                def _words(text: str) -> set[str]:
+                    return {
+                        t.lower()
+                        for t in re.findall(
+                            r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", text
+                        )
+                    }
+
+                corr: list[tuple[str, str]] = []  # (inner col, outer col)
+                rest: list[str] = []
+                bad = not (item_dots <= {inner_al})
+                for conj in _split_top_and_fe(w or ""):
+                    dots = {
+                        d.lower() for d in re.findall(r"\b(\w+)\s*\.", conj)
+                    }
+                    if outer_al is not None and outer_al in dots:
+                        pair = _corr_equi_pair(
+                            conj, inner_al, outer_al,
+                            table_columns[tbl],
+                            table_columns.get(outer[0], set()),
+                        )
+                        if pair is None:
+                            bad = True
+                            break
+                        corr.append(pair)
+                    elif dots <= {inner_al} and _words(conj) <= known:
+                        rest.append(conj)
+                    else:
+                        bad = True
+                        break
+                # exact-dedupe correlation pairs; two DIFFERENT outer
+                # columns tied to one inner column would collapse in the
+                # ON clause — bail rather than drop a constraint
+                pairs: list[tuple[str, str]] = []
+                for p in corr:
+                    if p not in pairs:
+                        pairs.append(p)
+                if len({ic for ic, _ in pairs}) != len(pairs):
+                    bad = True
+                if not bad and _words(item) <= known:
+                    parsed = (tbl, item, rest, pairs, outer_al)
+        if parsed is None:
             pos = end
             continue
+        tbl, item, rest, corr, outer_al = parsed
         n = len(out)
         col, al, hidden = f"__sv{n}", f"__sq{n}", f"{prefix}_{n}"
         am = re.match(r"^(?P<e>.*?)\s+AS\s+\w+\s*$", item, re.IGNORECASE | re.DOTALL)
-        item_core = am.group("e") if am else item
-        inner_sql = f"SELECT {item_core.strip()} AS {col} FROM {bm.group('t')}"
+        item_core = (am.group("e") if am else item).strip()
+        keys: list[str] = []
+        for icol, _ in corr:
+            if icol not in keys:
+                keys.append(icol)
+        sel = ", ".join(keys + [f"{item_core} AS {col}"])
+        inner_sql = f"SELECT {sel} FROM {bm.group('t')}"
         if bm.group("al"):
             inner_sql += f" {bm.group('al')}"
-        if w:
-            inner_sql += f" WHERE {w}"
+        if rest:
+            inner_sql += f" WHERE {' AND '.join(rest)}"
+        if keys:
+            inner_sql += f" GROUP BY {', '.join(keys)}"
+        if corr:
+            on = " AND ".join(
+                f"{outer_al}.{ocol} = {al}.{icol}" for icol, ocol in corr
+            )
+            joins.append(f" LEFT JOIN {hidden} {al} ON {on}")
+        else:
+            joins.append(f" CROSS JOIN {hidden} {al}")
         out.append((hidden, _restore_literals(inner_sql, lits)))
-        refs.append((hidden, al))
         protected = protected[:start] + f"{al}.{col}" + protected[end:]
         pos = start
     if not out:
         return None
-    # splice the CROSS JOINs at the end of the top-level FROM clause
-    insert_at = None
+    # splice the joins at the end of the top-level FROM clause
+    span = _top_level_from_span(protected)
+    if span is None:
+        return None
+    insert_at = span[1]
+    protected = (
+        protected[:insert_at].rstrip()
+        + "".join(joins)
+        + " "
+        + protected[insert_at:]
+    )
+    return _restore_literals(protected.strip(), lits), out
+
+
+def _split_top_and_fe(text: str) -> list[str]:
+    """Split on top-level ANDs (paren-aware)."""
+    if not text.strip():
+        return []
+    parts, depth, cur = [], 0, []
+    tokens = re.split(r"(\bAND\b|[()])", text, flags=re.IGNORECASE)
+    for tok in tokens:
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0 and tok.upper() == "AND":
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(tok)
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_CORR_EQ_RE = re.compile(
+    r"^\s*(?P<x>\w+(?:\s*\.\s*\w+)?)\s*=\s*(?P<y>\w+(?:\s*\.\s*\w+)?)\s*$"
+)
+
+
+def _corr_equi_pair(
+    conj: str, inner_al: str, outer_al: str,
+    inner_cols: set[str], outer_cols: set[str],
+) -> tuple[str, str] | None:
+    """Parse one correlation conjunct ``inner_col = outer_al.col`` (either
+    order); None when it is not a plain equi term."""
+    m = _CORR_EQ_RE.match(conj)
+    if m is None:
+        return None
+
+    def _side(s: str) -> tuple[str | None, str]:
+        if "." in s:
+            a, c = (p.strip().lower() for p in s.split(".", 1))
+            return a, c
+        return None, s.strip().lower()
+
+    xa, xc = _side(m.group("x"))
+    ya, yc = _side(m.group("y"))
+    if xa == outer_al:
+        xa, xc, ya, yc = ya, yc, xa, xc
+    if ya != outer_al:
+        return None
+    if xa not in (None, inner_al):
+        return None
+    if xc not in inner_cols or yc not in outer_cols:
+        return None
+    return xc, yc
+
+
+def _single_outer_table(text: str) -> tuple[str, str] | None:
+    """(table, alias-or-table) of the top-level FROM clause when it is a
+    single plain table reference; None otherwise."""
+    span = _top_level_from_span(text)
+    if span is None:
+        return None
+    clause = text[span[0] : span[1]].strip()
+    m = re.match(
+        r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<al>\w+))?$", clause, re.IGNORECASE
+    )
+    if m is None:
+        return None
+    t = m.group("t").lower()
+    return t, (m.group("al") or m.group("t")).lower()
+
+
+def _top_level_from_span(text: str) -> tuple[int, int] | None:
+    """(start, end) of the top-level FROM clause body: after the first
+    depth-0 FROM, up to the next depth-0 clause keyword (or the end)."""
     depth = 0
     from_at = None
-    for mm in re.finditer(r"[()]|\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT)\b",
-                          protected, re.IGNORECASE):
+    for mm in re.finditer(
+        r"[()]|\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT)\b", text, re.IGNORECASE
+    ):
         tok = mm.group(0)
         if tok == "(":
             depth += 1
@@ -709,15 +858,10 @@ def extract_scalar_subqueries(
             if kw == "FROM" and from_at is None:
                 from_at = mm.end()
             elif from_at is not None and kw != "FROM":
-                insert_at = mm.start()
-                break
+                return from_at, mm.start()
     if from_at is None:
         return None
-    if insert_at is None:
-        insert_at = len(protected)
-    joins = "".join(f" CROSS JOIN {h} {a}" for h, a in refs)
-    protected = protected[:insert_at].rstrip() + joins + " " + protected[insert_at:]
-    return _restore_literals(protected.strip(), lits), out
+    return from_at, len(text)
 
 
 def _mask_parens(text: str) -> str:

@@ -1964,3 +1964,54 @@ def i39_ddl_global_aggregate(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i39_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("g")
+
+
+@q(
+    "i40_ddl_correlated_scalar",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM ({_NET}) a
+    WHERE CAST(value AS DECIMAL(12,2)) * 2 >
+          (SELECT MAX(CAST(value AS DECIMAL(12,2))) FROM ({_NET})
+           WHERE user_id = a.user_id)
+    """,
+)
+def i40_ddl_correlated_scalar(spark, sf_dir):
+    """Equi-correlated scalar aggregate from DDL, decorrelated
+    Calcite-style: the subquery becomes a hidden per-user MAX view and
+    the body a LEFT JOIN on user_id — LEFT is exact (a missing group
+    NULL-pads the scalar, so the comparison goes UNKNOWN just like the
+    empty subquery). Both views compile to IVM; the delete chunk retracts
+    per-user maxima (the general-class touched-group recompute) so the
+    threshold MOVES and rows flip in AND out of the answer. DECIMAL
+    arithmetic keeps the threshold bit-exact across engines."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i40_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW heavy AS "
+        "SELECT a.event_id, a.user_id, a.value FROM ev a "
+        "WHERE a.value * 2 > (SELECT MAX(value) FROM ev"
+        " WHERE user_id = a.user_id)"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert {"__sq_heavy_0", "heavy"} <= set(pipe._ivm), (
+        "correlated scalar must decorrelate: hidden per-key aggregate "
+        "+ left join, both IVM"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i40_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i40_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("heavy").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )

@@ -2039,10 +2039,10 @@ def test_scalar_subquery_in_select_item(spark):
     assert got == exp
 
 
-def test_correlated_scalar_subquery_stays_batch(spark):
-    """A correlated subquery (references an outer column) must NOT be
-    extracted — it is per-row, not a constant. Batch fallback, correct
-    results."""
+def test_correlated_scalar_subquery_decorrelates(spark):
+    """An equi-correlated scalar aggregate decorrelates Calcite-style:
+    hidden per-group aggregate view + LEFT JOIN on the correlation key;
+    both compile to IVM and stay correct under inserts and deletes."""
     from feldera_spark.pipeline import PipelineBuilder
 
     df = _sq_src(spark)
@@ -2052,17 +2052,46 @@ def test_correlated_scalar_subquery_stays_batch(spark):
         "SELECT a.id, a.v FROM t a "
         "WHERE a.v > (SELECT AVG(v) FROM t WHERE k = a.k)"
     )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert {"__sq_w_0", "w"} <= set(p._ivm)
+    df.filter("id > 15").createOrReplaceTempView("__corr_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __corr_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__corr_now")
+    got = _canon(p.view("w"))
+    exp = _canon(
+        spark.sql(
+            "SELECT a.id, a.v FROM __corr_now a "
+            "WHERE a.v > (SELECT AVG(v) FROM __corr_now WHERE k = a.k)"
+        )
+    )
+    assert got == exp
+
+
+def test_nonequi_correlated_subquery_stays_batch(spark):
+    """Non-equi correlation (k > a.k) cannot decorrelate to a grouped
+    join — must NOT extract; batch fallback, correct results."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT a.id, a.v FROM t a "
+        "WHERE a.v > (SELECT AVG(v) FROM t WHERE k > a.k)"
+    )
     b.connect_table("t", df)
     p = b.create()
     assert "w" not in p._ivm and not any(
         n.startswith("__sq_w") for n in p._ivm
     )
-    df.createOrReplaceTempView("__corr_all")
+    df.createOrReplaceTempView("__ncorr_all")
     got = _canon(p.view("w"))
     exp = _canon(
         spark.sql(
-            "SELECT a.id, a.v FROM __corr_all a "
-            "WHERE a.v > (SELECT AVG(v) FROM __corr_all WHERE k = a.k)"
+            "SELECT a.id, a.v FROM __ncorr_all a "
+            "WHERE a.v > (SELECT AVG(v) FROM __ncorr_all WHERE k > a.k)"
         )
     )
     assert got == exp
