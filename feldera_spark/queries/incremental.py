@@ -2015,3 +2015,65 @@ def i40_ddl_correlated_scalar(spark, sf_dir):
     return pipe.view("heavy").select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
     )
+
+
+@q(
+    "i41_ddl_running_window",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS running_n
+    FROM ({_NET}) WHERE event_type = 'purchase'
+    """,
+)
+def i41_ddl_running_window(spark, sf_dir):
+    """Running aggregate windows from DDL (``window.rs`` OVER
+    lowering): per-user running SUM and COUNT maintained by per-key
+    recompute — the delete chunk removes mid-sequence purchases, so
+    every SUCCESSOR row's running values shift in the touched users.
+    The grammar is one window per view, so the two windows compose via
+    a CTE chain — each stage compiles to its own per-key recompute and
+    deltas chain through. DECIMAL sums keep the running totals
+    bit-exact across engines."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i41_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW rt AS "
+        "WITH sums AS (SELECT user_id, event_id, value,"
+        " SUM(value) OVER (PARTITION BY user_id ORDER BY event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum"
+        " FROM ev WHERE event_type = 'purchase') "
+        "SELECT user_id, event_id, rsum,"
+        " COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n"
+        " FROM sums"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    for v in ("__cte_rt_sums", "rt"):
+        assert (
+            type(pipe._ivm.get(v)).__name__ == "CompiledRankView"
+        ), f"{v} must compile to the per-key window recompute"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i41_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i41_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("rt").select(
+        "user_id", "event_id",
+        F.col("rsum").cast("double").alias("running_total"),
+        "running_n",
+    )

@@ -1376,6 +1376,20 @@ _FIRST_LAST_OVER_RE = re.compile(
     r"UNBOUNDED\s+FOLLOWING)?\s*\)$",
     re.IGNORECASE,
 )
+# running aggregate windows: frameless (SQL default = RANGE UNBOUNDED
+# PRECEDING .. CURRENT ROW, peers included — tie-deterministic) or an
+# explicit ROWS frame (the author owes a unique-tiebreak ORDER BY, the
+# same contract ROW_NUMBER has)
+_AGGWIN_OVER_RE = re.compile(
+    r"^(?P<fn>SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(?P<arg>\*|\w+)\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
+    r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)"
+    r"(?:\s+ROWS\s+BETWEEN\s+"
+    r"(?:(?P<unb>UNBOUNDED)|(?P<np>\d+))\s+PRECEDING\s+"
+    r"AND\s+CURRENT\s+ROW)?\s*\)$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -1392,9 +1406,13 @@ class _RankShape:
     partition: list[str]
     order: list[tuple[str, bool]]  # (col, desc)
     out_name: str
-    arg: str | None = None  # LAG/LEAD value column
+    arg: str | None = None  # LAG/LEAD / aggregate value column ('*' = star)
     offset: int = 1
     out_cols: list[str] = field(default_factory=list)
+    # running-aggregate frame: None = SQL default (RANGE UNBOUNDED
+    # PRECEDING..CURRENT ROW); ("rows", None) = ROWS UNBOUNDED
+    # PRECEDING; ("rows", n) = ROWS n PRECEDING
+    frame: tuple[str, int | None] | None = None
 
 
 def parse_rank_shape(sql: str) -> _RankShape | None:
@@ -1433,6 +1451,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         )
         wm = _RANK_OVER_RE.match(expr)
         lm = _LAG_OVER_RE.match(expr) if wm is None else None
+        gm = None
         if wm is None and lm is None:
             lm = _FIRST_LAST_OVER_RE.match(expr)
             # frameless LAST_VALUE means Spark's RUNNING frame, not the
@@ -1445,8 +1464,10 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                 and lm.group("frame") is None
             ):
                 return None
-        if wm is not None or lm is not None:
-            mm = wm or lm
+        if wm is None and lm is None:
+            gm = _AGGWIN_OVER_RE.match(expr)
+        if wm is not None or lm is not None or gm is not None:
+            mm = wm or lm or gm
             if window is not None or name is None:
                 return None
             partition = [p.strip().lower() for p in mm.group("pb").split(",")]
@@ -1461,13 +1482,26 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                     (om.group("col").lower(),
                      (om.group("dir") or "").upper() == "DESC")
                 )
-            arg = lm.group("arg").lower() if lm is not None else None
+            arg = None
+            if lm is not None:
+                arg = lm.group("arg").lower()
+            elif gm is not None:
+                arg = gm.group("arg").lower()
             off = (
                 int(lm.group("n") or 1)
                 if lm is not None and "n" in lm.groupdict() and lm.re is _LAG_OVER_RE
                 else 1
             )
-            window = (mm.group("fn").lower(), partition, order, name, arg, off)
+            frame = None
+            if gm is not None and (gm.group("unb") or gm.group("np")):
+                frame = (
+                    "rows",
+                    None if gm.group("unb") else int(gm.group("np")),
+                )
+            window = (
+                mm.group("fn").lower(), partition, order, name, arg, off,
+                frame,
+            )
             out_cols.append(name)
             continue
         if name is None:
@@ -1480,7 +1514,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         out_cols.append(name)
     if window is None:
         return None
-    fn, partition, order, out_name, arg, off = window
+    fn, partition, order, out_name, arg, off, frame = window
     where = m.group("where")
     return _RankShape(
         left=tm.group("t").lower(),
@@ -1493,6 +1527,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         arg=arg,
         offset=off,
         out_cols=out_cols,
+        frame=frame,
     )
 
 
@@ -1529,6 +1564,24 @@ class CompiledRankView:
             )
             getter = F.first if rs.fn == "first_value" else F.last
             wexpr = getter(F.col(rs.arg)).over(wfull)
+        elif rs.fn in ("sum", "avg", "min", "max", "count"):
+            # running aggregate: recompute evaluates the SAME window
+            # Spark batch would (default RANGE-peers frame, or the
+            # declared ROWS frame), so compiled == batch by construction
+            agg = getattr(F, rs.fn)
+            col = F.lit(1) if rs.arg == "*" else F.col(rs.arg)
+            if rs.frame is not None:
+                lo = (
+                    Window.unboundedPreceding
+                    if rs.frame[1] is None
+                    else -rs.frame[1]
+                )
+                w = w.rowsBetween(lo, Window.currentRow)
+            wexpr = (
+                F.count(col).over(w)
+                if rs.fn == "count" and rs.arg == "*"
+                else agg(col).over(w)
+            )
         else:
             fn_col = {
                 "row_number": F.row_number,
@@ -1558,7 +1611,7 @@ class CompiledRankView:
         keep = list(dict.fromkeys(
             rs.partition
             + [c for c, _ in rs.order]
-            + ([rs.arg] if rs.arg is not None else [])
+            + ([rs.arg] if rs.arg not in (None, "*") else [])
             + [e for e, _ in rs.select]
         ))
         d = d.select(*keep, WEIGHT)

@@ -2095,3 +2095,35 @@ def test_nonequi_correlated_subquery_stays_batch(spark):
         )
     )
     assert got == exp
+
+
+@pytest.mark.parametrize("body", [
+    "SELECT id, k, v, SUM(v) OVER (PARTITION BY k ORDER BY id) AS rt FROM t",
+    "SELECT id, k, SUM(v) OVER (PARTITION BY k ORDER BY id"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3 FROM t",
+    "SELECT id, k, COUNT(*) OVER (PARTITION BY k ORDER BY v, id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc FROM t",
+    "SELECT id, k, AVG(v) OVER (PARTITION BY k ORDER BY id) AS ra FROM t",
+    "SELECT id, k, MIN(v) OVER (PARTITION BY k ORDER BY id) AS rm FROM t",
+])
+def test_running_aggregate_windows_compile(spark, body):
+    """Running SUM/AVG/MIN/COUNT OVER (PARTITION BY … ORDER BY …
+    [ROWS frame]) compile onto the per-key recompute; deletions shift
+    every successor's running value in the touched partitions."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert type(p._ivm.get("w")).__name__ == "CompiledRankView"
+    df.filter("id > 15").createOrReplaceTempView("__rw_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __rw_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__rw_now")
+    got = _canon(p.view("w"))
+    exp = _canon(spark.sql(body.replace("FROM t", "FROM __rw_now")))
+    assert got == exp
