@@ -51,9 +51,9 @@ _MODULES = (
 _GATE_ORDER = [
     "q01_pricing_summary", "q02_filter_revenue", "q03_join_topk",
     "q04_left_outer", "q05_full_outer", "q06_semi_join", "q07_anti_join",
-    "q08_star_join", "q10_agg_filter", "q11_arg_minmax",
+    "q08_star_join", "i38_ddl_scalar_subquery", "q11_arg_minmax",
     "q12_grouping_sets", "q15_pivot", "q16_window_rank",
-    "q17_window_lag_lead", "q19_window_range_interval", "q21_topk_per_group",
+    "i37_ddl_topk_subquery", "q19_window_range_interval", "q21_topk_per_group",
     "q24_except_all", "q26_values_join", "q27_unnest_words",
     "q30_correlated_subquery", "q32_scalar_subquery", "i18_ddl_having",
     "q35_string_funcs", "i20_ddl_tumble_ivm", "q39_json_extract",

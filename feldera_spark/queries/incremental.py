@@ -2077,3 +2077,63 @@ def i41_ddl_running_window(spark, sf_dir):
         F.col("rsum").cast("double").alias("running_total"),
         "running_n",
     )
+
+
+@q(
+    "i42_ddl_multi_window",
+    oracle=f"""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS seq,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS prev_event
+    FROM ({_NET}) WHERE event_type = 'purchase'
+    """,
+)
+def i42_ddl_multi_window(spark, sf_dir):
+    """Several window functions over ONE partition in a single view
+    (Calcite groups same-partition windows into one LogicalWindow): a
+    sequence number, a running DECIMAL total, and a lag pointer share a
+    single per-key recompute state. The delete chunk removes
+    mid-sequence rows, shifting ALL THREE outputs for every successor
+    in the touched users."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i42_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW seqs AS "
+        "SELECT user_id, event_id,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)"
+        " AS seq,"
+        " SUM(value) OVER (PARTITION BY user_id ORDER BY event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum,"
+        " LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id)"
+        " AS prev_event "
+        "FROM ev WHERE event_type = 'purchase'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("seqs")
+    assert plan is not None and type(plan).__name__ == "CompiledRankView"
+    assert len(plan.shape.more) == 2, "three windows share ONE state"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i42_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i42_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("seqs").select(
+        "user_id", "event_id", "seq",
+        F.col("rsum").cast("double").alias("running_total"),
+        "prev_event",
+    )

@@ -1413,6 +1413,12 @@ class _RankShape:
     # PRECEDING..CURRENT ROW); ("rows", None) = ROWS UNBOUNDED
     # PRECEDING; ("rows", n) = ROWS n PRECEDING
     frame: tuple[str, int | None] | None = None
+    # additional window items sharing the SAME partition keys: the
+    # per-key recompute re-evaluates whole partitions, so any number of
+    # windows ride one state as long as the touched-key routing (the
+    # partition) is shared. Each entry: (fn, order, out_name, arg,
+    # offset, frame).
+    more: list[tuple] = field(default_factory=list)
 
 
 def parse_rank_shape(sql: str) -> _RankShape | None:
@@ -1442,7 +1448,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
     aliases = {tm.group("a").lower(): "l"} if tm.group("a") else {}
     select: list[tuple[str, str]] = []
     out_cols: list[str] = []
-    window = None
+    windows: list[tuple] = []
     for item in _split_top_commas(m.group("sel")):
         item = _strip_aliases(item.strip(), aliases)
         am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item, re.IGNORECASE | re.DOTALL)
@@ -1468,7 +1474,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
             gm = _AGGWIN_OVER_RE.match(expr)
         if wm is not None or lm is not None or gm is not None:
             mm = wm or lm or gm
-            if window is not None or name is None:
+            if name is None:
                 return None
             partition = [p.strip().lower() for p in mm.group("pb").split(",")]
             if not all(re.match(r"^\w+$", p) for p in partition):
@@ -1498,9 +1504,9 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                     "rows",
                     None if gm.group("unb") else int(gm.group("np")),
                 )
-            window = (
-                mm.group("fn").lower(), partition, order, name, arg, off,
-                frame,
+            windows.append(
+                (mm.group("fn").lower(), partition, order, name, arg, off,
+                 frame)
             )
             out_cols.append(name)
             continue
@@ -1512,9 +1518,14 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
             return None  # computed non-window items: batch
         select.append((expr, name))
         out_cols.append(name)
-    if window is None:
+    if not windows:
         return None
-    fn, partition, order, out_name, arg, off, frame = window
+    # every window must share the partition keys — they are the
+    # touched-key routing of the single per-key recompute state
+    p0 = windows[0][1]
+    if any(w[1] != p0 for w in windows[1:]):
+        return None
+    fn, partition, order, out_name, arg, off, frame = windows[0]
     where = m.group("where")
     return _RankShape(
         left=tm.group("t").lower(),
@@ -1528,6 +1539,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         offset=off,
         out_cols=out_cols,
         frame=frame,
+        more=[(w[0], w[2], w[3], w[4], w[5], w[6]) for w in windows[1:]],
     )
 
 
@@ -1549,49 +1561,56 @@ class CompiledRankView:
         self.shape = rs
         self.sources = [rs.left]
         self._waterline = None
-        order_cols = [
-            F.col(c).desc() if d else F.col(c).asc() for c, d in rs.order
-        ]
-        w = Window.partitionBy(*rs.partition).orderBy(*order_cols)
-        if rs.fn in ("lag", "lead"):
-            getter = F.lag if rs.fn == "lag" else F.lead
-            wexpr = getter(F.col(rs.arg), rs.offset).over(w)
-        elif rs.fn in ("first_value", "last_value"):
-            # whole-partition frame (the reference's unbounded-only
-            # FIRST/LAST restriction)
-            wfull = w.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-            getter = F.first if rs.fn == "first_value" else F.last
-            wexpr = getter(F.col(rs.arg)).over(wfull)
-        elif rs.fn in ("sum", "avg", "min", "max", "count"):
-            # running aggregate: recompute evaluates the SAME window
-            # Spark batch would (default RANGE-peers frame, or the
-            # declared ROWS frame), so compiled == batch by construction
-            agg = getattr(F, rs.fn)
-            col = F.lit(1) if rs.arg == "*" else F.col(rs.arg)
-            if rs.frame is not None:
-                lo = (
-                    Window.unboundedPreceding
-                    if rs.frame[1] is None
-                    else -rs.frame[1]
+
+        def _wexpr(fn, order, arg, off, frame):
+            order_cols = [
+                F.col(c).desc() if d else F.col(c).asc() for c, d in order
+            ]
+            w = Window.partitionBy(*rs.partition).orderBy(*order_cols)
+            if fn in ("lag", "lead"):
+                getter = F.lag if fn == "lag" else F.lead
+                return getter(F.col(arg), off).over(w)
+            if fn in ("first_value", "last_value"):
+                # whole-partition frame (the reference's unbounded-only
+                # FIRST/LAST restriction)
+                wfull = w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
                 )
-                w = w.rowsBetween(lo, Window.currentRow)
-            wexpr = (
-                F.count(col).over(w)
-                if rs.fn == "count" and rs.arg == "*"
-                else agg(col).over(w)
-            )
-        else:
+                getter = F.first if fn == "first_value" else F.last
+                return getter(F.col(arg)).over(wfull)
+            if fn in ("sum", "avg", "min", "max", "count"):
+                # running aggregate: recompute evaluates the SAME window
+                # Spark batch would (default RANGE-peers frame, or the
+                # declared ROWS frame), so compiled == batch by
+                # construction
+                agg = getattr(F, fn)
+                col = F.lit(1) if arg == "*" else F.col(arg)
+                if frame is not None:
+                    lo = (
+                        Window.unboundedPreceding
+                        if frame[1] is None
+                        else -frame[1]
+                    )
+                    w = w.rowsBetween(lo, Window.currentRow)
+                return agg(col).over(w)
             fn_col = {
                 "row_number": F.row_number,
                 "rank": F.rank,
                 "dense_rank": F.dense_rank,
-            }[rs.fn]
-            wexpr = fn_col().over(w)
+            }[fn]
+            return fn_col().over(w)
+
+        exprs = [
+            (rs.out_name, _wexpr(rs.fn, rs.order, rs.arg, rs.offset, rs.frame))
+        ] + [
+            (name, _wexpr(fn, order, arg, off, frame))
+            for fn, order, name, arg, off, frame in rs.more
+        ]
 
         def rank_fn(rows: DataFrame) -> DataFrame:
-            return rows.withColumn(rs.out_name, wexpr)
+            for name, we in exprs:
+                rows = rows.withColumn(name, we)
+            return rows
 
         self._view = IncrementalKeyedRecomputeView(
             keys=rs.partition, fn=rank_fn
@@ -1608,11 +1627,17 @@ class CompiledRankView:
         d = zset.lift(d)
         if rs.where is not None:
             d = d.filter(F.expr(rs.where))
+        win_cols: list[str] = [c for c, _ in rs.order] + (
+            [rs.arg] if rs.arg not in (None, "*") else []
+        )
+        win_names = [rs.out_name]
+        for _, order, name, arg, _, _ in rs.more:
+            win_cols += [c for c, _ in order]
+            if arg not in (None, "*"):
+                win_cols.append(arg)
+            win_names.append(name)
         keep = list(dict.fromkeys(
-            rs.partition
-            + [c for c, _ in rs.order]
-            + ([rs.arg] if rs.arg not in (None, "*") else [])
-            + [e for e, _ in rs.select]
+            rs.partition + win_cols + [e for e, _ in rs.select]
         ))
         d = d.select(*keep, WEIGHT)
         out = self._view.step(d)
@@ -1620,14 +1645,15 @@ class CompiledRankView:
             return None
         return out.select(
             *[F.col(e).alias(n) for e, n in rs.select],
-            rs.out_name, WEIGHT,
+            *win_names, WEIGHT,
         ).select(*rs.out_cols, WEIGHT)
 
     def materialized(self) -> DataFrame:
         out = self._view.materialized()
         rs = self.shape
+        win_names = [rs.out_name] + [name for _, _, name, _, _, _ in rs.more]
         return out.select(
-            *[F.col(e).alias(n) for e, n in rs.select], rs.out_name
+            *[F.col(e).alias(n) for e, n in rs.select], *win_names
         ).select(*rs.out_cols)
 
     def state_components(self):

@@ -2127,3 +2127,41 @@ def test_running_aggregate_windows_compile(spark, body):
     got = _canon(p.view("w"))
     exp = _canon(spark.sql(body.replace("FROM t", "FROM __rw_now")))
     assert got == exp
+
+
+def test_multi_window_view_compiles(spark):
+    """Several window functions sharing one PARTITION BY compile into a
+    SINGLE per-key recompute (one state, one touched-key routing);
+    mixed partition keys stay batch."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    body = (
+        "SELECT id, k, v,"
+        " ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC, id) AS rn,"
+        " SUM(v) OVER (PARTITION BY k ORDER BY id) AS rt,"
+        " LAG(v) OVER (PARTITION BY k ORDER BY id) AS pv"
+        " FROM t"
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert type(p._ivm.get("w")).__name__ == "CompiledRankView"
+    df.filter("id > 15").createOrReplaceTempView("__mw_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __mw_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__mw_now")
+    assert _canon(p.view("w")) == _canon(
+        spark.sql(body.replace("FROM t", "FROM __mw_now"))
+    )
+    b2 = PipelineBuilder(spark).sql(
+        "CREATE TABLE t2 (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w2 AS SELECT id,"
+        " ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS a,"
+        " ROW_NUMBER() OVER (PARTITION BY id ORDER BY k) AS b FROM t2"
+    )
+    b2.connect_table("t2", df)
+    assert "w2" not in b2.create()._ivm
