@@ -131,3 +131,27 @@ def test_neighborhood_no_global_window_over_relation(spark):
     win = plan.find("Window")
     union = plan.find("Union")
     assert win != -1 and union != -1 and union > win  # window sits above the union'd page
+
+
+def test_scalar_subquery_cross_join_broadcasts(spark):
+    """The scalar-subquery lowering's cross join must BROADCAST the
+    1-row aggregate side — at 100 TB the big side must never shuffle
+    for a unit-key join."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 50)], "id bigint, v double"
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS "
+        "SELECT id, v FROM t WHERE v > (SELECT AVG(v) FROM t)"
+    )
+    b.connect_table("t", df)
+    p = b.create()
+    assert {"__sq_w_0", "w"} <= set(p._ivm)
+    plan = _plan(p.view("w"))
+    assert "Broadcast" in plan, "1-row side must broadcast"
+    assert "CartesianProduct" not in plan, (
+        "unit-key join must not be a partitioned cartesian product"
+    )
