@@ -2165,3 +2165,81 @@ def test_multi_window_view_compiles(spark):
     )
     b2.connect_table("t2", df)
     assert "w2" not in b2.create()._ivm
+
+
+def test_scalar_subquery_checkpoint_restore(spark, tmp_path):
+    """Kill-and-restore of the scalar-subquery composition (hidden
+    global aggregate + cross join): checkpoint after 2 steps, restore
+    into fresh objects, apply the deletion step — the threshold moves
+    on restore-side state and the final answer equals batch."""
+    from feldera_spark.streaming.checkpoint import PipelineCheckpointer
+
+    chunks, live = _chunks(spark)
+    cols = {"t": ["id", "k", "v", "g"], "h": ["__sv0"]}
+    h_sql = "SELECT AVG(v) AS __sv0 FROM t"
+    w_sql = (
+        "SELECT a.id, a.v FROM t a CROSS JOIN h __sq0 "
+        "WHERE a.v > __sq0.__sv0"
+    )
+
+    def mk():
+        h = compile_view(h_sql, tables={"t"}, columns=cols)
+        w = compile_view(w_sql, tables={"t", "h"}, columns=cols)
+        assert h is not None and w is not None
+        h.bind_schemas({"t": live.limit(0)})
+        return h, w
+
+    def feed(h, w, chunk):
+        hd = h.step({"t": chunk})
+        w.step({"t": chunk, "h": hd})
+
+    h1, w1 = mk()
+    feed(h1, w1, chunks[0])
+    feed(h1, w1, chunks[1])
+    ck = PipelineCheckpointer(str(tmp_path / "state"))
+    ck.commit(1, {"h": h1, "w": w1})
+
+    h2, w2 = mk()
+    meta = ck.restore(spark, {"h": h2, "w": w2})
+    assert meta is not None and meta["batch_id"] == 1
+    feed(h2, w2, chunks[2])  # deletions: the AVG threshold moves
+
+    live.createOrReplaceTempView("__ckpt_sq_live")
+    exp = _canon(spark.sql(
+        "SELECT id, v FROM __ckpt_sq_live "
+        "WHERE v > (SELECT AVG(v) FROM __ckpt_sq_live)"
+    ))
+    assert _canon(w2.materialized()) == exp
+
+
+def test_stream_table_drives_scalar_subquery_view(spark, tmp_path):
+    """A real readStream micro-batch loop drives the scalar-subquery
+    composition: every batch moves the hidden aggregate AND re-derives
+    the threshold comparison; final state equals batch SQL."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    src = str(tmp_path / "sq_stream_src")
+    rows = [(i, float(i * 7 % 13)) for i in range(1, 21)]
+    spark.createDataFrame(rows, "id INT, v DOUBLE").repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE s (id INT, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW above AS "
+        "SELECT id, v FROM s WHERE v > (SELECT AVG(v) FROM s)"
+    )
+    b.connect_table("s", spark.createDataFrame([], "id INT, v DOUBLE"))
+    pipe = b.create()
+    assert {"__sq_above_0", "above"} <= set(pipe._ivm)
+
+    stream = (
+        spark.readStream.schema("id INT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipe.stream_table("s", stream)
+    q.awaitTermination(120)
+
+    m = sum(v for _, v in rows) / len(rows)
+    exp = sorted((i, v) for i, v in rows if v > m)
+    got = sorted((r["id"], r["v"]) for r in pipe.view("above").collect())
+    assert got == exp
