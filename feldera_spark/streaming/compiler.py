@@ -2633,6 +2633,13 @@ class CompiledSetOpView:
             comb = self._sum(da, db, zset.neg(du) if du is not None else None)
         return self._dd.step(comb) if comb is not None else None
 
+    @property
+    def _stepped(self) -> bool:
+        """A nested set-op child counts as stepped when any of its own
+        children has data (union_all parents probe this before reading
+        a side's materialized form)."""
+        return any(getattr(c, "_stepped", True) for c in self.children)
+
     def materialized(self) -> DataFrame:
         if self.op == "union_all":
             sides = []
@@ -2665,10 +2672,13 @@ _SETOP_RE = re.compile(
 
 
 def _split_setop(sql: str) -> tuple[str, str, str] | None:
-    """Find a single top-level (outside parens/quotes) set operation;
-    return (op, left_sql, right_sql) or None. More than one top-level
-    set op (n-ary chains) falls back to batch — precedence rules beyond
-    one binary op aren't worth hand-parsing."""
+    """Find the top-level (outside parens/quotes) set operation to split
+    at; return (op, left_sql, right_sql) or None. N-ary chains split at
+    the LAST operator — UNION/EXCEPT are equal-precedence and
+    left-associative, so ``A op1 B op2 C`` is ``(A op1 B) op2 C`` and
+    the left side recurses. INTERSECT binds TIGHTER, so a mixed chain
+    containing it falls back to batch (only all-INTERSECT chains split
+    here)."""
     depth, in_str = 0, False
     hits: list[tuple[int, int, str]] = []
     i, n = 0, len(sql)
@@ -2692,12 +2702,14 @@ def _split_setop(sql: str) -> tuple[str, str, str] | None:
                     i += 1
                 continue
         i += 1
-    if len(hits) != 1:
+    if not hits:
         return None
-    s, e, kw = hits[0]
-    op = re.sub(r"\s+", " ", kw.upper())
+    norm = [re.sub(r"\s+", " ", kw.upper()) for _, _, kw in hits]
+    if len(hits) > 1 and "INTERSECT" in norm and set(norm) != {"INTERSECT"}:
+        return None  # mixed precedence: batch
+    s, e, kw = hits[-1]
     op = {"UNION ALL": "union_all", "UNION": "union",
-          "EXCEPT": "except", "INTERSECT": "intersect"}[op]
+          "EXCEPT": "except", "INTERSECT": "intersect"}[norm[-1]]
     return op, sql[:s].strip(), sql[e:].strip()
 
 
@@ -3176,14 +3188,24 @@ def compile_view(
         # terminal DISTINCT is the integral — children stay stateless
         # where they can (plain projections)
         mat = op == "union_all"
-        left = _compile_simple(
-            _strip_parens(lsql), tables, append_only or set(), columns,
-            lateness, materialize_output=mat,
-        )
-        right = _compile_simple(
-            _strip_parens(rsql), tables, append_only or set(), columns,
-            lateness, materialize_output=mat,
-        )
+
+        def _side(text: str):
+            s = _strip_parens(text)
+            if _split_setop(s) is not None:
+                # n-ary chain: the left prefix is itself a set op —
+                # recurse (left-associative lowering, one nested
+                # CompiledSetOpView per operator)
+                return compile_view(
+                    s, tables, append_only, columns,
+                    exclude_functions, lateness,
+                )
+            return _compile_simple(
+                s, tables, append_only or set(), columns,
+                lateness, materialize_output=mat,
+            )
+
+        left = _side(lsql)
+        right = _side(rsql)
         if left is None or right is None:
             return None
         try:

@@ -703,11 +703,13 @@ def test_compiled_setop_equals_batch_per_step(spark, sql):
 
 
 def test_setop_fallbacks():
-    # EXCEPT ALL / INTERSECT ALL and n-ary chains: batch fallback
+    # EXCEPT ALL / INTERSECT ALL and INTERSECT-mixed chains (tighter
+    # precedence): batch fallback. Same-precedence n-ary chains compile
+    # (test_nary_setop_chains).
     for sql in (
         "SELECT id FROM t EXCEPT ALL SELECT id FROM u",
         "SELECT id FROM t INTERSECT ALL SELECT id FROM u",
-        "SELECT id FROM t UNION SELECT id FROM u UNION SELECT id FROM w",
+        "SELECT id FROM t UNION SELECT id FROM u INTERSECT SELECT id FROM w",
         # a set-op keyword inside a string literal is data, not syntax
     ):
         assert compile_view(sql, tables={"t", "u", "w"}) is None, sql
@@ -2242,4 +2244,49 @@ def test_stream_table_drives_scalar_subquery_view(spark, tmp_path):
     m = sum(v for _, v in rows) / len(rows)
     exp = sorted((i, v) for i, v in rows if v > m)
     got = sorted((r["id"], r["v"]) for r in pipe.view("above").collect())
+    assert got == exp
+
+
+@pytest.mark.parametrize("body,compiled", [
+    ("SELECT id, k FROM t WHERE g < 4 UNION ALL SELECT id, k FROM u"
+     " UNION ALL SELECT id, k FROM t WHERE g = 4", True),
+    ("SELECT k FROM t UNION SELECT k FROM u UNION SELECT k FROM t"
+     " WHERE g = 0", True),
+    ("SELECT id, k FROM t EXCEPT SELECT id, k FROM u"
+     " EXCEPT SELECT id, k FROM t WHERE g = 1", True),
+    ("SELECT k FROM t UNION SELECT k FROM u EXCEPT SELECT k FROM t"
+     " WHERE g = 2", True),
+    # INTERSECT binds tighter: a mixed chain must fall back to batch
+    ("SELECT k FROM t UNION ALL SELECT k FROM u"
+     " INTERSECT SELECT k FROM t WHERE g = 2", False),
+])
+def test_nary_setop_chains(spark, body, compiled):
+    """Left-associative n-ary set-op chains lower to nested
+    CompiledSetOpViews; INTERSECT-mixed chains (tighter precedence)
+    stay batch. Per-step == batch under deletions either way."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    chunks, live = _chunks(spark)
+    u = spark.createDataFrame(
+        [(i, "k%d" % (i % 4), i, i % 3) for i in range(40, 80)],
+        ["id", "k", "v", "g"],
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v BIGINT, g BIGINT);"
+        "CREATE TABLE u (id BIGINT, k VARCHAR, v BIGINT, g BIGINT);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", zset.to_bag(chunks[0]))
+    b.connect_table("u", u)
+    p = b.create()
+    assert ("w" in p._ivm) == compiled
+    zset.to_bag(chunks[1]).createOrReplaceTempView("__ns_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __ns_chunk")
+    p.execute("DELETE FROM t WHERE id % 7 = 0")
+    live.createOrReplaceTempView("__ns_t")
+    u.createOrReplaceTempView("__ns_u")
+    got = _canon(p.view("w"))
+    exp = _canon(spark.sql(
+        body.replace("FROM t", "FROM __ns_t").replace("FROM u", "FROM __ns_u")
+    ))
     assert got == exp
