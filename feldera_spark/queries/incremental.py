@@ -2137,3 +2137,51 @@ def i42_ddl_multi_window(spark, sf_dir):
         F.col("rsum").cast("double").alias("running_total"),
         "prev_event",
     )
+
+
+@q(
+    "i43_ddl_nary_setop",
+    oracle=f"""
+    SELECT user_id FROM ({_NET}) WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM ({_NET}) WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM ({_NET})
+    WHERE event_type = 'purchase' AND user_id % 7 = 0
+    """,
+)
+def i43_ddl_nary_setop(spark, sf_dir):
+    """Left-associative n-ary set-op chain from DDL: (clickers UNION
+    viewers) EXCEPT purchasers lowers to two nested incremental set-op
+    views — maintained DISTINCTs chained, per-step. The delete chunk
+    removes purchases, so users REAPPEAR in the answer when their last
+    purchase is retracted (the except side shrinks)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i43_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW funnel_gap AS "
+        "SELECT user_id FROM ev WHERE event_type = 'click' "
+        "UNION "
+        "SELECT user_id FROM ev WHERE event_type = 'view' "
+        "EXCEPT "
+        "SELECT user_id FROM ev"
+        " WHERE event_type = 'purchase' AND user_id % 7 = 0"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("funnel_gap")
+    assert plan is not None and type(plan).__name__ == "CompiledSetOpView"
+    assert type(plan.children[0]).__name__ == "CompiledSetOpView", (
+        "left-assoc: the UNION prefix nests as the EXCEPT's left child"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i43_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i43_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("funnel_gap")
