@@ -1361,7 +1361,8 @@ _RANK_OVER_RE = re.compile(
     re.IGNORECASE,
 )
 _LAG_OVER_RE = re.compile(
-    r"^(?P<fn>LAG|LEAD)\s*\(\s*(?P<arg>\w+)(?:\s*,\s*(?P<n>\d+))?\s*\)\s+"
+    r"^(?P<fn>LAG|LEAD)\s*\(\s*(?P<arg>\w+)(?:\s*,\s*(?P<n>\d+)"
+    r"(?:\s*,\s*(?P<dflt>[^(),]+))?)?\s*\)\s+"
     r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
     r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?"
     r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)\s*\)$",
@@ -1413,11 +1414,13 @@ class _RankShape:
     # PRECEDING..CURRENT ROW); ("rows", None) = ROWS UNBOUNDED
     # PRECEDING; ("rows", n) = ROWS n PRECEDING
     frame: tuple[str, int | None] | None = None
+    # LAG/LEAD third argument (the SQL default expression), verbatim
+    dflt: str | None = None
     # additional window items sharing the SAME partition keys: the
     # per-key recompute re-evaluates whole partitions, so any number of
     # windows ride one state as long as the touched-key routing (the
     # partition) is shared. Each entry: (fn, order, out_name, arg,
-    # offset, frame).
+    # offset, frame, dflt).
     more: list[tuple] = field(default_factory=list)
 
 
@@ -1504,9 +1507,16 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                     "rows",
                     None if gm.group("unb") else int(gm.group("np")),
                 )
+            dflt = (
+                lm.group("dflt").strip()
+                if lm is not None
+                and "dflt" in lm.groupdict()
+                and lm.group("dflt")
+                else None
+            )
             windows.append(
                 (mm.group("fn").lower(), partition, order, name, arg, off,
-                 frame)
+                 frame, dflt)
             )
             out_cols.append(name)
             continue
@@ -1525,7 +1535,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
     p0 = windows[0][1]
     if any(w[1] != p0 for w in windows[1:]):
         return None
-    fn, partition, order, out_name, arg, off, frame = windows[0]
+    fn, partition, order, out_name, arg, off, frame, dflt = windows[0]
     where = m.group("where")
     return _RankShape(
         left=tm.group("t").lower(),
@@ -1539,7 +1549,10 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         offset=off,
         out_cols=out_cols,
         frame=frame,
-        more=[(w[0], w[2], w[3], w[4], w[5], w[6]) for w in windows[1:]],
+        dflt=dflt,
+        more=[
+            (w[0], w[2], w[3], w[4], w[5], w[6], w[7]) for w in windows[1:]
+        ],
     )
 
 
@@ -1562,14 +1575,16 @@ class CompiledRankView:
         self.sources = [rs.left]
         self._waterline = None
 
-        def _wexpr(fn, order, arg, off, frame):
+        def _wexpr(fn, order, arg, off, frame, dflt=None):
             order_cols = [
                 F.col(c).desc() if d else F.col(c).asc() for c, d in order
             ]
             w = Window.partitionBy(*rs.partition).orderBy(*order_cols)
             if fn in ("lag", "lead"):
-                getter = F.lag if fn == "lag" else F.lead
-                return getter(F.col(arg), off).over(w)
+                call = f"{fn}({arg}, {off}" + (
+                    f", {dflt})" if dflt is not None else ")"
+                )
+                return F.expr(call).over(w)
             if fn in ("first_value", "last_value"):
                 # whole-partition frame (the reference's unbounded-only
                 # FIRST/LAST restriction)
@@ -1601,10 +1616,11 @@ class CompiledRankView:
             return fn_col().over(w)
 
         exprs = [
-            (rs.out_name, _wexpr(rs.fn, rs.order, rs.arg, rs.offset, rs.frame))
+            (rs.out_name,
+             _wexpr(rs.fn, rs.order, rs.arg, rs.offset, rs.frame, rs.dflt))
         ] + [
-            (name, _wexpr(fn, order, arg, off, frame))
-            for fn, order, name, arg, off, frame in rs.more
+            (name, _wexpr(fn, order, arg, off, frame, dflt))
+            for fn, order, name, arg, off, frame, dflt in rs.more
         ]
 
         def rank_fn(rows: DataFrame) -> DataFrame:
@@ -1631,7 +1647,7 @@ class CompiledRankView:
             [rs.arg] if rs.arg not in (None, "*") else []
         )
         win_names = [rs.out_name]
-        for _, order, name, arg, _, _ in rs.more:
+        for _, order, name, arg, _, _, _ in rs.more:
             win_cols += [c for c, _ in order]
             if arg not in (None, "*"):
                 win_cols.append(arg)
@@ -1651,7 +1667,9 @@ class CompiledRankView:
     def materialized(self) -> DataFrame:
         out = self._view.materialized()
         rs = self.shape
-        win_names = [rs.out_name] + [name for _, _, name, _, _, _ in rs.more]
+        win_names = [rs.out_name] + [
+            name for _, _, name, _, _, _, _ in rs.more
+        ]
         return out.select(
             *[F.col(e).alias(n) for e, n in rs.select], *win_names
         ).select(*rs.out_cols)

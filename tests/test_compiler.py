@@ -2290,3 +2290,30 @@ def test_nary_setop_chains(spark, body, compiled):
         body.replace("FROM t", "FROM __ns_t").replace("FROM u", "FROM __ns_u")
     ))
     assert got == exp
+
+
+def test_lag_lead_default_arg_compiles(spark):
+    """LAG/LEAD with the 3-argument form (explicit default) compile;
+    edge rows carry the default instead of NULL."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    body = (
+        "SELECT id, k, LAG(v, 1, 0.0) OVER (PARTITION BY k ORDER BY id)"
+        " AS pv, LEAD(v, 2, -1.0) OVER (PARTITION BY k ORDER BY id)"
+        " AS nv FROM t"
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert type(p._ivm.get("w")).__name__ == "CompiledRankView"
+    df.filter("id > 15").createOrReplaceTempView("__ld_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __ld_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__ld_now")
+    assert _canon(p.view("w")) == _canon(
+        spark.sql(body.replace("FROM t", "FROM __ld_now"))
+    )
