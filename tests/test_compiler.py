@@ -857,15 +857,22 @@ def test_compiled_rolling_equals_batch(spark, sql):
     assert _canon(plan.materialized()) == _canon(spark.sql(sql)), sql
 
 
-def test_rolling_rejects_non_range_windows():
+def test_rolling_rejects_non_range_windows(spark):
+    # ROWS-framed and frameless running aggregates are NOT the rolling
+    # RANGE-INTERVAL operator's business — they route to the per-key
+    # recompute (CompiledRankView), whose evaluation is the same Spark
+    # window batch uses (tie determinism is the author's contract, as
+    # with ROW_NUMBER)
     for sql in (
-        # ROWS frames are order-dependent under ties — not this operator
         "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS "
         "BETWEEN 3 PRECEDING AND CURRENT ROW) AS r FROM t",
-        # ROW_NUMBER with a RANGE frame spec is malformed
-        "SELECT k, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM t",  # no PARTITION BY: global sort
-        # unbounded following frames see the future
         "SELECT k, ts, SUM(v) OVER (PARTITION BY k ORDER BY ts) AS r FROM t",
+    ):
+        plan = compile_view(sql, tables={"t"})
+        assert type(plan).__name__ == "CompiledRankView", sql
+    for sql in (
+        # no PARTITION BY: a global sort — stays batch
+        "SELECT k, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM t",
         # COUNT(expr) skips NULLs — only COUNT(*) maps to weight-count
         "SELECT k, ts, COUNT(v) OVER (PARTITION BY k ORDER BY ts RANGE "
         "BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS c FROM t",
