@@ -2661,9 +2661,9 @@ class CompiledSetOpView:
     def materialized(self) -> DataFrame:
         if self.op == "union_all":
             sides = []
-            if self.children[0]._stepped:
+            if getattr(self.children[0], "_stepped", True):
                 sides.append(self.children[0].materialized())
-            if self.children[1]._stepped:
+            if getattr(self.children[1], "_stepped", True):
                 rm = self.children[1].materialized()
                 for rc, lc in self._rename:
                     if rc != lc:
@@ -3233,6 +3233,17 @@ def compile_view(
     return _compile_simple(
         sql, tables, append_only or set(), columns, lateness
     )
+
+
+# union_all parents probe `_stepped` before reading a side's
+# materialized form (a never-fed side has no state to read). The
+# specialized per-key-recompute views all expose it via their inner
+# view's output spine.
+for _cls in (
+    CompiledRankView, CompiledAsofView, CompiledSessionView,
+    CompiledRollingView,
+):
+    _cls._stepped = property(lambda self: not self._view.output.empty)
 
 
 def enable_spill(plan, base_dir: str) -> int:

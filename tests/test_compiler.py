@@ -2324,3 +2324,33 @@ def test_lag_lead_default_arg_compiles(spark):
     assert _canon(p.view("w")) == _canon(
         spark.sql(body.replace("FROM t", "FROM __ld_now"))
     )
+
+
+def test_union_all_of_ranked_sides(spark):
+    """UNION ALL whose sides are per-key-recompute views (ranked) —
+    the set-op parent must probe side readiness through the inner
+    view's output spine, not a CompiledView-only flag."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    body = (
+        "SELECT id, k, ROW_NUMBER() OVER (PARTITION BY k"
+        " ORDER BY v DESC, id) AS rn FROM t WHERE v > 5 "
+        "UNION ALL "
+        "SELECT id, k, ROW_NUMBER() OVER (PARTITION BY k"
+        " ORDER BY v, id) AS rn FROM t WHERE v <= 5"
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert type(p._ivm.get("w")).__name__ == "CompiledSetOpView"
+    df.filter("id > 15").createOrReplaceTempView("__ur_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __ur_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__ur_now")
+    assert _canon(p.view("w")) == _canon(
+        spark.sql(body.replace("FROM t", "FROM __ur_now"))
+    )
