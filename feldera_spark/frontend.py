@@ -659,6 +659,17 @@ def extract_scalar_subqueries(
             end = _balanced(protected, start)
         except ValueError:
             return None
+        # In a GROUP BY query, the joined scalar column is only legal
+        # BELOW the aggregation (the WHERE clause). A ref in the select
+        # list or HAVING would not be a grouping column — the rewrite
+        # would be invalid SQL, so those positions stay as real
+        # subqueries (batch evaluates them fine).
+        gb_pos = _top_level_kw_pos(protected, r"GROUP\s+BY")
+        if gb_pos is not None:
+            wh_pos = _top_level_kw_pos(protected, r"WHERE")
+            if wh_pos is None or not (wh_pos < start and end <= gb_pos):
+                pos = end
+                continue
         body = protected[start + 1 : end - 1].strip()
         bm = _SCALAR_BODY_RE.match(body)
         parsed = None  # (inner_sql_builder args, join clause builder)
@@ -838,6 +849,20 @@ def _single_outer_table(text: str) -> tuple[str, str] | None:
         return None
     t = m.group("t").lower()
     return t, (m.group("al") or m.group("t")).lower()
+
+
+def _top_level_kw_pos(text: str, kw_pattern: str) -> int | None:
+    """Start offset of the first paren-depth-0 occurrence of a keyword."""
+    depth = 0
+    for mm in re.finditer(rf"[()]|\b(?:{kw_pattern})\b", text, re.IGNORECASE):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return mm.start()
+    return None
 
 
 def _top_level_from_span(text: str) -> tuple[int, int] | None:

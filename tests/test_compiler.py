@@ -2354,3 +2354,45 @@ def test_union_all_of_ranked_sides(spark):
     assert _canon(p.view("w")) == _canon(
         spark.sql(body.replace("FROM t", "FROM __ur_now"))
     )
+
+
+def test_scalar_subquery_positions_in_group_by_query(spark):
+    """In a GROUP BY query the scalar ref is only legal BELOW the
+    aggregation: WHERE-position extracts (and compiles), HAVING- and
+    select-list positions stay real subqueries (batch, correct)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    df.createOrReplaceTempView("__sp_all")
+
+    ddl = (
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    # WHERE position: pre-aggregation — extract + compile
+    where_body = (
+        "SELECT k, SUM(v) AS s FROM t "
+        "WHERE v > (SELECT AVG(v) FROM t) GROUP BY k"
+    )
+    b = PipelineBuilder(spark).sql(ddl.format(body=where_body))
+    b.connect_table("t", df)
+    p = b.create()
+    assert {"__sq_w_0", "w"} <= set(p._ivm)
+    assert _canon(p.view("w")) == _canon(
+        spark.sql(where_body.replace("FROM t", "FROM __sp_all"))
+    )
+    # HAVING / select-list positions: extraction would be invalid SQL —
+    # stays a real subquery, batch fallback, correct
+    for body in (
+        "SELECT k, SUM(v) AS s FROM t GROUP BY k "
+        "HAVING SUM(v) > (SELECT AVG(v) FROM t)",
+        "SELECT k, SUM(v) AS s, (SELECT MAX(v) FROM t) AS mx "
+        "FROM t GROUP BY k",
+    ):
+        b2 = PipelineBuilder(spark).sql(ddl.format(body=body))
+        b2.connect_table("t", df)
+        p2 = b2.create()
+        assert "w" not in p2._ivm
+        assert _canon(p2.view("w")) == _canon(
+            spark.sql(body.replace("FROM t", "FROM __sp_all"))
+        )
