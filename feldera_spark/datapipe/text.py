@@ -246,3 +246,46 @@ def pii_scrub(
         n_phone.cast("bigint").alias("n_phones"),
         (n_email + n_phone > 0).cast("int").alias("had_pii"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    ctx_len: int,
+    partition_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan: the classic pretraining
+    prep where documents are concatenated in a deterministic order and
+    split into fixed ``ctx_len``-token training sequences. Emits, per
+    document, the sequence id its first token lands in and the offset
+    inside that sequence — a pure PLAN (no text movement), so the
+    expensive byte shuffling can happen later, partition-local.
+
+    Scale shape: ONE window shuffle keyed by ``partition_cols`` (at
+    100 TB: partition by (lang, shard) so each partition's running sum
+    is bounded); the running total is a ROWS frame over a unique order
+    (``id_col``) — deterministic across engines. All arithmetic is
+    integer (DIV / %), no float rounding at any corpus size."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(_tokens(F.col(text))).cast("long")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(toks).over(w) - toks).cast("long")
+    out = df.select(
+        *partition_cols,
+        id_col,
+        toks.alias("n_tokens"),
+        start.alias("__start"),
+    )
+    return out.select(
+        *partition_cols,
+        id_col,
+        "n_tokens",
+        F.expr(f"__start DIV {ctx_len}").alias("seq_id"),
+        (F.col("__start") % ctx_len).alias("seq_offset"),
+    )

@@ -713,3 +713,34 @@ def d20_dedup_survivors(spark, sf_dir):
             .alias("surviving_chars"),
         )
     )
+
+
+@q(
+    "d21_sequence_packing",
+    oracle="""
+    SELECT lang, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+              OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - CAST(len(string_split(text, ' ')) AS BIGINT)) // 2048
+             AS BIGINT) AS seq_id,
+           CAST((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+              OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - CAST(len(string_split(text, ' ')) AS BIGINT)) % 2048
+             AS BIGINT) AS seq_offset
+    FROM documents
+    """,
+)
+def d21_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pretraining prep):
+    per-language corpora are concatenated in doc_id order and split
+    into 2048-token training sequences; each document gets the sequence
+    id + offset its first token lands at. One window shuffle keyed by
+    the packing partition; all-integer arithmetic, so the plan is
+    bit-identical across engines at any corpus size."""
+    from feldera_spark.datapipe.text import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", ctx_len=2048)
