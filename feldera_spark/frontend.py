@@ -903,3 +903,170 @@ def _mask_parens(text: str) -> str:
         else:
             out.append(ch if depth == 0 else " ")
     return "".join(out)
+
+
+_AGG_CALL_RE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|STDDEV|STDDEV_POP|STDDEV_SAMP|VAR_POP|"
+    r"VAR_SAMP|VARIANCE|ARG_MIN|ARG_MAX|BOOL_AND|BOOL_OR|EVERY|"
+    r"BIT_AND|BIT_OR|BIT_XOR|COUNTIF)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def split_aggregate_for_scalar(
+    sql: str, prefix: str
+) -> tuple[str, str, str] | None:
+    """When a GROUP BY view body holds scalar subqueries ABOVE the
+    aggregation (select list or HAVING), split it Calcite-style: the
+    aggregate becomes a hidden view and the residual outer query —
+    plain select/filter over it — carries the subqueries, where the
+    normal scalar-subquery pass can then lower them to IVM joins.
+
+    ``SELECT k, SUM(v) AS s FROM t GROUP BY k
+      HAVING SUM(v) > (SELECT AVG(v) FROM t)``
+    → hidden: ``SELECT k, SUM(v) AS s FROM t GROUP BY k``
+      outer:  ``SELECT k, s FROM <hidden> WHERE s > (SELECT AVG(v) FROM t)``
+
+    Aggregate calls in HAVING/outer positions resolve to hidden select
+    aliases (extra hidden items are synthesized for calls not already
+    projected). Returns (outer_sql, hidden_name, hidden_sql) or None
+    when the body has no above-aggregation subquery or is out of
+    grammar (ORDER BY/LIMIT, DISTINCT, unsplittable item)."""
+    protected, lits = _protect_literals(sql)
+    if re.search(
+        r"\b(ORDER\s+BY|LIMIT|DISTINCT|UNION|EXCEPT|INTERSECT|WITH)\b",
+        protected, re.IGNORECASE,
+    ):
+        return None
+    gb_pos = _top_level_kw_pos(protected, r"GROUP\s+BY")
+    if gb_pos is None or "(" not in protected:
+        return None
+    # paren-aware clause split (a FROM inside a subquery is not a
+    # clause boundary)
+    sm = re.match(r"^\s*SELECT\s+", protected, re.IGNORECASE)
+    from_pos = _top_level_kw_pos(protected, r"FROM")
+    where_pos = _top_level_kw_pos(protected, r"WHERE")
+    having_pos = _top_level_kw_pos(protected, r"HAVING")
+    if sm is None or from_pos is None:
+        return None
+
+    def _clause(start_kw_pos, kw_len, *ends):
+        end = min([e for e in ends if e is not None] + [len(protected)])
+        return protected[start_kw_pos + kw_len : end].strip().rstrip(";")
+
+    class m:  # clause accessor mirroring the old regex group API
+        _g = {
+            "sel": protected[sm.end() : from_pos].strip(),
+            "frm": _clause(from_pos, 4, where_pos, gb_pos),
+            "w": (
+                _clause(where_pos, 5, gb_pos) if where_pos is not None
+                and where_pos < gb_pos else None
+            ),
+            "gb": _clause(gb_pos, len("GROUP BY") + 1, having_pos),
+            "h": (
+                _clause(having_pos, 6, None)
+                if having_pos is not None else None
+            ),
+        }
+
+        @staticmethod
+        def group(k):
+            return m._g[k]
+
+    # the split only pays off when a subquery sits ABOVE the aggregation
+    above = (m.group("sel") or "") + " " + (m.group("h") or "")
+    if not _SCALAR_SUBQ_RE.search(above):
+        return None
+    # WHERE must not hide a FROM-position or misparsed clause boundary
+    hidden_items: list[tuple[str, str]] = []  # (expr, alias)
+    outer_items: list[str] = []
+    for item in _split_top_commas_fe(m.group("sel")):
+        item = item.strip()
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)\s*$", item,
+                      re.IGNORECASE | re.DOTALL)
+        expr, name = (
+            (am.group("e").strip(), am.group("n")) if am else (item, None)
+        )
+        if _SCALAR_SUBQ_RE.search(item):
+            if name is None:
+                return None  # subquery items must be aliased
+            outer_items.append((expr, name))
+        else:
+            if name is None:
+                if not re.match(r"^\w+(\.\w+)?$", expr):
+                    return None
+                name = expr.split(".")[-1]
+            hidden_items.append((expr, name))
+            outer_items.append((name, name))
+
+    def _norm(t: str) -> str:
+        return re.sub(r"\s+", "", t).lower()
+
+    alias_of = {_norm(e): n for e, n in hidden_items}
+
+    def _resolve_aggs(text: str) -> str | None:
+        """Replace aggregate calls with hidden aliases, synthesizing
+        hidden items for calls not already projected."""
+        out, i = [], 0
+        while True:
+            am2 = _AGG_CALL_RE.search(text, i)
+            if am2 is None:
+                out.append(text[i:])
+                break
+            # skip calls inside a subquery (they belong to the subquery)
+            sq = _SCALAR_SUBQ_RE.search(text, i)
+            if sq is not None and sq.start() < am2.start():
+                try:
+                    sq_end = _balanced(text, text.index("(", sq.start()))
+                except ValueError:
+                    return None
+                out.append(text[i:sq_end])
+                i = sq_end
+                continue
+            open_idx = text.index("(", am2.end() - 1)
+            try:
+                end = _balanced(text, open_idx)
+            except ValueError:
+                return None
+            call = text[am2.start():end]
+            alias = alias_of.get(_norm(call))
+            if alias is None:
+                alias = f"__hagg{len(hidden_items)}"
+                hidden_items.append((call, alias))
+                alias_of[_norm(call)] = alias
+            out.append(text[i:am2.start()])
+            out.append(alias)
+            i = end
+        return "".join(out)
+
+    resolved_outer = []
+    for expr, name in outer_items:
+        r = _resolve_aggs(expr)
+        if r is None:
+            return None
+        resolved_outer.append(f"{r} AS {name}" if r != name else name)
+    where_out = None
+    if m.group("h"):
+        where_out = _resolve_aggs(m.group("h"))
+        if where_out is None:
+            return None
+    hidden = f"{prefix}_agg"
+    hidden_sql = "SELECT " + ", ".join(
+        f"{e} AS {n}" if _norm(e) != _norm(n) else e
+        for e, n in hidden_items
+    ) + f" FROM {m.group('frm')}"
+    if m.group("w"):
+        hidden_sql += f" WHERE {m.group('w')}"
+    hidden_sql += f" GROUP BY {m.group('gb')}"
+    outer_sql = f"SELECT {', '.join(resolved_outer)} FROM {hidden}"
+    if where_out:
+        outer_sql += f" WHERE {where_out}"
+    return (
+        _restore_literals(outer_sql, lits),
+        hidden,
+        _restore_literals(hidden_sql, lits),
+    )
+
+
+def _split_top_commas_fe(text: str) -> list[str]:
+    return _split_top_commas(text)

@@ -310,6 +310,16 @@ class PipelineBuilder:
                 sql, subs = derived
                 for hidden, body in subs:
                     self.add_view(hidden, sql=body, materialized=False)
+            # scalar subqueries ABOVE a GROUP BY (select list / HAVING)
+            # first split the aggregate into a hidden view, leaving the
+            # subqueries in a plain filter/projection where the scalar
+            # pass below can lower them
+            from feldera_spark.frontend import split_aggregate_for_scalar
+
+            split = split_aggregate_for_scalar(sql, f"__ha_{name}")
+            if split is not None:
+                sql, hidden, hidden_sql = split
+                self.add_view(hidden, sql=hidden_sql, materialized=False)
             # uncorrelated scalar subqueries extract to hidden global-
             # aggregate views + a CROSS JOIN (Calcite's scalar-subquery
             # lowering: join on the unit key against a 1-row aggregate)

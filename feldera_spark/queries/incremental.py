@@ -2185,3 +2185,55 @@ def i43_ddl_nary_setop(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i43_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("funnel_gap")
+
+
+@q(
+    "i44_ddl_having_scalar",
+    oracle=f"""
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM ({_NET}) WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING sum(CAST(value AS DECIMAL(12,2))) >
+           (SELECT max(CAST(value AS DECIMAL(12,2))) FROM ({_NET})
+            WHERE event_type = 'purchase') * 3
+    """,
+)
+def i44_ddl_having_scalar(spark, sf_dir):
+    """Scalar subquery in HAVING position: the aggregate splits into a
+    hidden per-user view, the corpus-total subquery becomes a hidden
+    global aggregate, and the HAVING becomes a cross-join filter ABOVE
+    both — a 3-view IVM chain (users whose purchase total exceeds 3x
+    the single largest purchase). The delete chunk moves BOTH sides of
+    the comparison;
+    DECIMAL sums keep it bit-exact across engines."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i44_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW whales AS "
+        "SELECT user_id, COUNT(*) AS n, SUM(value) AS total FROM ev"
+        " WHERE event_type = 'purchase' GROUP BY user_id"
+        " HAVING SUM(value) > (SELECT MAX(value) FROM ev"
+        " WHERE event_type = 'purchase') * 3"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert {"__ha_whales_agg", "__sq_whales_0", "whales"} <= set(
+        pipe._ivm
+    ), "HAVING scalar must lower to the 3-view IVM chain"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i44_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i44_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("whales").select(
+        "user_id", "n", F.col("total").cast("double").alias("total")
+    )

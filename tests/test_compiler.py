@@ -2357,9 +2357,10 @@ def test_union_all_of_ranked_sides(spark):
 
 
 def test_scalar_subquery_positions_in_group_by_query(spark):
-    """In a GROUP BY query the scalar ref is only legal BELOW the
-    aggregation: WHERE-position extracts (and compiles), HAVING- and
-    select-list positions stay real subqueries (batch, correct)."""
+    """Scalar subqueries in every position of a GROUP BY query compile:
+    WHERE-position extracts below the aggregation directly; HAVING- and
+    select-list positions first split the aggregate into a hidden view
+    so the subquery lands in a plain filter/projection above it."""
     from feldera_spark.pipeline import PipelineBuilder
 
     df = _sq_src(spark)
@@ -2381,8 +2382,8 @@ def test_scalar_subquery_positions_in_group_by_query(spark):
     assert _canon(p.view("w")) == _canon(
         spark.sql(where_body.replace("FROM t", "FROM __sp_all"))
     )
-    # HAVING / select-list positions: extraction would be invalid SQL —
-    # stays a real subquery, batch fallback, correct
+    # HAVING / select-list positions: the aggregate splits into a
+    # hidden view; the whole 3-view chain is IVM
     for body in (
         "SELECT k, SUM(v) AS s FROM t GROUP BY k "
         "HAVING SUM(v) > (SELECT AVG(v) FROM t)",
@@ -2392,7 +2393,7 @@ def test_scalar_subquery_positions_in_group_by_query(spark):
         b2 = PipelineBuilder(spark).sql(ddl.format(body=body))
         b2.connect_table("t", df)
         p2 = b2.create()
-        assert "w" not in p2._ivm
+        assert {"__ha_w_agg", "__sq_w_0", "w"} <= set(p2._ivm)
         assert _canon(p2.view("w")) == _canon(
             spark.sql(body.replace("FROM t", "FROM __sp_all"))
         )
