@@ -767,6 +767,25 @@ def extract_scalar_subqueries(
         pos = start
     if not out:
         return None
+    if len(out) > 1 and all(j.lstrip().startswith("CROSS") for j in joins):
+        # several uncorrelated scalars (e.g. BETWEEN (SELECT MIN…) AND
+        # (SELECT MAX…)): fold them left-deep into pairwise 1-row×1-row
+        # cross-join combo views, so the outer body needs only ONE cross
+        # join — every node in the tree is a compilable binary shape
+        acc_cols = ["__sv0"]
+        cur = out[0][0]
+        for i in range(1, len(out)):
+            nm = f"{prefix}_c{i}"
+            sel = ", ".join(f"__l.{c} AS {c}" for c in acc_cols)
+            out.append((
+                nm,
+                f"SELECT {sel}, __r.__sv{i} AS __sv{i} "
+                f"FROM {cur} __l CROSS JOIN {out[i][0]} __r",
+            ))
+            acc_cols.append(f"__sv{i}")
+            cur = nm
+        joins = [f" CROSS JOIN {cur} __sqall"]
+        protected = re.sub(r"\b__sq\d+\s*\.", "__sqall.", protected)
     # splice the joins at the end of the top-level FROM clause
     span = _top_level_from_span(protected)
     if span is None:

@@ -160,9 +160,24 @@ _SQL_KEYWORDS = frozenset(
 
 
 def _split_top_and(text: str) -> list[str]:
-    """Split a predicate on top-level ANDs (paren- and quote-aware)."""
+    """Split a predicate on top-level ANDs (paren- and quote-aware).
+    The AND of a top-level ``BETWEEN x AND y`` belongs to the BETWEEN,
+    not the conjunction — splitting there would leave a non-boolean
+    right half."""
     out, buf, depth, in_str = [], [], 0, False
+    between_open = 0  # top-level BETWEENs awaiting their AND
     i, n = 0, len(text)
+
+    def _word_at(idx: int, w: str) -> bool:
+        return (
+            text[idx : idx + len(w)].upper() == w
+            and (idx == 0 or not (text[idx - 1].isalnum() or text[idx - 1] == "_"))
+            and (
+                idx + len(w) >= n
+                or not (text[idx + len(w)].isalnum() or text[idx + len(w)] == "_")
+            )
+        )
+
     while i < n:
         ch = text[i]
         if ch == "'":
@@ -172,19 +187,16 @@ def _split_top_and(text: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif (
-                depth == 0
-                and text[i : i + 3].upper() == "AND"
-                and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
-                and (
-                    i + 3 >= n
-                    or not (text[i + 3].isalnum() or text[i + 3] == "_")
-                )
-            ):
-                out.append("".join(buf).strip())
-                buf = []
-                i += 3
-                continue
+            elif depth == 0 and _word_at(i, "BETWEEN"):
+                between_open += 1
+            elif depth == 0 and _word_at(i, "AND"):
+                if between_open:
+                    between_open -= 1
+                else:
+                    out.append("".join(buf).strip())
+                    buf = []
+                    i += 3
+                    continue
         buf.append(ch)
         i += 1
     tail = "".join(buf).strip()

@@ -2397,3 +2397,63 @@ def test_scalar_subquery_positions_in_group_by_query(spark):
         assert _canon(p2.view("w")) == _canon(
             spark.sql(body.replace("FROM t", "FROM __sp_all"))
         )
+
+
+def test_between_in_compiled_where(spark):
+    """BETWEEN's AND must not split as a conjunction — previously the
+    filter-push would apply the non-boolean right half as a predicate.
+    Exercise a pushed single-side BETWEEN below an inner join."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    dim = spark.createDataFrame(
+        [("k0", "east"), ("k1", "west"), ("k2", "east")], "dk string, r string"
+    )
+    body = (
+        "SELECT t.id, t.v, d.r FROM t JOIN d ON t.k = d.dk "
+        "WHERE t.v BETWEEN 3 AND 9 AND d.r = 'east'"
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE TABLE d (dk VARCHAR, r VARCHAR);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    b.connect_table("d", dim)
+    p = b.create()
+    assert "w" in p._ivm
+    df.filter("id > 15").createOrReplaceTempView("__bt_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __bt_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__bt_now")
+    dim.createOrReplaceTempView("__bt_d")
+    assert _canon(p.view("w")) == _canon(spark.sql(
+        body.replace("FROM t", "FROM __bt_now t").replace(
+            "JOIN d", "JOIN __bt_d d")
+    ))
+
+
+def test_between_scalar_bounds_compile(spark):
+    """Two uncorrelated scalar subqueries (BETWEEN bounds) fold into a
+    pairwise cross-join combo view — the WHOLE chain is IVM."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    body = (
+        "SELECT id, v FROM t WHERE v BETWEEN (SELECT MIN(v) FROM t) + 2"
+        " AND (SELECT MAX(v) FROM t) - 2"
+    )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k VARCHAR, v DOUBLE);"
+        f"CREATE MATERIALIZED VIEW w AS {body}"
+    )
+    b.connect_table("t", df.filter("id <= 15"))
+    p = b.create()
+    assert {"__sq_w_0", "__sq_w_1", "__sq_w_c1", "w"} <= set(p._ivm)
+    df.filter("id > 15").createOrReplaceTempView("__bs_chunk")
+    p.execute("INSERT INTO t SELECT * FROM __bs_chunk")
+    p.execute("DELETE FROM t WHERE id % 5 = 2")
+    df.filter("id % 5 != 2").createOrReplaceTempView("__bs_now")
+    assert _canon(p.view("w")) == _canon(
+        spark.sql(body.replace("FROM t", "FROM __bs_now"))
+    )
