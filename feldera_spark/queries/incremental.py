@@ -2237,3 +2237,54 @@ def i44_ddl_having_scalar(spark, sf_dir):
     return pipe.view("whales").select(
         "user_id", "n", F.col("total").cast("double").alias("total")
     )
+
+
+@q(
+    "i45_ddl_between_scalars",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM ({_NET}) WHERE event_type = 'purchase'
+      AND CAST(value AS DOUBLE) * 4 BETWEEN
+          (SELECT MIN(CAST(value AS DOUBLE)) FROM ({_NET})
+           WHERE event_type = 'purchase') * 5
+          AND (SELECT MAX(CAST(value AS DOUBLE)) FROM ({_NET})
+               WHERE event_type = 'purchase') * 2
+    """,
+)
+def i45_ddl_between_scalars(spark, sf_dir):
+    """TWO uncorrelated scalar subqueries as BETWEEN bounds: both
+    extract into hidden global aggregates, FOLD into a pairwise
+    cross-join combo view (1-row × 1-row), and the body cross-joins the
+    single 1-row combo — a fully-IVM 4-view chain. The delete chunk can
+    retract either extremum, moving BOTH bounds at once. MIN/MAX are
+    exact, so the band is bit-stable across engines."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i45_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW banded AS "
+        "SELECT event_id, user_id, value FROM ev "
+        "WHERE event_type = 'purchase'"
+        " AND value * 4 BETWEEN"
+        " (SELECT MIN(value) FROM ev WHERE event_type = 'purchase') * 5"
+        " AND (SELECT MAX(value) FROM ev"
+        " WHERE event_type = 'purchase') * 2"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert {
+        "__sq_banded_0", "__sq_banded_1", "__sq_banded_c1", "banded"
+    } <= set(pipe._ivm), "both bounds + combo + body must all be IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i45_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i45_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("banded")
