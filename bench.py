@@ -92,6 +92,25 @@ def main() -> None:
     except Exception as e:  # baseline is informational — never fail the bench
         print(f"# duckdb baseline skipped: {e}", file=sys.stderr)
 
+    # Same-metric streaming section: BASELINE.md reports Nexmark
+    # events/s (16 cores, streaming); the batch wall-times above are a
+    # different metric. Here two Nexmark-shaped pipelines are driven
+    # through Pipeline.stream_table — real readStream micro-batches,
+    # each one circuit step through COMPILED IVM views — and the JSON
+    # carries honest events/s next to the reference's numbers.
+    streaming: dict[str, dict] = {}
+    try:
+        streaming = run_streaming_bench(spark, sf_dir)
+        for name, row in streaming.items():
+            print(
+                f"# streaming {name}: {row['events_per_sec']:,} events/s "
+                f"({row['events']} events, {row['batches']} micro-batches, "
+                f"{row['sec']}s)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # informational — never fail the bench
+        print(f"# streaming bench skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3) if duck else None
     out = {
@@ -105,7 +124,79 @@ def main() -> None:
         out["duckdb_queries"] = duck
         out["duckdb_total"] = duck_total
         out["vs_duckdb"] = round(total / duck_total, 2)
+    if streaming:
+        out["streaming"] = streaming
     print(json.dumps(out))
+
+
+def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Drive Nexmark-shaped pipelines through real Structured-Streaming
+    micro-batches (``Pipeline.stream_table``: every batch = one circuit
+    step over the compiled IVM views) and report events/s — the metric
+    BASELINE.md publishes for the reference (16-core Nexmark streaming).
+
+    - ``nx01_stream``: stateless currency conversion (queries/q1.sql) —
+      a linear compiled view; measures the pure step-loop floor.
+    - ``nx05_stream``: hot-items (queries/q5.sql shape) — a 3-view
+      compiled DAG: HOP counts → per-window max → band join, all
+      maintained incrementally per micro-batch.
+    """
+    import tempfile
+    import time
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.queries.nexmark import _bid
+
+    bid = _bid(spark, sf_dir).select(
+        "event_id", "bidder", "auction", "price", "date_time"
+    )
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    src = f"{work}/bid"
+    bid.repartition(n_batches).write.mode("overwrite").parquet(src)
+    n_events = spark.read.parquet(src).count()
+    schema = spark.read.parquet(src).schema
+
+    bid_ddl = (
+        "CREATE TABLE bid (event_id BIGINT, bidder BIGINT, auction BIGINT,"
+        " price DOUBLE, date_time TIMESTAMP);"
+    )
+    programs = {
+        "nx01_stream": bid_ddl
+        + "CREATE MATERIALIZED VIEW conv AS SELECT auction, bidder,"
+        "  price * 0.908 AS price_eur, date_time FROM bid",
+        "nx05_stream": bid_ddl
+        + "CREATE LOCAL VIEW counts AS SELECT window_start, auction,"
+        "  COUNT(*) AS num FROM TABLE(HOP(TABLE bid, DESCRIPTOR(date_time),"
+        "  INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+        "  GROUP BY window_start, auction;"
+        "CREATE LOCAL VIEW maxes AS SELECT window_start, MAX(num) AS maxn"
+        "  FROM counts GROUP BY window_start;"
+        "CREATE MATERIALIZED VIEW hot AS SELECT c.window_start, c.auction,"
+        "  c.num FROM counts c JOIN maxes m"
+        "  ON c.window_start = m.window_start WHERE c.num >= m.maxn",
+    }
+    out: dict[str, dict] = {}
+    for name, prog in programs.items():
+        b = PipelineBuilder(spark).sql(prog)
+        b.connect_table("bid", bid.limit(0))
+        p = b.create()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = p.stream_table("bid", stream, checkpoint_dir=f"{work}/ckpt_{name}")
+        q.awaitTermination()
+        el = time.perf_counter() - t0
+        out[name] = {
+            "events_per_sec": int(n_events / el),
+            "events": n_events,
+            "batches": n_batches,
+            "sec": round(el, 3),
+            "compiled_views": sorted(p._ivm),
+        }
+    return out
 
 
 if __name__ == "__main__":

@@ -503,10 +503,62 @@ def split_ctes(sql: str) -> tuple[list[tuple[str, str]], str] | None:
         return ctes, main
 
 
+def _clause_kw_at(protected: str, pos: int) -> str | None:
+    """The nearest clause keyword governing position ``pos`` at its own
+    paren depth (a FROM inside an already-closed subquery doesn't count)."""
+    depth = 0
+    kw_at: dict[int, str | None] = {0: None}
+    for mm in re.finditer(
+        r"[()]|\b(SELECT|FROM|WHERE|GROUP|HAVING|ORDER|ON|JOIN|USING|SET)\b",
+        protected[:pos],
+        re.IGNORECASE,
+    ):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+            kw_at[depth] = None
+        elif tok == ")":
+            depth -= 1
+        else:
+            kw_at[depth] = tok.upper()
+    return kw_at.get(depth)
+
+
+def count_table_positions(sql: str, name: str) -> int:
+    """How many times ``name`` appears as a RELATION instance (FROM/JOIN
+    target or comma-continued FROM-list entry). Qualifier uses
+    (``name.col``) and bare column/alias collisions do NOT count — a
+    view named like one of its columns must not inflate the count
+    (linearity classification in streaming/recursive.py depends on
+    this)."""
+    protected, _ = _protect_literals(sql)
+    count = 0
+    for m in re.finditer(rf"\b{re.escape(name)}\b", protected, re.IGNORECASE):
+        start = m.start()
+        if start > 0 and protected[start - 1] == ".":
+            continue
+        if protected[m.end() : m.end() + 1] == "(":
+            continue
+        before = protected[:start]
+        if re.search(r"\b(FROM|JOIN)\s*$", before, re.IGNORECASE):
+            count += 1
+        elif re.search(r",\s*$", before) and _clause_kw_at(
+            protected, start
+        ) == "FROM":
+            count += 1
+    return count
+
+
 def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
-    """Rewrite bare table references (FROM/JOIN targets and their
-    qualified-column uses) per ``mapping``. Quote-aware; skips function
-    calls (``name(``) and qualified trailers (``x.name``)."""
+    """Rewrite TABLE-POSITION references per ``mapping``: FROM/JOIN
+    targets, comma-continued FROM-list entries, and qualified-column
+    prefixes (``name.col``). Quote-aware.
+
+    Deliberately does NOT touch bare identifiers in value position: a CTE
+    may share its name with a column it projects (``WITH totals AS
+    (SELECT k, SUM(v) AS totals …) SELECT k, totals FROM totals``) and
+    rewriting the column reference would break resolution (round-3
+    ADVICE, verified)."""
     if not mapping:
         return sql
     protected, lits = _protect_literals(sql)
@@ -519,7 +571,18 @@ def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
         tail = protected[m.end() : m.end() + 1]
         if tail == "(":
             return word  # function call
-        return mapping.get(word.lower(), word)
+        before = protected[:start]
+        if re.search(r"\b(FROM|JOIN)\s*$", before, re.IGNORECASE):
+            return mapping.get(word.lower(), word)
+        if re.match(r"\s*\.", protected[m.end():]):
+            # qualifier use: cte.col
+            return mapping.get(word.lower(), word)
+        if re.search(r",\s*$", before) and _clause_kw_at(
+            protected, start
+        ) == "FROM":
+            # comma-continued FROM list: FROM a, cte
+            return mapping.get(word.lower(), word)
+        return word
 
     pat = re.compile(
         r"\b(" + "|".join(re.escape(k) for k in mapping) + r")\b",
@@ -743,6 +806,25 @@ def extract_scalar_subqueries(
         col, al, hidden = f"__sv{n}", f"__sq{n}", f"{prefix}_{n}"
         am = re.match(r"^(?P<e>.*?)\s+AS\s+\w+\s*$", item, re.IGNORECASE | re.DOTALL)
         item_core = (am.group("e") if am else item).strip()
+        # Correlated COUNT/COUNTIF: SQL returns 0 for an outer row with no
+        # matching inner group, but the LEFT JOIN NULL-pads — Calcite
+        # inserts the 0-default when decorrelating COUNT, so must we
+        # (round-3 ADVICE, verified row-dropping bug). Only an item that
+        # IS a single COUNT/COUNTIF call gets COALESCE(..., 0); a larger
+        # expression containing COUNT (e.g. COUNT(*)+1) can't take the
+        # default post-hoc, so it stays a real subquery (batch evaluates
+        # it exactly).
+        ref = f"{al}.{col}"
+        if corr:
+            cm2 = re.match(r"(COUNT|COUNTIF)\s*\(", item_core, re.IGNORECASE)
+            exact_count = cm2 is not None and _balanced(
+                item_core, item_core.index("(", cm2.end() - 1)
+            ) == len(item_core)
+            if exact_count:
+                ref = f"COALESCE({al}.{col}, 0)"
+            elif re.search(r"\b(COUNT|COUNTIF)\s*\(", item_core, re.IGNORECASE):
+                pos = end
+                continue
         keys: list[str] = []
         for icol, _ in corr:
             if icol not in keys:
@@ -763,8 +845,8 @@ def extract_scalar_subqueries(
         else:
             joins.append(f" CROSS JOIN {hidden} {al}")
         out.append((hidden, _restore_literals(inner_sql, lits)))
-        protected = protected[:start] + f"{al}.{col}" + protected[end:]
-        pos = start
+        protected = protected[:start] + ref + protected[end:]
+        pos = start + len(ref)
     if not out:
         return None
     if len(out) > 1 and all(j.lstrip().startswith("CROSS") for j in joins):
@@ -969,21 +1051,24 @@ def split_aggregate_for_scalar(
     if sm is None or from_pos is None:
         return None
 
-    def _clause(start_kw_pos, kw_len, *ends):
+    def _clause(start_kw_pos, kw_re, *ends):
+        # clause body starts at the END of the keyword match — never a
+        # fixed offset ('GROUP   BY k' has 3 spaces; round-3 ADVICE)
+        km = re.match(kw_re, protected[start_kw_pos:], re.IGNORECASE)
         end = min([e for e in ends if e is not None] + [len(protected)])
-        return protected[start_kw_pos + kw_len : end].strip().rstrip(";")
+        return protected[start_kw_pos + km.end() : end].strip().rstrip(";")
 
     class m:  # clause accessor mirroring the old regex group API
         _g = {
             "sel": protected[sm.end() : from_pos].strip(),
-            "frm": _clause(from_pos, 4, where_pos, gb_pos),
+            "frm": _clause(from_pos, r"FROM\s*", where_pos, gb_pos),
             "w": (
-                _clause(where_pos, 5, gb_pos) if where_pos is not None
-                and where_pos < gb_pos else None
+                _clause(where_pos, r"WHERE\s*", gb_pos)
+                if where_pos is not None and where_pos < gb_pos else None
             ),
-            "gb": _clause(gb_pos, len("GROUP BY") + 1, having_pos),
+            "gb": _clause(gb_pos, r"GROUP\s+BY\s*", having_pos),
             "h": (
-                _clause(having_pos, 6, None)
+                _clause(having_pos, r"HAVING\s*")
                 if having_pos is not None else None
             ),
         }
@@ -1089,3 +1174,140 @@ def split_aggregate_for_scalar(
 
 def _split_top_commas_fe(text: str) -> list[str]:
     return _split_top_commas(text)
+
+
+_NOT_IN_RE = re.compile(
+    r"(?P<col>\w+(?:\.\w+)?)\s+NOT\s+IN\s*\(\s*SELECT\s+"
+    r"(?P<c>\w+(?:\.\w+)?)\s+FROM\s+(?P<u>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<ia>(?!WHERE\b)\w+))?(?:\s+WHERE\s+(?P<w>[^()]*))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def extract_not_in_subqueries(
+    sql: str, prefix: str, table_columns: dict[str, set[str]]
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Lower ``col NOT IN (SELECT c FROM u [WHERE inner-only])`` —
+    whose three-valued NULL semantics are NOT a plain anti join — into
+    hidden views the IVM compiler's binary grammar covers (round-3
+    verdict task 5; reference: Calcite's null-aware NOT IN
+    decorrelation):
+
+    - ``{prefix}_{n}v``  = ``SELECT DISTINCT c AS __c{n} FROM u [WHERE]``
+    - ``__sq_{prefix}_nif{n}`` = 1-row ``COUNT(*) / COUNT(c)`` flags
+      (the ``__sq_`` prefix rides the scalar-view broadcast hint; the
+      global aggregate's empty-group default row makes COUNT(*)=0 real)
+    - ``{prefix}_{n}a``  = outer table LEFT ANTI JOIN the values view
+      (NULL outer keys pass the anti join — equality is UNKNOWN)
+    - outer body: FROM swaps to the anti view, CROSS JOIN the flags,
+      and the conjunct becomes
+      ``(__n = 0 OR (col IS NOT NULL AND __n = __n_nonnull))``:
+      empty set → everything (even NULL col) passes; any inner NULL →
+      nothing passes; else non-NULL non-matching rows pass. Exactly
+      SQL's 3VL.
+
+    Conservative: single-table outer FROM, uncorrelated inner over one
+    declared table. Returns None when nothing extracts (batch evaluates
+    NOT IN natively either way — this pass only buys incrementality)."""
+    protected, lits = _protect_literals(sql)
+    out: list[tuple[str, str]] = []
+    n = 0
+    while True:
+        wh_pos = _top_level_kw_pos(protected, r"WHERE")
+        if wh_pos is None:
+            break
+        gb_pos = _top_level_kw_pos(
+            protected, r"GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT"
+        )
+        clause_end = gb_pos if gb_pos is not None else len(protected)
+        m = _NOT_IN_RE.search(protected, wh_pos, clause_end)
+        if m is None:
+            break
+        # must be a depth-0 conjunct: WHERE/AND before, AND/clause-end after
+        if not _top_level_at(protected, m.start()):
+            break
+        before = protected[:m.start()]
+        if not re.search(r"\b(WHERE|AND)\s*$", before, re.IGNORECASE):
+            break
+        if re.match(r"\s*(AND\b|$)", protected[m.end():clause_end],
+                    re.IGNORECASE) is None:
+            break
+        outer = _single_outer_table(protected)
+        if outer is None:
+            break
+        otbl, oal = outer
+        u = m.group("u").lower()
+        if u not in table_columns or (
+            otbl not in table_columns and not otbl.startswith(prefix)
+        ):
+            break
+        inner_al = (m.group("ia") or u).lower()
+        c = m.group("c")
+        c_base = c.split(".")[-1].lower()
+        c_qual = c.split(".")[0].lower() if "." in c else None
+        if c_base not in table_columns[u] or c_qual not in (None, inner_al):
+            break
+        w = m.group("w")
+        if w is not None:
+            known = table_columns[u] | _SCALAR_OK_WORDS | {inner_al}
+            words = {
+                t.lower()
+                for t in re.findall(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", w)
+            }
+            dots = {d.lower() for d in re.findall(r"\b(\w+)\s*\.", w)}
+            if not (words <= known and dots <= {inner_al}):
+                break
+        vals = f"{prefix}_{n}v"
+        flags = f"__sq_{prefix.lstrip('_')}_nif{n}"
+        anti = f"{prefix}_{n}a"
+        inner_from = f"{m.group('u')}" + (
+            f" {m.group('ia')}" if m.group("ia") else ""
+        )
+        inner_where = f" WHERE {w}" if w else ""
+        out.append((
+            vals,
+            _restore_literals(
+                f"SELECT DISTINCT {c} AS __c{n} FROM {inner_from}{inner_where}",
+                lits,
+            ),
+        ))
+        out.append((
+            flags,
+            _restore_literals(
+                f"SELECT COUNT(*) AS __nin{n}, COUNT({c}) AS __ninn{n} "
+                f"FROM {inner_from}{inner_where}",
+                lits,
+            ),
+        ))
+        # anti view over the CURRENT outer relation (chains if a prior
+        # NOT IN extraction already swapped the FROM)
+        o_cols = (
+            sorted(table_columns[otbl]) if otbl in table_columns else ["*"]
+        )
+        col_ref = m.group("col")
+        # the compiled join grammar needs BOTH ON sides qualified
+        col_q = f"{oal}.{col_ref.split('.')[-1]}"
+        out.append((
+            anti,
+            f"SELECT {', '.join(o_cols)} FROM {otbl} {oal} "
+            f"LEFT ANTI JOIN {vals} __niv{n} ON {col_q} = __niv{n}.__c{n}",
+        ))
+        span = _top_level_from_span(protected)
+        protected = (
+            protected[: span[0]]
+            + f" {anti} {oal} CROSS JOIN {flags} __nif{n} "
+            + protected[span[1]:]
+        )
+        mm2 = _NOT_IN_RE.search(protected)
+        assert mm2 is not None
+        pred = (
+            f"(__nif{n}.__nin{n} = 0 OR ({col_ref} IS NOT NULL "
+            f"AND __nif{n}.__nin{n} = __nif{n}.__ninn{n}))"
+        )
+        protected = protected[: mm2.start()] + pred + protected[mm2.end():]
+        if otbl in table_columns:
+            table_columns = {**table_columns, anti: set(table_columns[otbl])}
+        n += 1
+    if not out:
+        return None
+    return _restore_literals(protected, lits), out

@@ -72,6 +72,8 @@ def i01_ivm_agg(spark, sf_dir):
     """Linear aggregate maintained over 4 deltas (incl. deletions) —
     O(delta) weighted sums, state = aggregate values only, NO integral
     (aggregate_linear, operator/aggregate.rs:209)."""
+    from feldera_spark.streaming.stepper import step_scope
+
     view = IncrementalLinearAggregateView(
         keys=["event_type"],
         sums={"n": wcount(), "total_dec": wsum(F.col("value").cast("decimal(12,2)"))},
@@ -79,8 +81,12 @@ def i01_ivm_agg(spark, sf_dir):
             "event_type", "n", F.col("total_dec").cast("double").alias("total_value")
         ),
     )
-    for chunk in _event_chunks(spark, sf_dir):
-        view.step(chunk.select("event_type", "value", WEIGHT))
+    # one commit job for the whole 4-delta run: plan depth stays bounded
+    # by the (known, small) chunk count, and the per-step job constant —
+    # the round-3 bench bottleneck — disappears
+    with step_scope():
+        for chunk in _event_chunks(spark, sf_dir):
+            view.step(chunk.select("event_type", "value", WEIGHT))
     return view.materialized()
 
 
@@ -195,6 +201,8 @@ def i05_ivm_rolling(spark, sf_dir):
             & (F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz"))
         ).withColumn(WEIGHT, F.lit(-1).cast("long"))
     )
+    from feldera_spark.streaming.stepper import step_scope
+
     view = IncrementalRollingAggregateView(
         keys=["user_id"],
         ts_col="ts",
@@ -202,16 +210,19 @@ def i05_ivm_rolling(spark, sf_dir):
         agg="sum",
         value_col="dec_value",
     )
-    for chunk in deltas:
-        view.step(
-            chunk.select(
-                "user_id",
-                "ts",
-                "value",
-                F.col("value").cast("decimal(12,2)").alias("dec_value"),
-                WEIGHT,
+    # single commit job for the 4-delta run (stepper.py): per-step jobs
+    # were the round-3 bottleneck (7.2 s driver constant at sf0.1)
+    with step_scope():
+        for chunk in deltas:
+            view.step(
+                chunk.select(
+                    "user_id",
+                    "ts",
+                    "value",
+                    F.col("value").cast("decimal(12,2)").alias("dec_value"),
+                    WEIGHT,
+                )
             )
-        )
     out = view.materialized()
     return out.select(
         "user_id", "ts", "value", F.col("rolling").cast("double").alias("rolling")
@@ -2288,3 +2299,248 @@ def i45_ddl_between_scalars(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i45_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("banded")
+
+
+@q(
+    "i46_ivm_recursive",
+    oracle="""
+    WITH RECURSIVE net AS (
+      SELECT s_suppkey FROM supplier
+      WHERE NOT (s_suppkey % 11 = 3 AND s_suppkey > 1)
+    ), anc AS (
+      SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+      FROM net WHERE s_suppkey <= 1
+      UNION ALL
+      SELECT s.s_suppkey AS node, anc.root AS root, anc.depth + 1 AS depth
+      FROM net s JOIN anc ON CAST(floor(s.s_suppkey / 2) AS BIGINT) = anc.node
+      WHERE s.s_suppkey > 1
+    )
+    SELECT node, root, depth FROM anc
+    """,
+)
+def i46_ivm_recursive(spark, sf_dir):
+    """INCREMENTALLY-MAINTAINED recursive view (operator/recursive.rs:262,
+    RecursiveComponents nested circuits): q48's supplier hierarchy
+    compiled from DECLARE RECURSIVE VIEW, then driven by edge INSERTS
+    (semi-naive from the converged state — rounds = new-subtree depth,
+    not the diameter) and DELETES (DRed overdelete + rederive,
+    streaming/recursive.py). Deleting mid-tree nodes disconnects their
+    subtrees; the final state must equal the batch fixpoint over the net
+    supplier set."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey")
+    s.createOrReplaceTempView("__i46_src")
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE hier (s_suppkey BIGINT);
+        DECLARE RECURSIVE VIEW anc (node BIGINT, root BIGINT, depth INT);
+        CREATE MATERIALIZED VIEW anc AS
+        SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+        FROM hier WHERE s_suppkey <= 1
+        UNION
+        SELECT s.s_suppkey AS node, anc.root AS root, anc.depth + 1 AS depth
+        FROM hier s JOIN anc ON CAST(floor(s.s_suppkey / 2) AS BIGINT) = anc.node
+        WHERE s.s_suppkey > 1
+        """
+    )
+    b.connect_table("hier", s.filter(F.col("s_suppkey") % 3 != 2))
+    pipe = b.create()
+    assert "anc" in pipe._ivm, "recursive view must compile to IVM"
+    plan = pipe._ivm["anc"]
+    cold = plan.cold_rounds
+    pipe.execute(
+        "INSERT INTO hier SELECT s_suppkey FROM __i46_src WHERE s_suppkey % 3 = 2"
+    )
+    assert plan.last_rounds <= cold, "insert step must not re-run the fixpoint"
+    pipe.execute("DELETE FROM hier WHERE s_suppkey % 11 = 3 AND s_suppkey > 1")
+    return pipe.view("anc")
+
+
+@q(
+    "i47_ivm_emit_final",
+    oracle="""
+    WITH b AS (SELECT max(ts) - INTERVAL 3 DAY AS bound FROM events)
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events, b
+    WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) <= b.bound
+    GROUP BY 1
+    """,
+)
+def i47_ivm_emit_final(spark, sf_dir):
+    """q81's emit_final view driven INCREMENTALLY through the compiler
+    (round-3 verdict task 3): the aggregate body compiles to IVM and the
+    output is gated on the waterline derived from LATENESS
+    (streaming/emit_final.py) — each chunk advances the bound and emits
+    the newly-sealed day buckets append-only; emitted rows are never
+    retracted. Final state must equal the batch waterline filter over
+    all chunks (the oracle)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("double").alias("value")
+    )
+    cuts = ("2024-01-10", "2024-01-20")
+    e.filter(
+        (F.col("ts") >= F.lit(cuts[0]).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(cuts[1]).cast("timestamp_ntz"))
+    ).createOrReplaceTempView("__i47_c1")
+    e.filter(
+        F.col("ts") >= F.lit(cuts[1]).cast("timestamp_ntz")
+    ).createOrReplaceTempView("__i47_c2")
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE events (
+            ts TIMESTAMP LATENESS INTERVAL 3 DAYS,
+            value DOUBLE
+        ) WITH ('append_only' = 'true');
+        CREATE MATERIALIZED VIEW daily_final
+        WITH ('emit_final' = 'd')
+        AS SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS d,
+                  count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)
+        """
+    ).connect_table(
+        "events", e.filter(F.col("ts") < F.lit(cuts[0]).cast("timestamp_ntz"))
+    )
+    pipe = b.create()
+    assert "daily_final" in pipe._ivm, "emit_final view must compile to IVM"
+    pipe.execute("INSERT INTO events SELECT * FROM __i47_c1")
+    pipe.execute("INSERT INTO events SELECT * FROM __i47_c2")
+    return pipe.view("daily_final")
+
+
+@q(
+    "i48_ddl_hop_ragged",
+    oracle=f"""
+    SELECT ws AS window_start, event_type, count(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '6 hours', ts) - (k * INTERVAL '6 hours') AS ws,
+             event_type, ts
+      FROM ({_NET}), (VALUES (0),(1),(2)) AS offs(k)
+    ) x
+    WHERE ts < ws + INTERVAL '15 hours'
+    GROUP BY 1, 2
+    """,
+)
+def i48_ddl_hop_ragged(spark, sf_dir):
+    """RAGGED HOP (size 15h, slide 6h — size % slide != 0) compiled to
+    IVM: the reference's ``ExpandHop`` (``CircuitOptimizer.java:143``)
+    handles any size/slide pair; round 3 fenced ragged hops to batch.
+    The explode emits each row into the 2-or-3 slide-aligned windows
+    whose span contains it (``_hop_starts_col``'s aligned-range form),
+    and INSERT/DELETE advance all affected windows by deltas."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i48_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type VARCHAR, ts TIMESTAMP);"
+        "CREATE MATERIALIZED VIEW hopped AS "
+        "SELECT window_start, event_type, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '6' HOUR,"
+        " INTERVAL '15' HOUR)) "
+        "GROUP BY window_start, event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    plan = pipe._ivm.get("hopped")
+    assert plan is not None and plan._agg is not None, (
+        "ragged HOP view must compile onto the incremental aggregate"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i48_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i48_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("hopped")
+
+
+@q(
+    "i49_ivm_not_in",
+    oracle=f"""
+    SELECT event_id, user_id
+    FROM ({_NET})
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_nationkey < 3)
+      AND event_type = 'purchase'
+    """,
+)
+def i49_ivm_not_in(spark, sf_dir):
+    """``NOT IN`` subquery compiled to IVM (round-3 verdict task 5 —
+    previously batch-fenced for its 3VL NULL semantics): lowered to an
+    anti join against the DISTINCT value set plus a broadcast 1-row
+    COUNT(*)/COUNT(col) NULL-presence flag view
+    (frontend.extract_not_in_subqueries; Calcite's null-aware NOT IN
+    decorrelation). Deltas on BOTH sides maintain it: event chunks +
+    a customer-side delete that shrinks the exclusion set."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i49_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE TABLE customer (c_custkey BIGINT, c_nationkey INT);"
+        "CREATE MATERIALIZED VIEW unmatched AS "
+        "SELECT event_id, user_id FROM ev "
+        "WHERE user_id NOT IN (SELECT c_custkey FROM customer"
+        " WHERE c_nationkey < 3)"
+        " AND event_type = 'purchase'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    b.connect_table("customer", c)
+    pipe = b.create()
+    assert "unmatched" in pipe._ivm, "NOT IN view must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i49_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i49_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("unmatched")
+
+
+@q(
+    "i50_ivm_mixed_setops",
+    oracle=f"""
+    SELECT user_id FROM ({_NET}) WHERE event_type = 'view'
+    UNION
+    SELECT user_id FROM ({_NET}) WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM ({_NET}) WHERE event_type = 'click'
+    """,
+)
+def i50_ivm_mixed_setops(spark, sf_dir):
+    """INTERSECT-mixed n-ary set-op chain compiled to IVM (round-3
+    verdict task 5 — previously batch-fenced): SQL precedence makes this
+    ``viewers UNION (purchasers INTERSECT clickers)``; the compiler
+    splits at the last non-INTERSECT operator and each side lowers to
+    the incremental set-op views. Insert + delete chunks drive it."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i50_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW mix AS "
+        "SELECT user_id FROM ev WHERE event_type = 'view' "
+        "UNION "
+        "SELECT user_id FROM ev WHERE event_type = 'purchase' "
+        "INTERSECT "
+        "SELECT user_id FROM ev WHERE event_type = 'click'"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "mix" in pipe._ivm, "mixed set-op chain must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i50_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i50_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("mix")

@@ -203,13 +203,20 @@ def nx03_local_item_suggestion(spark, sf_dir):
 )
 def nx04_avg_closing_price(spark, sf_dir):
     """Nexmark q4 (queries/q4.sql): temporal-range join + two-level agg.
-    auction (211 rows) broadcasts, so the range predicate is evaluated
-    map-side — no shuffle for the join, one shuffle for the groupBy."""
+
+    The join is EQUI on ``auction = id`` with the time band as a
+    residual filter (JoinConditionAnalyzer.java splits conditions the
+    same way), so no hard broadcast hint is needed: Spark broadcasts the
+    auction side while it fits ``autoBroadcastJoinThreshold`` (it does
+    at sf0.1 — map-side band evaluation, zero join shuffle) and falls
+    back to a shuffled hash/sort-merge join when the dimension outgrows
+    it at 100× scale (round-3 verdict: the unconditional ``F.broadcast``
+    was the scale-killer; plan test in test_plans.py pins both modes)."""
     a = _auction(spark, sf_dir)
     b = _bid(spark, sf_dir)
     winning = (
         b.join(
-            F.broadcast(a),
+            a,
             (b.auction == a.id)
             & b.date_time.between(a.date_time, a.expires),
         )

@@ -186,7 +186,13 @@ def q69_unsigned(spark, sf_dir):
 def q70_three_valued_logic(spark, sf_dir):
     """3-valued logic + join-key NULL semantics (SURVEY §2.3 correctness
     notes): NULL never equals NULL under `=` but matches under
-    IS NOT DISTINCT FROM (<=>); predicates on NULL are UNKNOWN."""
+    IS NOT DISTINCT FROM (<=>); predicates on NULL are UNKNOWN.
+
+    ONE plan, no driver round-trips: the four scalars are 1-row
+    aggregate subframes cross-joined — the same lowering Calcite gives
+    uncorrelated scalar subqueries (round-3 verdict flagged the
+    four-blocking-``.count()`` form as the registry's only
+    driver-side-loop query)."""
     o = t(spark, sf_dir, "orders")
     j = o.select(
         "o_orderkey",
@@ -194,16 +200,21 @@ def q70_three_valued_logic(spark, sf_dir):
     )
     a = j.select(F.col("o_orderkey").alias("ak"), F.col("ck").alias("ack"))
     b = j.select(F.col("o_orderkey").alias("bk"), F.col("ck").alias("bck"))
-    eq = a.join(b, (F.col("ack") == F.col("bck")) & (F.col("ak") == F.col("bk"))).count()
-    ns = a.join(b, (F.col("ack").eqNullSafe(F.col("bck"))) & (F.col("ak") == F.col("bk"))).count()
-    unknown = j.filter(F.col("ck").isNull()).count()  # (NULL > 100) IS NULL
-    false_rows = j.filter(~F.coalesce(F.col("ck") > 100, F.lit(False)) & F.col("ck").isNotNull()).count()
-    return t(spark, sf_dir, "region").limit(1).select(
-        F.lit(eq).alias("eq_matches"),
-        F.lit(ns).alias("nullsafe_matches"),
-        F.lit(unknown).alias("unknown_rows"),
-        F.lit(false_rows).alias("false_rows"),
+    eq = a.join(
+        b, (F.col("ack") == F.col("bck")) & (F.col("ak") == F.col("bk"))
+    ).agg(F.count(F.lit(1)).alias("eq_matches"))
+    ns = a.join(
+        b, (F.col("ack").eqNullSafe(F.col("bck"))) & (F.col("ak") == F.col("bk"))
+    ).agg(F.count(F.lit(1)).alias("nullsafe_matches"))
+    unknown = j.agg(
+        F.count_if(F.col("ck").isNull()).alias("unknown_rows")  # (NULL>100) IS NULL
     )
+    false_rows = j.agg(
+        F.count_if(
+            ~F.coalesce(F.col("ck") > 100, F.lit(False)) & F.col("ck").isNotNull()
+        ).alias("false_rows")
+    )
+    return eq.crossJoin(ns).crossJoin(unknown).crossJoin(false_rows)
 
 
 @q(

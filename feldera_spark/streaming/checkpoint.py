@@ -36,6 +36,7 @@ from feldera_spark.streaming.incremental import Spine, _checkpoint
 # (WindowedLinearAggregateView keeps its updatable state on .inner).
 _SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "IncrementalLinearAggregateView": (("state",), ()),
+    "IncrementalRecursiveView": (("acc",), ()),
     "AppendOnlyAggregateView": (("state",), ()),
     "IncrementalAggregateView": (("integral", "output"), ()),
     "IncrementalJoinView": (("a", "b", "output"), ()),
@@ -94,7 +95,7 @@ def _is_view_object(val) -> bool:
                 "CompiledRollingView", "CompiledSessionView",
                 "CompiledAsofView", "CompiledChainJoinView",
                 "CompiledDistinctAggView", "CompiledGroupingSetsView",
-                "CompiledRankView",
+                "CompiledRankView", "EmitFinalView",
             )
         )
     )
@@ -108,7 +109,7 @@ def save_view(view, path: str) -> dict:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
-        "CompiledGroupingSetsView", "CompiledRankView",
+        "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -117,7 +118,16 @@ def save_view(view, path: str) -> dict:
             for name, v in view.state_components().items()
         }
         scalars = {}
-        wl = view._waterline
+        # emit_final wrapper: persist the emitted bound + per-source
+        # observed maxima (waterline scalars)
+        if hasattr(view, "_prev_bound") and view._prev_bound is not None:
+            scalars["_prev_bound"] = _meta_encode(view._prev_bound)
+        if hasattr(view, "_wl"):
+            scalars["_wl_max"] = {
+                s: _meta_encode(w.max_ts) for s, w in view._wl.items()
+                if w.max_ts is not None
+            }
+        wl = getattr(view, "_waterline", None)
         if wl is not None and wl.max_ts is not None:
             scalars["waterline_max_ts"] = _meta_encode(wl.max_ts)
         # global-aggregate default-row bookkeeping (CompiledView)
@@ -173,7 +183,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
-        "CompiledGroupingSetsView", "CompiledRankView",
+        "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():
@@ -185,8 +195,13 @@ def load_view(view, spark, path: str, meta: dict) -> None:
             else:
                 load_view(obj, spark, sub, cmeta)
         wl_ts = meta["scalars"].get("waterline_max_ts")
-        if wl_ts is not None and view._waterline is not None:
+        if wl_ts is not None and getattr(view, "_waterline", None) is not None:
             view._waterline.max_ts = _meta_decode(wl_ts)
+        if "_prev_bound" in meta["scalars"] and hasattr(view, "_prev_bound"):
+            view._prev_bound = _meta_decode(meta["scalars"]["_prev_bound"])
+        for s, enc in meta["scalars"].get("_wl_max", {}).items():
+            if hasattr(view, "_wl") and s in view._wl:
+                view._wl[s].max_ts = _meta_decode(enc)
         for attr in ("_g_live", "_g_init"):
             if attr in meta["scalars"] and hasattr(view, attr):
                 setattr(view, attr, meta["scalars"][attr])

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feldera_spark import zset
+from feldera_spark.streaming.incremental import step_scoped
 from feldera_spark.zset import WEIGHT
 
 # constructs the recognizer does not incrementalize (batch fallback).
@@ -374,8 +375,11 @@ def parse_view_shape(sql: str) -> _Shape | None:
         if tm is None:
             return None
         shape.left = tm.group("t").lower()
-        if tm.group("a"):
-            aliases[tm.group("a").lower()] = "l"
+        # the bare table NAME is a legal qualifier when no alias is
+        # declared (``SELECT t.k FROM t``) — it must strip like an alias
+        # or the compiled filter would carry an unresolvable reference
+        # (found by the frontend fuzzer, round 4)
+        aliases[(tm.group("a") or tm.group("t")).lower()] = "l"
 
     where = m.group("where")
     shape.where = _strip_aliases(where.strip(), aliases) if where else None
@@ -514,6 +518,11 @@ def parse_view_shape(sql: str) -> _Shape | None:
         for p in shape.post_exprs.values():
             if not _pred_columns(p) <= avail:
                 return None
+    if len(shape.out_cols) != len({c.lower() for c in shape.out_cols}):
+        # duplicate output column names (SELECT t.k, k FROM t): legal
+        # SQL, but the compiled state projections address columns by
+        # name — batch fallback (found by the frontend fuzzer, round 4)
+        return None
     having = m.group("having")
     if having is not None:
         if not shape.aggs:
@@ -541,6 +550,12 @@ def parse_view_shape(sql: str) -> _Shape | None:
         # every term must now be an output column (an aggregate not in
         # the select list, or an unprojected key, forces batch fallback)
         if not _pred_columns(hv) <= {c.lower() for c in shape.out_cols}:
+            return None
+        # an aggregate CALL surviving substitution (HAVING COUNT(*)
+        # with no COUNT(*) in the select list) has no output column to
+        # filter on — batch fallback, never an unresolvable compiled
+        # filter (found by the frontend fuzzer, round 4)
+        if _AGG_HEAD_RE.search(_protect_literals(hv)[0]):
             return None
         shape.having = hv
     ob, lim = m.group("ob"), m.group("limit")
@@ -699,7 +714,17 @@ class CompiledView:
         if s.right is not None:
             on_names = [lc for lc, _ in s.on]
             if s.how == "inner":
-                self._join = IncrementalJoinView(on=on_names)
+                # broadcast hint on the empty-key (cross) join ONLY for
+                # the scalar-subquery lowering's hidden 1-row views — a
+                # user large-by-large CROSS JOIN must not take a
+                # driver-OOM broadcast path (round-3 ADVICE)
+                tiny = not on_names and (
+                    s.right.startswith(("__sq_", "__ha_"))
+                    or s.left.startswith(("__sq_", "__ha_"))
+                )
+                self._join = IncrementalJoinView(
+                    on=on_names, broadcast_tiny=tiny
+                )
             else:
                 self._join = IncrementalOuterJoinView(on=on_names, how=s.how)
         self._topk = None
@@ -1178,6 +1203,7 @@ class CompiledView:
             except Exception:
                 self._g_default = None  # unresolvable arg: keep old behavior
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         """Advance the view by one step of source deltas (Z-sets; weight
         −1 rows are deletions). Work is O(|delta| + touched state) — the
@@ -1307,8 +1333,8 @@ def _rewrite_hop(sql: str) -> str:
         return sql
     slide = int(m.group("sn")) * _UNIT_SECS[m.group("su").lower().rstrip("s")]
     size = int(m.group("zn")) * _UNIT_SECS[m.group("zu").lower().rstrip("s")]
-    if size % slide != 0:
-        return sql  # ragged hops: batch fallback
+    # ragged hops (size % slide != 0) compile too: _hop_starts_col's
+    # aligned-range form handles any size/slide pair (ExpandHop parity)
     ts = m.group("ts")
     sql = sql[: m.start()] + m.group("t") + sql[m.end():]
     if _HOP_FROM_RE.search(sql) or _TUMBLE_FROM_RE.search(sql):
@@ -1336,14 +1362,24 @@ _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 def _hop_starts_col(ts: str, slide: int, size: int):
     """Array of epoch-aligned hop window starts containing ``ts`` —
-    NTZ-safe micros arithmetic (floor DIV is exact for ts >= epoch)."""
+    NTZ-safe micros arithmetic (floor DIV is exact for ts >= epoch).
+
+    General (incl. RAGGED size % slide != 0 — the reference's
+    ``ExpandHop`` handles any size/slide pair): the starts are the
+    slide-aligned values s with ``ts - size < s <= ts``, i.e. from
+    ``(floor((ts - size) / slide) + 1) * slide`` to
+    ``floor(ts / slide) * slide`` step slide. The old form anchored the
+    lower end at ``floor(ts/slide)*slide - size + slide``, which is only
+    slide-aligned when size is a multiple of slide (round-3 fence, now
+    retired)."""
     sl, sz = slide * 1_000_000, size * 1_000_000
+    us = (
+        f"timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts} AS TIMESTAMP_NTZ))"
+    )
     return F.expr(
         f"transform(sequence("
-        f"(timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts} AS TIMESTAMP_NTZ))"
-        f" DIV {sl}) * {sl} - {sz} + {sl}, "
-        f"(timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts} AS TIMESTAMP_NTZ))"
-        f" DIV {sl}) * {sl}, {sl}), "
+        f"(({us} - {sz}) DIV {sl} + 1) * {sl}, "
+        f"({us} DIV {sl}) * {sl}, {sl}), "
         f"u -> timestampadd(MICROSECOND, u, {_EPOCH}))"
     )
 
@@ -1647,6 +1683,7 @@ class CompiledRankView:
     def bind_schemas(self, frames) -> None:
         pass
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         rs = self.shape
         d = deltas.get(rs.left)
@@ -1948,6 +1985,7 @@ class CompiledAsofView:
                 d = d.withColumnRenamed(rc, lc)
         return d
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         ash = self.shape
         da = deltas.get(ash.left)
@@ -2142,6 +2180,7 @@ class CompiledSessionView:
     def bind_schemas(self, frames) -> None:
         pass
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         ss = self.shape
         d = deltas.get(ss.left)
@@ -2233,6 +2272,7 @@ class CompiledRollingView:
                 cols.append(F.col(e).alias(name) if e != name else F.col(name))
         return cols
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         rs = self.shape
         d = deltas.get(rs.left)
@@ -2313,6 +2353,7 @@ class CompiledDistinctAggView:
     def bind_schemas(self, frames) -> None:
         pass
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         d = deltas.get(self.left)
         if d is None:
@@ -2485,6 +2526,7 @@ class CompiledGroupingSetsView:
             cols.append(F.col(WEIGHT))
         return df.select(*cols)
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         outs = []
         for b, keys in zip(self.branches, self.branch_keys):
@@ -2644,6 +2686,7 @@ class CompiledSetOpView:
         for c in self.children:
             c.bind_schemas(frames)
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         lc, rc = self.children
         a = lc.step({t: deltas.get(t) for t in lc.sources})
@@ -2735,11 +2778,19 @@ def _split_setop(sql: str) -> tuple[str, str, str] | None:
     if not hits:
         return None
     norm = [re.sub(r"\s+", " ", kw.upper()) for _, _, kw in hits]
-    if len(hits) > 1 and "INTERSECT" in norm and set(norm) != {"INTERSECT"}:
-        return None  # mixed precedence: batch
-    s, e, kw = hits[-1]
+    # SQL precedence: INTERSECT binds TIGHTER than UNION/EXCEPT, which
+    # are equal-precedence and left-associative. A mixed chain therefore
+    # splits at the LAST non-INTERSECT operator (``A UNION B INTERSECT C
+    # EXCEPT D`` = ``(A UNION (B INTERSECT C)) EXCEPT D``); each side
+    # recurses through compile_view, so INTERSECT-mixed n-ary chains
+    # compile too (round-3 verdict task 5 — previously batch-fenced).
+    # All-INTERSECT chains split at the last hit (left-associative).
+    pick = len(hits) - 1
+    if "INTERSECT" in norm and set(norm) != {"INTERSECT"}:
+        pick = max(i for i, kw in enumerate(norm) if kw != "INTERSECT")
+    s, e, _kw = hits[pick]
     op = {"UNION ALL": "union_all", "UNION": "union",
-          "EXCEPT": "except", "INTERSECT": "intersect"}[norm[-1]]
+          "EXCEPT": "except", "INTERSECT": "intersect"}[norm[pick]]
     return op, sql[:s].strip(), sql[e:].strip()
 
 
@@ -2937,6 +2988,7 @@ class CompiledChainJoinView:
             template = reduce(lambda a, b: a.crossJoin(b), parts)
             self.outer.bind_schemas({**frames, "__chain": template})
 
+    @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         d_inner = self.inner.step(
             {t: deltas.get(t) for t in self.inner.sources}
@@ -3265,32 +3317,62 @@ def enable_spill(plan, base_dir: str) -> int:
     as in-memory checkpoints — the reference's spine spill
     (``spine_async.rs:968-1012``; pipeline ``storage`` config). Returns
     the number of spines wired. Walks the composed view graph
-    (set-ops, chains, outer joins, nested aggregate views)."""
+    (set-ops, chains, outer joins, nested aggregate views).
+
+    Window-keyed views additionally get ``partition_cols`` = the coarse
+    window-start key: spilled compactions ``partitionBy`` it, so a
+    time-bounded state read (waterline GC, touched-window restriction)
+    PRUNES whole partition directories instead of scanning the full
+    spilled history — the file-level analogue of the reference's
+    retain-keys trace bound (round-3 verdict task 10)."""
     from feldera_spark.streaming.incremental import Spine
 
     count = 0
     seen: set[int] = set()
 
-    def walk(obj, path: str):
+    def _window_partition_cols(obj) -> list[str]:
+        shape = getattr(obj, "shape", None)
+        if shape is None:
+            return []
+        for kname, kexpr in getattr(shape, "computed_keys", {}).items():
+            e = kexpr.strip()
+            if (
+                _TUMBLE_START_RE.match(e)
+                or _HOP_START_RE.match(e)
+                or CompiledView._DATE_TRUNC_RE.match(e)
+            ):
+                return [kname]
+        return []
+
+    def walk(obj, path: str, pcols: list[str]):
         nonlocal count
         if id(obj) in seen or not hasattr(obj, "__dict__"):
             return
         seen.add(id(obj))
+        pcols = _window_partition_cols(obj) or pcols
         for name, val in vars(obj).items():
             sub = f"{path}/{name.strip('_')}"
             if isinstance(val, Spine):
                 val.spill_dir = sub
+                # only spines that actually CARRY the window column can
+                # partition by it (the aggregate integral/output do; a
+                # raw-ts join side does not — checked lazily at write
+                # via the batch schema is not possible here, so gate on
+                # the owning view's key being materialized per delta:
+                # integral/output spines of aggregate/recompute views)
+                if pcols and name in ("integral", "output"):
+                    val.partition_cols = list(pcols)
                 count += 1
             elif isinstance(val, list):
                 for i, item in enumerate(val):
                     if hasattr(item, "step") and hasattr(item, "__dict__"):
-                        walk(item, f"{sub}/{i}")
+                        walk(item, f"{sub}/{i}", pcols)
             elif (
                 hasattr(val, "step")
                 and hasattr(val, "__dict__")
                 and not isinstance(val, DataFrame)
             ):
-                walk(val, sub)
+                walk(val, sub, pcols)
 
-    walk(plan, base_dir)
+    walk(plan, base_dir, [])
     return count

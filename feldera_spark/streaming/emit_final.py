@@ -1,0 +1,123 @@
+"""emit_final on COMPILED (incrementally-maintained) views.
+
+Reference: ``emit_final`` views only emit rows that can never be
+retracted (``docs/sql/streaming.md:44-57``) — the compiler gates the
+view's output on the waterline the MonotoneAnalyzer derives from the
+inputs' LATENESS declarations. Round 3 ran emit_final views on batch
+fallback only (pipeline excluded them from IVM compile); this wrapper
+closes that gap:
+
+- the view body compiles to its normal IVM plan (any recognized shape);
+- each step advances the inner plan, then advances the derived
+  waterline ``min over lateness sources of (max observed ts − lateness)``;
+- the step's OUTPUT delta is the inner state restricted to the band
+  ``(previous bound, new bound]`` on the emit_final column — rows whose
+  seal crossed this step. Weights are +1 ONLY: the output stream is
+  retraction-free by construction (the emit-final contract).
+- a row of the inner delta at/below the PREVIOUS bound would mean an
+  already-emitted value changed (a LATENESS violation upstream). That
+  is surfaced loudly — an in-plan ``assert_true`` fails the step's job —
+  rather than silently emitting a stale value.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feldera_spark import zset
+from feldera_spark.zset import WEIGHT
+from feldera_spark.streaming.incremental import Spine, step_scoped
+from feldera_spark.streaming.watermark import Waterline
+
+
+class EmitFinalView:
+    """Wraps a compiled plan; emits append-only, sealed rows.
+
+    ``lateness``: ``{source_table: (ts_col, lateness_seconds)}`` for
+    every LATENESS-bearing table the view reads (they must be direct
+    sources of the inner plan so their deltas flow through ``step``).
+    """
+
+    def __init__(self, inner, emit_col: str, lateness: dict[str, tuple[str, int]]):
+        if not lateness:
+            raise ValueError("emit_final needs a LATENESS-bearing input")
+        missing = set(lateness) - set(inner.sources)
+        if missing:
+            raise ValueError(
+                f"lateness tables {sorted(missing)} are not direct sources"
+            )
+        self.inner = inner
+        self.emit_col = emit_col
+        self.sources = inner.sources
+        self.shape = inner.shape
+        self._wl = {
+            src: Waterline(ts_col, secs)
+            for src, (ts_col, secs) in lateness.items()
+        }
+        self._prev_bound: _dt.datetime | None = None
+        self.emitted = Spine()
+
+    def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
+        self.inner.bind_schemas(frames)
+
+    @property
+    def _stepped(self) -> bool:
+        return not self.emitted.empty
+
+    def state_components(self):
+        return {"inner": self.inner, "emitted": self.emitted}
+
+    def _bound(self) -> _dt.datetime | None:
+        bounds = [w.bound for w in self._wl.values()]
+        if any(b is None for b in bounds):
+            return None
+        return min(bounds)
+
+    @step_scoped
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        inner_out = self.inner.step(deltas)
+        for src, w in self._wl.items():
+            d = deltas.get(src)
+            if d is not None:
+                w.observe(d)
+        prev, new = self._prev_bound, self._bound()
+        self._prev_bound = new
+        if new is None:
+            return None
+        lo = Waterline._ts_lit(prev) if prev is not None else None
+        hi = Waterline._ts_lit(new)
+        col = F.col(self.emit_col)
+        band = (col <= hi) if lo is None else ((col > lo) & (col <= hi))
+        newly = zset.lift(
+            self.inner.materialized().filter(band), 1
+        )
+        if inner_out is not None and prev is not None:
+            # LATENESS-violation tripwire: an inner change at/below the
+            # already-emitted bound means an emitted row would need a
+            # retraction — fail the step's job instead of emitting a
+            # stale value (in-plan, no extra job)
+            violations = (
+                zset.lift(inner_out)
+                .filter(col <= lo)
+                .select(
+                    *[
+                        F.expr(
+                            "CAST(assert_true(false, 'emit_final: change at or "
+                            "below the emitted waterline — upstream LATENESS "
+                            f"violated') AS {t}) AS {c}"
+                        )
+                        for c, t in newly.drop(WEIGHT).dtypes
+                    ],
+                    F.lit(1).cast("long").alias(WEIGHT),
+                )
+            )
+            newly = newly.unionByName(violations)
+        self.emitted.append(newly)
+        return self.emitted.batches[-1]
+
+    def materialized(self) -> DataFrame:
+        assert not self.emitted.empty, "no deltas processed yet"
+        return zset.to_bag(self.emitted.read())

@@ -36,6 +36,7 @@ from feldera_spark.streaming.incremental import (
     IncrementalDistinctView,
     IncrementalJoinView,
     Spine,
+    step_scoped,
 )
 
 
@@ -106,6 +107,7 @@ class IncrementalOuterJoinView:
             return None
         return zset.consolidate(zset.plus(*live))
 
+    @step_scoped
     def step(
         self, delta_a: DataFrame | None, delta_b: DataFrame | None
     ) -> DataFrame | None:

@@ -1,0 +1,131 @@
+"""Step-scoped state-commit batching: ONE materialization job per
+circuit step.
+
+The reference evaluates the whole circuit synchronously per step
+(``DBSPHandle::step()``, ``dbsp_handle.rs:1712``) and commits every
+operator's trace at the step boundary — one commit point, not one per
+operator. Our Spark analogue: inside a step scope, every state
+checkpoint a view requests (spine appends, merged aggregate states) is
+registered as a LAZY ``localCheckpoint`` instead of running its own
+eager job; at scope exit a single Spark job computes all pending frames
+at once (their RDDs are unioned JVM-side and counted), after which each
+frame's lineage is truncated exactly as an eager checkpoint would have
+done.
+
+Why this is safe:
+- within the step, reads of a pending frame just extend lazy plans over
+  its (shallow, deterministic) delta plan — plans derive from parquet
+  scans and previously-committed state, so re-execution inside the
+  flush job is deterministic;
+- plan depth is bounded by the view DAG depth (not the step count),
+  because the PREVIOUS step's frames are already committed — Catalyst
+  re-analysis stays constant per step;
+- ``RDD.doCheckpoint`` runs at the end of the union job and truncates
+  every marked ancestor (each pending frame is its own union branch),
+  so after the flush every frame reads from stored blocks. On a cluster
+  this single job is the per-step state-store commit.
+
+Round-3 verdict: the previous eager per-spine ``localCheckpoint`` made a
+4-view IVM chain x 4 deltas run dozens of serial driver jobs (i40:
+29.5 s at sf0.01). With step batching the same chain commits once per
+step.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+
+class _StepBatch:
+    def __init__(self):
+        self.pending: list[DataFrame] = []
+
+    def defer(self, df: DataFrame) -> DataFrame:
+        lazy = df.localCheckpoint(eager=False)
+        self.pending.append(lazy)
+        return lazy
+
+    def flush(self) -> None:
+        frames, self.pending = self.pending, []
+        if frames:
+            materialize_all(frames)
+
+
+_STACK: list[_StepBatch] = []
+
+
+def deferring() -> bool:
+    """True while a step scope is active."""
+    return bool(_STACK)
+
+
+def defer_checkpoint(df: DataFrame) -> DataFrame:
+    """Register ``df`` for the active step's single commit job."""
+    return _STACK[-1].defer(df)
+
+
+@contextmanager
+def step_scope():
+    """Collect every state checkpoint requested during one circuit step
+    and commit them in ONE Spark job at scope exit. Nested scopes join
+    the outermost batch — one commit per outermost step.
+
+    AQE is disabled for the scope's duration (restored on exit) unless
+    ``spark.feldera.step.adaptive=true``: AdaptiveSparkPlanExec
+    materializes its intermediate query stages EAGERLY when the lazy
+    checkpoint plans its RDD, which both defeats the deferral and pays
+    one driver re-planning round trip per shuffle stage — measured 17
+    jobs vs 6 for a 4-delta linear aggregate. IVM steps are
+    latency-sensitive micro-batches over bounded state slices; the big
+    analytical scans where AQE earns its keep run outside step scopes."""
+    if _STACK:
+        yield _STACK[-1]
+        return
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    prev_aqe = None
+    if spark is not None and spark.conf.get(
+        "spark.feldera.step.adaptive", "false"
+    ) != "true":
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    batch = _StepBatch()
+    _STACK.append(batch)
+    try:
+        yield batch
+    finally:
+        _STACK.pop()
+        try:
+            batch.flush()
+        finally:
+            if prev_aqe is not None:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def materialize_all(frames: list[DataFrame]) -> None:
+    """Compute + locally checkpoint every frame in ONE Spark job.
+
+    JVM-side: union the frames' internal RDDs (schemas may differ —
+    RDD union is untyped) and count. The job computes each marked RDD
+    once (shared ancestors hit the block cache), and Spark's
+    ``doCheckpoint`` cascade at job end truncates each frame's lineage.
+    Falls back to one job per frame if the private RDD APIs move."""
+    spark = frames[0].sparkSession
+    sc = spark.sparkContext
+    try:
+        jrdds = [
+            f._jdf.queryExecution().toRdd().toJavaRDD() for f in frames
+        ]
+        gw = sc._gateway
+        arr = gw.new_array(
+            gw.jvm.org.apache.spark.api.java.JavaRDD, len(jrdds)
+        )
+        for i, r in enumerate(jrdds):
+            arr[i] = r
+        sc._jsc.union(arr).count()
+    except Exception:
+        for f in frames:
+            f.count()

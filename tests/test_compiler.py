@@ -2457,3 +2457,127 @@ def test_between_scalar_bounds_compile(spark):
     assert _canon(p.view("w")) == _canon(
         spark.sql(body.replace("FROM t", "FROM __bs_now"))
     )
+
+
+def test_cross_join_broadcast_gated_to_scalar_views():
+    """Compiled CROSS JOIN only broadcast-hints known-1-row hidden scalar
+    views; a user large-by-large CROSS JOIN gets no hint (ADVICE r3)."""
+    from feldera_spark.streaming.compiler import compile_view
+
+    cols = {"big_a": ["x"], "big_b": ["y"], "__sq_v_0": ["__sv0"]}
+    user = compile_view(
+        "SELECT x, y FROM big_a CROSS JOIN big_b",
+        tables={"big_a", "big_b"}, columns=cols,
+    )
+    assert user is not None and user._join is not None
+    assert user._join.broadcast_tiny is False
+    scal = compile_view(
+        "SELECT x, __sv0 FROM big_a CROSS JOIN __sq_v_0",
+        tables={"big_a", "__sq_v_0"}, columns=cols,
+    )
+    assert scal is not None and scal._join is not None
+    assert scal._join.broadcast_tiny is True
+
+
+def test_not_in_subquery_3vl_compiled(spark):
+    """NOT IN lowering (frontend.extract_not_in_subqueries): 3VL-exact
+    vs Spark's native null-aware anti join, compiled to IVM, and
+    maintained under inserts/deletes on BOTH sides — incl. a NULL
+    entering and leaving the subquery set (round-3 verdict task 5)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    a_rows = [(1, 10), (2, None), (3, 30), (4, 40)]
+
+    def build(u_rows, tag):
+        b = PipelineBuilder(spark).sql(f"""
+        CREATE TABLE a{tag} (k INT, v INT);
+        CREATE TABLE u{tag} (w INT, z INT);
+        CREATE MATERIALIZED VIEW out{tag} AS
+        SELECT k FROM a{tag}
+        WHERE v NOT IN (SELECT w FROM u{tag} WHERE z > 0) AND k < 100;
+        """)
+        b.connect_table(f"a{tag}", spark.createDataFrame(a_rows, "k INT, v INT"))
+        b.connect_table(f"u{tag}", spark.createDataFrame(u_rows, "w INT, z INT"))
+        return b.create()
+
+    for tag, urows in [
+        ("x", [(10, 1), (99, 2)]),     # plain exclusion
+        ("y", [(None, 1), (10, 1)]),   # NULL in set: nothing passes
+        ("z", [(10, 0)]),              # inner WHERE empties the set
+    ]:
+        p = build(urows, tag)
+        spark.createDataFrame(a_rows, "k INT, v INT").createOrReplaceTempView("na")
+        spark.createDataFrame(urows, "w INT, z INT").createOrReplaceTempView("nu")
+        native = {r["k"] for r in spark.sql(
+            "SELECT k FROM na WHERE v NOT IN "
+            "(SELECT w FROM nu WHERE z > 0) AND k < 100").collect()}
+        got = {r["k"] for r in p.view(f"out{tag}").collect()}
+        assert got == native, (tag, got, native)
+        assert f"out{tag}" in p._ivm, (tag, sorted(p._ivm))
+
+    p = build([(10, 1)], "w")
+    for stmt, exp in [
+        ("INSERT INTO uw VALUES (30, 1)", {4}),
+        ("DELETE FROM uw WHERE w = 10", {1, 4}),
+        ("INSERT INTO uw VALUES (NULL, 5)", set()),   # NULL enters the set
+        ("DELETE FROM uw WHERE w IS NULL", {1, 4}),
+        ("INSERT INTO aw VALUES (7, NULL)", {1, 4}),  # NULL col: UNKNOWN
+        # empty set: EVERY row passes, including NULL-v rows (2 and 7)
+        ("DELETE FROM uw WHERE z > 0", {1, 2, 3, 4, 7}),
+    ]:
+        p.execute(stmt)
+        got = {r["k"] for r in p.view("outw").collect()}
+        assert got == exp, (stmt, got, exp)
+
+
+def test_split_setop_mixed_intersect_precedence():
+    """Mixed chains split at the last non-INTERSECT operator (INTERSECT
+    binds tighter): A UNION B INTERSECT C EXCEPT D =
+    (A UNION (B INTERSECT C)) EXCEPT D."""
+    from feldera_spark.streaming.compiler import _split_setop
+
+    op, l, r = _split_setop("SELECT a FROM t UNION SELECT b FROM u "
+                            "INTERSECT SELECT c FROM v EXCEPT SELECT d FROM w")
+    assert op == "except" and r == "SELECT d FROM w"
+    op2, l2, r2 = _split_setop(l)
+    assert op2 == "union" and l2 == "SELECT a FROM t"
+    op3, _, _ = _split_setop(r2)
+    assert op3 == "intersect"
+    # all-INTERSECT still splits left-associative at the last hit
+    op4, l4, r4 = _split_setop(
+        "SELECT a FROM t INTERSECT SELECT b FROM u INTERSECT SELECT c FROM v"
+    )
+    assert op4 == "intersect" and r4 == "SELECT c FROM v"
+    assert _split_setop(l4)[0] == "intersect"
+
+
+def test_mixed_intersect_chain_compiles_and_maintains(spark):
+    """UNION/INTERSECT-mixed n-ary chain compiled to IVM and maintained
+    under deltas — batch-vs-incremental equality after each step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    def rows(*vals):
+        return spark.createDataFrame([(v,) for v in vals], "x INT")
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ta (x INT);
+        CREATE TABLE tb (x INT);
+        CREATE TABLE tc (x INT);
+        CREATE MATERIALIZED VIEW mix AS
+        SELECT x FROM ta UNION SELECT x FROM tb INTERSECT SELECT x FROM tc;
+        """
+    )
+    b.connect_table("ta", rows(1, 2))
+    b.connect_table("tb", rows(2, 3, 4))
+    b.connect_table("tc", rows(3, 4, 5))
+    p = b.create()
+    assert "mix" in p._ivm, "mixed chain must compile"
+    # A UNION (B ∩ C) = {1,2} ∪ {3,4} = {1,2,3,4}
+    assert {r["x"] for r in p.view("mix").collect()} == {1, 2, 3, 4}
+    p.execute("DELETE FROM tc WHERE x = 3")   # B ∩ C loses 3
+    assert {r["x"] for r in p.view("mix").collect()} == {1, 2, 4}
+    p.execute("INSERT INTO ta VALUES (9)")
+    assert {r["x"] for r in p.view("mix").collect()} == {1, 2, 4, 9}
+    p.execute("INSERT INTO tc VALUES (3)")    # intersection regains 3
+    assert {r["x"] for r in p.view("mix").collect()} == {1, 2, 3, 4, 9}

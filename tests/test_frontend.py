@@ -211,3 +211,113 @@ def test_multiple_asof_joins_in_one_statement(spark):
         (1, "2024-01-01 13:00:00", 200.0),
         (1, "2024-01-01 13:00:00", 200.0),
     ]
+
+
+# -- round-3 ADVICE regressions ---------------------------------------------
+
+
+def test_correlated_count_subquery_zero_default(spark):
+    """Correlated scalar COUNT returns 0 (not NULL) for outer rows with
+    no matching inner group — the decorrelated LEFT JOIN must COALESCE
+    (ADVICE r3 high: rows were silently dropped)."""
+    p = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE a (k INT, v INT);
+            CREATE TABLE u (k INT, w INT);
+            CREATE MATERIALIZED VIEW lonely AS
+            SELECT k FROM a WHERE (SELECT COUNT(*) FROM u WHERE u.k = a.k) = 0;
+            CREATE MATERIALIZED VIEW counts AS
+            SELECT k, (SELECT COUNT(*) FROM u WHERE u.k = a.k) AS n FROM a;
+            """
+        )
+        .connect_table(
+            "a", spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k INT, v INT")
+        )
+        .connect_table(
+            "u", spark.createDataFrame([(1, 1), (1, 2)], "k INT, w INT")
+        )
+        .create()
+    )
+    assert {r["k"] for r in p.view("lonely").collect()} == {2, 3}
+    got = {(r["k"], r["n"]) for r in p.view("counts").collect()}
+    assert got == {(1, 2), (2, 0), (3, 0)}
+
+
+def test_correlated_count_expression_not_extracted():
+    """COUNT inside a larger correlated expression can't take the
+    0-default post-hoc — it must stay a real subquery (batch path)."""
+    from feldera_spark.frontend import extract_scalar_subqueries
+
+    out = extract_scalar_subqueries(
+        "SELECT k FROM a WHERE (SELECT COUNT(*) + 1 FROM u WHERE u.k = a.k) = 1",
+        "__sq_v",
+        {"u": {"k", "w"}, "a": {"k", "v"}},
+    )
+    assert out is None
+
+
+def test_cte_name_collides_with_column(spark):
+    """A CTE whose name equals a column it projects must not have the
+    column reference rewritten (ADVICE r3 medium, verified break)."""
+    p = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE t (k INT, v INT);
+            CREATE MATERIALIZED VIEW out AS
+            WITH totals AS (SELECT k, SUM(v) AS totals FROM t GROUP BY k)
+            SELECT k, totals FROM totals;
+            """
+        )
+        .connect_table(
+            "t", spark.createDataFrame([(1, 10), (1, 5), (2, 7)], "k INT, v INT")
+        )
+        .create()
+    )
+    assert {(r["k"], r["totals"]) for r in p.view("out").collect()} == {
+        (1, 15), (2, 7)
+    }
+
+
+def test_substitute_table_names_positions():
+    from feldera_spark.frontend import substitute_table_names
+
+    m = {"totals": "__h"}
+    # FROM / JOIN targets and qualifiers rewrite
+    assert substitute_table_names("SELECT x FROM totals", m) == "SELECT x FROM __h"
+    assert (
+        substitute_table_names("SELECT totals.k FROM totals", m)
+        == "SELECT __h.k FROM __h"
+    )
+    assert (
+        substitute_table_names("SELECT a.x FROM a JOIN totals ON a.k = totals.k", m)
+        == "SELECT a.x FROM a JOIN __h ON a.k = __h.k"
+    )
+    # comma-continued FROM list rewrites; select-list column does NOT
+    assert (
+        substitute_table_names("SELECT k, totals FROM a, totals", m)
+        == "SELECT k, totals FROM a, __h"
+    )
+    # GROUP BY / WHERE column references do not rewrite
+    assert (
+        substitute_table_names("SELECT totals FROM t GROUP BY totals", m)
+        == "SELECT totals FROM t GROUP BY totals"
+    )
+
+
+def test_split_aggregate_group_by_extra_whitespace():
+    """'GROUP   BY k' (multi-space) must slice the clause at the keyword
+    match end, not a fixed offset (ADVICE r3 low: produced 'GROUP BY Y k')."""
+    from feldera_spark.frontend import split_aggregate_for_scalar
+
+    out = split_aggregate_for_scalar(
+        "SELECT k, SUM(v) AS s FROM t GROUP   BY k "
+        "HAVING SUM(v) > (SELECT AVG(v) FROM t)",
+        "__ha_v",
+    )
+    assert out is not None
+    outer_sql, hidden, hidden_sql = out
+    assert hidden_sql.rstrip().endswith("GROUP BY k")
+    assert "BY Y" not in hidden_sql

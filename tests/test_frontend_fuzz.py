@@ -1,0 +1,133 @@
+"""Adversarial frontend hardening (round-3 verdict task 4).
+
+The dialect frontend + IVM recognizer are textual; the structural risk
+is a silent miscompile on an unanticipated SQL shape. This property
+test composes random view bodies from the recognizer grammar UNION
+near-miss mutations — string literals containing keywords/brackets,
+SQL comments, qualified names, odd whitespace, CTE wrappers, scalar /
+NOT IN subqueries — and asserts the engine's evaluation of the view
+(compiled OR batch fallback) equals Spark SQL's own evaluation of the
+identical statement, or fails LOUDLY at create time. Never a silent
+wrong answer.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from feldera_spark.pipeline import PipelineBuilder
+
+T1_ROWS = [
+    (1, 10, "a"), (2, 20, "b,c"), (3, None, "UNION"), (4, 40, "x'y"),
+    (5, 50, "arr[1]"), (6, 60, None), (7, 20, "GROUP BY"), (8, 80, "d"),
+]
+T2_ROWS = [(1, 5), (2, None), (3, 7), (9, 9)]
+
+
+def _ws(rng: random.Random) -> str:
+    return rng.choice([" ", "  ", "\n ", "   ", "\t "])
+
+
+@st.composite
+def view_bodies(draw) -> str:
+    rng = random.Random(draw(st.integers(0, 2**32 - 1)))
+    w = lambda: _ws(rng)
+
+    items_plain = ["k", "v", "s", "t1.k", "k + 1 AS kk", "upper(s) AS us",
+                   "'lit UNION (SELECT' AS trap", "coalesce(v, 0) AS cv"]
+    items_agg = ["COUNT(*) AS n", "SUM(v) AS sv", "MIN(v) AS mv",
+                 "MAX(k) AS mk", "AVG(v) AS av",
+                 "SUM(v) + COUNT(*) AS compound"]
+    preds = [
+        "v > 15",
+        "s <> 'a)b'",
+        "s IS NOT NULL",
+        "k % 2 = 0",
+        "v > (SELECT AVG(v) FROM t2x)",
+        "k NOT IN (SELECT k FROM t2x WHERE w > 0)",
+        "v BETWEEN 10 AND 60",
+        "t1.k < 100",
+    ]
+    grouped = draw(st.booleans())
+    if grouped:
+        n_items = draw(st.integers(1, 3))
+        sel = ["k"] + rng.sample(items_agg, n_items)
+    else:
+        sel = rng.sample(items_plain, draw(st.integers(1, 4)))
+    body = f"SELECT{w()}{(',' + w()).join(sel)}{w()}FROM{w()}t1"
+    if draw(st.booleans()):
+        chosen = rng.sample(preds, draw(st.integers(1, 2)))
+        body += f"{w()}WHERE{w()}{(w() + 'AND' + w()).join(chosen)}"
+    if grouped:
+        body += f"{w()}GROUP{w()}BY{w()}k"
+        if draw(st.booleans()):
+            body += f"{w()}HAVING{w()}COUNT(*) >= 1"
+    # comment injection: line comments between clauses
+    if draw(st.booleans()):
+        body = body.replace("FROM", "-- trailing comment\nFROM", 1)
+    # CTE wrapper (sometimes colliding with a projected alias)
+    wrap = draw(st.sampled_from(["none", "cte", "cte_collide"]))
+    if wrap == "cte" and not grouped:
+        body = f"WITH base{w()}AS{w()}({body.replace('t1', 't1', 1)}) " \
+               f"SELECT{w()}*{w()}FROM{w()}base"
+    elif wrap == "cte_collide" and grouped:
+        body = (f"WITH n AS ({body}) SELECT{w()}k,{w()}n.{sel[1].split(' AS ')[-1]} "
+                f"FROM{w()}n")
+    return body
+
+
+@pytest.fixture(scope="module")
+def fuzz_tables(spark):
+    spark.createDataFrame(T1_ROWS, "k INT, v INT, s STRING") \
+        .createOrReplaceTempView("__fz_t1")
+    spark.createDataFrame(T2_ROWS, "k INT, w INT") \
+        .createOrReplaceTempView("__fz_t2")
+    return spark
+
+
+_counter = [0]
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(body=view_bodies())
+def test_fuzzed_view_bodies_never_miscompile(spark, fuzz_tables, body):
+    # ground truth: Spark SQL itself over the same relations (the view
+    # grammar here is Spark-compatible by construction)
+    truth_sql = body.replace("t1", "__fz_t1").replace("t2x", "__fz_t2")
+    try:
+        truth = sorted(
+            tuple(str(c) for c in r) for r in spark.sql(truth_sql).collect()
+        )
+    except Exception:
+        truth = None  # invalid statement: engine must also fail loudly
+
+    _counter[0] += 1
+    n = _counter[0]
+    pipeline_sql = (
+        f"CREATE TABLE t1 (k INT, v INT, s VARCHAR);"
+        f"CREATE TABLE t2x (k INT, w INT);"
+        f"CREATE MATERIALIZED VIEW fz{n} AS {body}"
+    )
+    try:
+        b = PipelineBuilder(spark).sql(pipeline_sql)
+        b.connect_table("t1", spark.table("__fz_t1"))
+        b.connect_table("t2x", spark.table("__fz_t2"))
+        p = b.create()
+        got = sorted(
+            tuple(str(c) for c in r) for r in p.view(f"fz{n}").collect()
+        )
+    except Exception as e:
+        if truth is None:
+            return  # Spark rejects it too: clean mutual failure
+        raise AssertionError(
+            f"engine rejects a Spark-valid statement: {body!r}: {e}"
+        ) from e
+    assert truth is not None, (
+        f"engine evaluated a statement Spark SQL rejects: {body!r}"
+    )
+    assert got == truth, (
+        f"MISCOMPILE: {body!r}\n engine={got[:5]}...\n truth={truth[:5]}..."
+    )

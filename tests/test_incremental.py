@@ -307,3 +307,76 @@ def test_rolling_null_partition_key(spark):
     rows = {(r.k, r.ts, r.rolling) for r in view.materialized().collect()}
     assert (None, base + dt.timedelta(minutes=50), 70.0) in rows
     assert (None, base + dt.timedelta(minutes=30), 30.0) in rows
+
+
+def test_incremental_recursive_view_inserts_and_deletes(spark):
+    """DECLARE RECURSIVE VIEW maintained across deltas (recursive.rs:262):
+    per-step result == batch fixpoint; insert steps converge in fewer
+    rounds than the cold start; deletions rederive via DRed (facts with
+    surviving alternate derivations stay)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    edges = [(i, i // 2) for i in range(2, 40)]
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE edge (child BIGINT, parent BIGINT);
+        DECLARE RECURSIVE VIEW anc (node BIGINT, anc BIGINT);
+        CREATE MATERIALIZED VIEW anc AS
+        SELECT child AS node, parent AS anc FROM edge
+        UNION
+        SELECT e.child AS node, anc.anc AS anc
+        FROM edge e JOIN anc ON e.parent = anc.node
+        """
+    )
+    b.connect_table(
+        "edge", spark.createDataFrame(edges, "child BIGINT, parent BIGINT")
+    )
+    p = b.create()
+    assert "anc" in p._ivm
+    plan = p._ivm["anc"]
+
+    def batch(rows):
+        par: dict[int, set[int]] = {}
+        for c, pa in rows:
+            par.setdefault(c, set()).add(pa)
+        memo: dict[int, set[int]] = {}
+
+        def ancs(n):
+            if n in memo:
+                return memo[n]
+            out: set[int] = set()
+            memo[n] = out  # cycle guard
+            for q in par.get(n, ()):
+                out.add(q)
+                out |= ancs(q)
+            return out
+
+        return {(c, a) for c in set(par) for a in ancs(c)}
+
+    def got():
+        return {(r["node"], r["anc"]) for r in p.view("anc").collect()}
+
+    rows = set(edges)
+    assert got() == batch(rows)
+    cold = plan.cold_rounds
+    assert cold >= 4
+
+    # inserts: semi-naive from converged state — rounds = new depth
+    p.execute("INSERT INTO edge VALUES (80, 39), (81, 80)")
+    rows |= {(80, 39), (81, 80)}
+    assert got() == batch(rows)
+    assert plan.last_rounds < cold, "insert must not re-run the fixpoint"
+
+    # delete disconnects node 4's subtree from ancestors {2, 1}
+    p.execute("DELETE FROM edge WHERE child = 4 AND parent = 2")
+    rows -= {(4, 2)}
+    assert got() == batch(rows)
+    assert plan.last_rounds < cold
+
+    # alternate derivation survives deletion of one path
+    p.execute("INSERT INTO edge VALUES (8, 9)")
+    rows |= {(8, 9)}
+    assert got() == batch(rows)
+    p.execute("DELETE FROM edge WHERE child = 8 AND parent = 4")
+    rows -= {(8, 4)}
+    assert got() == batch(rows), "facts with surviving derivations must stay"

@@ -155,3 +155,90 @@ def test_scalar_subquery_cross_join_broadcasts(spark):
     assert "CartesianProduct" not in plan, (
         "unit-key join must not be a partitioned cartesian product"
     )
+
+
+def test_nx04_join_broadcast_is_conditional(spark):
+    """nx04's temporal join is EQUI on auction=id with the band as a
+    residual — broadcast must be the optimizer's choice (dim fits the
+    threshold), NOT a hard hint that would OOM the driver when the
+    auction side outgrows broadcast at 100x scale (round-3 verdict)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        plan_small = _plan(_Q["nx04_avg_closing_price"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan_small  # small dim: broadcast
+        assert "BroadcastNestedLoopJoin" not in plan_small
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = _plan(_Q["nx04_avg_closing_price"](spark, SF_DIR))
+        # dim no longer broadcastable: the plan degrades to a partitioned
+        # equi-join (SMJ/shuffled-hash), never a nested loop
+        assert "BroadcastHashJoin" not in plan_big
+        assert "BroadcastNestedLoopJoin" not in plan_big
+        assert "CartesianProduct" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q70_is_single_action(spark):
+    """q70 builds its four scalars as aggregate subframes cross-joined —
+    ONE plan, zero driver-side .count() round-trips (round-3 verdict)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = _Q["q70_three_valued_logic"](spark, SF_DIR)
+    after_build = len(tracker.getJobIdsForGroup(None) or [])
+    # parquet footer/schema reads may run tiny listing jobs; the four
+    # full-compute .count() round-trips of the old form may NOT
+    assert after_build - before <= 2, "q70 must not compute during build"
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["eq_matches"] >= 0
+    assert len(df.columns) == 4
+
+
+def test_stepped_state_plans_stay_shallow(spark):
+    """After a committed step, view state must read from checkpointed
+    blocks (LogicalRDD) — plan depth must NOT grow with step count."""
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        wcount,
+        wsum,
+    )
+    from feldera_spark.zset import WEIGHT
+
+    view = IncrementalLinearAggregateView(
+        keys=["k"], sums={"n": wcount(), "s": wsum("v")}
+    )
+    base = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(60)], "k INT, v DOUBLE"
+    )
+    sizes = []
+    for step_i in range(6):
+        view.step(
+            base.filter(F.col("v") % 6 == step_i).withColumn(
+                WEIGHT, F.lit(1).cast("long")
+            )
+        )
+        plan = view.state._jdf.queryExecution().optimizedPlan().toString()
+        sizes.append(len(plan.splitlines()))
+        assert "LogicalRDD" in plan
+    # depth constant across steps (each step's commit truncates lineage)
+    assert max(sizes) == min(sizes), sizes
+
+
+def test_touched_key_state_routing_broadcasts(spark):
+    """The state-restriction semi join must BroadcastHashJoin on the
+    (per-delta small) key frame — never sort-merge the whole state
+    (round-3 verdict #4)."""
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming.incremental import nullsafe_keys_join
+    from feldera_spark.zset import WEIGHT
+
+    state = spark.createDataFrame(
+        [(i % 50, float(i), 1) for i in range(500)], "k INT, v DOUBLE, __weight LONG"
+    )
+    keys = spark.createDataFrame([(1,), (2,)], "k INT")
+    plan = nullsafe_keys_join(state, keys, ["k"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -464,3 +464,129 @@ def test_step_loop_backpressure_bounded_batches(spark, tmp_path):
     # a 100-row backlog arrives as 4 bounded steps, never one 100-row batch
     assert pipe.batches_seen == 4
     assert sizes == [25, 25, 25, 25]
+
+
+def test_emit_final_compiled_retraction_free(spark):
+    """Compiled emit_final view: every step's output delta carries ONLY
+    +1 weights (append-only sealed rows, docs/sql/streaming.md:44-57),
+    and emitted rows survive later chunks unchanged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.zset import WEIGHT
+
+    def mk(day, value):
+        return (dt.datetime(2024, 1, day), float(value))
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ev (
+            ts TIMESTAMP LATENESS INTERVAL 1 DAYS,
+            value DOUBLE
+        ) WITH ('append_only' = 'true');
+        CREATE MATERIALIZED VIEW daily WITH ('emit_final' = 'd') AS
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS d,
+               count(*) AS n
+        FROM ev GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)
+        """
+    ).connect_table(
+        "ev",
+        spark.createDataFrame([mk(1, 1), mk(2, 2), mk(3, 3)], "ts TIMESTAMP_NTZ, value DOUBLE"),
+    )
+    p = b.create()
+    plan = p._ivm["daily"]
+    # initial bound = Jan 3 - 1d = Jan 2: days 1 and 2 sealed
+    first = {str(r["d"])[:10] for r in p.view("daily").collect()}
+    assert first == {"2024-01-01", "2024-01-02"}
+
+    # advance: new chunk moves the bound; output delta must be +1 only
+    from feldera_spark import zset
+
+    delta = plan.step(
+        {"ev": zset.lift(spark.createDataFrame(
+            [mk(4, 4), mk(5, 5)], "ts TIMESTAMP_NTZ, value DOUBLE"
+        ))}
+    )
+    weights = {r[WEIGHT] for r in delta.collect()}
+    assert weights <= {1}, f"emit_final delta must be +1 only, got {weights}"
+    emitted = {str(r["d"])[:10] for r in plan.materialized().collect()}
+    assert emitted == {"2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"}
+
+    # LATENESS violation (row below the emitted bound) must fail loudly,
+    # not silently change an emitted row
+    import pytest
+
+    with pytest.raises(Exception, match="emit_final|assert_true|LATENESS"):
+        d2 = plan.step(
+            {"ev": zset.lift(spark.createDataFrame(
+                [mk(1, 9)], "ts TIMESTAMP_NTZ, value DOUBLE"
+            ))}
+        )
+        d2.collect()
+
+
+def test_spilled_spine_partition_pruning(spark, tmp_path):
+    """Spilled spine compactions partitionBy the window column; a
+    time-bounded read then PRUNES partition directories (file-level
+    retain-keys, round-3 verdict task 10)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming.incremental import Spine
+    from feldera_spark.zset import WEIGHT
+
+    spill = str(tmp_path / "spine")
+    sp = Spine(max_batches=2, spill_dir=spill, partition_cols=["w"])
+    for day in (1, 2, 3):
+        sp.append(
+            spark.createDataFrame(
+                [(f"2024-01-0{day}", i, 1) for i in range(10)],
+                "w STRING, v INT, __weight LONG",
+            )
+        )
+    # 3 appends > max_batches=2 → compaction wrote gen-000001 partitioned
+    gens = os.listdir(spill)
+    assert gens, "compaction must have spilled"
+    parts = os.listdir(os.path.join(spill, sorted(gens)[-1]))
+    assert any(p.startswith("w=") for p in parts), parts
+
+    read = sp.read_for_keys(
+        spark.createDataFrame([(1,)], "v INT"), ["v"],
+        prefilter=F.col("w") >= "2024-01-03",
+    )
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2024-01-03" in plan, plan
+
+
+def test_enable_spill_sets_window_partition_cols(spark, tmp_path):
+    """Pipeline.create(storage_dir=...) wires windowed views' integral
+    spines to partition their spilled compactions by the window key."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import Spine
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (k BIGINT, ts TIMESTAMP);"
+        "CREATE MATERIALIZED VIEW byday AS "
+        "SELECT window_start, MIN(k) AS mk, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    )
+    b.connect_table(
+        "ev",
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "k BIGINT, ts STRING"
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts"),
+    )
+    p = b.create(storage_dir=str(tmp_path / "store"))
+    plan = p._ivm["byday"]
+    spines = [
+        v for v in vars(plan._agg).values() if isinstance(v, Spine)
+    ]
+    assert spines, "windowed aggregate must hold spines"
+    assert any(
+        s.partition_cols == ["window_start"] and s.spill_dir
+        for s in spines
+    ), [(s.spill_dir, s.partition_cols) for s in spines]
