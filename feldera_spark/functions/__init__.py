@@ -3,8 +3,10 @@ dialect (``crates/sqllib``, ``docs/sql/function-index.md``) and built-in
 Spark functions (SURVEY §2.9: everything else maps 1:1 to
 ``pyspark.sql.functions``).
 
-All shims are pure Column expressions (JVM-side, codegen-friendly); no
-Python UDFs anywhere in this module.
+All shims are pure Column expressions (JVM-side, codegen-friendly),
+with ONE exception: ``gunzip`` is an Arrow-batched pandas UDF — byte
+decompression has no Spark built-in (and is never in a relational hot
+path).
 """
 
 from __future__ import annotations
@@ -111,11 +113,31 @@ def timestamp_to_ms(col) -> Column:
 # --- misc -------------------------------------------------------------------
 
 def gunzip(col) -> Column:
-    """GUNZIP (sqllib binary.rs): not available as a built-in; placeholder
-    raises at plan time rather than silently mis-executing."""
-    raise NotImplementedError(
-        "gunzip needs a small pandas UDF (zlib); add when a workload requires it"
-    )
+    """GUNZIP(binary) → VARCHAR (``sqllib`` ``binary.rs`` ``gunzip``):
+    decompress a gzip-compressed byte string. No Spark built-in exists,
+    so this is the one legitimate pandas-UDF scalar in the dialect
+    layer — Arrow-batched, zlib (stdlib) per batch, NULL for NULL input
+    and for malformed streams (the reference's SAFE flavor returns NULL;
+    its plain flavor errors — callers wanting errors can wrap with an
+    assert). wbits=47 accepts both gzip and zlib headers."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _gunzip(s):
+        import zlib
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return zlib.decompress(bytes(v), 47).decode("utf-8")
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    # no type hints: module uses `from __future__ import annotations`,
+    # which stringifies them beyond pandas_udf's resolver
+    return pandas_udf(_gunzip, "string")(_c(col))
 
 
 def to_unsigned(col, bits: int) -> Column:

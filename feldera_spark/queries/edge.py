@@ -967,3 +967,34 @@ def e30_array_one_based_corners(spark, sf_dir):
         F.size(words).cast("bigint").alias("n_words"),
         F.array_join(F.slice(words, 2, 2), "-").alias("middle"),
     )
+
+
+@q(
+    "e31_gunzip_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS roundtrip FROM documents WHERE doc_id < 200
+    """,
+)
+def e31_gunzip_roundtrip(spark, sf_dir):
+    """GUNZIP (sqllib binary.rs — round-3 'partial' now closed): the
+    document text is gzip-compressed in-plan (Arrow-batched pandas UDF)
+    and decompressed with functions.gunzip; the oracle is the RAW text,
+    so the hash check proves a bit-exact round trip through real gzip
+    bytes — not a stub."""
+    from pyspark.sql.functions import pandas_udf
+
+    from feldera_spark.functions import gunzip
+
+    def _gzip_fn(s):
+        import gzip as _g
+
+        return s.map(
+            lambda v: None if v is None else _g.compress(v.encode("utf-8"), 5)
+        )
+
+    _gzip = pandas_udf(_gzip_fn, "binary")
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", gunzip(_gzip(F.col("text"))).alias("roundtrip")
+    )
