@@ -766,6 +766,7 @@ def extract_scalar_subqueries(
                     }
 
                 corr: list[tuple[str, str]] = []  # (inner col, outer col)
+                ineq: tuple[str, str, str] | None = None  # (ic, oc, op)
                 rest: list[str] = []
                 bad = not (item_dots <= {inner_al})
                 for conj in _split_top_and_fe(w or ""):
@@ -778,10 +779,20 @@ def extract_scalar_subqueries(
                             table_columns[tbl],
                             table_columns.get(outer[0], set()),
                         )
-                        if pair is None:
+                        if pair is not None:
+                            corr.append(pair)
+                            continue
+                        # NON-EQUI correlation (u.c <= a.oc / >=): at
+                        # most one — lowered to a range-scalar view
+                        ip = _corr_ineq_pair(
+                            conj, inner_al, outer_al,
+                            table_columns[tbl],
+                            table_columns.get(outer[0], set()),
+                        )
+                        if ip is None or ineq is not None:
                             bad = True
                             break
-                        corr.append(pair)
+                        ineq = ip
                     elif dots <= {inner_al} and _words(conj) <= known:
                         rest.append(conj)
                     else:
@@ -797,11 +808,11 @@ def extract_scalar_subqueries(
                 if len({ic for ic, _ in pairs}) != len(pairs):
                     bad = True
                 if not bad and _words(item) <= known:
-                    parsed = (tbl, item, rest, pairs, outer_al)
+                    parsed = (tbl, item, rest, pairs, outer_al, ineq)
         if parsed is None:
             pos = end
             continue
-        tbl, item, rest, corr, outer_al = parsed
+        tbl, item, rest, corr, outer_al, ineq = parsed
         n = len(out)
         col, al, hidden = f"__sv{n}", f"__sq{n}", f"{prefix}_{n}"
         am = re.match(r"^(?P<e>.*?)\s+AS\s+\w+\s*$", item, re.IGNORECASE | re.DOTALL)
@@ -815,7 +826,8 @@ def extract_scalar_subqueries(
         # default post-hoc, so it stays a real subquery (batch evaluates
         # it exactly).
         ref = f"{al}.{col}"
-        if corr:
+        exact_count = False
+        if corr or ineq is not None:
             cm2 = re.match(r"(COUNT|COUNTIF)\s*\(", item_core, re.IGNORECASE)
             exact_count = cm2 is not None and _balanced(
                 item_core, item_core.index("(", cm2.end() - 1)
@@ -825,6 +837,55 @@ def extract_scalar_subqueries(
             elif re.search(r"\b(COUNT|COUNTIF)\s*\(", item_core, re.IGNORECASE):
                 pos = end
                 continue
+        if ineq is not None:
+            # NON-EQUI correlation: the scalar depends only on the outer
+            # row's correlated VALUES, so the hidden view aggregates the
+            # inequality prefix per DISTINCT outer value (reference:
+            # RangeAggregates — a range/rolling operator, never a
+            # nested loop). The derived tables extract into their own
+            # hidden views and the remaining 2-relation non-equi LEFT
+            # JOIN + GROUP BY compiles to CompiledRangeScalarView.
+            icol, ocol, iop = ineq
+            item2 = (
+                f"COUNT({inner_al}.{icol})" if exact_count else item_core
+            )
+            ksel = [f"{ocol} AS __ok{n}"] + [
+                f"{oc2} AS __ek{n}_{i2}" for i2, (_, oc2) in enumerate(corr)
+            ]
+            right = f"{bm.group('t')} {inner_al}"
+            if rest:
+                right = (
+                    f"(SELECT * FROM {bm.group('t')} "
+                    f"WHERE {' AND '.join(rest)}) {inner_al}"
+                )
+            on_terms = [f"{inner_al}.{icol} {iop} __ksq.__ok{n}"] + [
+                f"{inner_al}.{ic2} = __ksq.__ek{n}_{i2}"
+                for i2, (ic2, _) in enumerate(corr)
+            ]
+            gb = [f"__ksq.__ok{n}"] + [
+                f"__ksq.__ek{n}_{i2}" for i2 in range(len(corr))
+            ]
+            hidden_sel = [f"{g} AS {g.split('.')[1]}" for g in gb] + [
+                f"{item2} AS {col}"
+            ]
+            inner_sql = (
+                f"SELECT {', '.join(hidden_sel)} "
+                f"FROM (SELECT DISTINCT {', '.join(ksel)} "
+                f"FROM {outer[0]}) __ksq "
+                f"LEFT JOIN {right} ON {' AND '.join(on_terms)} "
+                f"GROUP BY {', '.join(gb)}"
+            )
+            on_outer = [f"{al}.__ok{n} = {outer_al}.{ocol}"] + [
+                f"{al}.__ek{n}_{i2} = {outer_al}.{oc2}"
+                for i2, (_, oc2) in enumerate(corr)
+            ]
+            joins.append(
+                f" LEFT JOIN {hidden} {al} ON {' AND '.join(on_outer)}"
+            )
+            out.append((hidden, _restore_literals(inner_sql, lits)))
+            protected = protected[:start] + ref + protected[end:]
+            pos = start + len(ref)
+            continue
         keys: list[str] = []
         for icol, _ in corr:
             if icol not in keys:
@@ -934,6 +995,44 @@ def _corr_equi_pair(
     if xc not in inner_cols or yc not in outer_cols:
         return None
     return xc, yc
+
+
+_CORR_INEQ_RE = re.compile(
+    r"^\s*(?P<x>\w+(?:\s*\.\s*\w+)?)\s*(?P<op><=|>=)\s*"
+    r"(?P<y>\w+(?:\s*\.\s*\w+)?)\s*$"
+)
+
+
+def _corr_ineq_pair(
+    conj: str, inner_al: str, outer_al: str,
+    inner_cols: set[str], outer_cols: set[str],
+) -> tuple[str, str, str] | None:
+    """One NON-EQUI correlation conjunct ``inner_col <=|>= outer.col``
+    (either order); returns (inner col, outer col, op) normalized to
+    ``inner <op> outer``. Strict </> have no peers-inclusive window
+    frame — not recognized (batch). ``<=>`` cannot match (the trailing
+    ``>`` breaks the operand parse)."""
+    m = _CORR_INEQ_RE.match(conj)
+    if m is None:
+        return None
+
+    def _side(s: str) -> tuple[str | None, str]:
+        if "." in s:
+            a, c = (p.strip().lower() for p in s.split(".", 1))
+            return a, c
+        return None, s.strip().lower()
+
+    xa, xc = _side(m.group("x"))
+    ya, yc = _side(m.group("y"))
+    op = m.group("op")
+    if xa == outer_al:
+        op = {"<=": ">=", ">=": "<="}[op]
+        xa, xc, ya, yc = ya, yc, xa, xc
+    if ya != outer_al or xa not in (None, inner_al):
+        return None
+    if xc not in inner_cols or yc not in outer_cols:
+        return None
+    return xc, yc, op
 
 
 def _single_outer_table(text: str) -> tuple[str, str] | None:

@@ -689,13 +689,13 @@ class Pipeline:
                     )
                     self._ivm_ready.add(name)
                     if out is not None:
-                        step_deltas[name] = out
+                        step_deltas[name] = self._pin_delta(out)
                 elif any(t in step_deltas for t in plan.sources):
                     out = plan.step(
                         {t: step_deltas.get(t) for t in plan.sources}
                     )
                     if out is not None:
-                        step_deltas[name] = out
+                        step_deltas[name] = self._pin_delta(out)
                 df = plan.materialized()
             else:
                 df = (
@@ -715,6 +715,24 @@ class Pipeline:
                     df = df.cache()
             df.createOrReplaceTempView(name)
             self._frames[name] = df
+
+    @staticmethod
+    def _pin_delta(out: DataFrame) -> DataFrame:
+        """Checkpoint a view's OUTPUT delta at the chain boundary (joins
+        the step's single commit job). Downstream views then consume a
+        LogicalRDD instead of the raw plan — without this, each consumer
+        embeds the full upstream delta derivation once per spine-batch
+        slice and chained plans compound super-linearly with step count
+        (the reference's circuit materializes every operator's step
+        output for exactly this reason)."""
+        from feldera_spark.streaming.incremental import _checkpoint
+
+        try:
+            if out._jdf.queryExecution().logical().nodeName() == "LogicalRDD":
+                return out  # already a committed batch — no second pin
+        except Exception:
+            pass
+        return _checkpoint(out)
 
     def execute(self, sql: str) -> DataFrame | None:
         """Ad-hoc statement execution (SDK ``Pipeline.execute``,

@@ -60,7 +60,7 @@ _GATE_ORDER = [
     "q53_array_agg_ordered", "q55_stats_exact", "q56_try_cast",
     "q41_tumble", "q43_session", "q44_asof_join", "q45_range_join",
     "q46_latest_by_key", "q48_recursive_hierarchy", "q49_temporal_filter",
-    "q74_ddl_tumble", "q77_ddl_asof", "q78_ddl_recursive",
+    "i46_ivm_recursive", "i47_ivm_emit_final", "q78_ddl_recursive",
     "q80_create_aggregate", "e08_three_valued_logic_table", "e24_cast_matrix",
     "nx04_avg_closing_price", "nx05_hot_items", "nx09_winning_bids",
     "d01_exact_dedup", "d03_lsh_candidate_pairs", "d06_cosine_topk",

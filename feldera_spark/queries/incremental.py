@@ -2544,3 +2544,52 @@ def i50_ivm_mixed_setops(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i50_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("mix")
+
+
+@q(
+    "i51_ivm_nonequi_scalar",
+    oracle=f"""
+    WITH src AS (SELECT event_id, user_id, ts, value FROM ({_NET})
+                 WHERE event_type = 'purchase')
+    SELECT s.event_id, s.user_id,
+           (SELECT CAST(MAX(value) AS DOUBLE) FROM src u
+            WHERE u.ts <= s.ts AND u.user_id = s.user_id) AS prior_max
+    FROM src s
+    """,
+)
+def i51_ivm_nonequi_scalar(spark, sf_dir):
+    """NON-EQUI correlated scalar subquery compiled to IVM (the last
+    round-3 task-5 shape; reference: RangeAggregates.java — inequality
+    correlations become range operators, never nested loops): each
+    purchase reads its user's running MAX value at-or-before its own
+    timestamp. Lowered to a hidden DISTINCT-keys view + a
+    CompiledRangeScalarView (ONE window pass per touched equi-key
+    group) + an equi LEFT JOIN; insert and delete chunks maintain it."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("double").alias("value"), "event_type",
+    ).filter(F.col("event_type") == "purchase").drop("event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i51_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE src (event_id BIGINT, user_id BIGINT,"
+        " ts TIMESTAMP, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW running AS "
+        "SELECT s.event_id, s.user_id,"
+        " (SELECT MAX(value) FROM src u WHERE u.ts <= s.ts"
+        "  AND u.user_id = s.user_id) AS prior_max "
+        "FROM src s"
+    )
+    b.connect_table("src", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "running" in pipe._ivm and "__sq_running_0" in pipe._ivm, (
+        "non-equi scalar chain must compile to IVM"
+    )
+    pipe.execute("INSERT INTO src SELECT * FROM __i51_chunk1")
+    pipe.execute("INSERT INTO src SELECT * FROM __i51_chunk2")
+    pipe.execute("DELETE FROM src WHERE event_id % 10 = 3")
+    return pipe.view("running")

@@ -33,6 +33,16 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # per-step IVM parallelism (streaming/stepper.py): step scopes
+        # run over bounded delta/state slices, not full-table scans —
+        # a deep view chain pays (shuffle rounds x tasks) in scheduling
+        # at the analytic partition count. Locally cpus/4; on a cluster
+        # size to per-step delta volume like a state-store partition
+        # count (rows x row_width / ~128MB).
+        .config(
+            "spark.feldera.step.shufflePartitions",
+            str(max(8, cpus // 2)),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

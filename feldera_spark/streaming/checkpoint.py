@@ -95,7 +95,7 @@ def _is_view_object(val) -> bool:
                 "CompiledRollingView", "CompiledSessionView",
                 "CompiledAsofView", "CompiledChainJoinView",
                 "CompiledDistinctAggView", "CompiledGroupingSetsView",
-                "CompiledRankView", "EmitFinalView",
+                "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
             )
         )
     )
@@ -109,7 +109,7 @@ def save_view(view, path: str) -> dict:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
-        "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView",
+        "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -183,7 +183,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         "CompiledView", "CompiledSetOpView",
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
-        "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView",
+        "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

@@ -621,6 +621,36 @@ class CompiledView:
         self._r_filters: list[str] = []
         if (
             shape.right is not None
+            and shape.how == "left"
+            and shape.where is not None
+            and columns is not None
+        ):
+            # EliminateOuterJoin (Calcite/Catalyst): a WHERE conjunct
+            # that is NULL-REJECTING on a right-side column (comparison /
+            # IS NOT NULL; no OR, no NULL-absorbing fns) drops every
+            # NULL-padded row anyway — the join compiles as INNER, which
+            # swaps the multi-operator outer composite (~10 serial
+            # shuffle rounds/step) for the 3-term bilinear join. This is
+            # the hot path of every decorrelated scalar subquery.
+            r_only = {
+                c.lower() for c in columns[shape.right]
+            } - {c.lower() for c in columns[shape.left]}
+            for conj in _split_top_and(shape.where):
+                if not (_pred_columns(conj) & r_only):
+                    continue
+                if re.search(
+                    r"\bOR\b|\bIS\s+NULL\b|\bCOALESCE\b|\bIFNULL\b|"
+                    r"\bNVL\b|\bCASE\b|<=>",
+                    conj,
+                    re.IGNORECASE,
+                ):
+                    continue
+                if re.search(r"[<>=]|\bIS\s+NOT\s+NULL\b|\bBETWEEN\b",
+                             conj, re.IGNORECASE):
+                    shape.how = "inner"
+                    break
+        if (
+            shape.right is not None
             and shape.how == "inner"
             and shape.where is not None
             and columns is not None
@@ -757,7 +787,9 @@ class CompiledView:
         elif materialize_output:
             from feldera_spark.streaming.incremental import Spine
 
-            self._linear_out = Spine(eager=False)
+            # eager: joins the step's single commit job; keeps the
+            # accumulated output's read plan flat across steps
+            self._linear_out = Spine()
             # a set-op parent passes materialize_output=False: its
             # terminal DISTINCT already integrates the output, so a
             # plain-projection child keeps ZERO state of its own
@@ -1157,6 +1189,7 @@ class CompiledView:
         out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
         if self._linear_out is not None:
             self._linear_out.append(out)
+            return self._linear_out.batches[-1]
         return out
 
     def state_components(self):
@@ -3192,6 +3225,14 @@ def _compile_simple(
                 return CompiledRankView(rank)
             except Exception:
                 return None
+        rng = parse_range_scalar_shape(sql)
+        if rng is not None:
+            if not {rng.left, rng.right} <= tables:
+                return None
+            try:
+                return CompiledRangeScalarView(rng)
+            except Exception:
+                return None
         if not _UNSUPPORTED_RE.search(sql):
             chain = _compile_chain_join(
                 sql, tables, append_only, columns, lateness
@@ -3376,3 +3417,265 @@ def enable_spill(plan, base_dir: str) -> int:
 
     walk(plan, base_dir, [])
     return count
+
+
+# ---------------------------------------------------------------------------
+# Range-scalar views: per-outer-VALUE aggregates over an inequality
+# prefix — the compiled form of NON-EQUI correlated scalar subqueries
+# (round-3 verdict task 5, last shape). Reference: RangeAggregates.java
+# + operator/time_series/ (the reference maintains inequality-correlated
+# aggregates as range/rolling operators, never a nested-loop).
+# ---------------------------------------------------------------------------
+
+_INEQ_RE = re.compile(
+    r"^\s*(?P<x>\w+)\.(?P<xc>\w+)\s*(?P<op><=|>=)\s*(?P<y>\w+)\.(?P<yc>\w+)\s*$"
+)
+
+
+@dataclass
+class _RangeScalarShape:
+    left: str   # keys view (distinct outer values)
+    right: str  # the subquery's table
+    l_al: str
+    r_al: str
+    keys: list[str]          # left group/output cols (incl. the range key)
+    range_key: str           # left col the inequality binds
+    r_range_col: str         # right col compared against it
+    op: str                  # right <op> left.range_key ('<=' or '>=')
+    equi: list[tuple[str, str]]  # (left col, right col)
+    aggs: list = field(default_factory=list)  # (name, fn, arg_col|None)
+    out_cols: list = field(default_factory=list)
+
+
+def parse_range_scalar_shape(sql: str) -> _RangeScalarShape | None:
+    """``SELECT k.a, AGG(u.x) AS s FROM kview k LEFT JOIN u ON
+    u.c <= k.a [AND u.e = k.b] GROUP BY k.a[, k.b]`` — exactly ONE
+    inequality ON term (<= / >=), the rest equi; group keys = all left
+    columns in the select list."""
+    from feldera_spark.frontend import _split_top_commas
+
+    m = _SHAPE_RE.match(sql.strip())
+    if m is None or m.group("gb") is None or m.group("where") is not None \
+            or m.group("having") or m.group("ob") or m.group("limit") \
+            or m.group("distinct"):
+        return None
+    jm = _JOIN_RE.match(m.group("from").strip())
+    if jm is None:
+        return None
+    how = re.sub(r"\s+", " ", (jm.group("how") or "inner").lower())
+    if how not in ("left", "left outer"):
+        return None
+    l_al = (jm.group("la") or jm.group("lt")).lower()
+    r_al = (jm.group("ra") or jm.group("rt")).lower()
+    ineq = None
+    equi: list[tuple[str, str]] = []
+    for term in _split_top_and(jm.group("on")):
+        im = _INEQ_RE.match(term)
+        if im is not None and {im.group("x").lower(), im.group("y").lower()} \
+                == {l_al, r_al}:
+            if ineq is not None:
+                return None
+            x, xc, op, y, yc = (im.group(g) for g in ("x", "xc", "op", "y", "yc"))
+            if x.lower() == l_al:  # normalize to right <op'> left
+                op = {"<=": ">=", ">=": "<="}[op]
+                x, xc, y, yc = y, yc, x, xc
+            ineq = (yc.lower(), xc.lower(), op)  # (left col, right col, op)
+            continue
+        em = _EQ_RE.match(term)
+        if em is None:
+            return None
+        xa, xc, ya, yc = (g.lower() for g in em.groups())
+        if xa == r_al:
+            xa, xc, ya, yc = ya, yc, xa, xc
+        if xa != l_al or ya != r_al:
+            return None
+        equi.append((xc, yc))
+    if ineq is None:
+        return None
+    range_key, r_range_col, op = ineq
+    shape = _RangeScalarShape(
+        left=jm.group("lt").lower(), right=jm.group("rt").lower(),
+        l_al=l_al, r_al=r_al, keys=[], range_key=range_key,
+        r_range_col=r_range_col, op=op, equi=equi,
+    )
+    for item in _split_top_commas(m.group("sel")):
+        item = item.strip()
+        am = re.match(r"^(?P<e>.*?)\s+AS\s+(?P<n>\w+)$", item,
+                      re.IGNORECASE | re.DOTALL)
+        expr, name = (
+            (am.group("e").strip(), am.group("n").lower()) if am
+            else (item, None)
+        )
+        km = re.match(rf"^{re.escape(l_al)}\.(\w+)$", expr, re.IGNORECASE)
+        gm = re.match(
+            rf"^(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
+            rf"(?:{re.escape(r_al)}\.)?(\w+)\s*\)$",
+            expr, re.IGNORECASE,
+        )
+        if km is not None:
+            col = km.group(1).lower()
+            shape.keys.append(col)
+            shape.out_cols.append(name or col)
+        elif gm is not None and name is not None:
+            shape.aggs.append((name, gm.group(1).lower(), gm.group(2).lower()))
+            shape.out_cols.append(name)
+        else:
+            return None
+    if not shape.aggs or not shape.keys:
+        return None
+    gb_cols = []
+    for entry in _split_top_commas(m.group("gb")):
+        km = re.match(rf"^{re.escape(l_al)}\.(\w+)$", entry.strip(),
+                      re.IGNORECASE)
+        if km is None:
+            return None
+        gb_cols.append(km.group(1).lower())
+    if set(gb_cols) != set(shape.keys):
+        return None
+    if shape.range_key not in shape.keys:
+        return None
+    return shape
+
+
+class CompiledRangeScalarView:
+    """Per-distinct-outer-value aggregate over an inequality prefix,
+    maintained by per-equi-key recompute: a delta on either side
+    re-derives only its touched equi-key groups, inside which ONE
+    window pass (ORDER BY the range column, RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW for <=, mirrored for >=) produces every
+    distinct outer value's running aggregate. No nested-loop, no
+    per-value rescans — the reference's range-aggregate shape. With no
+    equi correlation the group is global (single sorted partition —
+    same as the reference's un-keyed range aggregate)."""
+
+    def __init__(self, shape: _RangeScalarShape):
+        from feldera_spark.streaming.incremental import (
+            IncrementalBinaryKeyedRecomputeView,
+        )
+
+        self.shape = type("S", (), {"out_cols": list(shape.out_cols)})()
+        self._rs = shape
+        self.sources = [shape.left, shape.right]
+        self._waterline = None
+        eq_l = [lc for lc, _ in shape.equi]
+        self._eq_l = eq_l
+        s = shape
+
+        def fn(k_rows: DataFrame, u_rows: DataFrame) -> DataFrame:
+            from pyspark.sql.window import Window
+
+            name_by_key = dict(zip(s.keys, s.out_cols))
+            ktag = k_rows.select(
+                *[F.col(k).alias(f"__k_{k}") for k in s.keys],
+                F.col(s.range_key).alias("__ord"),
+                F.lit(1).alias("__isk"),
+                *[F.lit(None).cast("double").alias(f"__x_{n}")
+                  for n, _, _ in s.aggs],
+            )
+            utag = u_rows.select(
+                *[
+                    F.col(rc).alias(f"__k_{lc}") if (lc, rc) in s.equi
+                    else F.lit(None).alias(f"__k_{lc}")
+                    for lc in s.keys
+                    for rc in [dict(s.equi).get(lc, "")]
+                ],
+                F.col(s.r_range_col).alias("__ord"),
+                F.lit(0).alias("__isk"),
+                *[F.col(arg).cast("double").alias(f"__x_{n}")
+                  for n, _, arg in s.aggs],
+            )
+            both = ktag.unionByName(utag)
+            part = [f"__k_{lc}" for lc in eq_l]
+            w = Window.partitionBy(*part).orderBy(F.col("__ord").asc())
+            w = (
+                w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+                if s.op == "<="
+                else w.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            out = both
+            for n, fname, _arg in s.aggs:
+                x = F.col(f"__x_{n}")
+                if fname == "count":
+                    expr = F.count(x)
+                elif fname == "avg":
+                    expr = F.sum(x) / F.count(x)
+                else:
+                    expr = getattr(F, fname)(x)
+                out = out.withColumn(n, expr.over(w))
+            return out.filter(F.col("__isk") == 1).select(
+                *[
+                    F.col(f"__k_{k}").alias(name_by_key[k])
+                    if k != s.range_key
+                    else F.col("__ord").alias(name_by_key[k])
+                    for k in s.keys
+                ],
+                *[F.col(n) for n, _, _ in s.aggs],
+            )
+
+        # recompute keyed on the EQUI columns; with none, a constant key
+        self._keys = eq_l if eq_l else ["__g"]
+        self._view = IncrementalBinaryKeyedRecomputeView(
+            keys=[f"__rk_{k}" for k in self._keys], fn=self._defer_fn(fn)
+        )
+
+    def _defer_fn(self, fn):
+        rs = self._rs
+
+        def wrapped(a_rows: DataFrame, b_rows: DataFrame) -> DataFrame:
+            a = a_rows.drop(*[f"__rk_{k}" for k in self._keys])
+            b = b_rows.drop(*[f"__rk_{k}" for k in self._keys])
+            out = fn(a, b)
+            return self._route(out, "l")
+
+        return wrapped
+
+    def _route(self, df: DataFrame, side: str) -> DataFrame:
+        """Attach the recompute routing key columns."""
+        rs = self._rs
+        if self._keys == ["__g"]:
+            return df.withColumn("__rk___g", F.lit(0))
+        name_by_key = dict(zip(rs.keys, rs.out_cols))
+        for lc, rc in rs.equi:
+            src = (
+                name_by_key.get(lc, lc) if side == "l" else rc
+            ) if side != "raw_l" else lc
+            df = df.withColumn(f"__rk_{lc}", F.col(src))
+        return df
+
+    def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
+        rs = self._rs
+        l = frames.get(rs.left)
+        r = frames.get(rs.right)
+        if l is not None and r is not None:
+            self._view.set_schemas(
+                self._route(l.drop(WEIGHT) if WEIGHT in l.columns else l,
+                            "raw_l"),
+                self._route(r.drop(WEIGHT) if WEIGHT in r.columns else r,
+                            "r"),
+            )
+
+    @property
+    def _stepped(self) -> bool:
+        return not self._view.output.empty
+
+    def state_components(self):
+        return {"view": self._view}
+
+    @step_scoped
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        rs = self._rs
+        dl = deltas.get(rs.left)
+        dr = deltas.get(rs.right)
+        if dl is not None:
+            dl = self._route(zset.lift(dl), "raw_l")
+        if dr is not None:
+            dr = self._route(zset.lift(dr), "r")
+        out = self._view.step(dl, dr)
+        if out is None:
+            return None
+        return out.drop(*[f"__rk_{k}" for k in self._keys])
+
+    def materialized(self) -> DataFrame:
+        return self._view.materialized().drop(
+            *[f"__rk_{k}" for k in self._keys]
+        )

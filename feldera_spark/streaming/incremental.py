@@ -67,7 +67,11 @@ def nullsafe_keys_join(
     distinct keys — per-step small relative to state. At 100 TB state ×
     small delta the explicit hint guarantees a broadcast semi join (one
     state pass, no state-side shuffle); without it a cost-model miss
-    would sort-merge the ENTIRE state per step (round-3 verdict #4)."""
+    would sort-merge the ENTIRE state per step (round-3 verdict #4).
+
+    Callers must NOT pre-``distinct()`` the key frame — the dedup here
+    (inside the broadcast subplan) is the only one needed; a caller-side
+    distinct would add a full shuffle round per state read."""
     kd = F.broadcast(
         keys_df.select(*[F.col(k).alias(f"__ks_{k}") for k in on]).distinct()
     )
@@ -256,7 +260,7 @@ class IncrementalAggregateView:
         both the integral and the output are spines read key-restricted.
         """
         delta = zset.lift(delta)
-        touched = delta.select(*self.keys).distinct()
+        touched = delta.select(*self.keys)  # nullsafe join dedups
         self.integral.append(delta)
         affected = self.integral.read_for_keys(touched, self.keys)
         new_groups = zset.lift(self.agg_fn(affected))
@@ -266,7 +270,9 @@ class IncrementalAggregateView:
             old_groups = self.output.read_for_keys(touched, self.keys)
             out_delta = zset.consolidate(zset.minus(new_groups, old_groups))
         self.output.append(out_delta)
-        return out_delta
+        # return the APPENDED (step-committed) batch: downstream
+        # consumers then chain a LogicalRDD, not the raw delta plan
+        return self.output.batches[-1]
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty, "no deltas processed yet"
@@ -383,11 +389,13 @@ class IncrementalJoinView:
         self.broadcast_tiny = broadcast_tiny
         self.a = Spine()
         self.b = Spine()
-        # output is write-once/read-at-materialize: its deltas are
-        # shallow joins over the already-checkpointed a/b spines, so
-        # skipping the per-step materialization job is safe (Spine
-        # docstring) — one job less per step
-        self.output = Spine(eager=False)
+        # output joins the step's single commit job (stepper.py): eager
+        # appends cost no extra job under step batching and keep the
+        # accumulated output's read plan flat — one LogicalRDD per step
+        # instead of the raw join plan (whose depth tracks the spines'
+        # batch counts and, when the inputs are chained view deltas,
+        # would compound across steps)
+        self.output = Spine()
 
     def _wjoin(self, x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
         xr = x.withColumnRenamed(WEIGHT, "__wx")
@@ -406,7 +414,9 @@ class IncrementalJoinView:
     def _slice(self, spine: "Spine", delta: DataFrame) -> DataFrame:
         if not self.on:
             return zset.consolidate(spine.read())
-        return spine.read_for_keys(delta.select(*self.on).distinct(), self.on)
+        # no caller-side distinct: the state read's broadcast key frame
+        # dedups (nullsafe_keys_join) — one less shuffle per slice
+        return spine.read_for_keys(delta.select(*self.on), self.on)
 
     @step_scoped
     def step(self, delta_a: DataFrame | None, delta_b: DataFrame | None) -> DataFrame:
@@ -430,7 +440,7 @@ class IncrementalJoinView:
             return None
         out_delta = zset.consolidate(zset.plus(*parts))
         self.output.append(out_delta)
-        return out_delta
+        return self.output.batches[-1]
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty
@@ -507,11 +517,11 @@ class WindowedLinearAggregateView:
                 f"INTERVAL {self.w_secs} SECONDS"
             ) <= Waterline._ts_lit(waterline_bound)
             newly_frozen = self.inner.state.filter(closed).drop("__n")
-            self.frozen = (
+            self.frozen = _checkpoint(
                 newly_frozen
                 if self.frozen is None
                 else self.frozen.unionByName(newly_frozen)
-            ).localCheckpoint(eager=False)
+            )
             self.inner.state = _checkpoint(self.inner.state.filter(~closed))
             self.frozen_bound = (
                 waterline_bound
@@ -694,7 +704,7 @@ class IncrementalRollingAggregateView:
             )
             out_delta = zset.consolidate(zset.minus(new_out, old_affected))
         self.output.append(out_delta)
-        return out_delta
+        return self.output.batches[-1]
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty
@@ -799,7 +809,7 @@ class IncrementalKeyedRecomputeView:
     @step_scoped
     def step(self, delta: DataFrame) -> DataFrame:
         delta = zset.lift(delta)
-        touched = delta.select(*self.keys).distinct()
+        touched = delta.select(*self.keys)  # nullsafe join dedups
         self.integral.append(delta)
         affected = self.integral.read_for_keys(touched, self.keys)
         new_rows = zset.lift(self.fn(zset.to_bag(affected)))
@@ -809,7 +819,7 @@ class IncrementalKeyedRecomputeView:
             old_rows = self.output.read_for_keys(touched, self.keys)
             out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
         self.output.append(out_delta)
-        return out_delta
+        return self.output.batches[-1]
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty
@@ -870,7 +880,7 @@ class IncrementalDistinctView:
     def step(self, delta: DataFrame) -> DataFrame:
         delta = zset.lift(delta)
         cols = zset.data_columns(delta)
-        touched = delta.select(*cols).distinct()
+        touched = delta.select(*cols)  # nullsafe join dedups
         if self.integral.empty:
             self.integral.append(delta)
             return zset.distinct(delta)
@@ -934,8 +944,8 @@ class IncrementalBinaryKeyedRecomputeView:
         parts = []
         for d in (da, db):
             if d is not None:
-                parts.append(zset.lift(d).select(*self.keys).distinct())
-        touched = parts[0] if len(parts) == 1 else parts[0].union(parts[1]).distinct()
+                parts.append(zset.lift(d).select(*self.keys))
+        touched = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
         if da is not None:
             self.a.append(zset.lift(da))
         if db is not None:
@@ -949,7 +959,7 @@ class IncrementalBinaryKeyedRecomputeView:
             old_rows = self.output.read_for_keys(touched, self.keys)
             out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
         self.output.append(out_delta)
-        return out_delta
+        return self.output.batches[-1]
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty

@@ -159,6 +159,7 @@ class IncrementalOuterJoinView:
 
         if out is not None:
             self.output.append(out)
+            return self.output.batches[-1]
         return out
 
     def materialized(self) -> DataFrame:

@@ -79,19 +79,40 @@ def step_scope():
     one driver re-planning round trip per shuffle stage — measured 17
     jobs vs 6 for a 4-delta linear aggregate. IVM steps are
     latency-sensitive micro-batches over bounded state slices; the big
-    analytical scans where AQE earns its keep run outside step scopes."""
+    analytical scans where AQE earns its keep run outside step scopes.
+
+    With AQE off, per-step shuffles would otherwise run at the session's
+    analytic ``spark.sql.shuffle.partitions`` — sized for full-table
+    scans, not for the bounded delta slices a step touches. A deep view
+    chain pays (rounds x tasks) in pure scheduling. The scope therefore
+    sets ``spark.feldera.step.shufflePartitions`` (the per-step state
+    parallelism — the same knob streaming state stores expose) for its
+    duration when configured; ``session.get_spark`` defaults it to
+    cpus/4 locally. On a cluster size it to per-step delta volume
+    (~rows x row_width / 128MB), exactly like sizing state-store
+    partitions. Measured: a 4-step correlated-scalar chain at sf0.01
+    dropped 23.4s -> 10.3s.
+    """
     if _STACK:
         yield _STACK[-1]
         return
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
-    prev_aqe = None
+    prev_aqe = prev_parts = None
     if spark is not None and spark.conf.get(
         "spark.feldera.step.adaptive", "false"
     ) != "true":
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    step_parts = (
+        spark.conf.get("spark.feldera.step.shufflePartitions", "")
+        if spark is not None
+        else ""
+    )
+    if step_parts:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", step_parts)
     batch = _StepBatch()
     _STACK.append(batch)
     try:
@@ -103,6 +124,8 @@ def step_scope():
         finally:
             if prev_aqe is not None:
                 spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            if prev_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def materialize_all(frames: list[DataFrame]) -> None:

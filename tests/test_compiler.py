@@ -703,16 +703,19 @@ def test_compiled_setop_equals_batch_per_step(spark, sql):
 
 
 def test_setop_fallbacks():
-    # EXCEPT ALL / INTERSECT ALL and INTERSECT-mixed chains (tighter
-    # precedence): batch fallback. Same-precedence n-ary chains compile
-    # (test_nary_setop_chains).
+    # EXCEPT ALL / INTERSECT ALL: batch fallback. INTERSECT-mixed
+    # chains COMPILE since round 4 (precedence-aware split — fence
+    # retired; test_split_setop_mixed_intersect_precedence,
+    # test_mixed_intersect_chain_compiles_and_maintains).
     for sql in (
         "SELECT id FROM t EXCEPT ALL SELECT id FROM u",
         "SELECT id FROM t INTERSECT ALL SELECT id FROM u",
-        "SELECT id FROM t UNION SELECT id FROM u INTERSECT SELECT id FROM w",
-        # a set-op keyword inside a string literal is data, not syntax
     ):
         assert compile_view(sql, tables={"t", "u", "w"}) is None, sql
+    assert compile_view(
+        "SELECT id FROM t UNION SELECT id FROM u INTERSECT SELECT id FROM w",
+        tables={"t", "u", "w"},
+    ) is not None
     # literal containing UNION still compiles as a plain projection
     p = compile_view(
         "SELECT id, 'UNION BREW' AS tag FROM t", tables={"t"}
@@ -1076,14 +1079,16 @@ def test_compiled_hop_equals_batch(spark):
     assert _canon(plan.materialized()) == expected
 
 
-def test_hop_ragged_falls_back():
-    # size not a multiple of slide: batch fallback
-    assert compile_view(
+def test_hop_ragged_compiles(spark):
+    # size not a multiple of slide COMPILES since round 4 (ExpandHop
+    # parity — aligned-range starts; oracle coverage: i48)
+    plan = compile_view(
         "SELECT window_start, COUNT(*) AS n FROM TABLE(HOP(TABLE t, "
         "DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '1' HOUR)) "
         "GROUP BY window_start",
         tables={"t"},
-    ) is None
+    )
+    assert plan is not None and plan._agg is not None
 
 
 # ---------------------------------------------------------------------------
@@ -2263,14 +2268,15 @@ def test_stream_table_drives_scalar_subquery_view(spark, tmp_path):
      " EXCEPT SELECT id, k FROM t WHERE g = 1", True),
     ("SELECT k FROM t UNION SELECT k FROM u EXCEPT SELECT k FROM t"
      " WHERE g = 2", True),
-    # INTERSECT binds tighter: a mixed chain must fall back to batch
+    # INTERSECT binds tighter: the mixed chain compiles with the
+    # precedence-aware split (round 4): A UNION ALL (B INTERSECT C)
     ("SELECT k FROM t UNION ALL SELECT k FROM u"
-     " INTERSECT SELECT k FROM t WHERE g = 2", False),
+     " INTERSECT SELECT k FROM t WHERE g = 2", True),
 ])
 def test_nary_setop_chains(spark, body, compiled):
     """Left-associative n-ary set-op chains lower to nested
-    CompiledSetOpViews; INTERSECT-mixed chains (tighter precedence)
-    stay batch. Per-step == batch under deletions either way."""
+    CompiledSetOpViews; INTERSECT-mixed chains split at the last
+    non-INTERSECT operator. Per-step == batch under deletions."""
     from feldera_spark.pipeline import PipelineBuilder
 
     chunks, live = _chunks(spark)
@@ -2581,3 +2587,56 @@ def test_mixed_intersect_chain_compiles_and_maintains(spark):
     assert {r["x"] for r in p.view("mix").collect()} == {1, 2, 4, 9}
     p.execute("INSERT INTO tc VALUES (3)")    # intersection regains 3
     assert {r["x"] for r in p.view("mix").collect()} == {1, 2, 3, 4, 9}
+
+
+def test_nonequi_correlated_scalar_compiled(spark):
+    """Non-equi correlated scalar subqueries (u.c <= a.oc) compile via
+    CompiledRangeScalarView and maintain under deltas on both sides —
+    matching Spark's native correlated-subquery evaluation (round-3
+    verdict task 5, last shape)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    a_rows = [(1, 1, 10, 1.0), (2, 1, 20, 2.0), (3, 2, 15, 3.0), (4, 2, 5, 4.0)]
+    u_rows = [(1, 5, 7.0), (1, 12, 9.0), (2, 10, 2.0), (2, 30, 8.0)]
+    b = PipelineBuilder(spark).sql("""
+    CREATE TABLE a (id INT, grp INT, ts INT, v DOUBLE);
+    CREATE TABLE u (grp INT, ts INT, x DOUBLE);
+    CREATE MATERIALIZED VIEW prefix_max AS
+    SELECT id, grp, ts,
+           (SELECT MAX(x) FROM u WHERE u.ts <= a.ts AND u.grp = a.grp) AS mx
+    FROM a;
+    """)
+    b.connect_table("a", spark.createDataFrame(a_rows, "id INT, grp INT, ts INT, v DOUBLE"))
+    b.connect_table("u", spark.createDataFrame(u_rows, "grp INT, ts INT, x DOUBLE"))
+    p = b.create()
+    assert {"__sq_prefix_max_0", "prefix_max"} <= set(p._ivm)
+    from feldera_spark.streaming.compiler import CompiledRangeScalarView
+
+    assert isinstance(p._ivm["__sq_prefix_max_0"], CompiledRangeScalarView)
+
+    def native():
+        spark.createDataFrame(a_rows, "id INT, grp INT, ts INT, v DOUBLE") \
+            .createOrReplaceTempView("__ne_na")
+        spark.createDataFrame(u_rows, "grp INT, ts INT, x DOUBLE") \
+            .createOrReplaceTempView("__ne_nu")
+        return sorted(tuple(r) for r in spark.sql(
+            "SELECT id, grp, ts, (SELECT MAX(x) FROM __ne_nu u "
+            "WHERE u.ts <= __ne_na.ts AND u.grp = __ne_na.grp) AS mx "
+            "FROM __ne_na").collect())
+
+    def got():
+        return sorted(tuple(r) for r in p.view("prefix_max").collect())
+
+    assert got() == native()
+    p.execute("INSERT INTO u VALUES (1, 15, 99.0)")
+    u_rows.append((1, 15, 99.0))
+    assert got() == native()
+    p.execute("DELETE FROM u WHERE x = 9.0")
+    u_rows = [r for r in u_rows if r[2] != 9.0]
+    assert got() == native()
+    p.execute("INSERT INTO a VALUES (5, 1, 50, 0.5)")
+    a_rows.append((5, 1, 50, 0.5))
+    assert got() == native()
+    p.execute("DELETE FROM a WHERE id = 2")
+    a_rows = [r for r in a_rows if r[0] != 2]
+    assert got() == native()

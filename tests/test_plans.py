@@ -150,11 +150,20 @@ def test_scalar_subquery_cross_join_broadcasts(spark):
     b.connect_table("t", df)
     p = b.create()
     assert {"__sq_w_0", "w"} <= set(p._ivm)
-    plan = _plan(p.view("w"))
-    assert "Broadcast" in plan, "1-row side must broadcast"
-    assert "CartesianProduct" not in plan, (
-        "unit-key join must not be a partitioned cartesian product"
-    )
+    # the materialized read is now the accumulated committed output
+    # (LogicalRDD batches) — the join itself runs inside the STEP, so
+    # assert the broadcast there: the compiled cross join carries the
+    # known-1-row broadcast hint, and a step's join term plans as a
+    # broadcast nested loop over the unit key, never a partitioned
+    # cartesian product
+    jv = p._ivm["w"]._join
+    assert jv.broadcast_tiny is True
+    from feldera_spark import zset
+
+    term = jv._wjoin(zset.lift(df), jv._slice(jv.b, zset.lift(df)), [])
+    jplan = term._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in jplan, jplan
+    assert "CartesianProduct" not in jplan, jplan
 
 
 def test_nx04_join_broadcast_is_conditional(spark):
