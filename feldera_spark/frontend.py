@@ -890,7 +890,15 @@ def extract_scalar_subqueries(
         for icol, _ in corr:
             if icol not in keys:
                 keys.append(icol)
-        sel = ", ".join(keys + [f"{item_core} AS {col}"])
+        # the hidden view's correlation keys take SAFE aliases: exposing
+        # them under the inner column name collides with same-named
+        # outer columns and turns the body's bare references ambiguous
+        # (found by the frontend fuzzer, round 4)
+        key_alias = {icol: f"__ck{n}_{j}" for j, icol in enumerate(keys)}
+        sel = ", ".join(
+            [f"{icol} AS {key_alias[icol]}" for icol in keys]
+            + [f"{item_core} AS {col}"]
+        )
         inner_sql = f"SELECT {sel} FROM {bm.group('t')}"
         if bm.group("al"):
             inner_sql += f" {bm.group('al')}"
@@ -900,7 +908,8 @@ def extract_scalar_subqueries(
             inner_sql += f" GROUP BY {', '.join(keys)}"
         if corr:
             on = " AND ".join(
-                f"{outer_al}.{ocol} = {al}.{icol}" for icol, ocol in corr
+                f"{outer_al}.{ocol} = {al}.{key_alias[icol]}"
+                for icol, ocol in corr
             )
             joins.append(f" LEFT JOIN {hidden} {al} ON {on}")
         else:

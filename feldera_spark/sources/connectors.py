@@ -81,6 +81,63 @@ def kafka_reader_options(config: dict[str, Any]) -> dict[str, str]:
     return opts
 
 
+def kafka_writer_options(config: dict[str, Any]) -> dict[str, str]:
+    """Map the reference's ``kafka_output`` sink config
+    (``docs/connectors/sinks/kafka.md``) to Spark's kafka SINK options.
+    Pure function — unit-testable without the kafka package; the jar is
+    a cluster submit-time ``--packages``."""
+    opts: dict[str, str] = {}
+    if "bootstrap.servers" in config:
+        opts["kafka.bootstrap.servers"] = config["bootstrap.servers"]
+    if "topic" in config:
+        opts["topic"] = config["topic"]
+    for k, v in config.items():
+        if "." in k and k not in ("bootstrap.servers",):
+            opts.setdefault(f"kafka.{k}", str(v))
+    return opts
+
+
+def jdbc_writer_options(config: dict[str, Any]) -> dict[str, str]:
+    """Postgres/JDBC sink (``docs/connectors/sinks/postgresql.md``,
+    ``crates/adapters/src/integrated/postgres/``): url/table/user →
+    Spark's built-in jdbc writer options. Change-stream egress writes
+    the weighted rows; a MERGE-style upsert consumer applies them."""
+    opts = {"url": config["url"], "dbtable": config["table"]}
+    for k in ("user", "password", "driver", "batchsize",
+              "isolationLevel", "numPartitions"):
+        if k in config:
+            opts[k] = str(config[k])
+    return opts
+
+
+def snowflake_writer_options(config: dict[str, Any]) -> dict[str, str]:
+    """Snowflake sink (``docs/connectors/sinks/snowflake.md``) → the
+    public spark-snowflake connector's option names (sfURL/sfDatabase/
+    sfSchema/sfWarehouse/dbtable). Pure mapping; the connector jar is a
+    cluster-level dependency."""
+    m = {"account_url": "sfURL", "user": "sfUser", "password": "sfPassword",
+         "database": "sfDatabase", "schema": "sfSchema",
+         "warehouse": "sfWarehouse", "role": "sfRole", "table": "dbtable"}
+    return {m[k]: str(v) for k, v in config.items() if k in m}
+
+
+def pubsub_lite_reader_options(config: dict[str, Any]) -> dict[str, str]:
+    """Google Pub/Sub source (``docs/connectors/sources/pubsub.md``,
+    ``crates/adapters/src/transport/pubsub/``) → the public
+    pubsublite-spark connector's options (subscription path assembled
+    from project/location/subscription)."""
+    sub = config.get("subscription_path") or (
+        f"projects/{config['project_id']}/locations/"
+        f"{config['location']}/subscriptions/{config['subscription']}"
+    )
+    opts = {"pubsublite.subscription": sub}
+    if "flow_control_bytes" in config:
+        opts["pubsublite.flowcontrol.byteoutstandingperpartition"] = str(
+            config["flow_control_bytes"]
+        )
+    return opts
+
+
 def jdbc_reader_options(config: dict[str, Any]) -> dict[str, str]:
     """Postgres/JDBC input (the reference's datagen-free DB sources):
     url/table/user/password → Spark jdbc options."""
@@ -244,6 +301,45 @@ def open_sink(changes: DataFrame, config: ConnectorConfig | dict):
         config = ConnectorConfig.from_dict(config)
     tname = config.transport
     tc = config.transport_config
+    if tname == "kafka_output":
+        out = _changes.encode_insert_delete(changes)
+        opts = kafka_writer_options(tc)
+        try:
+            if out.isStreaming:
+                w = out.writeStream.format("kafka").options(**opts)
+                if "checkpoint" in tc:
+                    w = w.option("checkpointLocation", tc["checkpoint"])
+                return w.start()
+            out.write.format("kafka").options(**opts).save()
+            return None
+        except Exception as e:
+            raise RuntimeError(
+                "kafka sink requires the spark-sql-kafka package "
+                "(cluster submit: --packages org.apache.spark:"
+                "spark-sql-kafka-0-10_2.13:<ver>)"
+            ) from e
+    if tname == "postgres_output":
+        if changes.isStreaming:
+            raise ValueError(
+                "postgres sink is batch-per-snapshot (stream via "
+                "foreachBatch over the pipeline's output deltas)"
+            )
+        changes.write.format("jdbc").options(
+            **jdbc_writer_options(tc)
+        ).mode(tc.get("mode", "append")).save()
+        return None
+    if tname == "snowflake_output":
+        if changes.isStreaming:
+            raise ValueError("snowflake sink is batch-per-snapshot")
+        try:
+            changes.write.format("net.snowflake.spark.snowflake").options(
+                **snowflake_writer_options(tc)
+            ).mode(tc.get("mode", "append")).save()
+        except Exception as e:
+            raise RuntimeError(
+                "snowflake sink requires the spark-snowflake connector"
+            ) from e
+        return None
     if tname not in ("file_output",):
         raise ValueError(f"unsupported sink transport: {tname}")
     path = tc["path"]

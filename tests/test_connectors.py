@@ -235,3 +235,80 @@ def test_delta_iceberg_gated_errors(spark, tmp_path):
             assert "package" in str(e)
         else:  # package IS present — the reader path itself was exercised
             pass
+
+
+def test_kafka_writer_option_mapping():
+    from feldera_spark.sources.connectors import kafka_writer_options
+
+    opts = kafka_writer_options(
+        {"bootstrap.servers": "b:9092", "topic": "out",
+         "security.protocol": "SASL_SSL"}
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+
+
+def test_jdbc_writer_option_mapping():
+    from feldera_spark.sources.connectors import jdbc_writer_options
+
+    opts = jdbc_writer_options(
+        {"url": "jdbc:postgresql://h/db", "table": "t",
+         "user": "u", "batchsize": 500}
+    )
+    assert opts["url"] == "jdbc:postgresql://h/db"
+    assert opts["dbtable"] == "t" and opts["batchsize"] == "500"
+
+
+def test_snowflake_writer_option_mapping():
+    from feldera_spark.sources.connectors import snowflake_writer_options
+
+    opts = snowflake_writer_options(
+        {"account_url": "x.snowflakecomputing.com", "user": "u",
+         "database": "D", "schema": "S", "warehouse": "W", "table": "T",
+         "ignored_key": "z"}
+    )
+    assert opts == {
+        "sfURL": "x.snowflakecomputing.com", "sfUser": "u",
+        "sfDatabase": "D", "sfSchema": "S", "sfWarehouse": "W",
+        "dbtable": "T",
+    }
+
+
+def test_pubsub_lite_reader_option_mapping():
+    from feldera_spark.sources.connectors import pubsub_lite_reader_options
+
+    opts = pubsub_lite_reader_options(
+        {"project_id": "p", "location": "us-central1-a",
+         "subscription": "sub1", "flow_control_bytes": 1048576}
+    )
+    assert opts["pubsublite.subscription"] == (
+        "projects/p/locations/us-central1-a/subscriptions/sub1"
+    )
+    assert opts[
+        "pubsublite.flowcontrol.byteoutstandingperpartition"
+    ] == "1048576"
+
+
+def test_postgres_sink_batch_write_path(spark, tmp_path):
+    """postgres_output routes through Spark's built-in jdbc writer; with
+    no reachable server it must fail INSIDE the jdbc path (proving the
+    wiring), not on option mapping."""
+    import pytest
+
+    from feldera_spark.sources.connectors import open_sink
+    from feldera_spark.zset import WEIGHT
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a")], "id INT, s STRING").withColumn(
+        WEIGHT, F.lit(1).cast("long")
+    )
+    with pytest.raises(Exception):
+        open_sink(df, {
+            "transport": {"name": "postgres_output", "config": {
+                "url": "jdbc:postgresql://127.0.0.1:1/none", "table": "t",
+            }},
+            "format": {"name": "json"},
+        })

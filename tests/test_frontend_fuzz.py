@@ -50,6 +50,10 @@ def view_bodies(draw) -> str:
         "k NOT IN (SELECT k FROM t2x WHERE w > 0)",
         "v BETWEEN 10 AND 60",
         "t1.k < 100",
+        # non-equi correlated scalar (range-scalar lowering) + a
+        # correlated COUNT (COALESCE-0 path)
+        "v > (SELECT MAX(w) FROM t2x WHERE t2x.k <= t1.k)",
+        "(SELECT COUNT(w) FROM t2x WHERE t2x.k = t1.k) < 5",
     ]
     grouped = draw(st.booleans())
     if grouped:
