@@ -155,3 +155,38 @@ def time_of_day(col) -> Column:
     engine-portable representation is the 'HH:mm:ss' string (lossless to
     second precision, orderable, castable back via to_timestamp)."""
     return F.date_format(_c(col), "HH:mm:ss")
+
+
+# --- JSON_EACH_<type> family (sqllib variant.rs; docs/sql/json.md) ----------
+
+def _json_each(col, schemas: tuple[str, ...], target: str) -> Column:
+    """Shared core of the ``JSON_EACH_<type>`` family
+    (``docs/sql/json.md#json_each``): from a JSON object, the fields
+    whose RUNTIME type matches — selected by the value's variant schema,
+    never parsed from strings (a field holding ``"7"`` is not a BIGINT
+    field; ``2.5`` is not truncated into one). Pure Catalyst: VariantType
+    map + ``schema_of_variant`` dispatch + ``variant_get`` extraction."""
+    m = F.from_json(_c(col).cast("string"), "map<string, variant>")
+    keep = F.map_filter(
+        m, lambda k, v: F.schema_of_variant(v).isin(*schemas)
+    )
+    return F.transform_values(
+        keep, lambda k, v: F.try_variant_get(v, "$", target)
+    )
+
+
+def json_each_bigint(col) -> Column:
+    """JSON_EACH_BIGINT: MAP<VARCHAR, BIGINT> of the integer-valued
+    fields (no fractional truncation, no string parsing)."""
+    return _json_each(col, ("BIGINT", "INT", "SMALLINT", "TINYINT"), "bigint")
+
+
+def json_each_string(col) -> Column:
+    """JSON_EACH_STRING: MAP<VARCHAR, VARCHAR> of the string-valued
+    fields (numbers are NOT stringified)."""
+    return _json_each(col, ("STRING",), "string")
+
+
+def json_each_boolean(col) -> Column:
+    """JSON_EACH_BOOLEAN: MAP<VARCHAR, BOOLEAN> of the boolean fields."""
+    return _json_each(col, ("BOOLEAN",), "boolean")
