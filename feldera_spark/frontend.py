@@ -1419,3 +1419,90 @@ def extract_not_in_subqueries(
     if not out:
         return None
     return _restore_literals(protected, lits), out
+
+
+_OVER_PART_RE = re.compile(
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pb>[\w\s,\.]+?)\s+ORDER\s+BY",
+    re.IGNORECASE,
+)
+
+
+def split_multi_partition_windows(
+    sql: str, prefix: str, table_columns: dict[str, set[str]]
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Lower a view whose window functions use DIFFERENT partition keys
+    into a CHAIN of hidden single-partition-window views (round-3
+    verdict fallback #3). The reference compiles Calcite's
+    ``LogicalWindow`` groups into a chain of window operators, one per
+    (partition, order) group, each maintaining its own keyed state —
+    this is the textual equivalent: the first group's functions move
+    into a hidden view that passes ALL source columns through; the
+    outer body computes the remaining groups over it. Each link then
+    compiles to a ``CompiledRankView`` and chains deltas.
+
+    Conservative: single declared-table FROM, no GROUP BY / DISTINCT /
+    set ops / LIMIT, every OVER item aliased. Returns None when fewer
+    than two partition groups are present."""
+    protected, lits = _protect_literals(sql)
+    if re.search(
+        r"\b(GROUP\s+BY|DISTINCT|UNION|EXCEPT|INTERSECT|LIMIT|HAVING|JOIN)\b",
+        protected, re.IGNORECASE,
+    ):
+        return None
+    m = re.match(
+        r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<t>\w+)"
+        r"(?:\s+WHERE\s+(?P<w>.*?))?\s*;?\s*$",
+        protected, re.IGNORECASE | re.DOTALL,
+    )
+    if m is None or m.group("t").lower() not in table_columns:
+        return None
+    tbl = m.group("t").lower()
+    items = _split_top_commas(m.group("sel"))
+    groups: dict[str, list[int]] = {}
+    plain: list[int] = []
+    for i, item in enumerate(items):
+        om = _OVER_PART_RE.search(item)
+        if om is None:
+            if re.search(r"\bOVER\b", item, re.IGNORECASE):
+                return None  # un-partitioned window: out of scope
+            plain.append(i)
+            continue
+        if not re.search(r"\s+AS\s+\w+\s*$", item, re.IGNORECASE):
+            return None
+        key = re.sub(r"\s+", " ", om.group("pb").strip().lower())
+        groups.setdefault(key, []).append(i)
+    if len(groups) < 2:
+        return None
+    # peel one partition group per hidden view until one group remains
+    # on top (each link passes every upstream column through, so later
+    # groups' ORDER BY / arguments still resolve)
+    out: list[tuple[str, str]] = []
+    src = m.group("t")
+    avail = sorted(table_columns[tbl])
+    where = m.group("w")
+    n = 0
+    while len(groups) > 1:
+        first_key = next(iter(groups))
+        first_idx = groups.pop(first_key)
+        first_items = [items[i] for i in first_idx]
+        hidden = f"{prefix}_w{n}"
+        hidden_sql = f"SELECT {', '.join(avail + first_items)} FROM {src}"
+        if where:
+            # WHERE evaluates BEFORE window functions — it belongs in
+            # the bottom link only
+            hidden_sql += f" WHERE {where}"
+            where = None
+        first_aliases = [
+            re.search(r"\s+AS\s+(\w+)\s*$", it, re.IGNORECASE).group(1)
+            for it in first_items
+        ]
+        for i, al in zip(first_idx, first_aliases):
+            items[i] = al
+        out.append((hidden, _restore_literals(hidden_sql, lits)))
+        avail = avail + first_aliases
+        src = hidden
+        n += 1
+    outer_sql = f"SELECT {', '.join(items)} FROM {src}"
+    if where:
+        outer_sql += f" WHERE {where}"
+    return _restore_literals(outer_sql, lits), out

@@ -325,6 +325,16 @@ class PipelineBuilder:
                 sql, subs = ni
                 for hidden, body in subs:
                     self.add_view(hidden, sql=body, materialized=False)
+            # mixed-partition multi-window views: chain hidden
+            # single-partition window views (each a CompiledRankView
+            # link) — round-3 verdict fallback #3
+            from feldera_spark.frontend import split_multi_partition_windows
+
+            mw = split_multi_partition_windows(sql, f"__mw_{name}", tcols0)
+            if mw is not None:
+                sql, subs = mw
+                for hidden, body in subs:
+                    self.add_view(hidden, sql=body, materialized=False)
             # scalar subqueries ABOVE a GROUP BY (select list / HAVING)
             # first split the aggregate into a hidden view, leaving the
             # subqueries in a plain filter/projection where the scalar

@@ -2593,3 +2593,58 @@ def i51_ivm_nonequi_scalar(spark, sf_dir):
     pipe.execute("INSERT INTO src SELECT * FROM __i51_chunk2")
     pipe.execute("DELETE FROM src WHERE event_id % 10 = 3")
     return pipe.view("running")
+
+
+@q(
+    "i52_ddl_multi_partition_windows",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn_user,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_type
+    FROM ({_NET})
+    """,
+)
+def i52_ddl_multi_partition_windows(spark, sf_dir):
+    """MIXED-PARTITION multi-window view compiled to IVM (round-3
+    verdict fallback #3 — previously batch): window functions over
+    DIFFERENT partition keys lower to a CHAIN of hidden
+    single-partition window views (frontend.split_multi_partition_windows
+    — the reference's LogicalWindow-group chain), each a
+    CompiledRankView link with its own keyed recompute state; deltas
+    chain through. Insert + delete chunks shift ranks in one partition
+    scheme and running sums in the other simultaneously."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i52_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR, value DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW mixed AS "
+        "SELECT event_id, user_id, event_type,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)"
+        "  AS rn_user,"
+        " SUM(value) OVER (PARTITION BY event_type ORDER BY event_id"
+        "  ROWS UNBOUNDED PRECEDING) AS run_type "
+        "FROM ev"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert {"__mw_mixed_w0", "mixed"} <= set(pipe._ivm), (
+        "both window links must compile to IVM"
+    )
+    pipe.execute("INSERT INTO ev SELECT * FROM __i52_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i52_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("mixed").select(
+        "event_id", "user_id", "event_type", "rn_user",
+        F.col("run_type").cast("double").alias("run_type"),
+    )

@@ -1467,9 +1467,12 @@ _AGGWIN_OVER_RE = re.compile(
     r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pb>[\w\s,]+?)\s+"
     r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?"
     r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)"
-    r"(?:\s+ROWS\s+BETWEEN\s+"
+    # frame: BETWEEN form or the standard start-only shorthand
+    # ("ROWS UNBOUNDED PRECEDING" == BETWEEN ... AND CURRENT ROW)
+    r"(?:\s+ROWS\s+(?:BETWEEN\s+"
     r"(?:(?P<unb>UNBOUNDED)|(?P<np>\d+))\s+PRECEDING\s+"
-    r"AND\s+CURRENT\s+ROW)?\s*\)$",
+    r"AND\s+CURRENT\s+ROW|"
+    r"(?:(?P<unb2>UNBOUNDED)|(?P<np2>\d+))\s+PRECEDING))?\s*\)$",
     re.IGNORECASE,
 )
 
@@ -1583,11 +1586,11 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                 else 1
             )
             frame = None
-            if gm is not None and (gm.group("unb") or gm.group("np")):
-                frame = (
-                    "rows",
-                    None if gm.group("unb") else int(gm.group("np")),
-                )
+            if gm is not None:
+                unb = gm.group("unb") or gm.group("unb2")
+                np_ = gm.group("np") or gm.group("np2")
+                if unb or np_:
+                    frame = ("rows", None if unb else int(np_))
             dflt = (
                 lm.group("dflt").strip()
                 if lm is not None

@@ -2146,7 +2146,8 @@ def test_running_aggregate_windows_compile(spark, body):
 def test_multi_window_view_compiles(spark):
     """Several window functions sharing one PARTITION BY compile into a
     SINGLE per-key recompute (one state, one touched-key routing);
-    mixed partition keys stay batch."""
+    MIXED partition keys chain hidden single-partition links (fence
+    retired round 4 — frontend.split_multi_partition_windows)."""
     from feldera_spark.pipeline import PipelineBuilder
 
     df = _sq_src(spark)
@@ -2178,7 +2179,14 @@ def test_multi_window_view_compiles(spark):
         " ROW_NUMBER() OVER (PARTITION BY id ORDER BY k) AS b FROM t2"
     )
     b2.connect_table("t2", df)
-    assert "w2" not in b2.create()._ivm
+    p2 = b2.create()
+    assert {"__mw_w2_w0", "w2"} <= set(p2._ivm), sorted(p2._ivm)
+    df.createOrReplaceTempView("__mw2_now")
+    assert _canon(p2.view("w2")) == _canon(spark.sql(
+        "SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS a,"
+        " ROW_NUMBER() OVER (PARTITION BY id ORDER BY k) AS b"
+        " FROM __mw2_now"
+    ))
 
 
 def test_scalar_subquery_checkpoint_restore(spark, tmp_path):
