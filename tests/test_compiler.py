@@ -2648,3 +2648,48 @@ def test_nonequi_correlated_scalar_compiled(spark):
     p.execute("DELETE FROM a WHERE id = 2")
     a_rows = [r for r in a_rows if r[0] != 2]
     assert got() == native()
+
+
+def test_multi_window_split_with_qualified_refs(spark):
+    """Round-4 ADVICE #3: table-qualified references (``t.k``, ``SUM(t.v)``)
+    in a mixed-partition multi-window body must not break after the FROM
+    swaps to the hidden link — qualifiers are stripped (single-table
+    scope) before splitting."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    df = _sq_src(spark)
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t3 (id BIGINT, k VARCHAR, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w3 AS SELECT t3.id, t3.k,"
+        " ROW_NUMBER() OVER (PARTITION BY t3.k ORDER BY t3.id) AS a,"
+        " SUM(t3.v) OVER (PARTITION BY t3.id ORDER BY t3.k) AS b FROM t3"
+        " WHERE t3.id > 1"
+    )
+    b.connect_table("t3", df)
+    p = b.create()
+    df.createOrReplaceTempView("__mw3_now")
+    assert _canon(p.view("w3")) == _canon(spark.sql(
+        "SELECT id, k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS a,"
+        " SUM(v) OVER (PARTITION BY id ORDER BY k) AS b"
+        " FROM __mw3_now WHERE id > 1"
+    ))
+
+
+def test_hop_starts_floor_safe_pre_epoch(spark):
+    """Round-4 ADVICE #5: DIV truncates toward zero, so timestamps
+    within ``size`` of the epoch dropped their earliest containing
+    window. Floor alignment (a - pmod(a, sl)) is exact for any ts."""
+    from feldera_spark.streaming.compiler import _hop_starts_col
+
+    df = spark.createDataFrame(
+        [("1970-01-01 00:00:01",)], "ts STRING"
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    starts = sorted(
+        str(s)
+        for s in df.select(
+            _hop_starts_col("ts", slide=600, size=3600).alias("w")
+        ).collect()[0]["w"]
+    )
+    assert starts[0] == "1969-12-31 23:10:00", starts
+    assert len(starts) == 6, starts
+    assert starts[-1] == "1970-01-01 00:00:00", starts

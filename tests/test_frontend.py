@@ -321,3 +321,65 @@ def test_split_aggregate_group_by_extra_whitespace():
     outer_sql, hidden, hidden_sql = out
     assert hidden_sql.rstrip().endswith("GROUP BY k")
     assert "BY Y" not in hidden_sql
+
+
+def test_substitute_table_positions_occurrence_level():
+    from feldera_spark.frontend import substitute_table_positions
+
+    sql = "SELECT e1.x, e2.y FROM ed e1 JOIN ed e2 ON e1.y = e2.x"
+    out = substitute_table_positions(sql, {("ed", 1): "__d_ed"})
+    assert out == "SELECT e1.x, e2.y FROM ed e1 JOIN __d_ed e2 ON e1.y = e2.x"
+    # bare position gets an AS alias so qualified refs keep resolving
+    sql2 = "SELECT ed.x FROM ed WHERE ed.y > 1"
+    out2 = substitute_table_positions(sql2, {("ed", 0): "__d_ed"})
+    assert out2 == "SELECT ed.x FROM __d_ed AS ed WHERE ed.y > 1"
+    # multi-table plan, one pass
+    sql3 = "SELECT a.x, b.y FROM a JOIN b ON a.y = b.x"
+    out3 = substitute_table_positions(sql3, {("a", 0): "__da", ("b", 0): "__ob"})
+    assert "__da AS a" in out3 and "__ob AS b" in out3
+    # string literals untouched
+    sql4 = "SELECT 'FROM ed fake' AS s, e.x FROM ed e"
+    out4 = substitute_table_positions(sql4, {("ed", 0): "__d"})
+    assert "'FROM ed fake'" in out4 and "FROM __d e" in out4
+
+
+def test_non_equi_correlated_count_column_and_countif(spark):
+    """Round-4 ADVICE #2: the non-equi lowering must rewrite only
+    COUNT(*)/COUNT(const) to COUNT(range_col); COUNT(col) must count
+    non-NULL col values only, and COUNTIF must not be lowered at all
+    (its predicate can be TRUE on the padding row)."""
+    rows_u = [(1, 5), (2, None), (3, 7), (9, 1)]  # (c, x)
+    rows_o = [(1, 2), (2, 4), (3, 0)]  # (id, ts)
+    p = (
+        PipelineBuilder(spark)
+        .sql(
+            """
+            CREATE TABLE u (c INT, x INT);
+            CREATE TABLE o (id INT, ts INT);
+            CREATE MATERIALIZED VIEW cnt_col AS
+            SELECT id, (SELECT COUNT(x) FROM u WHERE u.c <= o.ts) AS n FROM o;
+            CREATE MATERIALIZED VIEW cnt_star AS
+            SELECT id, (SELECT COUNT(*) FROM u WHERE u.c <= o.ts) AS n FROM o;
+            CREATE MATERIALIZED VIEW cnt_if AS
+            SELECT id, (SELECT COUNTIF(x > 5) FROM u WHERE u.c <= o.ts) AS n FROM o;
+            """
+        )
+        .connect_table("u", spark.createDataFrame(rows_u, "c INT, x INT"))
+        .connect_table("o", spark.createDataFrame(rows_o, "id INT, ts INT"))
+        .create()
+    )
+
+    def expect(agg):
+        return {
+            (oid, agg([(c, x) for c, x in rows_u if c <= ts]))
+            for oid, ts in rows_o
+        }
+
+    got_col = {(r["id"], r["n"]) for r in p.view("cnt_col").collect()}
+    assert got_col == expect(lambda rs: sum(1 for _, x in rs if x is not None))
+    got_star = {(r["id"], r["n"]) for r in p.view("cnt_star").collect()}
+    assert got_star == expect(len)
+    got_if = {(r["id"], r["n"]) for r in p.view("cnt_if").collect()}
+    assert got_if == expect(
+        lambda rs: sum(1 for _, x in rs if x is not None and x > 5)
+    )

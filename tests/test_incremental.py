@@ -380,3 +380,122 @@ def test_incremental_recursive_view_inserts_and_deletes(spark):
     p.execute("DELETE FROM edge WHERE child = 8 AND parent = 4")
     rows -= {(8, 4)}
     assert got() == batch(rows), "facts with surviving derivations must stay"
+
+
+def test_recursive_delete_self_join_branch(spark):
+    """Round-4 ADVICE #1: the overdelete cone must be evaluated against
+    PRE-delete state. A branch referencing a table twice (self-join)
+    derives facts through the deleted row that are invisible post-delete
+    — they must still enter the cone."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ed (x BIGINT, y BIGINT);
+        DECLARE RECURSIVE VIEW v (x BIGINT, y BIGINT);
+        CREATE MATERIALIZED VIEW v AS
+        SELECT e1.x, e2.y FROM ed e1 JOIN ed e2 ON e1.y = e2.x
+        UNION
+        SELECT v.x, e.y FROM v JOIN ed e ON v.y = e.x
+        """
+    )
+    b.connect_table(
+        "ed", spark.createDataFrame([(1, 2), (2, 3)], "x BIGINT, y BIGINT")
+    )
+    p = b.create()
+    assert "v" in p._ivm
+
+    def got():
+        return {(r["x"], r["y"]) for r in p.view("v").collect()}
+
+    assert got() == {(1, 3)}
+    p.execute("DELETE FROM ed WHERE x = 2 AND y = 3")
+    assert got() == set(), "self-join derivation through deleted row must be retracted"
+    # and re-inserting restores it
+    p.execute("INSERT INTO ed VALUES (2, 3)")
+    assert got() == {(1, 3)}
+
+
+def test_recursive_joint_multi_table_delete(spark):
+    """Round-4 ADVICE #1 (second shape): a single step deleting from TWO
+    tables jointly — each table's delta must see the OTHER table's
+    pre-delete state while seeding the cone."""
+    from feldera_spark import zset
+    from feldera_spark.streaming.recursive import IncrementalRecursiveView
+
+    a0 = spark.createDataFrame([(1, 2)], "x BIGINT, y BIGINT")
+    b0 = spark.createDataFrame([(2, 3), (3, 4)], "x BIGINT, y BIGINT")
+    a0.createOrReplaceTempView("__jt_a")
+    b0.createOrReplaceTempView("__jt_b")
+    view = IncrementalRecursiveView(
+        spark,
+        "__jt_v",
+        """
+        SELECT __jt_a.x, __jt_b.y FROM __jt_a JOIN __jt_b ON __jt_a.y = __jt_b.x
+        UNION
+        SELECT __jt_v.x, b.y FROM __jt_v JOIN __jt_b b ON __jt_v.y = b.x
+        """,
+        "x BIGINT, y BIGINT",
+        {"__jt_a", "__jt_b", "__jt_v"},
+    )
+    view.step({"__jt_a": zset.lift(a0), "__jt_b": zset.lift(b0)})
+    got = {(r["x"], r["y"]) for r in view.materialized().collect()}
+    assert got == {(1, 3), (1, 4)}
+    # joint delete: (1,2) from a AND (3,4) from b in ONE step; the
+    # registered tables flip to post-delete state first (pipeline order)
+    spark.createDataFrame([], "x BIGINT, y BIGINT").createOrReplaceTempView("__jt_a")
+    spark.createDataFrame([(2, 3)], "x BIGINT, y BIGINT").createOrReplaceTempView("__jt_b")
+    view.step(
+        {
+            "__jt_a": zset.lift(spark.createDataFrame([(1, 2)], "x BIGINT, y BIGINT"), -1),
+            "__jt_b": zset.lift(spark.createDataFrame([(3, 4)], "x BIGINT, y BIGINT"), -1),
+        }
+    )
+    got = {(r["x"], r["y"]) for r in view.materialized().collect()}
+    assert got == set()
+
+
+def test_recursive_delete_rederive_is_goal_directed(spark):
+    """Round-4 verdict "what's wrong" #2: deleting one edge of a large
+    derived closure must NOT pay a full body evaluation — the rederive
+    seed reads cone-restricted slices (magic-set semi-joins), and the
+    restricted inputs stay small relative to the closure."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    # binary tree: node i has parent i//2 — 255 nodes, depth 8
+    edges = [(i, i // 2) for i in range(2, 256)]
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE edge (child BIGINT, parent BIGINT);
+        DECLARE RECURSIVE VIEW anc (node BIGINT, anc BIGINT);
+        CREATE MATERIALIZED VIEW anc AS
+        SELECT child AS node, parent AS anc FROM edge
+        UNION
+        SELECT e.child AS node, anc.anc AS anc
+        FROM edge e JOIN anc ON e.parent = anc.node
+        """
+    )
+    b.connect_table(
+        "edge", spark.createDataFrame(edges, "child BIGINT, parent BIGINT")
+    )
+    p = b.create()
+    plan = p._ivm["anc"]
+    total = p.view("anc").count()
+    assert total > 1500  # a large closure
+
+    # delete one LEAF edge: the cone is just that leaf's ancestor facts
+    p.execute("DELETE FROM edge WHERE child = 255")
+    assert plan.last_seed_mode == "restricted", plan.last_seed_mode
+    # the edge-relation slices of the seed must be cone-sized, not
+    # closure-sized (edge ⋉ cone over (child,parent)↦(node,anc))
+    edge_slices = [
+        df for nm, df in plan._last_restricted_inputs if nm == "edge"
+    ]
+    assert edge_slices, "edge side must be restricted"
+    assert max(df.count() for df in edge_slices) <= 16, [
+        df.count() for df in edge_slices
+    ]
+    # correctness: leaf 255's facts gone, everything else intact
+    got = {(r["node"], r["anc"]) for r in p.view("anc").collect()}
+    assert not any(n == 255 for n, _ in got)
+    assert len(got) == total - 7, (len(got), total)  # 255 has 7 ancestors

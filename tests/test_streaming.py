@@ -590,3 +590,58 @@ def test_enable_spill_sets_window_partition_cols(spark, tmp_path):
         s.partition_cols == ["window_start"] and s.spill_dir
         for s in spines
     ), [(s.spill_dir, s.partition_cols) for s in spines]
+
+
+def test_emit_final_step_reads_unsealed_suffix_only(spark):
+    """Round-4 verdict "what's wrong" #1: the emit step must be
+    O(unsealed suffix), not O(inner state). Grow the emitted history
+    over many steps and assert (a) the pending spine holds only the
+    unsealed rows, (b) the emit delta's plan depth stays constant —
+    i.e. the step never rescans the accumulated inner integral."""
+    import datetime as dt
+
+    from feldera_spark import zset
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ev (
+            ts TIMESTAMP LATENESS INTERVAL 1 DAYS,
+            value DOUBLE
+        ) WITH ('append_only' = 'true');
+        CREATE MATERIALIZED VIEW daily WITH ('emit_final' = 'd') AS
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS d,
+               count(*) AS n
+        FROM ev GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)
+        """
+    ).connect_table(
+        "ev",
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], "ts TIMESTAMP_NTZ, value DOUBLE"
+        ),
+    )
+    p = b.create()
+    plan = p._ivm["daily"]
+    pending_rows, plan_depths = [], []
+    for day in range(2, 14):
+        delta = plan.step(
+            {"ev": zset.lift(spark.createDataFrame(
+                [(dt.datetime(2024, 1, day), float(day))],
+                "ts TIMESTAMP_NTZ, value DOUBLE",
+            ))}
+        )
+        if delta is not None:
+            plan_depths.append(
+                len(delta._jdf.queryExecution().optimizedPlan()
+                    .toString().splitlines())
+            )
+        pending_rows.append(
+            sum(b.count() for b in plan.pending.batches)
+        )
+    # unsealed suffix = rows above the waterline (~1 day of lateness):
+    # stays O(1) while emitted history grows 12x
+    assert max(pending_rows) <= 3, pending_rows
+    # emit plan depth bounded (no growth with emitted history)
+    assert max(plan_depths) <= min(plan_depths) + 5, plan_depths
+    emitted = {str(r["d"])[:10] for r in plan.materialized().collect()}
+    assert len(emitted) == 12, sorted(emitted)
