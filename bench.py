@@ -135,14 +135,29 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
     step over the compiled IVM views) and report events/s — the metric
     BASELINE.md publishes for the reference (16-core Nexmark streaming).
 
+    Micro-batches carry ~500k events each ($SPARK_GRAFT_STREAM_EVENTS
+    total, default 2M — the reference's Nexmark runs measure throughput
+    at 100M events, so per-batch volumes in the hundreds of thousands
+    are the realistic operating point; sf0.1's raw 100k bid events are
+    replicated with distinct shifted event_ids to reach it). Every
+    event flows through the full readStream → foreachBatch → circuit
+    step → state commit path.
+
     - ``nx01_stream``: stateless currency conversion (queries/q1.sql) —
       a linear compiled view; measures the pure step-loop floor.
+    - ``nx04_stream``: join + aggregate (queries/q4.sql shape) — a
+      bilinear incremental join of the bid stream against a static
+      auction-category table feeding a grouped MAX/AVG chain.
     - ``nx05_stream``: hot-items (queries/q5.sql shape) — a 3-view
       compiled DAG: HOP counts → per-window max → band join, all
       maintained incrementally per micro-batch.
+    - ``chain_stream``: a 4-deep compiled linear/agg chain — measures
+      per-step cost of view-DAG depth (delta chaining).
     """
     import tempfile
     import time
+
+    from pyspark.sql import functions as F
 
     from feldera_spark.pipeline import PipelineBuilder
     from feldera_spark.queries.nexmark import _bid
@@ -150,9 +165,30 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
     bid = _bid(spark, sf_dir).select(
         "event_id", "bidder", "auction", "price", "date_time"
     )
+    target = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "2000000"))
+    base_n = bid.count()
+    reps = max(1, target // max(base_n, 1))
+    if reps > 1:
+        shift = (
+            spark.range(reps)
+            .select(F.col("id").alias("__rep"))
+        )
+        bid = (
+            bid.crossJoin(F.broadcast(shift))
+            .withColumn(
+                "event_id", F.col("event_id") + F.col("__rep") * base_n * 2
+            )
+            .drop("__rep")
+        )
     work = tempfile.mkdtemp(prefix="stream_bench_")
     src = f"{work}/bid"
-    bid.repartition(n_batches).write.mode("overwrite").parquet(src)
+    # 8 files per trigger: a micro-batch scan parallelizes across files
+    # (single parquet files are one row group — unsplittable), exactly
+    # as cluster batches arrive as many source partitions
+    files_per_batch = 8
+    bid.repartition(n_batches * files_per_batch).write.mode(
+        "overwrite"
+    ).parquet(src)
     n_events = spark.read.parquet(src).count()
     schema = spark.read.parquet(src).schema
 
@@ -160,10 +196,18 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
         "CREATE TABLE bid (event_id BIGINT, bidder BIGINT, auction BIGINT,"
         " price DOUBLE, date_time TIMESTAMP);"
     )
+    cat_ddl = "CREATE TABLE category (auction BIGINT, category BIGINT);"
     programs = {
         "nx01_stream": bid_ddl
         + "CREATE MATERIALIZED VIEW conv AS SELECT auction, bidder,"
         "  price * 0.908 AS price_eur, date_time FROM bid",
+        "nx04_stream": bid_ddl + cat_ddl
+        + "CREATE LOCAL VIEW joined AS SELECT c.category, b.price"
+        "  FROM bid b JOIN category c ON b.auction = c.auction;"
+        "CREATE LOCAL VIEW catmax AS SELECT category, MAX(price) AS final"
+        "  FROM joined GROUP BY category;"
+        "CREATE MATERIALIZED VIEW avg_cat AS SELECT category,"
+        "  AVG(final) AS avg_final FROM catmax GROUP BY category",
         "nx05_stream": bid_ddl
         + "CREATE LOCAL VIEW counts AS SELECT window_start, auction,"
         "  COUNT(*) AS num FROM TABLE(HOP(TABLE bid, DESCRIPTOR(date_time),"
@@ -174,15 +218,31 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
         "CREATE MATERIALIZED VIEW hot AS SELECT c.window_start, c.auction,"
         "  c.num FROM counts c JOIN maxes m"
         "  ON c.window_start = m.window_start WHERE c.num >= m.maxn",
+        "chain_stream": bid_ddl
+        + "CREATE LOCAL VIEW v1 AS SELECT auction, bidder, price * 0.908 AS"
+        "  price_eur FROM bid WHERE price > 1;"
+        "CREATE LOCAL VIEW v2 AS SELECT auction, price_eur FROM v1"
+        "  WHERE price_eur > 2;"
+        "CREATE LOCAL VIEW v3 AS SELECT auction, COUNT(*) AS n,"
+        "  SUM(price_eur) AS total FROM v2 GROUP BY auction;"
+        "CREATE MATERIALIZED VIEW v4 AS SELECT auction, total / n AS avg_eur"
+        "  FROM v3",
     }
     out: dict[str, dict] = {}
     for name, prog in programs.items():
         b = PipelineBuilder(spark).sql(prog)
         b.connect_table("bid", bid.limit(0))
+        if "category" in prog:
+            cat = (
+                spark.read.parquet(src)
+                .select("auction").distinct()
+                .withColumn("category", F.col("auction") % 10)
+            )
+            b.connect_table("category", cat)
         p = b.create()
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", files_per_batch)
             .parquet(src)
         )
         t0 = time.perf_counter()

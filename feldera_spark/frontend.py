@@ -528,7 +528,7 @@ def _clause_kw_at(protected: str, pos: int) -> str | None:
     return kw_at.get(depth)
 
 
-def count_table_positions(sql: str, name: str) -> int:
+def _legacy_count_table_positions(sql: str, name: str) -> int:
     """How many times ``name`` appears as a RELATION instance (FROM/JOIN
     target or comma-continued FROM-list entry). Qualifier uses
     (``name.col``) and bare column/alias collisions do NOT count — a
@@ -553,7 +553,7 @@ def count_table_positions(sql: str, name: str) -> int:
     return count
 
 
-def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
+def _legacy_substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
     """Rewrite TABLE-POSITION references per ``mapping``: FROM/JOIN
     targets, comma-continued FROM-list entries, and qualified-column
     prefixes (``name.col``). Quote-aware.
@@ -602,7 +602,7 @@ _NOT_ALIAS_KWS = frozenset(
 )
 
 
-def substitute_table_positions(
+def _legacy_substitute_table_positions(
     sql: str, plan: dict[tuple[str, int], str]
 ) -> str:
     """Rewrite only the given TABLE-POSITION occurrences, keyed by
@@ -615,6 +615,11 @@ def substitute_table_positions(
     qualified column references keep resolving. Quote-aware."""
     if not plan:
         return sql
+    # the matcher keys by lowercase name; normalize caller-supplied plan
+    # keys here rather than relying on every caller to pre-lowercase (a
+    # mixed-case key would otherwise KeyError or silently skip the
+    # substitution — round-5 ADVICE #3)
+    plan = {(n.lower(), i): v for (n, i), v in plan.items()}
     protected, lits = _protect_literals(sql)
     names = {n for (n, _) in plan}
     counts = {n: 0 for n in names}
@@ -658,7 +663,7 @@ def substitute_table_positions(
     return _restore_literals("".join(out), lits)
 
 
-def list_table_positions(sql: str) -> list[tuple[str, int, str | None]]:
+def _legacy_list_table_positions(sql: str) -> list[tuple[str, int, str | None]]:
     """Enumerate TABLE-POSITION occurrences (FROM/JOIN targets,
     comma-continued FROM entries) in textual order as
     ``(lowercase_name, per-name occurrence index, alias or None)``.
@@ -697,6 +702,137 @@ def list_table_positions(sql: str) -> list[tuple[str, int, str | None]]:
         )
         out.append((key, idx, alias))
     return out
+
+
+
+# ---------------------------------------------------------------------------
+# Token-based structural queries (round-5 verdict task #2): the public
+# table-position/name functions run on feldera_spark.sqlparse's lexer +
+# relation walker instead of character regexes. The _legacy_* regex
+# forms above are retained ONLY as differential-test baselines
+# (tests/test_frontend_fuzz.py compares them token-for-token on the
+# generated corpus); new callers must use these.
+# ---------------------------------------------------------------------------
+
+
+def count_table_positions(sql: str, name: str) -> int:
+    """How many times ``name`` appears as a RELATION instance (FROM/JOIN
+    target or comma-continued FROM-list entry). Qualifier uses
+    (``name.col``) and bare column/alias collisions do NOT count — a
+    view named like one of its columns must not inflate the count
+    (linearity classification in streaming/recursive.py depends on
+    this). Token-based: quote/comment-aware, ``db.table`` qualified
+    names count under their full dotted name."""
+    from feldera_spark.sqlparse import relations
+
+    nm = name.lower()
+    return sum(1 for r in relations(sql) if r.name == nm)
+
+
+def list_table_positions(sql: str) -> list[tuple[str, int, str | None]]:
+    """Enumerate TABLE-POSITION occurrences (FROM/JOIN targets,
+    comma-continued FROM entries) in textual order as
+    ``(lowercase_name, per-name occurrence index, alias or None)``.
+    Companion to :func:`substitute_table_positions` (same walker);
+    used by the recursive-view rederive to map output columns back to
+    source relations. ``db.table`` names stay dotted."""
+    from feldera_spark.sqlparse import relations
+
+    counts: dict[str, int] = {}
+    out: list[tuple[str, int, str | None]] = []
+    for r in relations(sql):
+        if r.name is None:
+            continue
+        idx = counts.get(r.name, 0)
+        counts[r.name] = idx + 1
+        out.append((r.name, idx, r.alias))
+    return out
+
+
+def substitute_table_positions(
+    sql: str, plan: dict[tuple[str, int], str]
+) -> str:
+    """Rewrite only the given TABLE-POSITION occurrences, keyed by
+    ``(lowercase_name, occurrence_index)`` in textual order. Unlike
+    :func:`substitute_table_names` this distinguishes occurrences of the
+    SAME table (``FROM ed e1 JOIN ed e2``), which the delta rule for
+    deletions needs (streaming/recursive.py — a self-join branch must
+    bind one occurrence to the delta and the others to old/new state).
+    When a rewritten position has no alias, ``AS <orig>`` is appended so
+    qualified column references keep resolving. Token-based splice on
+    exact byte offsets; plan keys are case-normalized here (round-5
+    ADVICE #3)."""
+    if not plan:
+        return sql
+    from feldera_spark.sqlparse import relations
+
+    plan = {(n.lower(), i): v for (n, i), v in plan.items()}
+    counts: dict[str, int] = {}
+    edits: list[tuple[int, int, str]] = []
+    for r in relations(sql):
+        if r.name is None:
+            continue
+        idx = counts.get(r.name, 0)
+        counts[r.name] = idx + 1
+        repl = plan.get((r.name, idx))
+        if repl is None:
+            continue
+        if r.alias is not None:
+            edits.append((r.start, r.end, repl))
+        else:
+            orig = sql[r.start : r.end]
+            alias = orig.split(".")[-1]
+            edits.append((r.start, r.end, f"{repl} AS {alias}"))
+    for start, end, repl in sorted(edits, reverse=True):
+        sql = sql[:start] + repl + sql[end:]
+    return sql
+
+
+def substitute_table_names(sql: str, mapping: dict[str, str]) -> str:
+    """Rewrite TABLE-POSITION references per ``mapping``: FROM/JOIN
+    targets, comma-continued FROM-list entries, and qualified-column
+    prefixes (``name.col``). Token-based (quote/comment-aware).
+
+    Deliberately does NOT touch bare identifiers in value position: a CTE
+    may share its name with a column it projects (``WITH totals AS
+    (SELECT k, SUM(v) AS totals ...) SELECT k, totals FROM totals``) and
+    rewriting the column reference would break resolution (round-3
+    ADVICE, verified)."""
+    if not mapping:
+        return sql
+    from feldera_spark.sqlparse import relations, tokenize
+
+    mapping = {k.lower(): v for k, v in mapping.items()}
+    edits: list[tuple[int, int, str]] = []
+    rel_name_spans: list[tuple[int, int]] = []
+    for r in relations(sql):
+        if r.name is None:
+            continue
+        rel_name_spans.append((r.start, r.end))
+        repl = mapping.get(r.name)
+        if repl is not None:
+            edits.append((r.start, r.end, repl))
+    toks = tokenize(sql)
+    in_rel = lambda t: any(s <= t.start < e for s, e in rel_name_spans)
+    for i, t in enumerate(toks):
+        if t.kind != "word" or t.text.lower() not in mapping:
+            continue
+        if in_rel(t):
+            continue  # relation spans handled above
+        # qualifier use: word '.' ... , not itself a column trailer and
+        # not a function call
+        prev_dot = i > 0 and toks[i - 1].kind == "punct" and toks[i - 1].text == "."
+        next_dot = (
+            i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "."
+        )
+        if prev_dot or not next_dot:
+            continue
+        edits.append((t.start, t.end, mapping[t.text.lower()]))
+    for start, end, repl in sorted(edits, reverse=True):
+        sql = sql[:start] + repl + sql[end:]
+    return sql
 
 
 _DERIVED_RE = re.compile(r"\b(FROM|JOIN)\s*\(\s*SELECT\b", re.IGNORECASE)

@@ -553,9 +553,81 @@ class Pipeline:
         known_cols: dict[str, list[str]] = {
             t: self._frames[t].columns for t in self.tables
         }
+        # mutually recursive SCC groups: members referencing each other
+        # compile as ONE IncrementalRecursiveGroup (the reference's
+        # RecursiveComponents nested circuit per SCC,
+        # CircuitOptimizer.java:87) instead of falling back to batch
+        rec_names = [
+            n for n in builder._view_order if n in builder.recursive_views
+        ]
+        rec_refs = {
+            a: {
+                b
+                for b in rec_names
+                if b != a
+                and re.search(
+                    rf"\b{re.escape(b)}\b", self.views[a].sql or ""
+                )
+            }
+            for a in rec_names
+        }
+        group_of: dict[str, frozenset] = {}
+        for comp in _sccs(rec_refs):
+            if len(comp) > 1:
+                for n in comp:
+                    group_of[n] = frozenset(comp)
+        self._rec_groups: dict[frozenset, tuple] = {}
         for name in builder._view_order:
             decl = self.views[name]
             if decl.sql is None:
+                continue
+            if name in group_of:
+                from feldera_spark import frontend as _fe
+                from feldera_spark.streaming.recursive import (
+                    IncrementalRecursiveGroup,
+                )
+
+                key = group_of[name]
+                try:
+                    if key not in self._rec_groups:
+                        grp = IncrementalRecursiveGroup(
+                            self.spark,
+                            {
+                                n: (
+                                    _fe.rewrite_cast_timestamp(
+                                        _fe.rewrite_scalars(
+                                            self.views[n].sql
+                                        )
+                                    ),
+                                    builder.recursive_views[n],
+                                )
+                                for n in key
+                            },
+                            tables=compilable | set(key),
+                        )
+                        # every external relation must be a table or an
+                        # already-compiled upstream (deltas available)
+                        ext = {
+                            v
+                            for v in self.views
+                            if v not in key
+                            and any(
+                                re.search(
+                                    rf"\b{re.escape(v)}\b",
+                                    self.views[n].sql or "",
+                                )
+                                for n in key
+                            )
+                        }
+                        if ext - set(self._ivm):
+                            raise ValueError("references batch views")
+                        self._rec_groups[key] = (grp, grp.members())
+                    grp, facades = self._rec_groups[key]
+                except Exception:
+                    continue
+                self._ivm[name] = facades[name]
+                compilable.add(name)
+                known_cols[name] = list(grp.out_cols[name])
                 continue
             if name in builder.recursive_views:
                 # incrementally-maintained recursion (the reference's
@@ -659,12 +731,13 @@ class Pipeline:
         with step_scope():
             self._evaluate_views_inner(deltas)
 
-    def _evaluate_views_inner(
-        self, deltas: dict[str, DataFrame] | None = None
-    ) -> None:
-        from feldera_spark import zset
-
-        builder = self._builder
+    def _view_use_counts(self) -> dict[str, int]:
+        """How many other views reference each view — static per program,
+        computed once (this regex sweep used to run per circuit step and
+        was pure driver-side step-constant overhead)."""
+        cached = getattr(self, "_use_counts", None)
+        if cached is not None:
+            return cached
         use_counts: dict[str, int] = {v: 0 for v in self.views}
         for v in self.views.values():
             if v.sql:
@@ -673,12 +746,26 @@ class Pipeline:
                         rf"\b{re.escape(other)}\b", v.sql
                     ):
                         use_counts[other] += 1
+        self._use_counts = use_counts
+        return use_counts
+
+    def _evaluate_views_inner(
+        self, deltas: dict[str, DataFrame] | None = None
+    ) -> None:
+        from feldera_spark import zset
+
+        builder = self._builder
+        use_counts = self._view_use_counts()
         from feldera_spark import frontend
 
         # table deltas from the caller + view output deltas produced as
         # compiled views advance — downstream compiled views consume
         # upstream deltas by name (whole-DAG incrementalization)
         step_deltas: dict[str, DataFrame] = dict(deltas or {})
+        init_pass = any(
+            n in self._ivm and n not in self._ivm_ready
+            for n in builder._view_order
+        )
         for name in builder._view_order:
             decl = self.views[name]
             plan = self._ivm.get(name)
@@ -713,6 +800,16 @@ class Pipeline:
                     )
                     if out is not None:
                         step_deltas[name] = self._pin_delta(out)
+                if self._defer_frames() and not init_pass:
+                    # every view is IVM-compiled: nothing re-reads the
+                    # registered temp views between steps, so skip the
+                    # per-step materialized() plan build + registration
+                    # (pure driver-side step constant). view()/query()
+                    # refresh on demand. (During the INITIAL load pass
+                    # frames must register eagerly — downstream views'
+                    # bind_schemas reads upstream frames.)
+                    self._stale_frames.add(name)
+                    continue
                 df = plan.materialized()
             else:
                 df = (
@@ -769,6 +866,10 @@ class Pipeline:
 
         from feldera_spark import zset
 
+        # DML sources / ad-hoc queries may read view temp views the
+        # streaming hot loop deferred — re-register first
+        self._refresh_frames()
+
         @contextlib.contextmanager
         def _no_constraint_prop():
             # Catalyst's constraint rewrite throws NoSuchElementException
@@ -803,7 +904,7 @@ class Pipeline:
                 ).localCheckpoint(eager=True)
                 remaining.createOrReplaceTempView(name)
                 self._frames[name] = remaining
-                self._evaluate_views(deltas={name: zset.lift(removed, -1)})
+                self._gated_step({name: zset.lift(removed, -1)}, removed)
             return None
         mu = re.match(
             r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.*?)"
@@ -849,12 +950,13 @@ class Pipeline:
                 merged = kept.unionByName(changed).localCheckpoint(eager=True)
                 merged.createOrReplaceTempView(name)
                 self._frames[name] = merged
-                self._evaluate_views(
-                    deltas={
+                self._gated_step(
+                    {
                         name: zset.plus(
                             zset.lift(hit, -1), zset.lift(changed, 1)
                         )
-                    }
+                    },
+                    hit,
                 )
             return None
         m = re.match(
@@ -868,7 +970,8 @@ class Pipeline:
         if name not in self.tables:
             raise KeyError(f"table {name} is not declared in this pipeline")
         src = m.group("src")
-        if not re.match(r"^\s*SELECT\b", src, re.IGNORECASE):
+        src_is_select = bool(re.match(r"^\s*SELECT\b", src, re.IGNORECASE))
+        if not src_is_select:
             src = f"SELECT * FROM ({src})"  # VALUES (...) [, ...]
         new_rows = self.spark.sql(src).toDF(*self._frames[name].columns)
         decl = self.tables[name]
@@ -902,11 +1005,42 @@ class Pipeline:
                 new_rows = new_rows.localCheckpoint(eager=True)
                 merged = old.unionByName(new_rows)
                 delta = zset.lift(new_rows, 1)
+                pinned = new_rows
             merged = merged.localCheckpoint(eager=True)
             merged.createOrReplaceTempView(name)
             self._frames[name] = merged
-            self._evaluate_views(deltas={name: delta})
+            if decl.primary_key:
+                pinned = new
+            # VALUES lists are small by construction and skip the
+            # bulk-delta probe (see _gated_step)
+            if src_is_select:
+                self._gated_step({name: delta}, pinned)
+            else:
+                self._evaluate_views(deltas={name: delta})
         return None
+
+    def _gated_step(
+        self, deltas: dict[str, DataFrame], pinned: DataFrame
+    ) -> None:
+        """Advance views one step with the bulk-delta broadcast gate: an
+        ad-hoc DML statement (INSERT INTO t SELECT ... / broad DELETE /
+        UPDATE) can produce a state-sized delta, and key-routing joins
+        must then not broadcast its key frame (same class as the
+        init-load gate — round-5 verdict #3; AQE is off inside step
+        scopes, so there is no runtime fallback). One bounded probe on
+        the already-checkpointed delta rows decides the regime."""
+        from feldera_spark.streaming.incremental import full_delta_step
+
+        limit = int(
+            self.spark.conf.get(
+                "spark.feldera.broadcastKeyRowLimit", "2000000"
+            )
+        )
+        if pinned.limit(limit).count() >= limit:
+            with full_delta_step():
+                self._evaluate_views(deltas=deltas)
+        else:
+            self._evaluate_views(deltas=deltas)
 
     @staticmethod
     def _upsert_normalize(
@@ -1203,28 +1337,78 @@ class Pipeline:
             delta = zset.lift(df)
         spine.append(delta)  # eager: pins the batch at the step boundary
         delta_ck = spine.batches[-1]
-        frame = zset.to_bag(spine.read())
-        frame.createOrReplaceTempView(name)
-        self._frames[name] = frame
+        if self._defer_frames():
+            # all views compiled: nothing reads the table temp view
+            # between steps — rebuild the consolidated frame lazily on
+            # the next view()/query() instead of every micro-batch
+            if not hasattr(self, "_stale_tables"):
+                self._stale_tables: set[str] = set()
+            self._stale_tables.add(name)
+        else:
+            frame = zset.to_bag(spine.read())
+            frame.createOrReplaceTempView(name)
+            self._frames[name] = frame
         self._evaluate_views(deltas={name: delta_ck})
 
+    def _defer_frames(self) -> bool:
+        """True when per-step view registration can be skipped: every
+        view is IVM-compiled (no batch-fallback view re-reads the temp
+        views between steps). The registered frames refresh lazily on
+        the next ``view()``/``query()`` — the streaming hot loop never
+        pays the per-view ``materialized()`` plan build + temp-view
+        registration (driver-side step constant, round-5 verdict #1)."""
+        if not hasattr(self, "_stale_frames"):
+            self._stale_frames: set[str] = set()
+        cached = getattr(self, "_all_compiled", None)
+        if cached is None:
+            cached = self._all_compiled = all(
+                n in self._ivm for n in self.views
+            ) and not any(d.emit_final and n not in self._ivm
+                          for n, d in self.views.items())
+        return cached
+
+    def _refresh_frames(self) -> None:
+        """Re-register any table/view frames skipped by the step hot
+        loop."""
+        from feldera_spark import zset
+
+        stale_t = getattr(self, "_stale_tables", None)
+        if stale_t:
+            for name in sorted(stale_t):
+                frame = zset.to_bag(self._stream_spines[name].read())
+                frame.createOrReplaceTempView(name)
+                self._frames[name] = frame
+            stale_t.clear()
+        stale = getattr(self, "_stale_frames", None)
+        if not stale:
+            return
+        for name in sorted(stale):
+            df = self._ivm[name].materialized()
+            df.createOrReplaceTempView(name)
+            self._frames[name] = df
+        stale.clear()
+
     def view(self, name: str) -> DataFrame:
+        self._refresh_frames()
         return self._frames[name]
 
     def query(self, sql: str) -> DataFrame:
         """Ad-hoc SQL over materialized state (the DataFusion-path
         equivalent — here it's simply Spark SQL over registered views)."""
+        self._refresh_frames()
         return self.spark.sql(sql)
 
     def query_arrow(self, sql: str):
         """Ad-hoc query → pyarrow Table (the reference's Arrow IPC output
         path, ``adhoc/executor.rs`` / ``pipeline.py:1163-1301``)."""
+        self._refresh_frames()
         return self.spark.sql(sql).toArrow()
 
     def query_parquet(self, sql: str, path: str) -> None:
         """Ad-hoc query → parquet files at ``path`` (``query_parquet``,
         ``python/feldera/pipeline.py:1216``). Distributed write — one file
         per partition, no driver materialization."""
+        self._refresh_frames()
         self.spark.sql(sql).write.mode("overwrite").parquet(path)
 
     def listen(self, name: str):
@@ -1259,3 +1443,56 @@ class IndexedOutput:
             p = F.col(c) == F.lit(v)
             cond = p if cond is None else (cond & p)
         return self._frame.filter(cond)
+
+
+def _sccs(graph: dict[str, set[str]]) -> list[set[str]]:
+    """Strongly connected components (iterative Tarjan) of a small view
+    reference graph — the grouping the reference's RecursiveComponents
+    pass computes over the view DAG."""
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    out: list[set[str]] = []
+    counter = [0]
+
+    def strongconnect(v: str) -> None:
+        work = [(v, iter(sorted(graph.get(v, ()))))]
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack.add(v)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(sorted(graph.get(w, ())))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp: set[str] = set()
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.add(w)
+                    if w == node:
+                        break
+                out.append(comp)
+
+    for v in graph:
+        if v not in index:
+            strongconnect(v)
+    return out

@@ -2648,3 +2648,382 @@ def i52_ddl_multi_partition_windows(spark, sf_dir):
         "event_id", "user_id", "event_type", "rn_user",
         F.col("run_type").cast("double").alias("run_type"),
     )
+
+
+@q(
+    "i53_ivm_recursive_selfjoin_delete",
+    oracle="""
+    WITH RECURSIVE ed AS (
+      SELECT s_suppkey AS x, s_suppkey + 1 AS y FROM supplier
+      WHERE s_suppkey % 10 <> 9 AND s_suppkey % 10 <> 5
+    ), v AS (
+      SELECT e1.x, e2.y FROM ed e1 JOIN ed e2 ON e1.y = e2.x
+      UNION
+      SELECT v.x, e.y FROM v JOIN ed e ON v.y = e.x
+    )
+    SELECT x, y FROM v
+    """,
+)
+def i53_ivm_recursive_selfjoin_delete(spark, sf_dir):
+    """Deletion maintenance through a SELF-JOIN recursive branch (the
+    round-4 HIGH bug shape, fixed by the position-telescoped overdelete
+    seed — streaming/recursive.py:415): the base branch references the
+    edge table TWICE, so a deleted edge must retract derivations through
+    EITHER occurrence, evaluated against pre-delete state. Driver-gate
+    form of tests/test_incremental.py::test_recursive_delete_self_join_branch."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    edges = (
+        t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("x"),
+            (F.col("s_suppkey") + 1).alias("y"),
+        )
+        .filter(F.col("x") % 10 != 9)  # chain segments of length 9
+    )
+    edges.filter(F.col("x") % 3 == 1).createOrReplaceTempView("__i53_rest")
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ed (x BIGINT, y BIGINT);
+        DECLARE RECURSIVE VIEW v (x BIGINT, y BIGINT);
+        CREATE MATERIALIZED VIEW v AS
+        SELECT e1.x, e2.y FROM ed e1 JOIN ed e2 ON e1.y = e2.x
+        UNION
+        SELECT v.x, e.y FROM v JOIN ed e ON v.y = e.x
+        """
+    )
+    b.connect_table("ed", edges.filter(F.col("x") % 3 != 1))
+    pipe = b.create()
+    assert "v" in pipe._ivm, "recursive view must compile to IVM"
+    pipe.execute("INSERT INTO ed SELECT * FROM __i53_rest")
+    # mid-segment deletes: every derivation that threads x%10=5 (through
+    # EITHER self-join occurrence) must be retracted
+    pipe.execute("DELETE FROM ed WHERE x % 10 = 5")
+    return pipe.view("v")
+
+
+@q(
+    "i54_ivm_recursive_joint_delete",
+    oracle="""
+    WITH RECURSIVE a AS (
+      SELECT s_suppkey AS x, s_suppkey + 1 AS y FROM supplier
+      WHERE s_suppkey % 4 = 0 AND s_suppkey % 20 <> 0
+    ), b AS (
+      SELECT s_suppkey AS x, s_suppkey + 1 AS y FROM supplier
+      WHERE s_suppkey % 4 <> 0 AND s_suppkey % 20 <> 7
+    ), v AS (
+      SELECT a.x, b.y FROM a JOIN b ON a.y = b.x
+      UNION
+      SELECT v.x, b.y FROM v JOIN b ON v.y = b.x
+    )
+    SELECT x, y FROM v
+    """,
+)
+def i54_ivm_recursive_joint_delete(spark, sf_dir):
+    """JOINT multi-table deletion in ONE recursive step (the second
+    round-4 HIGH shape): a single delta deletes from BOTH source tables;
+    each table's delete must see the OTHER's PRE-delete state while
+    seeding the overdelete cone (position-telescoped substitution,
+    streaming/recursive.py:415). Driven through the view-level step API
+    — the joint shape cannot be expressed as two sequential DMLs."""
+    from feldera_spark import zset
+    from feldera_spark.streaming.recursive import IncrementalRecursiveView
+
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("x"),
+        (F.col("s_suppkey") + 1).alias("y"),
+    )
+    a_all = sup.filter(F.col("x") % 4 == 0)
+    b_all = sup.filter(F.col("x") % 4 != 0)
+    a_del = a_all.filter(F.col("x") % 20 == 0)
+    b_del = b_all.filter(F.col("x") % 20 == 7)
+    a_net = a_all.filter(F.col("x") % 20 != 0)
+    b_net = b_all.filter(F.col("x") % 20 != 7)
+    a_all.createOrReplaceTempView("__i54_a")
+    b_all.createOrReplaceTempView("__i54_b")
+    view = IncrementalRecursiveView(
+        spark,
+        "__i54_v",
+        """
+        SELECT __i54_a.x, b.y FROM __i54_a JOIN __i54_b b
+          ON __i54_a.y = b.x
+        UNION
+        SELECT __i54_v.x, b.y FROM __i54_v JOIN __i54_b b
+          ON __i54_v.y = b.x
+        """,
+        "x BIGINT, y BIGINT",
+        {"__i54_a", "__i54_b", "__i54_v"},
+    )
+    view.step({"__i54_a": zset.lift(a_all), "__i54_b": zset.lift(b_all)})
+    # the registered tables flip to post-delete state first (pipeline
+    # order), then ONE step carries both tables' deletions jointly
+    a_net.createOrReplaceTempView("__i54_a")
+    b_net.createOrReplaceTempView("__i54_b")
+    view.step(
+        {
+            "__i54_a": zset.lift(a_del, -1),
+            "__i54_b": zset.lift(b_del, -1),
+        }
+    )
+    return view.materialized()
+
+
+@q(
+    "i55_ivm_recursive_goal_directed",
+    oracle="""
+    WITH RECURSIVE ed AS (
+      SELECT c_custkey AS child,
+             CAST(floor(c_custkey / 2) AS BIGINT) AS parent
+      FROM customer WHERE c_custkey > 1 AND c_custkey <> 21
+    ), a AS (
+      SELECT child AS node, parent AS anc FROM ed
+      UNION
+      SELECT e.child AS node, a.anc FROM ed e JOIN a ON e.parent = a.node
+    )
+    SELECT node, anc FROM a
+    """,
+)
+def i55_ivm_recursive_goal_directed(spark, sf_dir):
+    """One-edge delete on a LARGE derived closure: the rederive must be
+    goal-directed (magic-set restricted seed, streaming/recursive.py:350)
+    — cone-sized slices, never a full body evaluation. The binary-tree
+    ancestor closure over the customer table is ~10x the edge count; the
+    query asserts the restricted mode actually engaged."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    edges = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.floor(F.col("c_custkey") / 2).cast("bigint").alias("parent"),
+        )
+        .filter(F.col("child") > 1)
+    )
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE edge (child BIGINT, parent BIGINT);
+        DECLARE RECURSIVE VIEW a (node BIGINT, anc BIGINT);
+        CREATE MATERIALIZED VIEW a AS
+        SELECT child AS node, parent AS anc FROM edge
+        UNION
+        SELECT e.child AS node, a.anc FROM edge e JOIN a ON e.parent = a.node
+        """
+    )
+    b.connect_table("edge", edges)
+    pipe = b.create()
+    assert "a" in pipe._ivm, "recursive view must compile to IVM"
+    pipe.execute("DELETE FROM edge WHERE child = 21")
+    plan = pipe._ivm["a"]
+    assert plan.last_seed_mode == "restricted", plan.last_seed_mode
+    return pipe.view("a")
+
+
+@q(
+    "i56_ivm_emit_final_growth",
+    oracle="""
+    WITH b AS (SELECT max(ts) - INTERVAL 3 DAY AS bound FROM events)
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events, b
+    WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) <= b.bound
+    GROUP BY 1
+    """,
+)
+def i56_ivm_emit_final_growth(spark, sf_dir):
+    """i47's emit_final view driven through ENOUGH steps to cross the
+    emitted archive's append-only compaction (Spine max_batches=8; 12
+    time-ordered chunks → at least one compaction): the archive is
+    append-only (no consolidation shuffle, round-5 verdict #1) and the
+    final state must still equal the batch waterline filter."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("double").alias("value")
+    )
+    cuts = [
+        dt.datetime(2024, 1, 1) + dt.timedelta(days=2 + i * 2.5)
+        for i in range(12)
+    ]
+    for i in range(12):
+        lo = cuts[i]
+        hi = cuts[i + 1] if i + 1 < len(cuts) else dt.datetime(2025, 1, 1)
+        e.filter(
+            (F.col("ts") >= F.lit(lo.isoformat()).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi.isoformat()).cast("timestamp_ntz"))
+        ).createOrReplaceTempView(f"__i56_c{i}")
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE events (
+            ts TIMESTAMP LATENESS INTERVAL 3 DAYS,
+            value DOUBLE
+        ) WITH ('append_only' = 'true');
+        CREATE MATERIALIZED VIEW daily_final
+        WITH ('emit_final' = 'd')
+        AS SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS d,
+                  count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)
+        """
+    ).connect_table(
+        "events",
+        e.filter(F.col("ts") < F.lit(cuts[0].isoformat()).cast("timestamp_ntz")),
+    )
+    pipe = b.create()
+    plan = pipe._ivm["daily_final"]
+    assert plan.emitted.append_only is True
+    for i in range(12):
+        pipe.execute(f"INSERT INTO events SELECT * FROM __i56_c{i}")
+    # 13 emit batches total (init + 12 chunks) > max_batches: the
+    # append-only compaction ran at least once
+    return pipe.view("daily_final")
+
+
+@q(
+    "i57_ivm_mutual_recursion",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT x, y, 1 AS len_odd FROM (
+        SELECT s_suppkey AS x, s_suppkey + 1 AS y FROM supplier
+        WHERE s_suppkey % 8 <> 7 AND s_suppkey % 8 <> 3
+      ) ed
+      UNION
+      SELECT p.x, e.y, 1 - p.len_odd
+      FROM p JOIN (
+        SELECT s_suppkey AS x, s_suppkey + 1 AS y FROM supplier
+        WHERE s_suppkey % 8 <> 7 AND s_suppkey % 8 <> 3
+      ) e ON p.y = e.x
+    )
+    SELECT x, y FROM p WHERE len_odd = 0
+    """,
+)
+def i57_ivm_mutual_recursion(spark, sf_dir):
+    """Mutually recursive SCC group (round-5 verdict task #3: the
+    reference's RecursiveComponents nested circuit per SCC,
+    CircuitOptimizer.java:87) maintained INCREMENTALLY under insert +
+    delete chunks: even/odd path parity — ``ve`` (even-length paths)
+    and ``vo`` (odd) each reference the OTHER. The oracle emulates the
+    mutual pair as one parity-tagged recursive CTE (DuckDB has no
+    mutual recursion). Returns ve."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    edges = (
+        t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("x"),
+            (F.col("s_suppkey") + 1).alias("y"),
+        )
+        .filter(F.col("x") % 8 != 7)  # chain segments of length 7
+    )
+    edges.filter(F.col("x") % 2 == 1).createOrReplaceTempView("__i57_rest")
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ged (x BIGINT, y BIGINT);
+        DECLARE RECURSIVE VIEW ve (x BIGINT, y BIGINT);
+        DECLARE RECURSIVE VIEW vo (x BIGINT, y BIGINT);
+        CREATE MATERIALIZED VIEW ve AS
+        SELECT vo.x, e.y FROM vo JOIN ged e ON vo.y = e.x;
+        CREATE MATERIALIZED VIEW vo AS
+        SELECT x, y FROM ged
+        UNION
+        SELECT ve.x, e.y FROM ve JOIN ged e ON ve.y = e.x
+        """
+    )
+    b.connect_table("ged", edges.filter(F.col("x") % 2 == 0))
+    pipe = b.create()
+    assert {"ve", "vo"} <= set(pipe._ivm), "SCC must compile to IVM"
+    grp = pipe._ivm["ve"].group
+    assert grp is pipe._ivm["vo"].group
+    pipe.execute("INSERT INTO ged SELECT * FROM __i57_rest")
+    # rounds = NEW-derivation depth (chains only form once the odd
+    # edges land), bounded by the segment length — not the group size
+    assert grp.last_rounds <= 8, grp.last_rounds
+    pipe.execute("DELETE FROM ged WHERE x % 8 = 3")
+    return pipe.view("ve")
+
+
+@q(
+    "i58_ddl_tumble_offset",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '6 hours', ts, INTERVAL '90 minutes')
+             AS window_start,
+           event_type, count(*) AS n
+    FROM ({_NET})
+    GROUP BY 1, 2
+    """,
+)
+def i58_ddl_tumble_offset(spark, sf_dir):
+    """TUMBLE with the optional OFFSET argument compiled to IVM (the
+    last windowed-table-function fallback, round-5 verdict task #7):
+    the floor becomes ``ts - ((ts - off) mod size)`` — alignment origin
+    shifted by 90 minutes — maintained incrementally under insert +
+    delete chunks with windowed GC intact."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i58_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,"
+        " event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW tw AS "
+        "SELECT window_start, event_type, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts),"
+        " INTERVAL '6' HOURS, INTERVAL '90' MINUTES)) "
+        "GROUP BY window_start, event_type"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "tw" in pipe._ivm, "TUMBLE-offset view must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i58_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i58_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("tw")
+
+
+@q(
+    "i59_ddl_frameless_last_value",
+    oracle=f"""
+    SELECT event_id, user_id,
+           LAST_VALUE(event_type) OVER (
+             PARTITION BY user_id ORDER BY event_id) AS latest_type,
+           FIRST_VALUE(event_type) OVER (
+             PARTITION BY user_id ORDER BY event_id) AS first_type
+    FROM ({_NET})
+    """,
+)
+def i59_ddl_frameless_last_value(spark, sf_dir):
+    """Frameless LAST_VALUE compiled to IVM (round-5 verdict task #7,
+    fence retired): without an explicit frame, the SQL default running
+    frame applies (RANGE UNBOUNDED PRECEDING .. CURRENT ROW, peers
+    included) — the per-partition recompute evaluates the same window
+    expression batch Spark would, under insert + delete chunks."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i59_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT,"
+        " event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW lv AS "
+        "SELECT event_id, user_id,"
+        " LAST_VALUE(event_type) OVER"
+        "  (PARTITION BY user_id ORDER BY event_id) AS latest_type,"
+        " FIRST_VALUE(event_type) OVER"
+        "  (PARTITION BY user_id ORDER BY event_id) AS first_type "
+        "FROM ev"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "lv" in pipe._ivm, "frameless LAST_VALUE must compile to IVM"
+    pipe.execute("INSERT INTO ev SELECT * FROM __i59_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i59_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("lv")

@@ -250,10 +250,35 @@ def open_source(
                     reader = reader.option("skipInitialSnapshot", "true")
                 df = reader.load(tc["uri"])
         except Exception as e:
-            raise RuntimeError(
-                "delta source requires the delta-spark package "
-                "(cluster submit: --packages io.delta:delta-spark_2.13:<ver>)"
-            ) from e
+            # delta-spark absent: local/file tables fall back to the
+            # built-in Delta PROTOCOL reader (JSON log + parquet —
+            # sources/delta_log.py; round-5 verdict task #9). Snapshot
+            # mode only here; follow/cdc callers use delta_log.changes
+            # directly (see Pipeline docs) — streaming needs the
+            # package's source.
+            if mode == "snapshot" and tc.get("uri", "").lstrip(
+                "file:/"
+            ) != "" and "://" not in tc.get("uri", "").removeprefix(
+                "file://"
+            ):
+                from feldera_spark.sources import delta_log
+
+                try:
+                    df = delta_log.snapshot(
+                        spark, tc["uri"], tc.get("version")
+                    )
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        "delta source requires the delta-spark package "
+                        "(cluster submit: --packages "
+                        "io.delta:delta-spark_2.13:<ver>)"
+                    ) from e
+            else:
+                raise RuntimeError(
+                    "delta source requires the delta-spark package "
+                    "(cluster submit: --packages "
+                    "io.delta:delta-spark_2.13:<ver>)"
+                ) from e
         if "snapshot_filter" in tc:
             df = df.filter(tc["snapshot_filter"])
         if mode == "cdc" and "cdc_delete_filter" in tc:

@@ -1,0 +1,429 @@
+"""Token-stream SQL structure parser for the dialect frontend.
+
+Round-5 verdict task #2: the frontend's structural questions (where are
+the table positions? what are the top-level clauses? how do I rewrite
+one relation occurrence?) were answered by an accumulation of regexes —
+each individually fenced, but the risk class compounded with every new
+textual rewrite. This module replaces the character-level guessing with
+a real LEXER + small recursive-descent walkers:
+
+- :func:`tokenize` — quote-aware (``'...''...'``, ``"quoted ident"``,
+  backtick idents), comment-aware (``--`` and ``/* */``), with byte
+  offsets into the original text so rewrites splice precisely.
+- :func:`split_top_level` — split a token span on a separator at paren
+  depth 0 (the structural form of ``_split_top_commas``).
+- :func:`split_clauses` — segment one SELECT block into its clauses
+  (SELECT/FROM/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT) at depth 0.
+- :func:`relations` — walk the FROM clause's relation tree: base tables
+  (including ``db.table`` qualified names), aliases, derived tables,
+  comma cross-joins and JOIN chains — each with exact source offsets.
+
+The reference's frontend is a full Calcite parser/validator
+(``sql-to-dbsp-compiler/SQL-compiler/src/main/java/org/dbsp/sqlCompiler/
+compiler/frontend/SqlToRelCompiler.java``); this is the proportionate
+Spark-side equivalent: Spark SQL itself parses and executes the view
+bodies, so the frontend only needs STRUCTURE (positions, clauses,
+relation occurrences), not full expression ASTs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # 'word' | 'number' | 'string' | 'qident' | 'punct' | 'param'
+    text: str
+    start: int  # byte offset of first char in the original sql
+    end: int    # byte offset one past the last char
+
+    def up(self) -> str:
+        return self.text.upper() if self.kind == "word" else self.text
+
+
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9$]*")
+_NUM_RE = re.compile(r"\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?")
+_PARAM_RE = re.compile(r"\x00\d+\x00")  # _protect_literals placeholders
+
+
+def tokenize(sql: str) -> list[Token]:
+    """Lex ``sql`` into tokens with byte offsets. Comments are dropped;
+    string literals (with ``''`` escapes), double-quoted and backtick
+    identifiers each become ONE token. Never raises on malformed input —
+    an unterminated literal swallows to end-of-text (the caller's Spark
+    parse will produce the loud error)."""
+    toks: list[Token] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            toks.append(Token("string", sql[i:j], i, j))
+            i = j
+            continue
+        if c == '"' or c == "`":
+            close = c
+            j = sql.find(close, i + 1)
+            j = n if j < 0 else j + 1
+            toks.append(Token("qident", sql[i:j], i, j))
+            i = j
+            continue
+        if c == "\x00":
+            m = _PARAM_RE.match(sql, i)
+            if m:
+                toks.append(Token("param", m.group(0), i, m.end()))
+                i = m.end()
+                continue
+        m = _WORD_RE.match(sql, i)
+        if m:
+            toks.append(Token("word", m.group(0), i, m.end()))
+            i = m.end()
+            continue
+        m = _NUM_RE.match(sql, i)
+        if m:
+            toks.append(Token("number", m.group(0), i, m.end()))
+            i = m.end()
+            continue
+        # multi-char operators kept whole so splitters can't cut them
+        for op in ("<=>", "<>", "<=", ">=", "!=", "||", "::", "=>", "->"):
+            if sql.startswith(op, i):
+                toks.append(Token("punct", op, i, i + len(op)))
+                i += len(op)
+                break
+        else:
+            toks.append(Token("punct", c, i, i + 1))
+            i += 1
+    return toks
+
+
+def split_top_level(
+    toks: list[Token], sep: str = ","
+) -> list[list[Token]]:
+    """Split a token list on ``sep`` punct tokens at paren/bracket depth
+    0. Returns the groups (possibly empty when separators are adjacent)."""
+    out: list[list[Token]] = []
+    cur: list[Token] = []
+    depth = 0
+    for t in toks:
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        if depth == 0 and t.kind == "punct" and t.text == sep:
+            out.append(cur)
+            cur = []
+            continue
+        cur.append(t)
+    out.append(cur)
+    return out
+
+
+_CLAUSE_STARTS = {
+    "SELECT": ("SELECT",),
+    "FROM": ("FROM",),
+    "WHERE": ("WHERE",),
+    "GROUP": ("GROUP", "BY"),
+    "HAVING": ("HAVING",),
+    "ORDER": ("ORDER", "BY"),
+    "LIMIT": ("LIMIT",),
+}
+_SET_OPS = {"UNION", "EXCEPT", "INTERSECT", "MINUS"}
+
+
+def split_set_ops(sql: str) -> list[tuple[str, str | None]]:
+    """Split ``sql`` into top-level set-op operands:
+    ``[(part_sql, op_before or None), ...]``. ``op`` is e.g.
+    ``'UNION'`` / ``'UNION ALL'`` / ``'EXCEPT'``."""
+    toks = tokenize(sql)
+    parts: list[tuple[str, str | None]] = []
+    depth = 0
+    last = 0
+    i = 0
+    pending_op: str | None = None
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.up() in _SET_OPS:
+            parts.append((sql[last : t.start].strip(), pending_op))
+            op = t.up()
+            if (
+                i + 1 < len(toks)
+                and toks[i + 1].kind == "word"
+                and toks[i + 1].up() in ("ALL", "DISTINCT")
+            ):
+                op = f"{op} {toks[i + 1].up()}"
+                i += 1
+            pending_op = op
+            last = toks[i].end
+        i += 1
+    parts.append((sql[last:].strip(), pending_op))
+    return parts
+
+
+def split_clauses(sql: str) -> dict[str, str] | None:
+    """Segment ONE top-level SELECT block into its clauses at depth 0.
+    Returns ``{clause: text}`` with keys among SELECT/DISTINCT/FROM/
+    WHERE/GROUP/HAVING/ORDER/LIMIT, or None when the text is not a
+    single SELECT block (set ops, WITH, leading garbage)."""
+    toks = tokenize(sql)
+    if not toks or not (toks[0].kind == "word" and toks[0].up() == "SELECT"):
+        return None
+    depth = 0
+    marks: list[tuple[str, int, int]] = []  # (clause, tok_idx, text_start)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            u = t.up()
+            if u in _SET_OPS or u == "WITH" and i == 0:
+                return None
+            if u in _CLAUSE_STARTS:
+                kws = _CLAUSE_STARTS[u]
+                if len(kws) == 2:
+                    if (
+                        i + 1 < len(toks)
+                        and toks[i + 1].kind == "word"
+                        and toks[i + 1].up() == kws[1]
+                    ):
+                        marks.append((u, i, t.start))
+                        i += 2
+                        continue
+                else:
+                    marks.append((u, i, t.start))
+        i += 1
+    if depth != 0 or not marks or marks[0][0] != "SELECT" or marks[0][1] != 0:
+        return None
+    # clauses must appear in order, each at most once (SELECT twice =
+    # nested select leaked to depth 0 = malformed)
+    order = ["SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT"]
+    seen_idx = -1
+    for c, _ti, _s in marks:
+        oi = order.index(c)
+        if oi <= seen_idx:
+            return None
+        seen_idx = oi
+    out: dict[str, str] = {}
+    for j, (c, ti, s) in enumerate(marks):
+        body_start = toks[ti + len(_CLAUSE_STARTS[c]) - 1].end
+        end = marks[j + 1][2] if j + 1 < len(marks) else len(sql)
+        out[c] = sql[body_start:end].strip()
+    dm = re.match(r"DISTINCT\b", out.get("SELECT", ""), re.IGNORECASE)
+    if dm:  # word-bounded: a column named distinct_x is NOT a DISTINCT
+        out["DISTINCT"] = "DISTINCT"
+        out["SELECT"] = out["SELECT"][dm.end():].strip()
+    return out
+
+
+@dataclass(frozen=True)
+class Relation:
+    """One relation occurrence in a FROM clause.
+
+    ``name``: lowercase dotted name (``db.table`` kept qualified) for a
+    base table, or None for a derived table ``(SELECT ...)``.
+    ``alias``: lowercase alias or None. ``start``/``end``: byte span of
+    the NAME (or the parenthesized subquery) in the original sql.
+    ``alias_end``: end of the alias if present (for splice rewrites).
+    ``join_kind``: 'from' for the first/comma entries, else the JOIN
+    keyword chain ('join', 'left join', 'cross join', ...)."""
+
+    name: str | None
+    alias: str | None
+    start: int
+    end: int
+    alias_end: int
+    join_kind: str
+
+
+_NOT_ALIAS = frozenset(
+    """ON USING WHERE GROUP HAVING ORDER LIMIT UNION EXCEPT INTERSECT
+    MINUS JOIN INNER LEFT RIGHT FULL CROSS NATURAL ASOF LATERAL
+    MATCH_CONDITION FOR TABLESAMPLE QUALIFY AS WINDOW FETCH OFFSET
+    SET""".split()
+)
+_JOIN_WORDS = frozenset(
+    "JOIN INNER LEFT RIGHT FULL OUTER CROSS NATURAL ASOF".split()
+)
+
+
+def _skip_parens(toks: list[Token], i: int) -> int:
+    """``toks[i]`` is '(' — return index one past its matching ')'."""
+    depth = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return i
+
+
+def relations(sql: str) -> list[Relation]:
+    """Enumerate relation occurrences of every FROM clause in ``sql``
+    (all nesting levels, textual order — matching the historical
+    contract of ``list_table_positions``). Handles ``db.table``
+    qualified names, derived tables, LATERAL subqueries, comma
+    cross-joins and JOIN chains. Table-function calls (``TABLE(...)``,
+    ``UNNEST(...)``) and ``name(...)`` calls are NOT relations."""
+    toks = tokenize(sql)
+    out: list[Relation] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if not (t.kind == "word" and t.up() in ("FROM", "JOIN")):
+            i += 1
+            continue
+        # scan the relation list that follows FROM (or the single
+        # relation after JOIN), tracking comma continuation at the
+        # clause's own depth
+        kind = "from" if t.up() == "FROM" else "join"
+        i += 1
+        while i < n:
+            # skip join modifiers / LATERAL markers
+            while i < n and toks[i].kind == "word" and toks[i].up() in (
+                "LATERAL",
+            ):
+                i += 1
+            if i >= n:
+                break
+            t = toks[i]
+            if t.kind == "punct" and t.text == "(":
+                j = _skip_parens(toks, i)
+                # derived table (or LATERAL subquery): record with
+                # name None; nested FROMs inside are found by the outer
+                # while loop? NO — _skip_parens jumps past them, so
+                # recurse into the subtext here.
+                inner = sql[t.start + 1 : toks[j - 1].start] if j - 1 < n else ""
+                for r in relations(inner):
+                    out.append(
+                        Relation(
+                            r.name,
+                            r.alias,
+                            r.start + t.start + 1,
+                            r.end + t.start + 1,
+                            r.alias_end + t.start + 1,
+                            r.join_kind,
+                        )
+                    )
+                end = toks[j - 1].end if j - 1 < n else len(sql)
+                al, al_end, j2 = _read_alias(toks, j)
+                out.append(Relation(None, al, t.start, end, al_end or end, kind))
+                i = j2
+            elif t.kind == "word":
+                u = t.up()
+                if u in ("TABLE", "UNNEST") and _next_is(toks, i + 1, "("):
+                    # table function: skip its parens; window table
+                    # functions contain TABLE t references handled by
+                    # their own rewrites, not as positions
+                    i = _skip_parens(toks, i + 1)
+                    _al, _ae, i = _read_alias(toks, i)
+                elif _next_is(toks, i + 1, "("):
+                    i = _skip_parens(toks, i + 1)  # function call source
+                    _al, _ae, i = _read_alias(toks, i)
+                else:
+                    # dotted name
+                    parts = [t.text]
+                    end = t.end
+                    j = i + 1
+                    while (
+                        j + 1 < n
+                        and toks[j].kind == "punct"
+                        and toks[j].text == "."
+                        and toks[j + 1].kind in ("word", "qident")
+                    ):
+                        parts.append(toks[j + 1].text)
+                        end = toks[j + 1].end
+                        j += 2
+                    al, al_end, j = _read_alias(toks, j)
+                    out.append(
+                        Relation(
+                            ".".join(p.lower() for p in parts),
+                            al,
+                            t.start,
+                            end,
+                            al_end or end,
+                            kind,
+                        )
+                    )
+                    i = j
+            else:
+                break
+            # after one relation: comma continues the FROM list; a JOIN
+            # keyword chain continues with its own kind; anything else
+            # ends the clause scan
+            if i < n and toks[i].kind == "punct" and toks[i].text == ",":
+                if kind.startswith("from") or True:
+                    kind = "from"
+                    i += 1
+                    continue
+            jk = []
+            j = i
+            while j < n and toks[j].kind == "word" and toks[j].up() in _JOIN_WORDS:
+                jk.append(toks[j].up().lower())
+                j += 1
+            if jk and jk[-1] == "join":
+                kind = " ".join(jk)
+                i = j
+                continue
+            break
+    # textual order
+    out.sort(key=lambda r: r.start)
+    return out
+
+
+def _next_is(toks: list[Token], i: int, text: str) -> bool:
+    return i < len(toks) and toks[i].kind == "punct" and toks[i].text == text
+
+
+def _read_alias(
+    toks: list[Token], i: int
+) -> tuple[str | None, int | None, int]:
+    """Optional ``[AS] alias`` after a relation. Returns
+    (alias, alias_end_offset, next_index)."""
+    n = len(toks)
+    if i < n and toks[i].kind == "word" and toks[i].up() == "AS":
+        if i + 1 < n and toks[i + 1].kind in ("word", "qident"):
+            return toks[i + 1].text.lower(), toks[i + 1].end, i + 2
+        return None, None, i + 1
+    if (
+        i < n
+        and toks[i].kind == "word"
+        and toks[i].up() not in _NOT_ALIAS
+        and not (toks[i].up() in _SET_OPS)
+    ):
+        # a bare word right after a relation is its alias — unless a
+        # dotted continuation follows (can't happen: handled upstream)
+        if not _next_is(toks, i + 1, "("):
+            return toks[i].text.lower(), toks[i].end, i + 1
+    return None, None, i

@@ -73,16 +73,44 @@ _UNSUPPORTED_RE = re.compile(
     re.IGNORECASE,
 )
 
-_SHAPE_RE = re.compile(
-    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<sel>.*?)\s+"
-    r"FROM\s+(?P<from>.*?)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gb>.*?))?"
-    r"(?:\s+HAVING\s+(?P<having>.*?))?"
-    r"(?:\s+ORDER\s+BY\s+(?P<ob>.*?))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+class _ShapeMatch:
+    """Clause segmentation of one SELECT block with the historical
+    ``_SHAPE_RE``-match interface (``.group(name)``), produced by the
+    token-level ``sqlparse.split_clauses`` walker instead of lazy-regex
+    guessing (round-5 verdict task #2: nested parens/subqueries inside
+    expressions can't confuse a depth-tracking lexer the way ``.*?``
+    groups could)."""
+
+    __slots__ = ("_g",)
+
+    def __init__(self, g: dict):
+        self._g = g
+
+    def group(self, name: str):
+        return self._g.get(name)
+
+
+def _match_shape(sql: str) -> _ShapeMatch | None:
+    from feldera_spark.sqlparse import split_clauses
+
+    cl = split_clauses(sql.strip().rstrip(";").strip())
+    if cl is None or "FROM" not in cl:
+        return None
+    limit = cl.get("LIMIT")
+    if limit is not None and not re.fullmatch(r"\d+", limit.strip()):
+        return None  # non-literal LIMIT: outside the recognizer grammar
+    return _ShapeMatch(
+        {
+            "distinct": cl.get("DISTINCT"),
+            "sel": cl.get("SELECT"),
+            "from": cl.get("FROM"),
+            "where": cl.get("WHERE"),
+            "gb": cl.get("GROUP"),
+            "having": cl.get("HAVING"),
+            "ob": cl.get("ORDER"),
+            "limit": limit.strip() if limit is not None else None,
+        }
+    )
 
 _ORDER_ITEM_RE = re.compile(
     r"^(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?$", re.IGNORECASE
@@ -331,7 +359,7 @@ def parse_view_shape(sql: str) -> _Shape | None:
     # a string literal must not force batch fallback
     if _UNSUPPORTED_RE.search(_protect_literals(sql)[0]):
         return None
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if m is None:
         return None
     shape = _Shape(left="")
@@ -1289,14 +1317,18 @@ _TUMBLE_FROM_RE = re.compile(
     r"TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(?P<t>\w+)\s*,\s*"
     r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
     r"INTERVAL\s+'?(?P<n>\d+)'?\s+(?P<unit>SECONDS?|MINUTES?|HOURS?|DAYS?)\s*"
+    r"(?:,\s*INTERVAL\s+'?(?P<offn>\d+)'?\s+"
+    r"(?P<offunit>SECONDS?|MINUTES?|HOURS?|DAYS?)\s*)?"
     r"\)\s*\)",
     re.IGNORECASE,
 )
 _TUMBLE_START_RE = re.compile(
-    r"^__tumble_start\((?P<ts>\w+),\s*(?P<secs>\d+)\)$", re.IGNORECASE
+    r"^__tumble_start\((?P<ts>\w+),\s*(?P<secs>\d+)(?:,\s*(?P<off>\d+))?\)$",
+    re.IGNORECASE,
 )
 _TUMBLE_END_RE = re.compile(
-    r"^__tumble_end\((?P<ts>\w+),\s*(?P<secs>\d+)\)$", re.IGNORECASE
+    r"^__tumble_end\((?P<ts>\w+),\s*(?P<secs>\d+)(?:,\s*(?P<off>\d+))?\)$",
+    re.IGNORECASE,
 )
 
 
@@ -1309,17 +1341,27 @@ def _rewrite_tumble(sql: str) -> str:
     and ``window_end`` the derived ``__tumble_end``. Feldera's TUMBLE
     is exactly an epoch-aligned floor (``docs/sql/table.md`` TUMBLE;
     Spark's ``window()`` agrees), so the rewrite is semantics-neutral.
-    TUMBLE with an offset argument, HOP, and SESSION stay batch."""
+    The optional 4th INTERVAL argument shifts the alignment origin
+    (``docs/sql/table.md`` TUMBLE offset) — the floor becomes
+    ``ts - ((ts - off) mod size)``. HOP and SESSION compile via their
+    own paths."""
     m = _TUMBLE_FROM_RE.search(sql)
     if m is None:
         return sql
     secs = int(m.group("n")) * _UNIT_SECS[m.group("unit").lower().rstrip("s")]
+    off = (
+        int(m.group("offn"))
+        * _UNIT_SECS[m.group("offunit").lower().rstrip("s")]
+        if m.group("offn") is not None
+        else 0
+    )
     ts = m.group("ts")
     sql = sql[: m.start()] + m.group("t") + sql[m.end():]
     if _TUMBLE_FROM_RE.search(sql):
         return sql  # two table functions: let the parse fail → batch
-    start = f"__tumble_start({ts}, {secs})"
-    end = f"__tumble_end({ts}, {secs})"
+    osuf = f", {off}" if off else ""
+    start = f"__tumble_start({ts}, {secs}{osuf})"
+    end = f"__tumble_end({ts}, {secs}{osuf})"
     # select-list occurrences get an alias; GROUP BY stays bare. Split
     # at the top-level FROM (the select list precedes it).
     parts = re.split(r"(\bFROM\b)", sql, maxsplit=1, flags=re.IGNORECASE)
@@ -1425,16 +1467,20 @@ def _tumble_col(kexpr: str):
         m = rx.match(kexpr.strip())
         if m:
             ts, secs = m.group("ts"), int(m.group("secs"))
+            off = int(m.group("off") or 0)
             us = secs * 1_000_000
-            # floor alignment via a - pmod(a, w): DIV truncates toward
-            # zero and would shift pre-epoch timestamps one window late
+            ous = off * 1_000_000
+            # floor alignment via a - pmod(a - off, w): DIV truncates
+            # toward zero and would shift pre-epoch timestamps one
+            # window late; the offset shifts the alignment origin
+            # (TUMBLE's 4th argument)
             dus = (
                 f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
                 f"'1970-01-01 00:00:00', CAST({ts} AS TIMESTAMP_NTZ))"
             )
             return F.expr(
                 f"timestampadd(MICROSECOND, "
-                f"{dus} - pmod({dus}, {us}) + {shift * us}, "
+                f"{dus} - pmod({dus} - {ous}, {us}) + {shift * us}, "
                 f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             )
     return None
@@ -1526,7 +1572,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         re.IGNORECASE,
     ):
         return None
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if (
         m is None
         or m.group("distinct")
@@ -1553,16 +1599,6 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         gm = None
         if wm is None and lm is None:
             lm = _FIRST_LAST_OVER_RE.match(expr)
-            # frameless LAST_VALUE means Spark's RUNNING frame, not the
-            # whole partition — demand the explicit unbounded frame so
-            # compiled and batch semantics agree (FIRST_VALUE is
-            # frame-insensitive: first of any prefix is the first)
-            if (
-                lm is not None
-                and lm.group("fn").lower() == "last_value"
-                and lm.group("frame") is None
-            ):
-                return None
         if wm is None and lm is None:
             gm = _AGGWIN_OVER_RE.match(expr)
         if wm is not None or lm is not None or gm is not None:
@@ -1597,6 +1633,14 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
                 np_ = gm.group("np") or gm.group("np2")
                 if unb or np_:
                     frame = ("rows", None if unb else int(np_))
+            elif (
+                lm is not None
+                and lm.re is _FIRST_LAST_OVER_RE
+                and lm.group("frame")
+            ):
+                # explicit ROWS BETWEEN UNBOUNDED .. UNBOUNDED: whole
+                # partition (frameless = SQL's default running frame)
+                frame = ("rows_unbounded_both", None)
             dflt = (
                 lm.group("dflt").strip()
                 if lm is not None
@@ -1676,12 +1720,19 @@ class CompiledRankView:
                 )
                 return F.expr(call).over(w)
             if fn in ("first_value", "last_value"):
-                # whole-partition frame (the reference's unbounded-only
-                # FIRST/LAST restriction)
+                getter = F.first if fn == "first_value" else F.last
+                if frame is None:
+                    # frameless: SQL's default running frame (RANGE
+                    # UNBOUNDED PRECEDING .. CURRENT ROW, peers
+                    # included). The per-partition recompute evaluates
+                    # the SAME expression batch Spark would, so
+                    # compiled == batch by construction (round-5
+                    # verdict task #7: fence retired)
+                    return getter(F.col(arg)).over(w)
+                # explicit unbounded frame: whole partition
                 wfull = w.rowsBetween(
                     Window.unboundedPreceding, Window.unboundedFollowing
                 )
-                getter = F.first if fn == "first_value" else F.last
                 return getter(F.col(arg)).over(wfull)
             if fn in ("sum", "avg", "min", "max", "count"):
                 # running aggregate: recompute evaluates the SAME window
@@ -1814,7 +1865,7 @@ def parse_rolling_shape(sql: str) -> _RollingShape | None:
         re.IGNORECASE,
     ):
         return None
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if (
         m is None
         or m.group("distinct")
@@ -2101,7 +2152,7 @@ def parse_session_shape(sql: str) -> _SessionShape | None:
         if p.strip()
     ]
     sql2 = sql[: fm.start()] + fm.group("t") + sql[fm.end():]
-    m = _SHAPE_RE.match(sql2.strip())
+    m = _match_shape(sql2)
     if (
         m is None
         or m.group("distinct")
@@ -2600,7 +2651,7 @@ def _compile_grouping_sets(
 ) -> CompiledGroupingSetsView | None:
     from feldera_spark.frontend import _split_top_commas
 
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if m is None or m.group("gb") is None or m.group("distinct") \
             or m.group("having") or m.group("ob") or m.group("limit"):
         return None
@@ -2914,7 +2965,7 @@ def _compile_chain_join(
     every level."""
     if columns is None:
         return None
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if m is None or m.group("distinct"):
         return None
     frm = m.group("from").strip()
@@ -3067,7 +3118,7 @@ def _rewrite_exists_subquery(sql: str) -> str:
     for NOT EXISTS — which, unlike NOT IN, IS exactly an anti join)
     join on the correlation columns: Calcite's EXISTS decorrelation
     onto ``semijoin.rs:28`` / ``antijoin``."""
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if m is None or m.group("where") is None:
         return sql
     tm = _TABLE_RE.match(m.group("from").strip())
@@ -3123,7 +3174,7 @@ def _rewrite_in_subquery(sql: str) -> str:
     IN decorrelation): IN ≡ semi join exactly — no duplicate
     amplification, UNKNOWN rows filtered either way. ``NOT IN`` stays
     batch (its three-valued NULL semantics are not an anti join)."""
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if m is None or m.group("where") is None:
         return sql
     tm = _TABLE_RE.match(m.group("from").strip())
@@ -3412,6 +3463,10 @@ def enable_spill(plan, base_dir: str) -> int:
                 # integral/output spines of aggregate/recompute views)
                 if pcols and name in ("integral", "output"):
                     val.partition_cols = list(pcols)
+                # the emit_final archive partitions by the emit column:
+                # materialized() and band reads prune whole directories
+                if name == "emitted" and hasattr(obj, "emit_col"):
+                    val.partition_cols = [obj.emit_col]
                 count += 1
             elif isinstance(val, list):
                 for i, item in enumerate(val):
@@ -3463,7 +3518,7 @@ def parse_range_scalar_shape(sql: str) -> _RangeScalarShape | None:
     columns in the select list."""
     from feldera_spark.frontend import _split_top_commas
 
-    m = _SHAPE_RE.match(sql.strip())
+    m = _match_shape(sql)
     if m is None or m.group("gb") is None or m.group("where") is not None \
             or m.group("having") or m.group("ob") or m.group("limit") \
             or m.group("distinct"):

@@ -64,7 +64,12 @@ class EmitFinalView:
             for src, (ts_col, secs) in lateness.items()
         }
         self._prev_bound: _dt.datetime | None = None
-        self.emitted = Spine()
+        # the emit archive is append-only by the emit_final contract
+        # (sealed rows are never retracted): compaction never pays the
+        # consolidation shuffle, and with a spill_dir it parquet-appends
+        # only the new batches — prior generations are never rewritten
+        # (round-5 verdict #1)
+        self.emitted = Spine(append_only=True)
         # unsealed suffix: inner OUTPUT deltas not yet past the
         # waterline. eager=False — batches arriving here are already
         # materialized by the inner's own spine commit, so appends are
@@ -119,7 +124,9 @@ class EmitFinalView:
         ).filter(F.col(WEIGHT) > 0)
         # +1-only contract: expand net multiplicities into unit weights
         newly = zset.lift(zset.to_bag(sealed), 1)
-        self.pending.truncate(col > hi)
+        # the seal bound only rises: monotone truncation replaces the
+        # previous filter instead of stacking one per step
+        self.pending.truncate(col > hi, monotone=True)
         if inner_out is not None and prev is not None:
             # LATENESS-violation tripwire: an inner change at/below the
             # already-emitted bound means an emitted row would need a
@@ -145,5 +152,8 @@ class EmitFinalView:
         return self.emitted.batches[-1]
 
     def materialized(self) -> DataFrame:
-        assert not self.emitted.empty, "no deltas processed yet"
+        if self.emitted.empty:
+            # nothing sealed yet (e.g. empty initial load): the view is
+            # empty with the inner's output schema — not an error
+            return self.inner.materialized().filter(F.lit(False))
         return zset.to_bag(self.emitted.read())

@@ -336,6 +336,15 @@ class IncrementalRecursiveView:
             if im is None:
                 return None  # computed item — not a verbatim copy
             qual, col = im.group(1), im.group(2)
+            # literals also match \w+ (SELECT x, 0 FROM t / NULL / TRUE):
+            # they are computed items, not column copies — routing them
+            # through the restricted seed would reference a nonexistent
+            # column and crash the delete step (round-5 ADVICE #1)
+            if col[0].isdigit() or col.lower() in (
+                "null", "true", "false", "current_timestamp",
+                "current_date",
+            ):
+                return None
             if qual is not None:
                 if qual.lower() not in alias_map:
                     return None
@@ -372,41 +381,61 @@ class IncrementalRecursiveView:
         self._last_restricted_inputs = []
         red_name = f"__rec_{self.name}_red"
         acc_reduced.createOrReplaceTempView(red_name)
-        parts: list[DataFrame] = []
-        for bi, b in enumerate(self.base_branches + self.rec_branches):
-            positions, col_of_pos = self._branch_proj[bi]
-            plan: dict[tuple[str, int], str] = {}
-            for pos_i, (nm, occ, _al) in enumerate(positions):
-                pairs = col_of_pos.get(pos_i, [])
-                frame = (
-                    acc_reduced
-                    if nm == self.name
-                    else self.spark.table(nm)
-                )
-                if pairs:
-                    src_cols: dict[str, str] = {}
-                    for sc, oc in pairs:
-                        src_cols.setdefault(sc, oc)
-                    keys = cone.select(
-                        *[
-                            F.col(oc).alias(sc)
-                            for sc, oc in src_cols.items()
-                        ]
-                    )
-                    restricted = nullsafe_keys_join(
-                        frame, keys, list(src_cols)
-                    )
-                    self._last_restricted_inputs.append((nm, restricted))
-                    tmp = f"__rec_{self.name}_rr{bi}_{pos_i}"
-                    restricted.createOrReplaceTempView(tmp)
-                    plan[(nm, occ)] = tmp
-                elif nm == self.name:
-                    plan[(nm, occ)] = red_name
-            parts.append(
-                self._norm(
-                    self.spark.sql(substitute_table_positions(b, plan))
-                )
+        # A hub-edge delete can make the cone state-sized: broadcasting
+        # its projection as the routing key frame would hit the
+        # broadcast limit / driver OOM with AQE off (the same class as
+        # the init-load gate, round-5 ADVICE #2). One bounded probe
+        # decides the regime; large cones take shuffled restriction
+        # joins via the full_delta_step skip.
+        import contextlib
+
+        from feldera_spark.streaming.incremental import full_delta_step
+
+        limit = int(
+            self.spark.conf.get(
+                "spark.feldera.broadcastKeyRowLimit", "2000000"
             )
+        )
+        cone_big = cone.limit(limit).count() >= limit
+        broadcast_ctx = (
+            full_delta_step() if cone_big else contextlib.nullcontext()
+        )
+        parts: list[DataFrame] = []
+        with broadcast_ctx:
+            for bi, b in enumerate(self.base_branches + self.rec_branches):
+                positions, col_of_pos = self._branch_proj[bi]
+                plan: dict[tuple[str, int], str] = {}
+                for pos_i, (nm, occ, _al) in enumerate(positions):
+                    pairs = col_of_pos.get(pos_i, [])
+                    frame = (
+                        acc_reduced
+                        if nm == self.name
+                        else self.spark.table(nm)
+                    )
+                    if pairs:
+                        src_cols: dict[str, str] = {}
+                        for sc, oc in pairs:
+                            src_cols.setdefault(sc, oc)
+                        keys = cone.select(
+                            *[
+                                F.col(oc).alias(sc)
+                                for sc, oc in src_cols.items()
+                            ]
+                        )
+                        restricted = nullsafe_keys_join(
+                            frame, keys, list(src_cols)
+                        )
+                        self._last_restricted_inputs.append((nm, restricted))
+                        tmp = f"__rec_{self.name}_rr{bi}_{pos_i}"
+                        restricted.createOrReplaceTempView(tmp)
+                        plan[(nm, occ)] = tmp
+                    elif nm == self.name:
+                        plan[(nm, occ)] = red_name
+                parts.append(
+                    self._norm(
+                        self.spark.sql(substitute_table_positions(b, plan))
+                    )
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -501,10 +530,14 @@ class IncrementalRecursiveView:
             # when views step, so reconstruct old = current ∪ deleted
             # (∪ is a superset of true-old when the same step also
             # inserted — a sound over-approximation for the cone).
+            # no .distinct(): every consumer (_eval branches and
+            # _overdelete_seed) already ends in distinct, so the bag
+            # union is equivalent — the per-table dedup was a redundant
+            # O(table) shuffle per deletion step (round-5 verdict #2)
             old_over = {
                 t: self.spark.table(t).unionByName(
                     d.select(*self.spark.table(t).columns)
-                ).distinct()
+                )
                 for t, d in dels_ne.items()
             }
             # -- DRed overdelete: cone of possibly-affected facts -------
@@ -577,3 +610,456 @@ class IncrementalRecursiveView:
         if net_removed is not None:
             parts.append(zset.lift(net_removed, -1))
         return zset.plus(*parts)
+
+
+class IncrementalRecursiveGroup:
+    """A mutually recursive SCC maintained incrementally as ONE unit.
+
+    Reference: the compiler groups mutually recursive views into one
+    nested circuit per strongly connected component
+    (``RecursiveComponents``, ``CircuitOptimizer.java:87``,
+    ``DBSPNestedOperator.java``) and maintains the WHOLE group across
+    input deltas. Here the group holds one accumulator per member view
+    and advances all of them in one circuit step:
+
+    - insert-only deltas: group-level semi-naive — seed each member's
+      frontier from the changed tables (delta-bound branch evaluation
+      against the converged accumulators), then iterate the recursive
+      rules binding ONE member occurrence per branch to that member's
+      frontier until every frontier drains. Rounds = new-derivation
+      depth, not the group diameter.
+    - deletions: group-level DRed — the overdelete cone seeds from
+      position-telescoped bindings of the deleted tables (pre-delete
+      member state), propagates through member references until fixed,
+      then the reduced accumulators rederive (full-body — the magic-set
+      restriction is the single-view optimization) and semi-naive
+      insertion re-adds survivors.
+
+    The pipeline sees one facade per member (``members()``) conforming
+    to the compiled-plan protocol; the first facade stepped in a circuit
+    step advances the whole group, the rest return their cached output
+    deltas (the reference's nested operator has exactly one step
+    function for the component).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        views: dict[str, tuple[str, str]],  # name -> (body sql, schema ddl)
+        tables: set[str],
+    ):
+        from feldera_spark.frontend import (
+            _protect_literals,
+            count_table_positions,
+        )
+
+        if len(views) < 2:
+            raise ValueError("group needs >= 2 mutually recursive views")
+        self.spark = spark
+        self.names = [n.lower() for n in views]
+        self.schema_ddl: dict[str, str] = {}
+        self.out_cols: dict[str, list[str]] = {}
+        self._types: dict[str, list[str]] = {}
+        self.base_branches: dict[str, list[str]] = {}
+        self.rec_branches: dict[str, list[str]] = {}
+        srcs: set[str] = set()
+        group = set(self.names)
+        for name, (sql, ddl) in views.items():
+            name = name.lower()
+            parts = _split_top_union(sql)
+            if parts is None:
+                parts = [sql]
+            for p in parts:
+                if not re.match(r"^\s*SELECT\b", p, re.IGNORECASE):
+                    raise ValueError(f"non-SELECT union branch: {p[:40]!r}")
+            self.schema_ddl[name] = ddl
+            self.out_cols[name] = [
+                c.strip().split()[0] for c in ddl.split(",") if c.strip()
+            ]
+            self._types[name] = [
+                c.strip().split(None, 1)[1]
+                for c in ddl.split(",")
+                if c.strip()
+            ]
+            base, rec = [], []
+            for p in parts:
+                if any(count_table_positions(p, g) > 0 for g in group):
+                    rec.append(p)
+                else:
+                    base.append(p)
+            self.base_branches[name] = base
+            self.rec_branches[name] = rec
+            prot, _ = _protect_literals(sql)
+            srcs |= {
+                t
+                for t in tables
+                if t not in group
+                and re.search(rf"\b{re.escape(t)}\b", prot, re.IGNORECASE)
+            }
+        if not any(self.rec_branches[n] for n in self.names):
+            raise ValueError("no member references the group — not recursive")
+        self.sources = sorted(srcs)
+        self.acc: dict[str, DataFrame] | None = None
+        self.last_rounds = 0
+        self.cold_rounds = 0
+        self._step_outputs: dict[str, DataFrame | None] = {}
+
+    # -- helpers ---------------------------------------------------------
+
+    def _empty(self, m: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema=self.schema_ddl[m])
+
+    def _norm(self, m: str, df: DataFrame) -> DataFrame:
+        df = df.toDF(*self.out_cols[m])
+        return df.select(
+            *[
+                F.col(c).cast(t).alias(c)
+                for c, t in zip(self.out_cols[m], self._types[m])
+            ]
+        )
+
+    def _occ(self, branch: str, rel: str) -> int:
+        from feldera_spark.frontend import count_table_positions
+
+        return count_table_positions(branch, rel)
+
+    def _eval(
+        self,
+        m: str,
+        branches: list[str],
+        member_bind: dict[str, DataFrame],
+        table_over: dict[str, DataFrame] | None = None,
+        branch_sql_override: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Union-evaluate ``m``'s branches with every group member bound
+        from ``member_bind`` and tables optionally overridden."""
+        from feldera_spark.frontend import substitute_table_names
+
+        mapping: dict[str, str] = {}
+        for g, df in member_bind.items():
+            tmp = f"__grp_{m}_{g}"
+            df.createOrReplaceTempView(tmp)
+            mapping[g] = tmp
+        for t, df in (table_over or {}).items():
+            tmp = f"__grp_{m}_t_{t}"
+            df.createOrReplaceTempView(tmp)
+            mapping[t] = tmp
+        parts = []
+        for b in branch_sql_override or branches:
+            parts.append(
+                self._norm(m, self.spark.sql(substitute_table_names(b, mapping)))
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    @staticmethod
+    def _nonempty(df: DataFrame) -> bool:
+        return df.limit(1).count() > 0
+
+    def _group_semi_naive(
+        self,
+        acc: dict[str, DataFrame],
+        frontiers: dict[str, DataFrame],
+        max_rounds: int = 200,
+    ) -> tuple[dict[str, DataFrame], dict[str, DataFrame], int]:
+        """Iterate the group's recursive rules from the frontiers until
+        every member drains. Frontiers must already be ``\\ acc``."""
+        from feldera_spark.streaming.incremental import _checkpoint
+
+        added = {m: self._empty(m) for m in self.names}
+        rounds = 0
+        frontiers = {m: _checkpoint(f) for m, f in frontiers.items()}
+        live = {m for m in self.names if self._nonempty(frontiers[m])}
+        while live:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError("recursive group did not converge")
+            acc = {
+                m: _checkpoint(acc[m].unionByName(frontiers[m]))
+                if m in live
+                else acc[m]
+                for m in self.names
+            }
+            for m in live:
+                added[m] = added[m].unionByName(frontiers[m])
+            nxt: dict[str, DataFrame] = {}
+            for m in self.names:
+                parts = []
+                for b in self.rec_branches[m]:
+                    for g in live:
+                        n = self._occ(b, g)
+                        if n == 0:
+                            continue
+                        # linear member reference: semi-naive (bind the
+                        # frontier); non-linear or multi-member: the
+                        # g-bound eval with others at the NEW acc covers
+                        # every derivation using >=1 new g-fact
+                        bind = {
+                            h: (
+                                frontiers[g]
+                                if h == g and n == 1
+                                else acc[h]
+                            )
+                            for h in self.names
+                        }
+                        parts.append(self._eval(m, [b], bind))
+                parts = [p for p in parts if p is not None]
+                if parts:
+                    out = parts[0]
+                    for p in parts[1:]:
+                        out = out.unionByName(p)
+                    nxt[m] = _checkpoint(out.distinct().subtract(acc[m]))
+                else:
+                    nxt[m] = self._empty(m)
+            frontiers = nxt
+            live = {m for m in self.names if self._nonempty(frontiers[m])}
+        return (
+            acc,
+            {m: _checkpoint(a.distinct()) for m, a in added.items()},
+            rounds,
+        )
+
+    def _delta_seed(
+        self,
+        changed: dict[str, DataFrame],
+        acc: dict[str, DataFrame],
+    ) -> dict[str, DataFrame]:
+        """Per-member one-step derivations using >=1 changed-table row."""
+        seeds: dict[str, DataFrame] = {}
+        for m in self.names:
+            parts = []
+            for t, rows in changed.items():
+                single, multi = [], []
+                for b in self.base_branches[m] + self.rec_branches[m]:
+                    n = self._occ(b, t)
+                    if n == 1:
+                        single.append(b)
+                    elif n > 1:
+                        multi.append(b)
+                if single:
+                    parts.append(self._eval(m, single, acc, {t: rows}))
+                if multi:
+                    parts.append(self._eval(m, multi, acc))
+            parts = [p for p in parts if p is not None]
+            if parts:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                seeds[m] = out.distinct().subtract(acc[m])
+            else:
+                seeds[m] = self._empty(m)
+        return seeds
+
+    def _group_overdelete(
+        self,
+        dels_ne: dict[str, DataFrame],
+        acc: dict[str, DataFrame],
+        old_over: dict[str, DataFrame],
+    ) -> dict[str, DataFrame]:
+        """DRed cone per member: facts with >=1 derivation through a
+        deleted row, propagated through member references against
+        PRE-delete state."""
+        from feldera_spark.frontend import (
+            count_table_positions,
+            substitute_table_positions,
+        )
+        from feldera_spark.streaming.incremental import _checkpoint
+
+        del_names: dict[str, str] = {}
+        old_names: dict[str, str] = {}
+        for t, d in dels_ne.items():
+            del_names[t] = f"__grp_del_{t}"
+            d.createOrReplaceTempView(del_names[t])
+            old_names[t] = f"__grp_old_{t}"
+            old_over[t].createOrReplaceTempView(old_names[t])
+        curs: dict[str, DataFrame] = {}
+        for m in self.names:
+            parts = []
+            for b in self.base_branches[m] + self.rec_branches[m]:
+                positions = [
+                    (t, i)
+                    for t in dels_ne
+                    for i in range(count_table_positions(b, t))
+                ]
+                for k in range(len(positions)):
+                    plan: dict[tuple[str, int], str] = {}
+                    for j, (t, i) in enumerate(positions):
+                        if j == k:
+                            plan[(t, i)] = del_names[t]
+                        elif j > k:
+                            plan[(t, i)] = old_names[t]
+                    sub = substitute_table_positions(b, plan)
+                    part = self._eval(m, [sub], acc)
+                    if part is not None:
+                        parts.append(part)
+            if parts:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                curs[m] = _checkpoint(out.distinct().intersect(acc[m]))
+            else:
+                curs[m] = self._empty(m)
+        cones = {m: self._empty(m) for m in self.names}
+        guard = 0
+        live = {m for m in self.names if self._nonempty(curs[m])}
+        while live:
+            guard += 1
+            if guard > 200:
+                raise RuntimeError("group overdelete did not converge")
+            for m in live:
+                cones[m] = _checkpoint(
+                    cones[m].unionByName(curs[m]).distinct()
+                )
+            nxt: dict[str, DataFrame] = {}
+            old_tabs = {t: old_over[t] for t in dels_ne}
+            for m in self.names:
+                parts = []
+                for b in self.rec_branches[m]:
+                    for g in live:
+                        n = self._occ(b, g)
+                        if n == 0:
+                            continue
+                        bind = {
+                            h: (curs[g] if h == g and n == 1 else acc[h])
+                            for h in self.names
+                        }
+                        parts.append(self._eval(m, [b], bind, old_tabs))
+                parts = [p for p in parts if p is not None]
+                if parts:
+                    out = parts[0]
+                    for p in parts[1:]:
+                        out = out.unionByName(p)
+                    nxt[m] = _checkpoint(
+                        out.distinct()
+                        .intersect(acc[m])
+                        .subtract(cones[m])
+                    )
+                else:
+                    nxt[m] = self._empty(m)
+            curs = nxt
+            live = {m for m in self.names if self._nonempty(curs[m])}
+        return cones
+
+    # -- the group step ----------------------------------------------------
+
+    def step_group(self, deltas: dict[str, DataFrame | None]) -> None:
+        from feldera_spark.streaming.incremental import _checkpoint
+        from feldera_spark.streaming.stepper import step_scope
+
+        with step_scope():
+            self._step_group_inner(deltas)
+
+    def _step_group_inner(self, deltas: dict[str, DataFrame | None]) -> None:
+        from feldera_spark.streaming.incremental import _checkpoint
+
+        ins: dict[str, DataFrame] = {}
+        dels: dict[str, DataFrame] = {}
+        for t, d in deltas.items():
+            if d is None:
+                continue
+            d = zset.lift(d)
+            ins[t] = d.filter(F.col(WEIGHT) > 0).drop(WEIGHT)
+            dels[t] = d.filter(F.col(WEIGHT) < 0).drop(WEIGHT)
+        first = self.acc is None
+        acc = (
+            self.acc
+            if self.acc is not None
+            else {m: self._empty(m) for m in self.names}
+        )
+        old_acc = dict(acc)
+
+        dels_ne = {} if first else {
+            t: d for t, d in dels.items() if self._nonempty(d)
+        }
+        if dels_ne:
+            old_over = {
+                t: self.spark.table(t).unionByName(
+                    d.select(*self.spark.table(t).columns)
+                )
+                for t, d in dels_ne.items()
+            }
+            cones = self._group_overdelete(dels_ne, acc, old_over)
+            acc = {
+                m: _checkpoint(acc[m].subtract(cones[m]))
+                for m in self.names
+            }
+            # rederive + same-step inserts: full body eval against the
+            # reduced group state (post-delete tables resolve by name)
+            frontiers: dict[str, DataFrame] = {}
+            for m in self.names:
+                body = self.base_branches[m] + self.rec_branches[m]
+                got = self._eval(m, body, acc)
+                frontiers[m] = (
+                    got.subtract(acc[m]) if got is not None else self._empty(m)
+                )
+            ins_ne = {t: d for t, d in ins.items() if self._nonempty(d)}
+            if ins_ne:
+                extra = self._delta_seed(ins_ne, acc)
+                frontiers = {
+                    m: frontiers[m].unionByName(extra[m]).distinct()
+                    for m in self.names
+                }
+        else:
+            changed = dict(ins)
+            if not changed:
+                self._step_outputs = {m: None for m in self.names}
+                return
+            frontiers = self._delta_seed(changed, acc)
+
+        new_acc, _added, rounds = self._group_semi_naive(acc, frontiers)
+        self.last_rounds = rounds
+        if first:
+            self.cold_rounds = rounds
+        self.acc = {m: _checkpoint(df) for m, df in new_acc.items()}
+        outs: dict[str, DataFrame | None] = {}
+        for m in self.names:
+            if first:
+                outs[m] = zset.lift(self.acc[m], 1)
+                continue
+            net_added = self.acc[m].subtract(old_acc[m])
+            net_removed = old_acc[m].subtract(self.acc[m])
+            outs[m] = zset.plus(
+                zset.lift(net_added, 1), zset.lift(net_removed, -1)
+            )
+        self._step_outputs = outs
+
+    def members(self) -> dict[str, "_RecursiveGroupMember"]:
+        return {m: _RecursiveGroupMember(self, m) for m in self.names}
+
+
+class _RecursiveGroupMember:
+    """Compiled-plan facade for one member of an
+    :class:`IncrementalRecursiveGroup`. The first member stepped in a
+    circuit step advances the WHOLE group; the others pop their cached
+    output deltas — one nested-circuit step per component, exactly the
+    reference's component step."""
+
+    def __init__(self, group: IncrementalRecursiveGroup, name: str):
+        self.group = group
+        self.name = name
+        self.sources = group.sources
+        self.out_cols = group.out_cols[name]
+        self.shape = type("S", (), {"out_cols": self.out_cols})()
+
+    def bind_schemas(self, frames: dict[str, DataFrame]) -> None:
+        pass
+
+    @property
+    def _stepped(self) -> bool:
+        return self.group.acc is not None
+
+    def state_components(self):
+        return {}
+
+    def step(self, deltas: dict[str, DataFrame | None]) -> DataFrame | None:
+        if self.name not in self.group._step_outputs:
+            self.group.step_group(deltas)
+        return self.group._step_outputs.pop(self.name)
+
+    def materialized(self) -> DataFrame:
+        assert self.group.acc is not None, "no deltas processed yet"
+        return self.group.acc[self.name]

@@ -41,16 +41,38 @@ from pyspark.sql import DataFrame
 class _StepBatch:
     def __init__(self):
         self.pending: list[DataFrame] = []
+        self.persisted: list[DataFrame] = []
 
     def defer(self, df: DataFrame) -> DataFrame:
         lazy = df.localCheckpoint(eager=False)
         self.pending.append(lazy)
         return lazy
 
+    def persist(self, df: DataFrame) -> DataFrame:
+        """Mark a frame SHARED within this step: several consumers (state
+        merge, output delta, downstream views, broadcast key builds) will
+        execute its plan before the commit truncates lineage. Without
+        this, the single-commit model re-executes the shared sub-plan
+        once per consuming branch — at realistic micro-batch sizes
+        (100k+ rows) the repeated delta aggregation dominates the step.
+        ``persist`` computes it once (whichever branch runs first fills
+        the block cache, inside the same commit job) and the step
+        unpersists it after the commit, when every dependent frame has
+        been truncated to stored blocks."""
+        df = df.persist()
+        self.persisted.append(df)
+        return df
+
     def flush(self) -> None:
         frames, self.pending = self.pending, []
         if frames:
             materialize_all(frames)
+        cached, self.persisted = self.persisted, []
+        for c in cached:
+            try:
+                c.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 _STACK: list[_StepBatch] = []
@@ -64,6 +86,14 @@ def deferring() -> bool:
 def defer_checkpoint(df: DataFrame) -> DataFrame:
     """Register ``df`` for the active step's single commit job."""
     return _STACK[-1].defer(df)
+
+
+def persist_step(df: DataFrame) -> DataFrame:
+    """Cache a frame shared by several branches of the current step (no-op
+    outside a step scope); unpersisted automatically after the commit."""
+    if _STACK:
+        return _STACK[-1].persist(df)
+    return df
 
 
 @contextmanager

@@ -1899,13 +1899,32 @@ def test_compiled_first_last_value_views(spark):
         assert _canon(plan.materialized()) == _canon(spark.sql(bsql)), sql
 
 
-def test_frameless_last_value_falls_back():
-    # frameless LAST_VALUE = Spark's RUNNING frame; the compiled view
-    # is whole-partition, so the shapes must not silently diverge
+def test_frameless_last_value_compiles(spark):
+    """Round-5 verdict task #7 (fence retired): frameless LAST_VALUE
+    compiles — the per-partition recompute evaluates SQL's default
+    running frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW), exactly
+    what batch Spark evaluates, so compiled == batch by construction."""
     assert compile_view(
         "SELECT k, LAST_VALUE(v) OVER (PARTITION BY k ORDER BY id) AS lv "
-        "FROM t", tables={"t"},
-    ) is None
+        "FROM t", tables={"t"}, columns={"t": ["k", "v", "id"]},
+    ) is not None
+    from feldera_spark.pipeline import PipelineBuilder
+
+    rows = [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 5.0)]
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE t (id BIGINT, k BIGINT, v DOUBLE);"
+        "CREATE MATERIALIZED VIEW w AS SELECT id, k,"
+        " LAST_VALUE(v) OVER (PARTITION BY k ORDER BY id) AS lv FROM t"
+    )
+    b.connect_table(
+        "t", spark.createDataFrame(rows, "id BIGINT, k BIGINT, v DOUBLE")
+    )
+    p = b.create()
+    assert "w" in p._ivm
+    p.execute("INSERT INTO t VALUES (4, 1, 40.0)")
+    got = {(r.id, r.lv) for r in p.view("w").collect()}
+    # running frame: each row's lv is its own v (unique order keys)
+    assert got == {(1, 10.0), (2, 20.0), (3, 5.0), (4, 40.0)}
 
 
 # ---------------------------------------------------------------------------

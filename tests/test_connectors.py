@@ -312,3 +312,101 @@ def test_postgres_sink_batch_write_path(spark, tmp_path):
             }},
             "format": {"name": "json"},
         })
+
+
+def test_delta_protocol_reader_snapshot_follow_cdf(spark, tmp_path):
+    """Round-5 verdict task #9: the Delta source path UNGATED — a
+    protocol-correct file-backed Delta table (JSON transaction log +
+    parquet data/CDF files, the real on-disk layout) exercised through
+    snapshot -> follow -> CDF-to-weights without delta-spark."""
+    import os
+
+    from feldera_spark.sources import delta_log
+    from feldera_spark.zset import WEIGHT
+
+    uri = str(tmp_path / "dt")
+    os.makedirs(uri)
+
+    def write_pq(rel, rows, schema="k BIGINT, v BIGINT"):
+        full = os.path.join(uri, rel)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(full + ".tmp")
+        part = next(
+            f
+            for f in os.listdir(full + ".tmp")
+            if f.endswith(".parquet")
+        )
+        os.makedirs(os.path.dirname(full) or uri, exist_ok=True)
+        os.rename(os.path.join(full + ".tmp", part), full)
+
+    # v0: two data files
+    write_pq("part-0.parquet", [(1, 10), (2, 20)])
+    write_pq("part-1.parquet", [(3, 30)])
+    delta_log.write_commit(uri, 0, adds=["part-0.parquet", "part-1.parquet"])
+    # v1: plain append (no CDF) — synthesized +1 delta
+    write_pq("part-2.parquet", [(4, 40)])
+    delta_log.write_commit(uri, 1, adds=["part-2.parquet"])
+    # v2: CDF commit — update k=1, delete k=3 (real CDF row shape)
+    write_pq(
+        "cdc-0.parquet",
+        [
+            (1, 10, "update_preimage"),
+            (1, 11, "update_postimage"),
+            (3, 30, "delete"),
+        ],
+        "k BIGINT, v BIGINT, _change_type STRING",
+    )
+    write_pq("part-3.parquet", [(1, 11)])
+    delta_log.write_commit(
+        uri, 2,
+        adds=["part-3.parquet"],
+        removes=["part-0.parquet", "part-1.parquet"],
+        cdc=["cdc-0.parquet"],
+    )
+
+    # snapshot at v0 / latest
+    s0 = {(r.k, r.v) for r in delta_log.snapshot(spark, uri, 0).collect()}
+    assert s0 == {(1, 10), (2, 20), (3, 30)}
+    # latest: part-0/1 removed, part-2 + part-3 live... part-0 carried
+    # (2,20) which the CDF did NOT delete — a real writer rewrites the
+    # file; mirror that: v2 should re-add the surviving rows
+    write_pq("part-4.parquet", [(2, 20)])
+    delta_log.write_commit(uri, 3, adds=["part-4.parquet"])
+    slast = {(r.k, r.v) for r in delta_log.snapshot(spark, uri).collect()}
+    assert slast == {(1, 11), (2, 20), (4, 40)}
+
+    # follow from v0: version-ordered Z-set deltas; CDF commit maps
+    # _change_type to weights, append commit synthesizes +1
+    ch = delta_log.changes(spark, uri, 0)
+    assert [v for v, _ in ch] == [1, 2, 3]
+    d1 = {(r.k, r.v, r[WEIGHT]) for r in ch[0][1].collect()}
+    assert d1 == {(4, 40, 1)}
+    d2 = {(r.k, r.v, r[WEIGHT]) for r in ch[1][1].collect()}
+    assert d2 == {(1, 10, -1), (1, 11, 1), (3, 30, -1)}
+
+    # integrating snapshot(v0) + all deltas == latest snapshot (the
+    # CDF-to-weights contract the reference's delta connector feeds
+    # into the circuit)
+    from feldera_spark import zset
+
+    acc = zset.lift(delta_log.snapshot(spark, uri, 0))
+    for _v, d in ch:
+        # CDF commits replace their remove/add files; apply CDF only
+        # for v2, file-level deltas otherwise — changes() already chose
+        acc = zset.plus(acc, d)
+    got = {
+        (r.k, r.v)
+        for r in zset.to_bag(zset.consolidate(acc)).collect()
+    }
+    assert got == slast
+
+    # connector path (snapshot mode) without delta-spark
+    from feldera_spark.sources.connectors import ConnectorConfig, open_source
+
+    cfg = ConnectorConfig(
+        transport="delta_table_input",
+        transport_config={"uri": uri, "mode": "snapshot"},
+    )
+    df = open_source(spark, cfg, schema=None, streaming=False)
+    assert {(r.k, r.v) for r in df.drop(WEIGHT).collect()} == slast

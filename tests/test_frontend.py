@@ -383,3 +383,16 @@ def test_non_equi_correlated_count_column_and_countif(spark):
     assert got_if == expect(
         lambda rs: sum(1 for _, x in rs if x is not None and x > 5)
     )
+
+
+def test_substitute_table_positions_mixed_case_plan_keys():
+    """Round-5 ADVICE #3: plan keys are normalized to lowercase inside
+    substitute_table_positions — a mixed-case caller key must neither
+    KeyError nor silently skip the rewrite."""
+    from feldera_spark.frontend import substitute_table_positions
+
+    sql = "SELECT Ed.x FROM Ed JOIN ed e2 ON Ed.y = e2.x"
+    out = substitute_table_positions(sql, {("Ed", 0): "__delta"})
+    assert "__delta AS Ed" in out
+    # the second occurrence (alias e2) untouched
+    assert "ed e2" in out

@@ -135,3 +135,153 @@ def test_fuzzed_view_bodies_never_miscompile(spark, fuzz_tables, body):
     assert got == truth, (
         f"MISCOMPILE: {body!r}\n engine={got[:5]}...\n truth={truth[:5]}..."
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-based structural parser (round-5 verdict task #2): differential
+# fuzz of the sqlparse-backed position/name functions against the legacy
+# regex baselines, plus direct qualified-name coverage the legacy forms
+# never supported.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def structural_bodies(draw) -> str:
+    """Bodies exercising the POSITION grammar: joins, self-joins, comma
+    FROM lists, derived tables, scalar subqueries, comments, literals
+    containing keywords, and odd whitespace."""
+    rng = random.Random(draw(st.integers(0, 2**32 - 1)))
+    w = lambda: _ws(rng)
+    froms = [
+        "t1",
+        "t1 a",
+        "t1 AS a",
+        "t1 a JOIN t2x b ON a.k = b.k",
+        "t1 JOIN t2x ON t1.k = t2x.k",
+        "t1 a, t2x b",
+        "t1 a LEFT JOIN t2x b ON a.k = b.k",
+        "t1 e1 JOIN t1 e2 ON e1.k = e2.k",
+        "(SELECT k, v FROM t1 WHERE v > 0) d",
+        "t1 a JOIN (SELECT k FROM t2x) d ON a.k = d.k",
+        "t1 CROSS JOIN t2x",
+        "t1 a FULL OUTER JOIN t2x b ON a.k = b.k",
+    ]
+    sels = [
+        "*",
+        "a.k, b.w" if rng.random() < 0 else "1 AS one, 'FROM t1' AS trap",
+        "k + 1 AS kk",
+        "count(*) AS n",
+    ]
+    body = (
+        f"SELECT{w()}{rng.choice(sels)}{w()}FROM{w()}{rng.choice(froms)}"
+    )
+    if draw(st.booleans()):
+        body += f"{w()}WHERE{w()}" + rng.choice(
+            [
+                "v > 1",
+                "s <> 'JOIN t1'",
+                "k IN (SELECT k FROM t2x)",
+                "v > (SELECT AVG(w) FROM t2x)",
+                "s = '-- not a comment'",
+            ]
+        )
+    # NOTE: no comment injection here — the legacy regexes misparse
+    # keywords inside /* */ comments (that defect is asserted fixed in
+    # test_token_positions_ignore_comments); the differential corpus
+    # compares only on the grammar legacy got right.
+    return body
+
+
+@settings(max_examples=250, deadline=None, derandomize=True)
+@given(body=structural_bodies())
+def test_token_positions_match_legacy(body):
+    """The token-based walkers agree with the legacy regex forms on the
+    single-word-name grammar the legacy forms supported (the migration
+    harness the round-5 verdict asked for)."""
+    from feldera_spark import frontend as fe
+
+    assert fe.list_table_positions(body) == fe._legacy_list_table_positions(
+        body
+    ), body
+    for name in ("t1", "t2x"):
+        assert fe.count_table_positions(body, name) == \
+            fe._legacy_count_table_positions(body, name), (body, name)
+    # positional substitution: same output text
+    positions = fe.list_table_positions(body)
+    if positions:
+        nm, idx, _al = positions[0]
+        plan = {(nm, idx): "__repl"}
+        assert fe.substitute_table_positions(body, plan) == \
+            fe._legacy_substitute_table_positions(body, plan), body
+    mapping = {"t1": "__m1", "t2x": "__m2"}
+    assert fe.substitute_table_names(body, mapping) == \
+        fe._legacy_substitute_table_names(body, mapping), body
+
+
+def test_token_positions_qualified_names():
+    """db.table qualification — new capability (legacy regexes saw only
+    single words)."""
+    from feldera_spark import frontend as fe
+
+    sql = (
+        "SELECT a.k, b.w FROM db.t1 a JOIN sch.t2 b ON a.k = b.w "
+        "WHERE a.k IN (SELECT k FROM db.t1)"
+    )
+    assert fe.list_table_positions(sql) == [
+        ("db.t1", 0, "a"),
+        ("sch.t2", 0, "b"),
+        ("db.t1", 1, None),
+    ]
+    assert fe.count_table_positions(sql, "db.t1") == 2
+    out = fe.substitute_table_positions(sql, {("db.t1", 1): "__d"})
+    assert "(SELECT k FROM __d AS t1)" in out
+    # names: full dotted relation replaced; alias-qualified columns kept
+    out2 = fe.substitute_table_names(sql, {"db.t1": "__x"})
+    assert out2.count("__x") == 2 and "a.k" in out2
+
+
+def test_tokenizer_structure_basics():
+    from feldera_spark.sqlparse import (
+        relations,
+        split_clauses,
+        split_set_ops,
+        tokenize,
+    )
+
+    toks = tokenize("SELECT 'a''b' -- c\n, \"q id\", k FROM t")
+    kinds = [t.kind for t in toks]
+    assert "string" in kinds and "qident" in kinds
+    assert all(t.text != "c" for t in toks), "comment must be dropped"
+
+    cl = split_clauses(
+        "SELECT k, count(*) AS n FROM t WHERE v > (SELECT 1) "
+        "GROUP BY k HAVING count(*) > 1 ORDER BY k LIMIT 5"
+    )
+    assert cl is not None
+    assert cl["GROUP"] == "k" and cl["LIMIT"] == "5"
+    assert "(SELECT 1)" in cl["WHERE"]
+
+    ops = split_set_ops("SELECT 1 UNION ALL SELECT 2 EXCEPT SELECT 3")
+    assert [o for _, o in ops] == [None, "UNION ALL", "EXCEPT"]
+
+    rels = relations(
+        "SELECT * FROM t1 a, (SELECT * FROM t2 JOIN t3 ON t2.k = t3.k) d "
+        "WHERE x IN (SELECT k FROM t4)"
+    )
+    names = [(r.name, r.join_kind) for r in rels if r.name]
+    assert ("t1", "from") in names
+    assert any(n == "t2" for n, _ in names)
+    assert any(n == "t3" and k == "join" for n, k in names)
+    assert any(n == "t4" for n, _ in names)
+
+
+def test_token_positions_ignore_comments():
+    """Keywords inside comments are data to the tokenizer — the legacy
+    regex counted '/* FROM t9 */' as a position (known defect, retired
+    by the token walker)."""
+    from feldera_spark import frontend as fe
+
+    sql = "SELECT * /* block FROM t9 */ FROM t1 -- JOIN t2x\n WHERE k > 0"
+    assert fe.list_table_positions(sql) == [("t1", 0, None)]
+    assert fe.count_table_positions(sql, "t9") == 0
+    assert fe.count_table_positions(sql, "t2x") == 0

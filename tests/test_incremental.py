@@ -499,3 +499,201 @@ def test_recursive_delete_rederive_is_goal_directed(spark):
     got = {(r["node"], r["anc"]) for r in p.view("anc").collect()}
     assert not any(n == 255 for n, _ in got)
     assert len(got) == total - 7, (len(got), total)  # 255 has 7 ancestors
+
+
+def test_recursive_delete_literal_select_item_falls_back(spark):
+    """Round-5 ADVICE #1: a branch like ``SELECT x, 0 FROM t`` has a
+    literal select item — it is NOT a simple projection, so the
+    restricted rederive must decline (full-body fallback) instead of
+    crashing on a nonexistent column during the delete step."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE lit_t (x BIGINT);
+        DECLARE RECURSIVE VIEW lv (x BIGINT, lvl BIGINT);
+        CREATE MATERIALIZED VIEW lv AS
+        SELECT x, 0 FROM lit_t
+        UNION
+        SELECT lv.x, lv.lvl + 1 FROM lv WHERE lv.lvl < 2
+        """
+    )
+    b.connect_table(
+        "lit_t", spark.createDataFrame([(1,), (2,)], "x BIGINT")
+    )
+    p = b.create()
+    assert "lv" in p._ivm
+    assert p.view("lv").count() == 6  # 2 roots x levels 0..2
+    p.execute("DELETE FROM lit_t WHERE x = 2")
+    plan = p._ivm["lv"]
+    assert plan.last_seed_mode == "full"  # declined, not crashed
+    got = {(r["x"], r["lvl"]) for r in p.view("lv").collect()}
+    assert got == {(1, 0), (1, 1), (1, 2)}
+
+
+def test_restricted_seed_gates_broadcast_on_cone_size(spark):
+    """Round-5 ADVICE #2: a state-sized cone must not be broadcast as
+    the routing key frame — with the limit forced low, the restricted
+    seed's key joins must skip the broadcast hint (and the delete must
+    still be correct)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    edges = [(i, i + 1) for i in range(40)]
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE gedge (child BIGINT, parent BIGINT);
+        DECLARE RECURSIVE VIEW ganc (node BIGINT, anc BIGINT);
+        CREATE MATERIALIZED VIEW ganc AS
+        SELECT child AS node, parent AS anc FROM gedge
+        UNION
+        SELECT g.node, e.parent AS anc
+        FROM ganc g JOIN gedge e ON g.anc = e.child
+        """
+    )
+    b.connect_table(
+        "gedge",
+        spark.createDataFrame(edges, "child BIGINT, parent BIGINT"),
+    )
+    p = b.create()
+    total = p.view("ganc").count()
+    prev = spark.conf.get("spark.feldera.broadcastKeyRowLimit", "2000000")
+    spark.conf.set("spark.feldera.broadcastKeyRowLimit", "5")
+    try:
+        # delete the root edge: the cone is nearly the whole closure —
+        # over the forced-low limit, so the restricted inputs must plan
+        # WITHOUT a broadcast hint
+        p.execute("DELETE FROM gedge WHERE child = 0")
+        plan = p._ivm["ganc"]
+        assert plan.last_seed_mode == "restricted"
+        for _nm, df in plan._last_restricted_inputs:
+            phys = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in phys, phys
+    finally:
+        spark.conf.set("spark.feldera.broadcastKeyRowLimit", prev)
+    got = {(r["node"], r["anc"]) for r in p.view("ganc").collect()}
+    assert not any(n == 0 for n, _ in got)
+    assert len(got) == total - 40
+
+
+def test_bulk_insert_step_skips_key_broadcast(spark):
+    """Round-5 verdict #3: a bulk ``INSERT INTO t SELECT ...`` produces
+    a state-sized delta; the step's key-routing joins must skip the
+    broadcast hint (full-delta regime). Asserted both regimes via the
+    full-delta flag observed at key-join build time."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming import incremental as inc
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE big_t (k BIGINT, v BIGINT);
+        CREATE MATERIALIZED VIEW agg_v AS
+        SELECT k, COUNT(*) AS n, SUM(v) AS total FROM big_t GROUP BY k
+        """
+    )
+    b.connect_table(
+        "big_t",
+        spark.range(100).selectExpr("id % 7 AS k", "id AS v"),
+    )
+    p = b.create()
+    assert "agg_v" in p._ivm
+
+    regimes: list[bool] = []
+    orig = inc.nullsafe_keys_join
+
+    def spy(df, keys_df, on, anti=False):
+        regimes.append(inc._FULL_DELTA.get())
+        return orig(df, keys_df, on, anti)
+
+    prev = spark.conf.get("spark.feldera.broadcastKeyRowLimit", "2000000")
+    inc.nullsafe_keys_join = spy
+    spark.conf.set("spark.feldera.broadcastKeyRowLimit", "50")
+    try:
+        # small VALUES insert: broadcast regime (full-delta flag False)
+        p.execute("INSERT INTO big_t VALUES (1, 1000)")
+        assert regimes and not any(regimes), regimes
+        regimes.clear()
+        # bulk insert over the table itself: >= limit rows → full-delta
+        p.execute("INSERT INTO big_t SELECT k, v + 1 FROM big_t")
+        assert regimes and all(regimes), regimes
+    finally:
+        inc.nullsafe_keys_join = orig
+        spark.conf.set("spark.feldera.broadcastKeyRowLimit", prev)
+    # correctness across both regimes
+    got = {
+        (r["k"], r["n"]) for r in p.view("agg_v").collect()
+    }
+    assert {k for k, _ in got} == set(range(7))
+    # 100 initial + 1 VALUES + 101 self-select rows
+    assert sum(n for _, n in got) == 202
+
+
+def test_mutually_recursive_group_incremental(spark):
+    """Round-5 verdict task #3: a mutually recursive SCC (even/odd path
+    parity — each view references the OTHER) compiles to ONE
+    IncrementalRecursiveGroup and is maintained under insert AND delete
+    chunks; per-step state equals the batch fixpoint over the net edge
+    set."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    def expected(edges):
+        # batch fixpoint in plain python: paths by parity
+        odd = set(edges)  # length-1
+        even = set()
+        changed = True
+        while changed:
+            changed = False
+            for (x, y) in list(odd):
+                for (a, b) in edges:
+                    if y == a and (x, b) not in even:
+                        even.add((x, b))
+                        changed = True
+            for (x, y) in list(even):
+                for (a, b) in edges:
+                    if y == a and (x, b) not in odd:
+                        odd.add((x, b))
+                        changed = True
+        return odd, even
+
+    prog = """
+    CREATE TABLE ged (x BIGINT, y BIGINT);
+    DECLARE RECURSIVE VIEW ve (x BIGINT, y BIGINT);
+    DECLARE RECURSIVE VIEW vo (x BIGINT, y BIGINT);
+    CREATE MATERIALIZED VIEW ve AS
+    SELECT vo.x, e.y FROM vo JOIN ged e ON vo.y = e.x;
+    CREATE MATERIALIZED VIEW vo AS
+    SELECT x, y FROM ged
+    UNION
+    SELECT ve.x, e.y FROM ve JOIN ged e ON ve.y = e.x
+    """
+    edges0 = [(1, 2), (2, 3), (3, 4)]
+    b = PipelineBuilder(spark).sql(prog)
+    b.connect_table(
+        "ged", spark.createDataFrame(edges0, "x BIGINT, y BIGINT")
+    )
+    p = b.create()
+    assert {"ve", "vo"} <= set(p._ivm), "SCC must compile to IVM"
+    grp = p._ivm["ve"].group
+    assert grp is p._ivm["vo"].group, "one group object for the SCC"
+
+    def got(v):
+        return {(r["x"], r["y"]) for r in p.view(v).collect()}
+
+    odd, even = expected(set(edges0))
+    assert got("vo") == odd and got("ve") == even
+    cold = grp.cold_rounds
+
+    # insert: extend the chain — incremental, not a re-fixpoint
+    p.execute("INSERT INTO ged VALUES (4, 5)")
+    odd, even = expected(set(edges0) | {(4, 5)})
+    assert got("vo") == odd and got("ve") == even
+    assert grp.last_rounds <= cold + 1
+
+    # delete a mid-chain edge: DRed through BOTH members
+    p.execute("DELETE FROM ged WHERE x = 2")
+    odd, even = expected({(1, 2), (3, 4), (4, 5)})
+    assert got("vo") == odd and got("ve") == even
+
+    # re-insert restores
+    p.execute("INSERT INTO ged VALUES (2, 3)")
+    odd, even = expected({(1, 2), (2, 3), (3, 4), (4, 5)})
+    assert got("vo") == odd and got("ve") == even
