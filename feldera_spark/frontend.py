@@ -70,23 +70,19 @@ def _balanced(s: str, open_idx: int) -> int:
 
 
 def _split_top_commas(s: str) -> list[str]:
-    out, buf, depth, in_str = [], [], 0, False
-    for ch in s:
-        if ch == "'":
-            in_str = not in_str
-        if not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                out.append("".join(buf).strip())
-                buf = []
-                continue
-        buf.append(ch)
-    tail = "".join(buf).strip()
-    if tail:
-        out.append(tail)
+    """Split on depth-0 commas. Token-based (round-5 task #2): string
+    literals with ``''`` escapes, quoted identifiers, ``[]`` subscripts
+    and comments cannot confuse the depth tracking the way the old
+    character scanner could (a quote inside a comment flipped its
+    string state)."""
+    from feldera_spark.sqlparse import split_top_level, tokenize
+
+    groups = split_top_level(tokenize(s))
+    out = [
+        s[g[0].start : g[-1].end].strip() if g else "" for g in groups
+    ]
+    if out and out[-1] == "":  # historical contract: tail only if nonempty
+        out.pop()
     return out
 
 
@@ -1278,7 +1274,7 @@ def _corr_equi_pair(
 
 
 _CORR_INEQ_RE = re.compile(
-    r"^\s*(?P<x>\w+(?:\s*\.\s*\w+)?)\s*(?P<op><=|>=)\s*"
+    r"^\s*(?P<x>\w+(?:\s*\.\s*\w+)?)\s*(?P<op><=|>=|<|>)\s*"
     r"(?P<y>\w+(?:\s*\.\s*\w+)?)\s*$"
 )
 
@@ -1287,11 +1283,12 @@ def _corr_ineq_pair(
     conj: str, inner_al: str, outer_al: str,
     inner_cols: set[str], outer_cols: set[str],
 ) -> tuple[str, str, str] | None:
-    """One NON-EQUI correlation conjunct ``inner_col <=|>= outer.col``
+    """One NON-EQUI correlation conjunct ``inner_col <=|>=|<|> outer.col``
     (either order); returns (inner col, outer col, op) normalized to
-    ``inner <op> outer``. Strict </> have no peers-inclusive window
-    frame — not recognized (batch). ``<=>`` cannot match (the trailing
-    ``>`` breaks the operand parse)."""
+    ``inner <op> outer``. Strict </> compile via an exclusive ROWS
+    frame (round-5 verdict task #7 — fence retired; the k-row anchor
+    tie-sorts outside the equal-value u-rows). ``<=>``/``<>`` cannot
+    match (the trailing ``>``/operand breaks the parse)."""
     m = _CORR_INEQ_RE.match(conj)
     if m is None:
         return None
@@ -1306,7 +1303,7 @@ def _corr_ineq_pair(
     ya, yc = _side(m.group("y"))
     op = m.group("op")
     if xa == outer_al:
-        op = {"<=": ">=", ">=": "<="}[op]
+        op = {"<=": ">=", ">=": "<=", "<": ">", ">": "<"}[op]
         xa, xc, ya, yc = ya, yc, xa, xc
     if ya != outer_al or xa not in (None, inner_al):
         return None
@@ -1785,3 +1782,175 @@ def split_multi_partition_windows(
     if where:
         outer_sql += f" WHERE {where}"
     return _restore_literals(outer_sql, lits), out
+
+
+def rewrite_lateral(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:
+    """Decorrelate LATERAL subqueries into plain joins so the IVM
+    recognizer's existing join machinery applies (round-5 verdict task
+    #7; reference: Calcite decorrelates LATERAL in the planner —
+    ``SqlToRelCompiler``). Conservative, token-based; on any
+    unrecognized detail the text is returned unchanged and the LATERAL
+    fence sends the view to batch (Spark executes LATERAL natively
+    there — never a silent wrong answer). Handled shapes:
+
+    - ``, LATERAL (sub) x`` / ``CROSS JOIN LATERAL (sub) x`` /
+      ``JOIN LATERAL (sub) x ON TRUE``:
+      * sub has NO outer references → plain ``CROSS JOIN (sub) x``;
+      * sub = ``SELECT <inner cols> FROM t WHERE <equi-corr AND
+        uncorr>`` → ``JOIN (SELECT <cols + hidden corr keys> FROM t
+        WHERE uncorr) x ON x.__lat_k = outer.c`` (cross-join-lateral
+        over a filter IS the inner join on its correlation);
+      * sub = ``SELECT <aggs> FROM t WHERE <equi-corr AND uncorr>``
+        (no GROUP BY, non-COUNT aggs) → ``LEFT JOIN (SELECT corr keys,
+        aggs FROM t WHERE uncorr GROUP BY keys) x ON keys`` — the
+        empty-group NULL pad matches the aggregate-over-empty row.
+    - ``LEFT JOIN LATERAL (sub) x ON TRUE`` with the filter shape →
+      the same derived join with LEFT semantics.
+
+    Declined (returned unchanged): ``x.*``/bare ``*`` in the outer
+    select (hidden key columns would change the schema), COUNT in the
+    aggregate form (needs a COALESCE default), non-equi correlation,
+    multiple LATERAL clauses referencing each other."""
+    from feldera_spark.sqlparse import split_clauses, tokenize
+
+    protected, lits = _protect_literals(sql)
+    m = re.search(
+        r"(?P<lead>,|\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b|\bJOIN\b)?"
+        r"\s*\bLATERAL\s*\(",
+        protected,
+        re.IGNORECASE,
+    )
+    if m is None:
+        return sql
+    open_idx = protected.index("(", m.end() - 1)
+    close_idx = _balanced(protected, open_idx)
+    sub = protected[open_idx + 1 : close_idx - 1]
+    am = re.match(
+        r"\s*(?:AS\s+)?(?P<al>\w+)", protected[close_idx:], re.IGNORECASE
+    )
+    if am is None:
+        return sql
+    alias = am.group("al")
+    tail_pos = close_idx + am.end()
+    lead = (m.group("lead") or "").strip().upper().replace("OUTER ", "")
+    left_join = lead.startswith("LEFT")
+    if left_join or lead == "JOIN":
+        tm = re.match(
+            r"\s*ON\s+TRUE\b", protected[tail_pos:], re.IGNORECASE
+        )
+        if tm is None:
+            return sql
+        tail_pos += tm.end()
+    # a second LATERAL → decline (chained laterals may correlate)
+    if re.search(r"\bLATERAL\b", protected[tail_pos:], re.IGNORECASE):
+        return sql
+    # outer schema: alias/table names declared before the LATERAL
+    before = protected[: m.start()]
+    outer_aliases = {
+        (r.alias or (r.name or "").split(".")[-1])
+        for r in __import__(
+            "feldera_spark.sqlparse", fromlist=["relations"]
+        ).relations(before)
+        if r.name is not None or r.alias
+    }
+    outer_aliases.discard("")
+    cl = split_clauses(sub.strip())
+    if cl is None or any(
+        k in cl for k in ("GROUP", "HAVING", "ORDER", "LIMIT", "DISTINCT")
+    ):
+        return sql
+    inner_from = cl["FROM"].strip()
+    fm = re.match(r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<al>\w+))?$", inner_from)
+    if fm is None:
+        return sql
+    inner_al = (fm.group("al") or fm.group("t")).lower()
+    # outer references: qualifier.word where qualifier is an outer alias
+    def _outer_refs(text: str) -> set[str]:
+        refs = set()
+        toks = tokenize(text)
+        for i, t in enumerate(toks):
+            if (
+                t.kind == "word"
+                and t.text.lower() in outer_aliases
+                and i + 2 < len(toks)
+                and toks[i + 1].kind == "punct"
+                and toks[i + 1].text == "."
+            ):
+                refs.add(t.text.lower())
+        return refs
+
+    sel_items = [s.strip() for s in _split_top_commas(cl["SELECT"])]
+    if any(_outer_refs(s) for s in sel_items):
+        return sql
+    if "*" in cl["SELECT"]:
+        return sql
+    # outer select must not use alias.* (hidden key cols would leak)
+    if re.search(rf"\b{re.escape(alias)}\s*\.\s*\*", protected) or re.search(
+        r"SELECT\s+\*", protected[: m.start()], re.IGNORECASE
+    ):
+        return sql
+    corr: list[tuple[str, str, str]] = []  # (inner col, outer alias, outer col)
+    uncorr: list[str] = []
+    for conj in _split_top_and_fe(cl.get("WHERE", "")) if cl.get("WHERE") else []:
+        refs = _outer_refs(conj)
+        if not refs:
+            uncorr.append(conj)
+            continue
+        em = re.match(
+            r"^\s*(?P<x>\w+)\s*\.\s*(?P<xc>\w+)\s*=\s*"
+            r"(?P<y>\w+)\s*\.\s*(?P<yc>\w+)\s*$",
+            conj,
+        )
+        if em is None:
+            return sql  # non-equi / complex correlation: decline
+        xa, xc, ya, yc = (em.group(g).lower() for g in ("x", "xc", "y", "yc"))
+        if xa == inner_al and ya in outer_aliases:
+            corr.append((xc, ya, yc))
+        elif ya == inner_al and xa in outer_aliases:
+            corr.append((yc, xa, xc))
+        else:
+            return sql
+    agg_re = re.compile(
+        r"^(SUM|MIN|MAX|AVG|COUNT)\s*\(", re.IGNORECASE
+    )
+    is_agg = any(agg_re.match(s) for s in sel_items)
+    if is_agg and not all(agg_re.match(s) for s in sel_items):
+        return sql
+    if is_agg and any(s.upper().startswith("COUNT") for s in sel_items):
+        return sql  # COUNT needs the COALESCE-0 default: decline
+    where_txt = f" WHERE {' AND '.join(uncorr)}" if uncorr else ""
+    if not corr:
+        if is_agg:
+            return sql  # uncorrelated aggregate: scalar-subquery domain
+        derived = f"(SELECT {cl['SELECT']} FROM {inner_from}{where_txt})"
+        joint = f" CROSS JOIN {derived} AS {alias}"
+        if left_join:
+            joint = f" LEFT JOIN {derived} AS {alias} ON TRUE"
+    else:
+        keys = []
+        on_terms = []
+        for i2, (ic, oa, oc) in enumerate(corr):
+            keys.append(f"{ic} AS __lat_k{i2}")
+            on_terms.append(f"{alias}.__lat_k{i2} = {oa}.{oc}")
+        if is_agg:
+            gb = ", ".join(k.split(" AS ")[0] for k in keys)
+            derived = (
+                f"(SELECT {', '.join(keys)}, {cl['SELECT']} "
+                f"FROM {inner_from}{where_txt} GROUP BY {gb})"
+            )
+            joint = (
+                f" LEFT JOIN {derived} AS {alias} ON "
+                + " AND ".join(on_terms)
+            )
+        else:
+            derived = (
+                f"(SELECT {cl['SELECT']}, {', '.join(keys)} "
+                f"FROM {inner_from}{where_txt})"
+            )
+            how = "LEFT JOIN" if left_join else "JOIN"
+            joint = (
+                f" {how} {derived} AS {alias} ON " + " AND ".join(on_terms)
+            )
+    lead_start = m.start() if m.group("lead") else m.start()
+    out = protected[:lead_start] + joint + protected[tail_pos:]
+    return _restore_literals(out, lits)

@@ -301,6 +301,15 @@ class PipelineBuilder:
                     )
                     mapping[cname] = hidden
                 sql = substitute_table_names(main, mapping)
+            # LATERAL subqueries decorrelate into plain joins FIRST
+            # (round-5 verdict task #7) — the derived table the rewrite
+            # produces then hoists into a hidden view like any other,
+            # and the whole shape reaches the IVM join machinery. On
+            # decline the text is unchanged and the LATERAL fence keeps
+            # the view on batch (Spark executes LATERAL natively).
+            from feldera_spark.frontend import rewrite_lateral
+
+            sql = rewrite_lateral(sql)
             # derived tables (FROM (SELECT ...) AS x) extract to hidden
             # views the same way — an anonymous view is still a view
             from feldera_spark.frontend import extract_derived_tables

@@ -3027,3 +3027,96 @@ def i59_ddl_frameless_last_value(spark, sf_dir):
     pipe.execute("INSERT INTO ev SELECT * FROM __i59_chunk2")
     pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
     return pipe.view("lv")
+
+
+@q(
+    "i60_ddl_strict_nonequi_scalar",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS value
+    FROM ({_NET}) e
+    WHERE CAST(e.value AS DOUBLE) > (
+      SELECT MAX(CAST(u.value AS DOUBLE)) FROM ({_NET}) u
+      WHERE u.event_id < e.event_id AND u.user_id = e.user_id)
+    """,
+)
+def i60_ddl_strict_nonequi_scalar(spark, sf_dir):
+    """STRICT (< / >) non-equi correlated scalar subquery compiled to a
+    range-scalar view (round-5 verdict task #7, last fence of the
+    family): the exclusive bound maps to a ROWS frame with the anchor
+    row tie-sorted outside its equal-value prefix — never a nested
+    loop — maintained under insert + delete chunks."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i60_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, user_id BIGINT, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW hot AS "
+        "SELECT e.event_id, e.user_id, e.value FROM ev e "
+        "WHERE e.value > (SELECT MAX(u.value) FROM ev u"
+        " WHERE u.event_id < e.event_id AND u.user_id = e.user_id)"
+    )
+    b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+    pipe = b.create()
+    assert "__sq_hot_0" in pipe._ivm, "strict range scalar must be IVM"
+    assert "hot" in pipe._ivm
+    pipe.execute("INSERT INTO ev SELECT * FROM __i60_chunk1")
+    pipe.execute("INSERT INTO ev SELECT * FROM __i60_chunk2")
+    pipe.execute("DELETE FROM ev WHERE event_id % 10 = 3")
+    return pipe.view("hot")
+
+
+@q(
+    "i61_ddl_lateral_join",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, CAST(x.total AS DOUBLE) AS total
+    FROM customer c
+    LEFT JOIN LATERAL (
+      SELECT SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS total
+      FROM (SELECT * FROM orders WHERE o_orderkey % 10 <> 3) o
+      WHERE o.o_custkey = c.c_custkey) x ON TRUE
+    WHERE c.c_custkey % 7 = 0
+    """,
+)
+def i61_ddl_lateral_join(spark, sf_dir):
+    """LATERAL subquery decorrelated into the IVM join machinery
+    (round-5 verdict task #7 / missing #3: reference Calcite
+    decorrelates LATERAL in the planner): the correlated aggregate
+    lowers to a grouped hidden view + LEFT JOIN, maintained under
+    insert + delete chunks — never a per-outer-row nested loop."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    for i in (1, 2):
+        o.filter(F.col("o_orderkey") % 3 == i).createOrReplaceTempView(
+            f"__i61_chunk{i}"
+        )
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR);"
+        "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_totalprice DECIMAL(12,2));"
+        "CREATE MATERIALIZED VIEW spend AS "
+        "SELECT c.c_custkey, c.c_name, CAST(x.total AS DOUBLE) AS total"
+        " FROM customer c "
+        "LEFT JOIN LATERAL (SELECT SUM(o.o_totalprice) AS total"
+        " FROM orders o WHERE o.o_custkey = c.c_custkey) x ON TRUE "
+        "WHERE c.c_custkey % 7 = 0"
+    )
+    b.connect_table("customer", c)
+    b.connect_table("orders", o.filter(F.col("o_orderkey") % 3 == 0))
+    pipe = b.create()
+    assert "spend" in pipe._ivm, "LATERAL view must compile to IVM"
+    assert "__dt_spend_x" in pipe._ivm
+    pipe.execute("INSERT INTO orders SELECT * FROM __i61_chunk1")
+    pipe.execute("INSERT INTO orders SELECT * FROM __i61_chunk2")
+    pipe.execute("DELETE FROM orders WHERE o_orderkey % 10 = 3")
+    return pipe.view("spend")

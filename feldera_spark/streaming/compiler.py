@@ -3219,8 +3219,12 @@ def _compile_simple(
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
 ) -> "CompiledView | CompiledRollingView | None":
+    from feldera_spark.frontend import rewrite_lateral as _rw_lateral
+
     sql = _rewrite_exists_subquery(
-        _rewrite_in_subquery(_rewrite_hop(_rewrite_tumble(sql)))
+        _rewrite_in_subquery(_rewrite_hop(_rewrite_tumble(
+            _rw_lateral(sql)
+        )))
     )
     # SELECT * over a single declared table: expand from the known
     # column list so identity/filter views compile
@@ -3492,7 +3496,8 @@ def enable_spill(plan, base_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 _INEQ_RE = re.compile(
-    r"^\s*(?P<x>\w+)\.(?P<xc>\w+)\s*(?P<op><=|>=)\s*(?P<y>\w+)\.(?P<yc>\w+)\s*$"
+    r"^\s*(?P<x>\w+)\.(?P<xc>\w+)\s*(?P<op><=|>=|<|>)\s*"
+    r"(?P<y>\w+)\.(?P<yc>\w+)\s*$"
 )
 
 
@@ -3541,7 +3546,7 @@ def parse_range_scalar_shape(sql: str) -> _RangeScalarShape | None:
                 return None
             x, xc, op, y, yc = (im.group(g) for g in ("x", "xc", "op", "y", "yc"))
             if x.lower() == l_al:  # normalize to right <op'> left
-                op = {"<=": ">=", ">=": "<="}[op]
+                op = {"<=": ">=", ">=": "<=", "<": ">", ">": "<"}[op]
                 x, xc, y, yc = y, yc, x, xc
             ineq = (yc.lower(), xc.lower(), op)  # (left col, right col, op)
             continue
@@ -3650,22 +3655,55 @@ class CompiledRangeScalarView:
             )
             both = ktag.unionByName(utag)
             part = [f"__k_{lc}" for lc in eq_l]
-            w = Window.partitionBy(*part).orderBy(F.col("__ord").asc())
-            w = (
-                w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-                if s.op == "<="
-                else w.rangeBetween(Window.currentRow, Window.unboundedFollowing)
-            )
+            strict = s.op in ("<", ">")
+            if s.op == "<=":
+                w = Window.partitionBy(*part).orderBy(
+                    F.col("__ord").asc()
+                ).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            elif s.op == ">=":
+                w = Window.partitionBy(*part).orderBy(
+                    F.col("__ord").asc()
+                ).rangeBetween(Window.currentRow, Window.unboundedFollowing)
+            elif s.op == "<":
+                # strict: exclusive frame via ROWS + tie-sort — the
+                # k-row anchor sorts BEFORE equal-__ord u-rows, so the
+                # preceding-rows frame contains exactly __ord < anchor
+                # u-rows (other k-rows contribute NULL x — ignored).
+                # Deterministic despite the non-unique sort: every
+                # permutation within an (__ord, __isk) tie group yields
+                # the same NULL-skipping aggregate.
+                w = Window.partitionBy(*part).orderBy(
+                    F.col("__ord").asc(), F.col("__isk").desc()
+                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            else:  # ">"
+                w = Window.partitionBy(*part).orderBy(
+                    F.col("__ord").asc(), F.col("__isk").asc()
+                ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
             out = both
             for n, fname, _arg in s.aggs:
                 x = F.col(f"__x_{n}")
                 if fname == "count":
-                    expr = F.count(x)
+                    wexpr = F.count(x).over(w)
                 elif fname == "avg":
-                    expr = F.sum(x) / F.count(x)
+                    # the window applies to EACH aggregate — a windowed
+                    # quotient of two plain aggregates is not a window
+                    # function to Catalyst (MISSING_GROUP_BY)
+                    wexpr = F.sum(x).over(w) / F.count(x).over(w)
                 else:
-                    expr = getattr(F, fname)(x)
-                out = out.withColumn(n, expr.over(w))
+                    wexpr = getattr(F, fname)(x).over(w)
+                if strict:
+                    # a NULL outer value satisfies no strict comparison:
+                    # empty-set aggregate (COUNT 0, else NULL) instead
+                    # of whatever the ROWS frame happens to span
+                    empty = (
+                        F.lit(0).cast("long")
+                        if fname == "count"
+                        else F.lit(None)
+                    )
+                    wexpr = F.when(
+                        F.col("__ord").isNotNull(), wexpr
+                    ).otherwise(empty)
+                out = out.withColumn(n, wexpr)
             return out.filter(F.col("__isk") == 1).select(
                 *[
                     F.col(f"__k_{k}").alias(name_by_key[k])

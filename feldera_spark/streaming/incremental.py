@@ -73,8 +73,27 @@ def step_scoped(fn):
     return wrapper
 
 
+def prepared_keys(keys_df: DataFrame, on: list[str]) -> DataFrame:
+    """Build the deduped (and, outside full-delta steps, broadcast-
+    hinted) key frame ONCE for reuse across several
+    ``nullsafe_keys_join`` calls in the same step — each construction
+    costs a Catalyst analysis pass, and a step that routes state through
+    the same touched keys 4x was paying it 4x (driver-side step
+    constant)."""
+    kd = keys_df.select(
+        *[F.col(k).alias(f"__ks_{k}") for k in on]
+    ).distinct()
+    if not _FULL_DELTA.get():
+        kd = F.broadcast(kd)
+    return kd
+
+
 def nullsafe_keys_join(
-    df: DataFrame, keys_df: DataFrame, on: list[str], anti: bool = False
+    df: DataFrame,
+    keys_df: DataFrame,
+    on: list[str],
+    anti: bool = False,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Semi/anti join used for STATE ROUTING (touched-key restriction,
     touched/untouched splits). Must be NULL-SAFE: a group key may be
@@ -99,12 +118,16 @@ def nullsafe_keys_join(
     hits the broadcast limit / driver OOM, and AQE is off inside step
     scopes so there is no runtime fallback. ``full_delta_step()`` marks
     such steps; the hint is skipped and the one-time init pass plans as
-    an ordinary shuffled join."""
-    kd = keys_df.select(
-        *[F.col(k).alias(f"__ks_{k}") for k in on]
-    ).distinct()
-    if not _FULL_DELTA.get():
-        kd = F.broadcast(kd)
+    an ordinary shuffled join.
+
+    ``prepared``: a frame from :func:`prepared_keys` — skips the
+    per-call dedup/hint construction when one key frame routes several
+    reads in the same step."""
+    kd = (
+        prepared
+        if prepared is not None
+        else prepared_keys(keys_df, on)
+    )
     cond = None
     for k in on:
         c = df[k].eqNullSafe(kd[f"__ks_{k}"])
@@ -438,7 +461,10 @@ class IncrementalLinearAggregateView:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
         touched = partial.select(*self.keys)
-        old_t = nullsafe_keys_join(self.state, touched, self.keys)
+        # one key-frame construction for all four routing joins (each
+        # build is a Catalyst analysis pass — pure step constant)
+        kd = prepared_keys(touched, self.keys)
+        old_t = nullsafe_keys_join(self.state, touched, self.keys, prepared=kd)
         merged = (
             old_t.unionByName(partial)
             .groupBy(*self.keys)
@@ -448,11 +474,17 @@ class IncrementalLinearAggregateView:
             )
         )
         live = merged.filter(F.col("__n") != 0)
-        untouched = nullsafe_keys_join(self.state, touched, self.keys, anti=True)
+        untouched = nullsafe_keys_join(
+            self.state, touched, self.keys, anti=True, prepared=kd
+        )
         prev_state = self.state
         self.state = _checkpoint(untouched.unionByName(live))
-        live_now = nullsafe_keys_join(self.state, touched, self.keys)
-        old_t_prev = nullsafe_keys_join(prev_state, touched, self.keys)
+        live_now = nullsafe_keys_join(
+            self.state, touched, self.keys, prepared=kd
+        )
+        old_t_prev = nullsafe_keys_join(
+            prev_state, touched, self.keys, prepared=kd
+        )
         return zset.consolidate(
             zset.plus(self._out(live_now, 1), self._out(old_t_prev, -1))
         )

@@ -2103,8 +2103,10 @@ def test_correlated_scalar_subquery_decorrelates(spark):
 
 
 def test_nonequi_correlated_subquery_stays_batch(spark):
-    """Non-equi correlation (k > a.k) cannot decorrelate to a grouped
-    join — must NOT extract; batch fallback, correct results."""
+    """STRICT non-equi correlation (k > a.k) now compiles to the
+    range-scalar view via an exclusive ROWS frame (round-5 task #7 —
+    this test used to assert the fence; it now asserts the compile AND
+    per-step correctness)."""
     from feldera_spark.pipeline import PipelineBuilder
 
     df = _sq_src(spark)
@@ -2116,7 +2118,7 @@ def test_nonequi_correlated_subquery_stays_batch(spark):
     )
     b.connect_table("t", df)
     p = b.create()
-    assert "w" not in p._ivm and not any(
+    assert "w" in p._ivm and any(
         n.startswith("__sq_w") for n in p._ivm
     )
     df.createOrReplaceTempView("__ncorr_all")

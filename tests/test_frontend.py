@@ -396,3 +396,38 @@ def test_substitute_table_positions_mixed_case_plan_keys():
     assert "__delta AS Ed" in out
     # the second occurrence (alias e2) untouched
     assert "ed e2" in out
+
+
+def test_rewrite_lateral_shapes_and_declines():
+    """LATERAL decorrelation (round-5 verdict task #7): recognized
+    shapes rewrite to plain joins; anything outside the grammar returns
+    UNCHANGED (the LATERAL fence then keeps the view on batch — never a
+    silent transform)."""
+    from feldera_spark.frontend import rewrite_lateral as rl
+
+    # correlated filter: comma lateral = inner join on the correlation
+    out = rl("SELECT a.k, x.v FROM t1 a, "
+             "LATERAL (SELECT v FROM t2 WHERE t2.k = a.k AND v > 0) x")
+    assert "JOIN (SELECT v, k AS __lat_k0 FROM t2 WHERE v > 0) AS x" in out
+    assert "x.__lat_k0 = a.k" in out and "LATERAL" not in out.upper()
+    # correlated aggregate: grouped hidden relation + LEFT JOIN
+    out = rl("SELECT a.k, x.m FROM t1 a CROSS JOIN "
+             "LATERAL (SELECT MAX(v) AS m FROM t2 WHERE t2.k = a.k) x")
+    assert "GROUP BY k" in out and "LEFT JOIN" in out
+    # declines, byte-identical:
+    keep = [
+        # x.* would leak the hidden key columns
+        "SELECT a.k, x.* FROM t1 a, "
+        "LATERAL (SELECT v FROM t2 WHERE t2.k = a.k) x",
+        # non-equi correlation
+        "SELECT a.k, x.v FROM t1 a, "
+        "LATERAL (SELECT v FROM t2 WHERE t2.k < a.k) x",
+        # COUNT aggregate (needs the COALESCE-0 default)
+        "SELECT a.k, x.n FROM t1 a CROSS JOIN "
+        "LATERAL (SELECT COUNT(v) AS n FROM t2 WHERE t2.k = a.k) x",
+        # outer column in the select list
+        "SELECT a.k, x.s FROM t1 a, "
+        "LATERAL (SELECT a.k + v AS s FROM t2 WHERE t2.k = a.k) x",
+    ]
+    for sql in keep:
+        assert rl(sql) == sql, sql

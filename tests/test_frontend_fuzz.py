@@ -53,6 +53,8 @@ def view_bodies(draw) -> str:
         # non-equi correlated scalar (range-scalar lowering) + a
         # correlated COUNT (COALESCE-0 path)
         "v > (SELECT MAX(w) FROM t2x WHERE t2x.k <= t1.k)",
+        "v > (SELECT MAX(w) FROM t2x WHERE t2x.k < t1.k)",
+        "v >= (SELECT SUM(w) FROM t2x WHERE t2x.k > t1.k)",
         "(SELECT COUNT(w) FROM t2x WHERE t2x.k = t1.k) < 5",
     ]
     grouped = draw(st.booleans())

@@ -600,9 +600,9 @@ def test_bulk_insert_step_skips_key_broadcast(spark):
     regimes: list[bool] = []
     orig = inc.nullsafe_keys_join
 
-    def spy(df, keys_df, on, anti=False):
+    def spy(df, keys_df, on, anti=False, prepared=None):
         regimes.append(inc._FULL_DELTA.get())
-        return orig(df, keys_df, on, anti)
+        return orig(df, keys_df, on, anti, prepared)
 
     prev = spark.conf.get("spark.feldera.broadcastKeyRowLimit", "2000000")
     inc.nullsafe_keys_join = spy
