@@ -43,7 +43,16 @@ def q(name, oracle=None):
 
 def _event_chunks(spark, sf_dir):
     """Deterministic change stream over events: 3 insert chunks
-    (event_id % 3), then a delete chunk retracting event_id % 10 == 3."""
+    (event_id % 3), then a delete chunk retracting event_id % 10 == 3.
+
+    Chunks are PINNED in one batched commit before the step loop — a
+    real change stream arrives materialized; without this every step
+    re-scans the (single-row-group, single-task) events parquet inside
+    its broadcast builds and the i-queries measure 4 serial file scans
+    instead of the step machinery."""
+    from feldera_spark.streaming.incremental import _checkpoint
+    from feldera_spark.streaming.stepper import step_scope
+
     e = t(spark, sf_dir, "events")
     chunks = [
         e.filter(F.col("event_id") % 3 == i).withColumn(WEIGHT, F.lit(1).cast("long"))
@@ -54,6 +63,8 @@ def _event_chunks(spark, sf_dir):
             WEIGHT, F.lit(-1).cast("long")
         )
     )
+    with step_scope():
+        chunks = [_checkpoint(c) for c in chunks]
     return chunks
 
 # Net input after the delete chunk, as SQL:

@@ -460,11 +460,22 @@ class IncrementalLinearAggregateView:
         if self.state is None:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
+        from feldera_spark.streaming.stepper import persist_step
+
         touched = partial.select(*self.keys)
-        # one key-frame construction for all four routing joins (each
-        # build is a Catalyst analysis pass — pure step constant)
+        # one key-frame construction for both routing joins (each build
+        # is a Catalyst analysis pass — pure step constant)
         kd = prepared_keys(touched, self.keys)
-        old_t = nullsafe_keys_join(self.state, touched, self.keys, prepared=kd)
+        # old_t and live each feed BOTH the state merge and the output
+        # delta: persist so the single commit job computes them once.
+        # The output needs no extra routing joins — the touched slice
+        # of the NEW state is exactly ``live`` (untouched ∩ touched = ∅
+        # by the anti-join), and the touched slice of the OLD state is
+        # exactly ``old_t`` (round-5 step-constant work: this halves
+        # the per-step plan vs re-deriving both from the checkpoints).
+        old_t = persist_step(
+            nullsafe_keys_join(self.state, touched, self.keys, prepared=kd)
+        )
         merged = (
             old_t.unionByName(partial)
             .groupBy(*self.keys)
@@ -473,20 +484,13 @@ class IncrementalLinearAggregateView:
                 F.sum("__n").alias("__n"),
             )
         )
-        live = merged.filter(F.col("__n") != 0)
+        live = persist_step(merged.filter(F.col("__n") != 0))
         untouched = nullsafe_keys_join(
             self.state, touched, self.keys, anti=True, prepared=kd
         )
-        prev_state = self.state
         self.state = _checkpoint(untouched.unionByName(live))
-        live_now = nullsafe_keys_join(
-            self.state, touched, self.keys, prepared=kd
-        )
-        old_t_prev = nullsafe_keys_join(
-            prev_state, touched, self.keys, prepared=kd
-        )
         return zset.consolidate(
-            zset.plus(self._out(live_now, 1), self._out(old_t_prev, -1))
+            zset.plus(self._out(live, 1), self._out(old_t, -1))
         )
 
     def materialized(self) -> DataFrame:
@@ -773,9 +777,16 @@ class IncrementalRollingAggregateView:
 
     @step_scoped
     def step(self, delta: DataFrame) -> DataFrame:
+        from feldera_spark.streaming.stepper import persist_step
+
         self.integral.append(zset.lift(delta))
         delta = self.integral.batches[-1]  # checkpointed: reused below
-        dmins = delta.groupBy(*self.keys).agg(F.min(self.ts_col).alias("__dmin"))
+        # touched-key mins feed four branches (both state reads' key
+        # frames + two attach_dmin joins): step-persist so the commit
+        # computes the delta aggregation once
+        dmins = persist_step(
+            delta.groupBy(*self.keys).agg(F.min(self.ts_col).alias("__dmin"))
+        )
         is_ts = dict(delta.dtypes).get(self.ts_col, "").startswith("timestamp")
         # global time lower bound: pushed into every spine batch BEFORE
         # the merge shuffle, so a time-ordered stream reads only its
@@ -788,10 +799,11 @@ class IncrementalRollingAggregateView:
             if is_ts
             else F.min(self.ts_col) - F.lit(self.w_secs)
         )
-        # plain (not checkpointed): a one-row aggregate over the already-
-        # checkpointed delta — rebuilding it per prefilter use is cheaper
-        # than a dedicated materialization job per step
-        bounds = delta.agg(lo.alias("__pre_lo"))
+        # step-persisted (no dedicated job — the step's commit computes
+        # it once into the cache): the one-row bound is broadcast into
+        # EVERY spine batch's prefilter, and rebuilding the aggregate
+        # per batch multiplied the delta scan by the spine depth
+        bounds = persist_step(delta.agg(lo.alias("__pre_lo")))
 
         def pre(batch: DataFrame) -> DataFrame:
             return (
