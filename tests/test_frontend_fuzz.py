@@ -57,6 +57,32 @@ def view_bodies(draw) -> str:
         "v >= (SELECT SUM(w) FROM t2x WHERE t2x.k > t1.k)",
         "(SELECT COUNT(w) FROM t2x WHERE t2x.k = t1.k) < 5",
     ]
+    # LATERAL shapes: the round-6 decorrelation rewrite runs before
+    # compile AND the batch path — both must equal Spark's own LATERAL
+    if draw(st.integers(0, 5)) == 0:
+        lat = rng.choice([
+            ", LATERAL (SELECT w FROM t2x WHERE t2x.k = a.k) x",
+            ", LATERAL (SELECT w FROM t2x WHERE t2x.k = a.k AND w > 5) x",
+            " CROSS JOIN LATERAL (SELECT MAX(w) AS mw FROM t2x"
+            " WHERE t2x.k = a.k) x",
+            " LEFT JOIN LATERAL (SELECT SUM(w) AS sw FROM t2x"
+            " WHERE t2x.k = a.k) x ON TRUE",
+            " LEFT JOIN LATERAL (SELECT w FROM t2x"
+            " WHERE t2x.k = a.k) x ON TRUE",
+            # decline shapes (stay batch; must still match Spark)
+            ", LATERAL (SELECT w FROM t2x WHERE t2x.k < a.k) x",
+            " CROSS JOIN LATERAL (SELECT COUNT(w) AS cw FROM t2x"
+            " WHERE t2x.k = a.k) x",
+        ])
+        out_col = {"x": "x.w"}.get("x")
+        lat_item = (
+            "x.mw" if " mw " in lat else
+            "x.sw" if " sw " in lat else
+            "x.cw" if " cw " in lat else "x.w"
+        )
+        return (
+            f"SELECT{w()}a.k, a.v, {lat_item}{w()}FROM{w()}t1 a{lat}"
+        )
     grouped = draw(st.booleans())
     if grouped:
         n_items = draw(st.integers(1, 3))

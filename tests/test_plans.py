@@ -318,3 +318,52 @@ def test_step_scope_commits_in_one_job(spark):
     assert after - mid == 1, (
         f"scope exit must commit in exactly ONE job, ran {after - mid}"
     )
+
+
+def test_streaming_jobs_per_step_stay_flat(spark):
+    """Round-6 scale guard: per-step Spark job count must NOT grow with
+    step count (round 5 grew +2 jobs/view/step because state reads
+    planned one broadcast build per spine batch). 12 steps through a
+    compiled 3-view DAG (HOP counts -> MAX -> join): the last 4 steps
+    must launch no more jobs than the first 4 (after warmup)."""
+    import datetime as dt
+
+    from feldera_spark import zset
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import Spine
+
+    def njobs():
+        return spark._jsc.sc().statusStore().jobsList(None).size()
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE bid (auction BIGINT, price DOUBLE, ts TIMESTAMP);"
+        "CREATE LOCAL VIEW counts AS SELECT window_start, auction,"
+        " COUNT(*) AS num FROM TABLE(HOP(TABLE bid, DESCRIPTOR(ts),"
+        " INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+        " GROUP BY window_start, auction;"
+        "CREATE LOCAL VIEW maxes AS SELECT window_start, MAX(num) AS maxn"
+        " FROM counts GROUP BY window_start;"
+        "CREATE MATERIALIZED VIEW hot AS SELECT c.window_start, c.auction,"
+        " c.num FROM counts c JOIN maxes m"
+        " ON c.window_start = m.window_start WHERE c.num >= m.maxn"
+    )
+    b.connect_table(
+        "bid", spark.createDataFrame([], "auction BIGINT, price DOUBLE, ts TIMESTAMP")
+    )
+    p = b.create()
+    decl = p.tables["bid"]
+    spine = Spine()
+    spine.append(zset.lift(p._frames["bid"]))
+    per_step = []
+    for i in range(12):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i)
+        batch = spark.createDataFrame(
+            [(j % 5, 10.0 + j, t0 + dt.timedelta(seconds=j)) for j in range(20)],
+            "auction BIGINT, price DOUBLE, ts TIMESTAMP",
+        ).localCheckpoint()
+        j0 = njobs()
+        p._stream_step(decl, spine, batch)
+        per_step.append(njobs() - j0)
+    early = sum(per_step[2:6])
+    late = sum(per_step[-4:])
+    assert late <= early + 2, per_step  # flat modulo compaction jitter
