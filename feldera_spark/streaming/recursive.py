@@ -85,6 +85,77 @@ def _split_top_union(sql: str) -> list[str] | None:
     return [p.strip() for p in parts]
 
 
+def parse_branch_projection(branch: str, out_cols: list[str]):
+    """For the magic-set rederive: map each output column to the
+    relation occurrence that copies it verbatim. Returns
+    ``(positions, {position_index: [(src_col, out_col), ...]})`` when
+    the branch is a simple projection (every select item a bare or
+    qualified column reference, no GROUP BY/HAVING/set ops), else
+    None (→ full-body rederive fallback). Shared by the single-view and
+    SCC-group rederives."""
+    from feldera_spark.frontend import (
+        _protect_literals,
+        _split_top_commas,
+        list_table_positions,
+    )
+
+    protected, _ = _protect_literals(branch)
+    if re.search(
+        r"\b(GROUP\s+BY|HAVING|UNION|EXCEPT|INTERSECT|LIMIT)\b",
+        protected,
+        re.IGNORECASE,
+    ):
+        return None
+    m = re.match(
+        r"^\s*SELECT\s+(?:DISTINCT\s+)?(?P<sel>.*?)\s+FROM\s",
+        protected,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    items = _split_top_commas(m.group("sel"))
+    if len(items) != len(out_cols):
+        return None
+    positions = list_table_positions(branch)
+    if not positions:
+        return None
+    alias_map: dict[str, int] = {}
+    for i, (nm, _occ, al) in enumerate(positions):
+        key = al or nm
+        if key in alias_map:
+            return None  # ambiguous reference target
+        alias_map[key] = i
+    col_of_pos: dict[int, list[tuple[str, str]]] = {}
+    for item, out_col in zip(items, out_cols):
+        im = re.match(
+            r"^\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+AS\s+\w+)?\s*$",
+            item,
+            re.IGNORECASE,
+        )
+        if im is None:
+            return None  # computed item — not a verbatim copy
+        qual, col = im.group(1), im.group(2)
+        # literals also match \w+ (SELECT x, 0 FROM t / NULL / TRUE):
+        # they are computed items, not column copies — routing them
+        # through the restricted seed would reference a nonexistent
+        # column and crash the delete step (round-5 ADVICE #1)
+        if col[0].isdigit() or col.lower() in (
+            "null", "true", "false", "current_timestamp",
+            "current_date",
+        ):
+            return None
+        if qual is not None:
+            if qual.lower() not in alias_map:
+                return None
+            pos = alias_map[qual.lower()]
+        elif len(positions) == 1:
+            pos = 0
+        else:
+            return None  # bare column over a join: ambiguous
+        col_of_pos.setdefault(pos, []).append((col.lower(), out_col))
+    return positions, col_of_pos
+
+
 class IncrementalRecursiveView:
     """A ``DECLARE RECURSIVE VIEW`` maintained across input deltas.
 
@@ -306,73 +377,7 @@ class IncrementalRecursiveView:
         return acc, _checkpoint(added.distinct()), rounds
 
     def _parse_branch_projection(self, branch: str):
-        """For the magic-set rederive: map each output column to the
-        relation occurrence that copies it verbatim. Returns
-        ``(positions, {position_index: [(src_col, out_col), ...]})`` when
-        the branch is a simple projection (every select item a bare or
-        qualified column reference, no GROUP BY/HAVING/set ops), else
-        None (→ full-body rederive fallback)."""
-        from feldera_spark.frontend import (
-            _protect_literals,
-            _split_top_commas,
-            list_table_positions,
-        )
-
-        protected, _ = _protect_literals(branch)
-        if re.search(
-            r"\b(GROUP\s+BY|HAVING|UNION|EXCEPT|INTERSECT|LIMIT)\b",
-            protected,
-            re.IGNORECASE,
-        ):
-            return None
-        m = re.match(
-            r"^\s*SELECT\s+(?:DISTINCT\s+)?(?P<sel>.*?)\s+FROM\s",
-            protected,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if m is None:
-            return None
-        items = _split_top_commas(m.group("sel"))
-        if len(items) != len(self.out_cols):
-            return None
-        positions = list_table_positions(branch)
-        if not positions:
-            return None
-        alias_map: dict[str, int] = {}
-        for i, (nm, _occ, al) in enumerate(positions):
-            key = al or nm
-            if key in alias_map:
-                return None  # ambiguous reference target
-            alias_map[key] = i
-        col_of_pos: dict[int, list[tuple[str, str]]] = {}
-        for item, out_col in zip(items, self.out_cols):
-            im = re.match(
-                r"^\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+AS\s+\w+)?\s*$",
-                item,
-                re.IGNORECASE,
-            )
-            if im is None:
-                return None  # computed item — not a verbatim copy
-            qual, col = im.group(1), im.group(2)
-            # literals also match \w+ (SELECT x, 0 FROM t / NULL / TRUE):
-            # they are computed items, not column copies — routing them
-            # through the restricted seed would reference a nonexistent
-            # column and crash the delete step (round-5 ADVICE #1)
-            if col[0].isdigit() or col.lower() in (
-                "null", "true", "false", "current_timestamp",
-                "current_date",
-            ):
-                return None
-            if qual is not None:
-                if qual.lower() not in alias_map:
-                    return None
-                pos = alias_map[qual.lower()]
-            elif len(positions) == 1:
-                pos = 0
-            else:
-                return None  # bare column over a join: ambiguous
-            col_of_pos.setdefault(pos, []).append((col.lower(), out_col))
-        return positions, col_of_pos
+        return parse_branch_projection(branch, self.out_cols)
 
     def _restricted_rederive_seed(
         self, acc_reduced: DataFrame, cone: DataFrame
@@ -729,9 +734,19 @@ class IncrementalRecursiveGroup:
         if not any(self.rec_branches[n] for n in self.names):
             raise ValueError("no member references the group — not recursive")
         self.sources = sorted(srcs)
+        # magic-set rederive metadata per member (None entries → that
+        # member falls back to a full-body rederive on deletes)
+        self._branch_proj: dict[str, list] = {
+            n: [
+                parse_branch_projection(b, self.out_cols[n])
+                for b in self.base_branches[n] + self.rec_branches[n]
+            ]
+            for n in self.names
+        }
         self.acc: dict[str, DataFrame] | None = None
         self.last_rounds = 0
         self.cold_rounds = 0
+        self.last_seed_mode: dict[str, str] = {}
         self._step_outputs: dict[str, DataFrame | None] = {}
 
     # -- helpers ---------------------------------------------------------
@@ -974,6 +989,91 @@ class IncrementalRecursiveGroup:
             live = {m for m in self.names if self._nonempty(curs[m])}
         return cones
 
+    def _restricted_seed(
+        self,
+        m: str,
+        acc_red: dict[str, DataFrame],
+        cone_m: DataFrame,
+    ) -> DataFrame | None:
+        """Member ``m``'s cone facts with an immediate derivation from
+        the REDUCED group state, computed goal-directed (magic-set):
+        every relation occurrence — table or group member — semi-joins
+        down to the cone's projection onto the columns it copies into
+        the output (same soundness as the single-view form: output
+        columns are verbatim copies, so every derivation heading into
+        the cone survives the restriction; extra heads fall to the
+        caller's ``subtract``). None when any branch of ``m`` is not a
+        simple projection (→ full-body fallback for that member
+        only)."""
+        import contextlib
+
+        from feldera_spark.frontend import substitute_table_positions
+        from feldera_spark.streaming.incremental import (
+            full_delta_step,
+            nullsafe_keys_join,
+        )
+
+        projs = self._branch_proj[m]
+        if any(p is None for p in projs):
+            return None
+        group = set(self.names)
+        red_names: dict[str, str] = {}
+        for g, df in acc_red.items():
+            red_names[g] = f"__grp_red_{g}"
+            df.createOrReplaceTempView(red_names[g])
+        limit = int(
+            self.spark.conf.get(
+                "spark.feldera.broadcastKeyRowLimit", "2000000"
+            )
+        )
+        cone_big = cone_m.limit(limit).count() >= limit
+        ctx = full_delta_step() if cone_big else contextlib.nullcontext()
+        parts: list[DataFrame] = []
+        with ctx:
+            branches = self.base_branches[m] + self.rec_branches[m]
+            for bi, b in enumerate(branches):
+                positions, col_of_pos = projs[bi]
+                plan: dict[tuple[str, int], str] = {}
+                for pos_i, (nm, occ, _al) in enumerate(positions):
+                    pairs = col_of_pos.get(pos_i, [])
+                    frame = (
+                        acc_red[nm]
+                        if nm in group
+                        else self.spark.table(nm)
+                    )
+                    if pairs:
+                        src_cols: dict[str, str] = {}
+                        for sc, oc in pairs:
+                            src_cols.setdefault(sc, oc)
+                        keys = cone_m.select(
+                            *[
+                                F.col(oc).alias(sc)
+                                for sc, oc in src_cols.items()
+                            ]
+                        )
+                        restricted = nullsafe_keys_join(
+                            frame, keys, list(src_cols)
+                        )
+                        tmp = f"__grp_rr_{m}_{bi}_{pos_i}"
+                        restricted.createOrReplaceTempView(tmp)
+                        plan[(nm, occ)] = tmp
+                    elif nm in group:
+                        plan[(nm, occ)] = red_names[nm]
+                parts.append(
+                    self._norm(
+                        m,
+                        self.spark.sql(
+                            substitute_table_positions(b, plan)
+                        ),
+                    )
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
     # -- the group step ----------------------------------------------------
 
     def step_group(self, deltas: dict[str, DataFrame | None]) -> None:
@@ -1017,12 +1117,19 @@ class IncrementalRecursiveGroup:
                 m: _checkpoint(acc[m].subtract(cones[m]))
                 for m in self.names
             }
-            # rederive + same-step inserts: full body eval against the
-            # reduced group state (post-delete tables resolve by name)
+            # rederive + same-step inserts: goal-directed (magic-set)
+            # per member when every branch is a simple projection,
+            # full-body eval otherwise (post-delete tables resolve by
+            # name; member references bind the reduced accumulators)
             frontiers: dict[str, DataFrame] = {}
             for m in self.names:
-                body = self.base_branches[m] + self.rec_branches[m]
-                got = self._eval(m, body, acc)
+                got = self._restricted_seed(m, acc, cones[m])
+                self.last_seed_mode[m] = (
+                    "full" if got is None else "restricted"
+                )
+                if got is None:
+                    body = self.base_branches[m] + self.rec_branches[m]
+                    got = self._eval(m, body, acc)
                 frontiers[m] = (
                     got.subtract(acc[m]) if got is not None else self._empty(m)
                 )

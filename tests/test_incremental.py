@@ -688,10 +688,12 @@ def test_mutually_recursive_group_incremental(spark):
     assert got("vo") == odd and got("ve") == even
     assert grp.last_rounds <= cold + 1
 
-    # delete a mid-chain edge: DRed through BOTH members
+    # delete a mid-chain edge: DRed through BOTH members; the rederive
+    # must be goal-directed (simple-projection branches → magic-set)
     p.execute("DELETE FROM ged WHERE x = 2")
     odd, even = expected({(1, 2), (3, 4), (4, 5)})
     assert got("vo") == odd and got("ve") == even
+    assert grp.last_seed_mode == {"ve": "restricted", "vo": "restricted"}
 
     # re-insert restores
     p.execute("INSERT INTO ged VALUES (2, 3)")
