@@ -3131,3 +3131,61 @@ def i61_ddl_lateral_join(spark, sf_dir):
     pipe.execute("INSERT INTO orders SELECT * FROM __i61_chunk2")
     pipe.execute("DELETE FROM orders WHERE o_orderkey % 10 = 3")
     return pipe.view("spend")
+
+
+@q(
+    "i62_ivm_mutual_goal_directed",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT x, y, 1 AS len_odd FROM (
+        SELECT c_custkey AS x, c_custkey + 1 AS y FROM customer
+        WHERE c_custkey % 25 <> 24 AND c_custkey <> 40
+      ) ed
+      UNION
+      SELECT p.x, e.y, 1 - p.len_odd
+      FROM p JOIN (
+        SELECT c_custkey AS x, c_custkey + 1 AS y FROM customer
+        WHERE c_custkey % 25 <> 24 AND c_custkey <> 40
+      ) e ON p.y = e.x
+    )
+    SELECT x, y FROM p WHERE len_odd = 0
+    """,
+)
+def i62_ivm_mutual_goal_directed(spark, sf_dir):
+    """One-edge delete on a LARGE mutually recursive closure (even/odd
+    path parity over customer-key chain segments of length 24): the
+    GROUP rederive must be goal-directed — magic-set restricted slices
+    for every member, never a full-body evaluation (round-6 group
+    extension of i55's single-view property; asserted via the
+    per-member seed mode)."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    edges = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("x"),
+            (F.col("c_custkey") + 1).alias("y"),
+        )
+        .filter(F.col("x") % 25 != 24)
+    )
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ged (x BIGINT, y BIGINT);
+        DECLARE RECURSIVE VIEW ve (x BIGINT, y BIGINT);
+        DECLARE RECURSIVE VIEW vo (x BIGINT, y BIGINT);
+        CREATE MATERIALIZED VIEW ve AS
+        SELECT vo.x, e.y FROM vo JOIN ged e ON vo.y = e.x;
+        CREATE MATERIALIZED VIEW vo AS
+        SELECT x, y FROM ged
+        UNION
+        SELECT ve.x, e.y FROM ve JOIN ged e ON ve.y = e.x
+        """
+    )
+    b.connect_table("ged", edges)
+    pipe = b.create()
+    grp = pipe._ivm["ve"].group
+    pipe.execute("DELETE FROM ged WHERE x = 40")
+    assert grp.last_seed_mode == {"ve": "restricted", "vo": "restricted"}, (
+        grp.last_seed_mode
+    )
+    return pipe.view("ve")
