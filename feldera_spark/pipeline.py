@@ -1344,8 +1344,9 @@ class Pipeline:
             )
         else:
             delta = zset.lift(df)
-        spine.append(delta)  # eager: pins the batch at the step boundary
-        delta_ck = spine.batches[-1]
+        # eager: pins the batch at the step boundary (append returns the
+        # checkpointed handle — batches[-1] may be a compacted state frame)
+        delta_ck = spine.append(delta)
         if self._defer_frames():
             # all views compiled: nothing reads the table temp view
             # between steps — rebuild the consolidated frame lazily on

@@ -138,6 +138,138 @@ def pubsub_lite_reader_options(config: dict[str, Any]) -> dict[str, str]:
     return opts
 
 
+def nats_reader_options(config: dict[str, Any]) -> dict[str, str]:
+    """NATS JetStream source (``docs/connectors/sources/nats.md``,
+    ``crates/adapters/src/transport/nats/input.rs``) → the public
+    nats-spark-connector's option names. Pure mapping, unit-testable
+    without the connector jar (cluster submit-time ``--packages
+    io.synadia:nats-spark-connector``).
+
+    The reference's ordered-pull-consumer guarantees (strict ordering,
+    exactly-once with checkpoints) map to the Spark source's durable +
+    ``checkpointLocation`` pair; ``deliver_policy`` maps to the stream's
+    starting position."""
+    opts: dict[str, str] = {}
+    if "server_url" in config:
+        url = config["server_url"]
+        hostport = url.split("://", 1)[-1]
+        host, _, port = hostport.partition(":")
+        opts["nats.host"] = host
+        opts["nats.port"] = port or "4222"
+    if "stream_name" in config:
+        opts["nats.stream.name"] = config["stream_name"]
+    consumer = config.get("consumer", {})
+    if consumer.get("filter_subjects"):
+        opts["nats.stream.subjects"] = ",".join(consumer["filter_subjects"])
+    if consumer.get("name"):
+        opts["nats.durable.name"] = consumer["name"]
+    dp = consumer.get("deliver_policy")
+    if isinstance(dp, str):
+        opts["nats.stream.deliver.policy"] = dp.lower()
+    elif isinstance(dp, dict):
+        if "ByStartSequence" in dp:
+            opts["nats.stream.deliver.policy"] = "by_start_sequence"
+            opts["nats.stream.start.sequence"] = str(
+                dp["ByStartSequence"]["start_sequence"]
+            )
+        elif "ByStartTime" in dp:
+            opts["nats.stream.deliver.policy"] = "by_start_time"
+            opts["nats.stream.start.time"] = dp["ByStartTime"]["start_time"]
+    auth = config.get("auth", {})
+    if "username" in auth:
+        opts["nats.connection.user"] = auth["username"]
+    if "password" in auth:
+        opts["nats.connection.password"] = auth["password"]
+    if "token" in auth:
+        opts["nats.connection.token"] = auth["token"]
+    if "credentials_file" in auth:
+        opts["nats.credential.file"] = auth["credentials_file"]
+    if "connection_timeout_secs" in config:
+        opts["nats.connection.timeout.secs"] = str(
+            config["connection_timeout_secs"]
+        )
+    return opts
+
+
+def redis_writer_options(config: dict[str, Any]) -> dict[str, str]:
+    """Redis keyed sink (``docs/connectors/sinks/redis.md``,
+    ``crates/adapters/src/transport/redis/output.rs``) → the public
+    spark-redis connector's options (``org.apache.spark.sql.redis``).
+    Parses the reference's ``connection_string``
+    (``redis://[user][:password@]host[:port][/db]``) into host/port/
+    auth/dbNum. Pure mapping — the jar is a cluster dependency."""
+    opts: dict[str, str] = {}
+    cs = config.get("connection_string", "")
+    if cs:
+        rest = cs.split("://", 1)[-1]
+        cred, at, hostpart = rest.rpartition("@")
+        if at:
+            user, colon, pwd = cred.partition(":")
+            if colon:
+                opts["auth"] = pwd
+            if user:
+                opts["user"] = user
+        hostport, slash, db = hostpart.partition("/")
+        host, _, port = hostport.partition(":")
+        opts["host"] = host
+        opts["port"] = port or "6379"
+        if slash and db:
+            opts["dbNum"] = db.split("?", 1)[0]
+    if "key_separator" in config:
+        opts["key.separator"] = config["key_separator"]
+    return opts
+
+
+def dynamodb_writer_options(config: dict[str, Any]) -> dict[str, str]:
+    """DynamoDB keyed sink (``docs/connectors/sinks/dynamodb.md``,
+    ``crates/adapters/src/integrated/dynamodb/``) → the public
+    spark-dynamodb connector's options. ``write_mode=transactional``
+    (per-chunk ``TransactWriteItems`` atomicity) has no Spark-connector
+    counterpart and raises — an honest fence, not a silent downgrade."""
+    if config.get("write_mode", "batch") == "transactional":
+        raise ValueError(
+            "dynamodb_output: transactional write_mode has no public "
+            "Spark connector equivalent (BatchWriteItem semantics only)"
+        )
+    opts: dict[str, str] = {"tableName": config["table"]}
+    if "region" in config:
+        opts["region"] = config["region"]
+    if "endpoint_url" in config:
+        opts["endpoint"] = config["endpoint_url"]
+    if "batch_size" in config:
+        opts["writeBatchSize"] = str(config["batch_size"])
+    if "threads" in config:
+        opts["targetCapacity"] = str(config["threads"])
+    if "aws_access_key_id" in config:
+        opts["accessKey"] = config["aws_access_key_id"]
+    if "aws_secret_access_key" in config:
+        opts["secretKey"] = config["aws_secret_access_key"]
+    return opts
+
+
+def keyed_sink_split(
+    changes: DataFrame, key_fields: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split a weighted change stream for KEYED UPSERT sinks
+    (redis/dynamodb): the reference requires a unique key and applies
+    the LAST state per key — net weight > 0 → put, net < 0 → delete,
+    net 0 → no-op. One aggregation per batch; both outputs are
+    key-consolidated, so replays are idempotent (put/delete per key,
+    never duplicate items)."""
+    from pyspark.sql import functions as F
+
+    net = changes.groupBy(*changes.drop(_changes.WEIGHT).columns).agg(
+        F.sum(_changes.WEIGHT).alias(_changes.WEIGHT)
+    )
+    puts = net.filter(F.col(_changes.WEIGHT) > 0).drop(_changes.WEIGHT)
+    deletes = (
+        net.filter(F.col(_changes.WEIGHT) < 0)
+        .select(*key_fields)
+        .distinct()
+    )
+    return puts, deletes
+
+
 def jdbc_reader_options(config: dict[str, Any]) -> dict[str, str]:
     """Postgres/JDBC input (the reference's datagen-free DB sources):
     url/table/user/password → Spark jdbc options."""
@@ -311,6 +443,23 @@ def open_source(
 
         df = spark.read.format("jdbc").options(**jdbc_reader_options(tc)).load()
         return df.withColumn(_changes.WEIGHT, F.lit(1).cast("long"))
+    if tname == "nats_input":
+        # docs/connectors/sources/nats.md — JetStream ordered consumer;
+        # message payloads go through the same envelope codec as kafka
+        from pyspark.sql import functions as F
+
+        opts = nats_reader_options(tc)
+        reader = spark.readStream if streaming else spark.read
+        try:
+            raw = reader.format("nats").options(**opts).load()
+        except Exception as e:
+            raise RuntimeError(
+                "nats source requires the nats-spark-connector package "
+                "(cluster submit: --packages io.synadia:"
+                "nats-spark-connector_2.13:<ver>)"
+            ) from e
+        raw = raw.select(F.col("content").cast("string").alias("value"))
+        return _decode(raw, config.format, config.format_config, schema)
     raise ValueError(f"unsupported transport: {tname}")
 
 
@@ -363,6 +512,53 @@ def open_sink(changes: DataFrame, config: ConnectorConfig | dict):
         except Exception as e:
             raise RuntimeError(
                 "snowflake sink requires the spark-snowflake connector"
+            ) from e
+        return None
+    if tname == "redis_output":
+        # docs/connectors/sinks/redis.md — keyed upsert store: the view
+        # MUST have a unique key (key_fields); weighted changes net to
+        # put/delete per key (keyed_sink_split)
+        if changes.isStreaming:
+            raise ValueError(
+                "redis sink is batch-per-snapshot (stream via foreachBatch)"
+            )
+        keys = config.format_config.get("key_fields") or []
+        if not keys:
+            raise ValueError("redis_output requires format.key_fields")
+        puts, _deletes = keyed_sink_split(changes, keys)
+        try:
+            puts.write.format("org.apache.spark.sql.redis").options(
+                table=tc.get("table", "view"),
+                **{"key.column": keys[0]},
+                **redis_writer_options(tc),
+            ).mode("append").save()
+        except Exception as e:
+            raise RuntimeError(
+                "redis sink requires the spark-redis package "
+                "(cluster submit: --packages com.redislabs:spark-redis_2.13)"
+            ) from e
+        return None
+    if tname == "dynamodb_output":
+        # docs/connectors/sinks/dynamodb.md — keyed upsert to a DynamoDB
+        # table whose primary key matches the view's unique index
+        if changes.isStreaming:
+            raise ValueError(
+                "dynamodb sink is batch-per-snapshot (stream via "
+                "foreachBatch)"
+            )
+        keys = config.format_config.get("key_fields") or []
+        if not keys:
+            raise ValueError("dynamodb_output requires format.key_fields")
+        puts, _deletes = keyed_sink_split(changes, keys)
+        try:
+            puts.write.format("dynamodb").options(
+                **dynamodb_writer_options(tc)
+            ).mode("append").save()
+        except Exception as e:
+            raise RuntimeError(
+                "dynamodb sink requires the spark-dynamodb package "
+                "(cluster submit: --packages com.audienceproject:"
+                "spark-dynamodb_2.12:<ver>)"
             ) from e
         return None
     if tname not in ("file_output",):

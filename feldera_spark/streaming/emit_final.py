@@ -148,8 +148,7 @@ class EmitFinalView:
                 )
             )
             newly = newly.unionByName(violations)
-        self.emitted.append(newly)
-        return self.emitted.batches[-1]
+        return self.emitted.append(newly)
 
     def materialized(self) -> DataFrame:
         if self.emitted.empty:

@@ -206,7 +206,12 @@ class Spine:
         # append-only spill: batches[0] is the archive scan when spilled
         self._spilled = False
 
-    def append(self, delta: DataFrame) -> None:
+    def append(self, delta: DataFrame) -> DataFrame:
+        """Returns the (pending-)checkpointed batch handle for the delta
+        JUST appended — callers needing the committed delta (broadcast
+        builds, downstream chaining) must use this return value, NOT
+        ``batches[-1]``: a compaction triggered by this very append
+        replaces ``batches`` with the merged STATE frame."""
         ck = _checkpoint(delta) if self.eager else delta
         self.batches.append(ck)
         if getattr(self, "_raw", None) is not None:
@@ -215,7 +220,7 @@ class Spine:
             if self.append_only:
                 self._compact_append_only()
                 self._raw = None
-                return
+                return ck
             merged = zset.consolidate(zset.plus(*self.batches))
             if self.spill_dir is not None:
                 self._gen += 1
@@ -228,6 +233,7 @@ class Spine:
             else:
                 self.batches = [_checkpoint(merged)]
             self._raw = None
+        return ck
 
     def _compact_append_only(self) -> None:
         if self.spill_dir is not None:
@@ -378,8 +384,14 @@ class IncrementalAggregateView:
         both the integral and the output are spines read key-restricted.
         """
         delta = zset.lift(delta)
-        touched = delta.select(*self.keys)  # nullsafe join dedups
+        # reads below use the RAW delta plan, not the appended checkpoint
+        # handle: concurrent broadcast builds sharing its shuffle stages
+        # are deduplicated by the DAGScheduler anyway, and routing them
+        # through the checkpoint handle instead was measured ~15% SLOWER
+        # per step (row-copy + block store/read of the intermediate
+        # outweighs recomputing the narrow final stages)
         self.integral.append(delta)
+        touched = delta.select(*self.keys)  # nullsafe join dedups
         affected = self.integral.read_for_keys(touched, self.keys)
         new_groups = zset.lift(self.agg_fn(affected))
         if self.output.empty:
@@ -387,10 +399,9 @@ class IncrementalAggregateView:
         else:
             old_groups = self.output.read_for_keys(touched, self.keys)
             out_delta = zset.consolidate(zset.minus(new_groups, old_groups))
-        self.output.append(out_delta)
         # return the APPENDED (step-committed) batch: downstream
         # consumers then chain a LogicalRDD, not the raw delta plan
-        return self.output.batches[-1]
+        return self.output.append(out_delta)
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty, "no deltas processed yet"
@@ -427,16 +438,27 @@ class IncrementalLinearAggregateView:
         self.sums = sums
         self.project = project or (lambda df: df)
         self.state: DataFrame | None = None  # keys + partials + __n
+        # Column objects are plan fragments reusable across DataFrames:
+        # build the per-step expression lists ONCE — each .alias()/.lit()
+        # in a step is a py4j round trip, and the step constant is
+        # driver-bound (measured ~1ms per round trip, hundreds per step)
+        self._partial_exprs = [
+            expr.alias(name) for name, expr in sums.items()
+        ] + [wcount().alias("__n")]
+        self._merge_exprs = [F.sum(name).alias(name) for name in sums] + [
+            F.sum("__n").alias("__n")
+        ]
+        self._w_lit = {
+            1: F.lit(1).cast("long"),
+            -1: F.lit(-1).cast("long"),
+        }
 
     def _partial(self, delta: DataFrame) -> DataFrame:
-        return delta.groupBy(*self.keys).agg(
-            *[expr.alias(name) for name, expr in self.sums.items()],
-            wcount().alias("__n"),
-        )
+        return delta.groupBy(*self.keys).agg(*self._partial_exprs)
 
     def _out(self, state_slice: DataFrame, weight: int) -> DataFrame:
         return self.project(state_slice.drop("__n")).withColumn(
-            WEIGHT, F.lit(weight).cast("long")
+            WEIGHT, self._w_lit[weight]
         )
 
     @step_scoped
@@ -460,9 +482,17 @@ class IncrementalLinearAggregateView:
         if self.state is None:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
-        from feldera_spark.streaming.stepper import persist_step
-
-        touched = partial.select(*self.keys)
+        # touched keys come from the RAW delta, not the aggregated
+        # partial: the key set is identical (groupBy preserves it, and
+        # prepared_keys dedups inside the broadcast subplan), but the
+        # broadcast BUILD job then scans the (already step-committed)
+        # delta instead of re-running the partial aggregation chain.
+        # Broadcast builds execute SERIALLY at plan-to-RDD time (non-AQE
+        # BroadcastExchange blocks in doExecute), so keeping them
+        # delta-scan-shaped moves the aggregation into the step's single
+        # parallel commit job — measured 5-stage 1.4s builds → 2-stage
+        # ~0.1s on 500k-event HOP-count steps.
+        touched = delta.select(*self.keys)
         # one key-frame construction for both routing joins (each build
         # is a Catalyst analysis pass — pure step constant)
         kd = prepared_keys(touched, self.keys)
@@ -479,16 +509,19 @@ class IncrementalLinearAggregateView:
         merged = (
             old_t.unionByName(partial)
             .groupBy(*self.keys)
-            .agg(
-                *[F.sum(name).alias(name) for name in self.sums],
-                F.sum("__n").alias("__n"),
-            )
+            .agg(*self._merge_exprs)
         )
         live = persist_step(merged.filter(F.col("__n") != 0))
         untouched = nullsafe_keys_join(
             self.state, touched, self.keys, anti=True, prepared=kd
         )
         self.state = _checkpoint(untouched.unionByName(live))
+        # the output delta stays LAZY: downstream stateful consumers
+        # spine-append it, and THAT deferred checkpoint becomes the
+        # committed handle they (and their broadcast key builds) read —
+        # one checkpoint per view edge, not two (an extra output
+        # checkpoint here re-collected the routing broadcast once more
+        # per query execution: +2 jobs/step, test_plans one-job guard)
         return zset.consolidate(
             zset.plus(self._out(live, 1), self._out(old_t, -1))
         )
@@ -548,13 +581,13 @@ class IncrementalJoinView:
         )
 
     def _state_join(
-        self, delta: DataFrame, spine: "Spine", delta_left: bool
+        self, delta: DataFrame, batches: list[DataFrame], delta_left: bool
     ) -> DataFrame:
         """Δ ⋈ state without a separate key-restriction pass: the inner
         equi-join with the (hinted-broadcast) delta IS the key
         restriction — one broadcast build instead of a semi-join
         broadcast PLUS a join, and no sort-merge of an unsized slice.
-        The state side is the RAW spine union (unmerged ±weights):
+        The state side is the RAW batch union (unmerged ±weights):
         join is bilinear, so joining each batch and letting the output
         consolidate sum the weight products equals joining the
         consolidated state (``(Σ bᵢ) ⋈ Δ = Σ (bᵢ ⋈ Δ)``) — this drops
@@ -562,13 +595,13 @@ class IncrementalJoinView:
         feed whole tables as deltas (``full_delta_step``): the hint is
         skipped and the one-time pass plans as a shuffled join."""
         if not self.on:
-            state = zset.consolidate(spine.read())
+            state = zset.consolidate(zset.plus(*batches))
             return (
                 self._wjoin(delta, state, self.on)
                 if delta_left
                 else self._wjoin(state, delta, self.on)
             )
-        state = zset.plus(*spine.batches)
+        state = zset.plus(*batches)
         d = delta if _FULL_DELTA.get() else F.broadcast(delta)
         return (
             self._wjoin(d, state, self.on)
@@ -581,25 +614,34 @@ class IncrementalJoinView:
         """ΔJ = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB. The stored sides are joined
         directly against the broadcast delta — O(|delta| + matching
         state). With ``on=[]`` (cross join) the read is the whole other
-        side."""
+        side.
+
+        The join terms read the RAW delta plans (the state sides use the
+        pre-append batch lists, preserving the bilinear rule): concurrent
+        broadcast builds sharing a delta's shuffle stages are already
+        deduplicated by the DAGScheduler, and routing the delta side
+        through the appended checkpoint handle instead was measured ~15%
+        slower per step (block store/read of the intermediate costs more
+        than recomputing its narrow final stages)."""
         da = zset.lift(delta_a) if delta_a is not None else None
         db = zset.lift(delta_b) if delta_b is not None else None
-        parts = []
-        if da is not None and not self.b.empty:
-            parts.append(self._state_join(da, self.b, True))
-        if db is not None and not self.a.empty:
-            parts.append(self._state_join(db, self.a, False))
-        if da is not None and db is not None:
-            parts.append(self._wjoin(da, db, self.on))
+        a_old = list(self.a.batches)
+        b_old = list(self.b.batches)
         if da is not None:
             self.a.append(da)
         if db is not None:
             self.b.append(db)
+        parts = []
+        if da is not None and b_old:
+            parts.append(self._state_join(da, b_old, True))
+        if db is not None and a_old:
+            parts.append(self._state_join(db, a_old, False))
+        if da is not None and db is not None:
+            parts.append(self._wjoin(da, db, self.on))
         if not parts:
             return None
         out_delta = zset.consolidate(zset.plus(*parts))
-        self.output.append(out_delta)
-        return self.output.batches[-1]
+        return self.output.append(out_delta)
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty
@@ -779,8 +821,7 @@ class IncrementalRollingAggregateView:
     def step(self, delta: DataFrame) -> DataFrame:
         from feldera_spark.streaming.stepper import persist_step
 
-        self.integral.append(zset.lift(delta))
-        delta = self.integral.batches[-1]  # checkpointed: reused below
+        delta = self.integral.append(zset.lift(delta))  # ck: reused below
         # touched-key mins feed four branches (both state reads' key
         # frames + two attach_dmin joins): step-persist so the commit
         # computes the delta aggregation once
@@ -870,8 +911,7 @@ class IncrementalRollingAggregateView:
                 .drop("__dmin")
             )
             out_delta = zset.consolidate(zset.minus(new_out, old_affected))
-        self.output.append(out_delta)
-        return self.output.batches[-1]
+        return self.output.append(out_delta)
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty
@@ -985,8 +1025,7 @@ class IncrementalKeyedRecomputeView:
         else:
             old_rows = self.output.read_for_keys(touched, self.keys)
             out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
-        self.output.append(out_delta)
-        return self.output.batches[-1]
+        return self.output.append(out_delta)
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty
@@ -1125,8 +1164,7 @@ class IncrementalBinaryKeyedRecomputeView:
         else:
             old_rows = self.output.read_for_keys(touched, self.keys)
             out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
-        self.output.append(out_delta)
-        return self.output.batches[-1]
+        return self.output.append(out_delta)
 
     def materialized(self) -> DataFrame:
         assert not self.output.empty

@@ -158,8 +158,7 @@ class IncrementalOuterJoinView:
             out = self._acc(d_inner, *pads)
 
         if out is not None:
-            self.output.append(out)
-            return self.output.batches[-1]
+            return self.output.append(out)
         return out
 
     def materialized(self) -> DataFrame:

@@ -160,7 +160,7 @@ def test_scalar_subquery_cross_join_broadcasts(spark):
     assert jv.broadcast_tiny is True
     from feldera_spark import zset
 
-    term = jv._state_join(zset.lift(df), jv.b, True)
+    term = jv._state_join(zset.lift(df), jv.b.batches, True)
     jplan = term._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in jplan, jplan
     assert "CartesianProduct" not in jplan, jplan

@@ -821,3 +821,73 @@ def test_spill_soak_50_steps_bounded_memory(spark, tmp_path):
     assert late_m <= 2 * early + 0.25, (early, late_m, lat)
     # correctness after 52 steps
     assert p.view("daily").count() == n_steps * 4
+
+
+def test_stream_past_spine_compaction_stays_correct(spark, tmp_path):
+    """Regression (round 6): streaming a table past its spine's
+    ``max_batches`` triggers a compaction DURING ``Spine.append`` — the
+    step must keep feeding views the JUST-APPENDED delta batch, not
+    ``batches[-1]`` (which the compaction has just replaced with the
+    merged STATE frame; feeding that re-applies the whole history as a
+    delta = silently wrong counts from step ``max_batches+1`` on).
+    12 micro-batch steps through a compiled HOP->MAX->join DAG, then
+    the maintained view must equal the batch recomputation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark import zset
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import Spine
+
+    sql = (
+        "CREATE TABLE bid (auction BIGINT, price DOUBLE, ts TIMESTAMP);"
+        "CREATE LOCAL VIEW counts AS SELECT window_start, auction,"
+        " COUNT(*) AS num FROM TABLE(HOP(TABLE bid, DESCRIPTOR(ts),"
+        " INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+        " GROUP BY window_start, auction;"
+        "CREATE LOCAL VIEW maxes AS SELECT window_start, MAX(num) AS maxn"
+        " FROM counts GROUP BY window_start;"
+        "CREATE MATERIALIZED VIEW hot AS SELECT c.window_start, c.auction,"
+        " c.num FROM counts c JOIN maxes m"
+        " ON c.window_start = m.window_start WHERE c.num >= m.maxn"
+    )
+    b = PipelineBuilder(spark).sql(sql)
+    empty = spark.createDataFrame([], "auction BIGINT, price DOUBLE, ts TIMESTAMP")
+    b.connect_table("bid", empty)
+    p = b.create()
+    decl = p.tables["bid"]
+    spine = Spine()  # default max_batches=8 — compaction fires at step 8
+    spine.append(zset.lift(p._frames["bid"]))
+    p._stream_spines = {"bid": spine}  # as stream_table would register
+    all_rows = []
+    for i in range(12):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i)
+        rows = [
+            (j % 5, 10.0 + j, t0 + dt.timedelta(seconds=j)) for j in range(20)
+        ]
+        all_rows.extend(rows)
+        batch = spark.createDataFrame(
+            rows, "auction BIGINT, price DOUBLE, ts TIMESTAMP"
+        ).localCheckpoint()
+        p._stream_step(decl, spine, batch)
+    got = {tuple(r) for r in p.view("hot").collect()}
+
+    # batch ground truth over the full input through Spark SQL itself
+    full = spark.createDataFrame(
+        all_rows, "auction BIGINT, price DOUBLE, ts TIMESTAMP"
+    )
+    full.createOrReplaceTempView("bid_all")
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            "WITH c AS (SELECT window.start AS window_start, auction,"
+            " COUNT(*) AS num FROM bid_all"
+            " GROUP BY window(ts, '1 hour', '15 minutes'), auction),"
+            " m AS (SELECT window_start, MAX(num) AS maxn FROM c"
+            " GROUP BY window_start)"
+            " SELECT c.window_start, c.auction, c.num FROM c JOIN m"
+            " ON c.window_start = m.window_start WHERE c.num >= m.maxn"
+        ).collect()
+    }
+    assert got == want
