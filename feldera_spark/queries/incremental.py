@@ -54,18 +54,25 @@ def _event_chunks(spark, sf_dir):
     from feldera_spark.streaming.stepper import step_scope
 
     e = t(spark, sf_dir, "events")
-    chunks = [
-        e.filter(F.col("event_id") % 3 == i).withColumn(WEIGHT, F.lit(1).cast("long"))
-        for i in range(3)
-    ]
-    chunks.append(
-        e.filter(F.col("event_id") % 10 == 3).withColumn(
-            WEIGHT, F.lit(-1).cast("long")
-        )
+    # ONE tagged scan + checkpoint, then 4 narrow slices of the stored
+    # blocks: checkpointing each chunk separately cost 5 deferred plans
+    # + 5 parquet scans where one suffices (the chunk sets partition
+    # event_id, so a single pass tags every row)
+    tagged = e.withColumn(
+        "__chunk", (F.col("event_id") % 3).cast("int")
+    ).withColumn(
+        WEIGHT, F.lit(1).cast("long")
+    )
+    deletes = e.filter(F.col("event_id") % 10 == 3).select(
+        "*",
+        F.lit(3).cast("int").alias("__chunk"),
+        F.lit(-1).cast("long").alias(WEIGHT),
     )
     with step_scope():
-        chunks = [_checkpoint(c) for c in chunks]
-    return chunks
+        base = _checkpoint(tagged.unionByName(deletes))
+    return [
+        base.filter(F.col("__chunk") == i).drop("__chunk") for i in range(4)
+    ]
 
 # Net input after the delete chunk, as SQL:
 _NET = "SELECT * FROM events WHERE event_id % 10 <> 3"
