@@ -259,6 +259,12 @@ def ivf_topk(
         )
         if sample_mod > 1:
             samp = samp.filter(F.col("sid") % sample_mod == 0)
+        # same single-task-scan trap as the assignment pass below: the
+        # Lloyd argmax over sample x cells must parallelize regardless
+        # of the input file layout
+        samp = samp.repartition(
+            samp.sparkSession.sparkContext.defaultParallelism
+        )
         for _ in range(lloyd_rounds):
             cent = _lloyd_round(samp, cent)
         # tiny frame reused by assignment AND probing: pin it once
@@ -269,7 +275,17 @@ def ivf_topk(
 
     # assign: argmax cosine over centroids (deterministic tiebreak on
     # cell) — hash-agg max_by, not a window sort; one partial-agg
-    # shuffle over the corpus, the only corpus-sized pass in the build
+    # shuffle over the corpus, the only corpus-sized pass in the build.
+    # The corpus is round-robin repartitioned first: the N x n_cells
+    # dot-product pass is the index build's CPU bulk, and its
+    # parallelism must come from the operator, not the input layout (a
+    # single-file parquet scan is one row group = ONE task; measured
+    # 0.4s + 0.7s single-task stages at sf0.1 on 32 cores). The
+    # delta-sized shuffle is paid once and pays for itself immediately;
+    # at 100 TB the scan arrives in many splits and the repartition
+    # coalesces naturally into the same pass.
+    sc = c.sparkSession.sparkContext
+    c = c.repartition(sc.defaultParallelism)
     assigned = (
         c.join(F.broadcast(cent))
         .withColumn("ccos", _cos(F.col("cv"), F.col("cn"), F.col("centv"), F.col("centn")))
