@@ -263,7 +263,7 @@ class Spine:
 
     def read_for_keys(
         self, keys_df: DataFrame, on: list[str], prefilter=None,
-        consolidate: bool = True,
+        consolidate: bool = True, prepared: DataFrame | None = None,
     ) -> DataFrame:
         """State restricted to the given keys: ``prefilter`` cuts each
         batch individually (per-batch, so a static boolean Column reaches
@@ -298,7 +298,14 @@ class Spine:
             else:
                 fb = prefilter(b)
             parts.append(fb)
-        merged = nullsafe_keys_join(zset.plus(*parts), keys_df, on)
+        # ``prepared``: one prepared_keys frame shared by SEVERAL state
+        # reads in the same step — a single broadcast subtree lets the
+        # exchange-reuse rule collect it once per query execution
+        # instead of once per read (measured: 2 identical 0.1s+ build
+        # jobs per step in the rolling/general aggregate views)
+        merged = nullsafe_keys_join(
+            zset.plus(*parts), keys_df, on, prepared=prepared
+        )
         return zset.consolidate(merged) if consolidate else merged
 
     def truncate(self, keep: F.Column, monotone: bool = False) -> None:
@@ -392,12 +399,17 @@ class IncrementalAggregateView:
         # outweighs recomputing the narrow final stages)
         self.integral.append(delta)
         touched = delta.select(*self.keys)  # nullsafe join dedups
-        affected = self.integral.read_for_keys(touched, self.keys)
+        kd = prepared_keys(touched, self.keys)  # ONE broadcast subtree
+        affected = self.integral.read_for_keys(
+            touched, self.keys, prepared=kd
+        )
         new_groups = zset.lift(self.agg_fn(affected))
         if self.output.empty:
             out_delta = zset.consolidate(new_groups)
         else:
-            old_groups = self.output.read_for_keys(touched, self.keys)
+            old_groups = self.output.read_for_keys(
+                touched, self.keys, prepared=kd
+            )
             out_delta = zset.consolidate(zset.minus(new_groups, old_groups))
         # return the APPENDED (step-committed) batch: downstream
         # consumers then chain a LogicalRDD, not the raw delta plan
@@ -879,10 +891,11 @@ class IncrementalRollingAggregateView:
                 *[f"__dk_{k}" for k in self.keys]
             )
 
+        kd = prepared_keys(dmins.select(*self.keys), self.keys)
         slice_ = attach_dmin(
             self.integral.read_for_keys(
                 dmins.select(*self.keys), self.keys, prefilter=pre,
-                consolidate=not linear,
+                consolidate=not linear, prepared=kd,
             )
         )
         lower = (
@@ -904,7 +917,7 @@ class IncrementalRollingAggregateView:
                 attach_dmin(
                     self.output.read_for_keys(
                         dmins.select(*self.keys), self.keys, prefilter=pre,
-                        consolidate=False,
+                        consolidate=False, prepared=kd,
                     )
                 )
                 .filter(F.col(self.ts_col) >= F.col("__dmin"))
@@ -1017,13 +1030,18 @@ class IncrementalKeyedRecomputeView:
     def step(self, delta: DataFrame) -> DataFrame:
         delta = zset.lift(delta)
         touched = delta.select(*self.keys)  # nullsafe join dedups
+        kd = prepared_keys(touched, self.keys)  # ONE broadcast subtree
         self.integral.append(delta)
-        affected = self.integral.read_for_keys(touched, self.keys)
+        affected = self.integral.read_for_keys(
+            touched, self.keys, prepared=kd
+        )
         new_rows = zset.lift(self.fn(zset.to_bag(affected)))
         if self.output.empty:
             out_delta = zset.consolidate(new_rows)
         else:
-            old_rows = self.output.read_for_keys(touched, self.keys)
+            old_rows = self.output.read_for_keys(
+                touched, self.keys, prepared=kd
+            )
             out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
         return self.output.append(out_delta)
 
@@ -1133,13 +1151,15 @@ class IncrementalBinaryKeyedRecomputeView:
             self._b_template = b_df.limit(0).drop(WEIGHT) \
                 if WEIGHT in b_df.columns else b_df.limit(0)
 
-    def _side(self, spine: Spine, template: DataFrame | None, touched):
+    def _side(self, spine: Spine, template: DataFrame | None, touched, kd):
         if spine.empty:
             assert template is not None, (
                 "side has no deltas and no schema template (call set_schemas)"
             )
             return template
-        return zset.to_bag(spine.read_for_keys(touched, self.keys))
+        return zset.to_bag(
+            spine.read_for_keys(touched, self.keys, prepared=kd)
+        )
 
     @step_scoped
     def step(
@@ -1156,13 +1176,16 @@ class IncrementalBinaryKeyedRecomputeView:
             self.a.append(zset.lift(da))
         if db is not None:
             self.b.append(zset.lift(db))
-        a_rows = self._side(self.a, self._a_template, touched)
-        b_rows = self._side(self.b, self._b_template, touched)
+        kd = prepared_keys(touched, self.keys)  # ONE broadcast subtree
+        a_rows = self._side(self.a, self._a_template, touched, kd)
+        b_rows = self._side(self.b, self._b_template, touched, kd)
         new_rows = zset.lift(self.fn(a_rows, b_rows))
         if self.output.empty:
             out_delta = zset.consolidate(new_rows)
         else:
-            old_rows = self.output.read_for_keys(touched, self.keys)
+            old_rows = self.output.read_for_keys(
+                touched, self.keys, prepared=kd
+            )
             out_delta = zset.consolidate(zset.minus(new_rows, old_rows))
         return self.output.append(out_delta)
 
