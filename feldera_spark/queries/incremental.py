@@ -3196,3 +3196,56 @@ def i62_ivm_mutual_goal_directed(spark, sf_dir):
         grp.last_seed_mode
     )
     return pipe.view("ve")
+
+
+@q(
+    "i63_ivm_stream_past_compaction",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def i63_ivm_stream_past_compaction(spark, sf_dir):
+    """12 real readStream micro-batches through ``Pipeline.stream_table``
+    — one circuit step each — deliberately driving the TABLE spine past
+    its ``max_batches`` so an LSM compaction fires DURING a mid-stream
+    ``Spine.append`` (round-6 fix: the step must keep feeding views the
+    appended delta handle; ``batches[-1]`` right after a compacting
+    append is the merged STATE frame, and feeding that re-applies the
+    whole history as a delta — silently wrong counts from step
+    ``max_batches+1`` on). Oracle: the streamed incremental aggregate
+    equals the one-shot batch SQL. Reference: the controller step loop
+    (``controller.rs:481``) over the trace spine's in-step merges
+    (``spine_async.rs``)."""
+    import tempfile
+
+    from feldera_spark.pipeline import PipelineBuilder
+
+    work = tempfile.mkdtemp(prefix="i63_")
+    src = f"{work}/src"
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    for i in range(12):  # 12 single-file triggers > max_batches=8
+        e.filter(F.col("event_id") % 12 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, event_type STRING, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW agg AS SELECT event_type,"
+        " COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS total_dec"
+        " FROM ev GROUP BY event_type"
+    )
+    b.connect_table("ev", spark.createDataFrame([], schema))
+    p = b.create()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    p.stream_table(
+        "ev", stream, checkpoint_dir=f"{work}/ckpt"
+    ).awaitTermination(300)
+    return p.view("agg").select(
+        "event_type", "n", F.col("total_dec").cast("double").alias("total_value")
+    )
