@@ -43,6 +43,27 @@ def with_int_embedding(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Give a CPU-heavy per-row pass (N x Q dot products) enough input
+    partitions, WITHOUT unconditionally shuffling: a single-file parquet
+    corpus is one row group = one task (the whole scoring pass
+    serialized on one core — measured 0.4s+ single-task stages at
+    sf0.1/32 cores), while a cluster-scale corpus already arrives in
+    many splits where a repartition would be a harmful full-corpus
+    shuffle. Round-robin repartition ONLY when the scan is
+    under-parallel; the partition probe is a driver-side metadata call,
+    not a job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -63,7 +84,7 @@ def cosine_topk(
         F.col("__iv").alias("qv"),
         F.col("__norm").alias("qn"),
     )
-    c = with_int_embedding(corpus, vec_col).select(
+    c = with_int_embedding(_ensure_parallel(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__iv").alias("cv"),
         F.col("__norm").alias("cn"),
@@ -262,9 +283,7 @@ def ivf_topk(
         # same single-task-scan trap as the assignment pass below: the
         # Lloyd argmax over sample x cells must parallelize regardless
         # of the input file layout
-        samp = samp.repartition(
-            samp.sparkSession.sparkContext.defaultParallelism
-        )
+        samp = _ensure_parallel(samp)
         for _ in range(lloyd_rounds):
             cent = _lloyd_round(samp, cent)
         # tiny frame reused by assignment AND probing: pin it once
@@ -276,16 +295,13 @@ def ivf_topk(
     # assign: argmax cosine over centroids (deterministic tiebreak on
     # cell) — hash-agg max_by, not a window sort; one partial-agg
     # shuffle over the corpus, the only corpus-sized pass in the build.
-    # The corpus is round-robin repartitioned first: the N x n_cells
-    # dot-product pass is the index build's CPU bulk, and its
-    # parallelism must come from the operator, not the input layout (a
-    # single-file parquet scan is one row group = ONE task; measured
-    # 0.4s + 0.7s single-task stages at sf0.1 on 32 cores). The
-    # delta-sized shuffle is paid once and pays for itself immediately;
-    # at 100 TB the scan arrives in many splits and the repartition
-    # coalesces naturally into the same pass.
-    sc = c.sparkSession.sparkContext
-    c = c.repartition(sc.defaultParallelism)
+    # The corpus is parallelized first (layout-adaptive, see
+    # _ensure_parallel): the N x n_cells dot-product pass is the index
+    # build's CPU bulk, and its parallelism must come from the
+    # operator, not the input layout (a single-file parquet scan is one
+    # row group = ONE task; measured 0.4s + 0.7s single-task stages at
+    # sf0.1 on 32 cores).
+    c = _ensure_parallel(c)
     assigned = (
         c.join(F.broadcast(cent))
         .withColumn("ccos", _cos(F.col("cv"), F.col("cn"), F.col("centv"), F.col("centn")))
