@@ -43,25 +43,7 @@ def with_int_embedding(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _ensure_parallel(df: DataFrame) -> DataFrame:
-    """Give a CPU-heavy per-row pass (N x Q dot products) enough input
-    partitions, WITHOUT unconditionally shuffling: a single-file parquet
-    corpus is one row group = one task (the whole scoring pass
-    serialized on one core — measured 0.4s+ single-task stages at
-    sf0.1/32 cores), while a cluster-scale corpus already arrives in
-    many splits where a repartition would be a harmful full-corpus
-    shuffle. Round-robin repartition ONLY when the scan is
-    under-parallel; the partition probe is a driver-side metadata call,
-    not a job."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if n * 2 <= target:
-        return df.repartition(target)
-    return df
+from feldera_spark.sources.registry import ensure_parallel as _ensure_parallel
 
 
 def cosine_topk(

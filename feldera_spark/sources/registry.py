@@ -74,3 +74,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def ensure_parallel(df: DataFrame) -> DataFrame:
+    """Give a CPU-heavy per-row pass (explode-shaped aggregations, N x Q
+    dot products) enough input partitions, WITHOUT unconditionally
+    shuffling: a single-file parquet input is one row group = one task
+    (the whole pass serialized on one core), while a cluster-scale input
+    already arrives in many splits where a repartition would be a
+    harmful full shuffle. Round-robin repartition ONLY when the scan is
+    under-parallel; the partition probe is a driver-side metadata call,
+    not a job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df

@@ -3437,9 +3437,11 @@ def enable_spill(plan, base_dir: str) -> int:
 
     def _window_partition_cols(obj) -> list[str]:
         shape = getattr(obj, "shape", None)
-        if shape is None:
+        if shape is None or not isinstance(
+            getattr(shape, "computed_keys", None), dict
+        ):
             return []
-        for kname, kexpr in getattr(shape, "computed_keys", {}).items():
+        for kname, kexpr in shape.computed_keys.items():
             e = kexpr.strip()
             if (
                 _TUMBLE_START_RE.match(e)
@@ -3451,7 +3453,17 @@ def enable_spill(plan, base_dir: str) -> int:
 
     def walk(obj, path: str, pcols: list[str]):
         nonlocal count
-        if id(obj) in seen or not hasattr(obj, "__dict__"):
+        # pyspark Column fakes EVERY attribute via __getattr__ (field
+        # access), so hasattr probes are meaningless on it — views cache
+        # Column expression lists as state (per-step py4j chatter cut)
+        # and the walker must never descend into them
+        from pyspark.sql import Column
+
+        if (
+            id(obj) in seen
+            or isinstance(obj, (Column, DataFrame))
+            or not hasattr(obj, "__dict__")
+        ):
             return
         seen.add(id(obj))
         pcols = _window_partition_cols(obj) or pcols
@@ -3473,8 +3485,14 @@ def enable_spill(plan, base_dir: str) -> int:
                     val.partition_cols = [obj.emit_col]
                 count += 1
             elif isinstance(val, list):
+                from pyspark.sql import Column as _Col
+
                 for i, item in enumerate(val):
-                    if hasattr(item, "step") and hasattr(item, "__dict__"):
+                    if (
+                        not isinstance(item, _Col)
+                        and hasattr(item, "step")
+                        and hasattr(item, "__dict__")
+                    ):
                         walk(item, f"{sub}/{i}", pcols)
             elif (
                 hasattr(val, "step")
