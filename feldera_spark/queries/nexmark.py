@@ -247,12 +247,7 @@ def nx05_hot_items(spark, sf_dir):
     """Nexmark q5 (queries/q5.sql): hot items per HOP window (size 1h,
     slide 15m). Count per (window, auction), then keep rows matching the
     per-window max — the per-window maxima table is tiny → broadcast."""
-    from feldera_spark.sources.registry import ensure_parallel
-
-    # the sliding window explodes each bid into 4 window rows and the
-    # map-side partial count runs in the SCAN stage — a single-file
-    # input serializes the whole pass on one core (see ensure_parallel)
-    b = ensure_parallel(_bid(spark, sf_dir))
+    b = _bid(spark, sf_dir)
     counts = b.groupBy(
         F.window("date_time", "1 hour", "15 minutes").alias("w"), "auction"
     ).agg(F.count(F.lit(1)).alias("num"))

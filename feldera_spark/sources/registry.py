@@ -40,7 +40,7 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 # repartition never triggers. Relational tables are deliberately NOT
 # repartitioned: their scans are cheap columnar decodes and an extra
 # exchange ahead of every aggregate costs more than it saves.
-COMPUTE_HEAVY_TABLES = frozenset({"documents"})
+COMPUTE_HEAVY_TABLES = frozenset({"documents", "embeddings"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
