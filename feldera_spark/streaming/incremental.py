@@ -450,6 +450,7 @@ class IncrementalLinearAggregateView:
         self.sums = sums
         self.project = project or (lambda df: df)
         self.state: DataFrame | None = None  # keys + partials + __n
+        self._state_fut = None  # background state-checkpoint handle
         # Column objects are plan fragments reusable across DataFrames:
         # build the per-step expression lists ONCE — each .alias()/.lit()
         # in a step is a py4j round trip, and the step constant is
@@ -487,9 +488,20 @@ class IncrementalLinearAggregateView:
         the block cache; the step unpersists after lineage truncation.
         The output delta is also derived lazily from the checkpointed
         states."""
-        from feldera_spark.streaming.stepper import persist_step
+        from feldera_spark.streaming.stepper import (
+            defer_checkpoint_async,
+            persist_step,
+        )
 
         delta = zset.lift(delta)
+        # a prior step in the SAME scope may have handed the state
+        # checkpoint to the background pool (below) — resolve it before
+        # reading, or this step's plans would nest the raw plan and
+        # multi-step scopes would compound plan depth. Guarded on
+        # identity: a WRAPPER may have reassigned the state in between
+        # (windowed GC filters frozen windows out) and the stale
+        # checkpoint must then NOT clobber it.
+        self._resolve_state_fut()
         partial = persist_step(self._partial(delta))
         if self.state is None:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
@@ -527,7 +539,31 @@ class IncrementalLinearAggregateView:
         untouched = nullsafe_keys_join(
             self.state, touched, self.keys, anti=True, prepared=kd
         )
-        self.state = _checkpoint(untouched.unionByName(live))
+        # the state checkpoint is the step's most expensive defer (its
+        # plan-to-RDD blocks on the routing-broadcast collects), and
+        # NOTHING in this step reads the new state — only the NEXT step
+        # and the commit do. Hand it to the background pool so the
+        # build overlaps the downstream views' work; the raw plan is a
+        # valid placeholder until the flush (or the resolve at the top
+        # of the next step) swaps in the lazy checkpoint.
+        state_plan = untouched.unionByName(live)
+
+        def _set(ck, _self=self, _plan=state_plan):
+            # only rebind if the slot still holds this step's plan (a
+            # later step in the same scope — or a wrapper like the
+            # windowed GC — may already have advanced/filtered it);
+            # returns True when stale so flush skips materializing it
+            if _self.state is _plan:
+                _self.state = ck
+                return False
+            return True
+
+        fut = defer_checkpoint_async(state_plan, _set)
+        if fut is None:  # no active scope: eager as before
+            self.state = _checkpoint(state_plan)
+        else:
+            self.state = state_plan
+            self._state_fut = (state_plan, fut)
         # the output delta stays LAZY: downstream stateful consumers
         # spine-append it, and THAT deferred checkpoint becomes the
         # committed handle they (and their broadcast key builds) read —
@@ -538,8 +574,29 @@ class IncrementalLinearAggregateView:
             zset.plus(self._out(live, 1), self._out(old_t, -1))
         )
 
+    def _resolve_state_fut(self) -> None:
+        if self._state_fut is None:
+            return
+        plan, fut = self._state_fut
+        self._state_fut = None
+        if self.state is plan:  # nobody advanced the slot: swap in the ck
+            self.state = fut.result()
+        else:  # the slot moved on (wrapper GC): drop the orphan early
+            fut.cancel()
+
+    def discard_state_fut(self) -> None:
+        """Wrappers that REASSIGN ``state`` mid-step (windowed GC
+        filtering frozen windows out) call this right after, so the
+        background checkpoint of the superseded plan is cancelled (or
+        skipped at flush) instead of storing a stale state copy."""
+        if self._state_fut is not None:
+            _plan, fut = self._state_fut
+            fut.cancel()
+            self._state_fut = None
+
     def materialized(self) -> DataFrame:
         assert self.state is not None, "no deltas processed yet"
+        self._resolve_state_fut()  # mid-scope read: resolve first
         return self.project(self.state.drop("__n"))
 
 
@@ -736,6 +793,7 @@ class WindowedLinearAggregateView:
                 else self.frozen.unionByName(newly_frozen)
             )
             self.inner.state = _checkpoint(self.inner.state.filter(~closed))
+            self.inner.discard_state_fut()  # superseded by the GC'd state
             self.frozen_bound = (
                 waterline_bound
                 if self.frozen_bound is None

@@ -42,11 +42,39 @@ class _StepBatch:
     def __init__(self):
         self.pending: list[DataFrame] = []
         self.persisted: list[DataFrame] = []
+        # (future, setter) pairs from defer_async: resolved FIRST in
+        # flush (before the commit job and before step_scope restores
+        # session confs — the pool thread must plan under the step's
+        # AQE-off / step-partitions settings)
+        self.async_pending: list = []
 
     def defer(self, df: DataFrame) -> DataFrame:
         lazy = df.localCheckpoint(eager=False)
         self.pending.append(lazy)
         return lazy
+
+    def defer_async(self, df: DataFrame, setter):
+        """Plan + lazily checkpoint ``df`` on a background thread and
+        rebind the owner's slot via ``setter(ck)`` once resolved.
+
+        Why: with AQE off, ``localCheckpoint(eager=False)`` still blocks
+        on every BroadcastExchange inside the plan (non-AQE broadcast
+        builds run their collect jobs at RDD-construction time) — for a
+        view-DAG step that cost ran SERIALLY per view on the driver
+        thread, in front of downstream views whose own work does not
+        read this frame at all (a view's state is read by the NEXT
+        step, not by this step's downstream consumers). The pool thread
+        overlaps the build with the rest of the step; shared persisted
+        sub-plans are computed once either way (block-level locks).
+
+        Contract: the caller must keep using the RAW plan as a
+        placeholder until either (a) flush runs ``setter`` (stream
+        paths: one step per scope), or (b) the caller resolves its own
+        future at the next step (multi-step scopes — see
+        ``IncrementalLinearAggregateView.step``)."""
+        fut = _pool().submit(df.localCheckpoint, False)
+        self.async_pending.append((fut, setter))
+        return fut
 
     def persist(self, df: DataFrame) -> DataFrame:
         """Mark a frame SHARED within this step: several consumers (state
@@ -64,6 +92,16 @@ class _StepBatch:
         return df
 
     def flush(self) -> None:
+        # async frames first: join the pool threads, rebind the owners'
+        # slots to the lazy checkpoints, and commit them with the rest
+        async_items, self.async_pending = self.async_pending, []
+        for fut, setter in async_items:
+            if fut.cancel():  # owner discarded it before it started
+                continue
+            ck = fut.result()
+            if setter(ck):  # True: the owner's slot moved on — the
+                continue    # orphaned frame need not materialize
+            self.pending.append(ck)
         frames, self.pending = self.pending, []
         if frames:
             materialize_all(frames)
@@ -76,6 +114,32 @@ class _StepBatch:
 
 
 _STACK: list[_StepBatch] = []
+
+_ASYNC_POOL = None
+
+
+def _pool():
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # small and shared: each submission is driver-side planning plus
+        # broadcast-collect jobs; 2 threads overlap a view's state build
+        # with the downstream DAG without flooding the scheduler
+        _ASYNC_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="state-ckpt"
+        )
+    return _ASYNC_POOL
+
+
+def defer_checkpoint_async(df: DataFrame, setter):
+    """Background-plan a state checkpoint inside the active scope;
+    returns the Future (resolve with ``.result()`` if the caller needs
+    the committed handle before flush), or None when no scope is active
+    (the caller should fall back to a plain eager checkpoint)."""
+    if _STACK:
+        return _STACK[-1].defer_async(df, setter)
+    return None
 
 
 def deferring() -> bool:

@@ -312,12 +312,17 @@ def test_step_scope_commits_in_one_job(spark):
         ))
         mid = len(tracker.getJobIdsForGroup(None) or [])
     after = len(tracker.getJobIdsForGroup(None) or [])
-    # the only job allowed inside the scope is the broadcast-exchange
-    # build (runs on its own thread at plan time — not a state commit)
+    # a step may run AT MOST two jobs total: the single state-commit job
+    # plus one routing-broadcast build (which lands inside the scope or
+    # at flush depending on whether the state checkpoint was handed to
+    # the background pool — round 6). The regression this guards is the
+    # one-eager-job-per-spine-append era (dozens of serial jobs/step).
     assert mid - before <= 1, f"{mid - before} jobs ran inside the scope"
-    assert after - mid == 1, (
-        f"scope exit must commit in exactly ONE job, ran {after - mid}"
+    assert after - before <= 2, (
+        f"step must commit in ONE job (+<=1 broadcast build), "
+        f"ran {after - before}"
     )
+    assert after - mid >= 1, "scope exit ran no commit job"
 
 
 def test_streaming_jobs_per_step_stay_flat(spark):
