@@ -148,8 +148,20 @@ def deferring() -> bool:
 
 
 def defer_checkpoint(df: DataFrame) -> DataFrame:
-    """Register ``df`` for the active step's single commit job."""
-    return _STACK[-1].defer(df)
+    """Register ``df`` for the active step's single commit job.
+
+    Idempotent within a step: a frame that IS already one of this
+    step's pending checkpoint handles is returned as-is — a downstream
+    spine appending an upstream view's committed output would otherwise
+    store a second full copy of the same rows (one per view edge per
+    step). Sharing the handle is safe: checkpointed frames are
+    immutable, and spine operations (truncate/compaction) build new
+    frames rather than mutating batches."""
+    batch = _STACK[-1]
+    for p in batch.pending:
+        if df is p:
+            return df
+    return batch.defer(df)
 
 
 def persist_step(df: DataFrame) -> DataFrame:
