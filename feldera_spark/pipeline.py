@@ -1313,7 +1313,7 @@ class Pipeline:
             # several tables may stream concurrently; steps serialize
             # (the reference's single circuit thread, controller.rs:481)
             with self._step_lock:
-                self._stream_step(decl, spine, df)
+                self._stream_step(decl, spine, self._rebind_main(df))
 
         writer = stream.writeStream.foreachBatch(on_batch)
         if checkpoint_dir:
@@ -1321,6 +1321,46 @@ class Pipeline:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _rebind_main(self, df: DataFrame) -> DataFrame:
+        """Rebind a foreachBatch DataFrame onto the MAIN SparkSession.
+
+        Structured Streaming runs ``foreachBatch`` under a per-stream
+        CLONED session: temp views registered from batch-derived frames
+        land in the clone's catalog, while compiled plans that resolve
+        relations by name (``spark.sql``/``spark.table`` — recursive
+        views' scratch delta/frontier registrations, batch-fallback
+        views) read the MAIN catalog and silently see the stale frames
+        registered at init (round-6 ADVICE, high). Re-wrapping the
+        batch's logical plan via ``Dataset.ofRows`` on the main session
+        keeps every derived frame, spine batch and registration in ONE
+        catalog — no extra Spark job."""
+        if df.sparkSession is self.spark:
+            return df
+        try:
+            jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                self.spark._jsparkSession, df._jdf.logicalPlan()
+            )
+            return DataFrame(jdf, self.spark)
+        except Exception:
+            pass
+        try:
+            ck = df.localCheckpoint(eager=True)
+            jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                self.spark._jsparkSession, ck._jdf.logicalPlan()
+            )
+            return DataFrame(jdf, self.spark)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                "feldera_spark: could not rebind a streaming micro-batch "
+                "onto the main SparkSession (private Dataset.ofRows API "
+                "moved?) — name-resolved reads inside compiled plans may "
+                "see stale temp views this step",
+                RuntimeWarning,
+            )
+            return df
 
     def _stream_step(self, decl: "TableDecl", spine, df: DataFrame) -> None:
         """One circuit step for a streamed table batch (under the step
@@ -1371,10 +1411,21 @@ class Pipeline:
             self._stale_frames: set[str] = set()
         cached = getattr(self, "_all_compiled", None)
         if cached is None:
-            cached = self._all_compiled = all(
-                n in self._ivm for n in self.views
-            ) and not any(d.emit_final and n not in self._ivm
-                          for n, d in self.views.items())
+            cached = self._all_compiled = (
+                all(n in self._ivm for n in self.views)
+                and not any(
+                    d.emit_final and n not in self._ivm
+                    for n, d in self.views.items()
+                )
+                # recursive views/groups resolve non-delta relations via
+                # spark.table() at step time (multi-occurrence branches,
+                # DRed old_over, rederive) — deferral would feed them
+                # pre-append table state: silently wrong fixpoints
+                and not any(
+                    getattr(p, "reads_registered_frames", False)
+                    for p in self._ivm.values()
+                )
+            )
         return cached
 
     def _refresh_frames(self) -> None:

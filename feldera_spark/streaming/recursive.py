@@ -165,6 +165,11 @@ class IncrementalRecursiveView:
     like any other compiled view.
     """
 
+    # multi-occurrence branch eval / DRed old_over / rederive resolve
+    # non-delta relations via spark.table() at step time — the pipeline
+    # must keep table temp views fresh every step (no frame deferral)
+    reads_registered_frames = True
+
     def __init__(
         self,
         spark: SparkSession,
@@ -677,6 +682,8 @@ class IncrementalRecursiveGroup:
     function for the component).
     """
 
+    reads_registered_frames = True
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1174,6 +1181,8 @@ class _RecursiveGroupMember:
     circuit step advances the WHOLE group; the others pop their cached
     output deltas — one nested-circuit step per component, exactly the
     reference's component step."""
+
+    reads_registered_frames = True
 
     def __init__(self, group: IncrementalRecursiveGroup, name: str):
         self.group = group

@@ -891,3 +891,60 @@ def test_stream_past_spine_compaction_stays_correct(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_table_recursive_view_fresh_frames(spark, tmp_path):
+    """Round-6 ADVICE (high): frame deferral must be DISABLED when any
+    compiled plan reads registered temp views at step time. Recursive
+    views resolve non-delta relations via ``spark.table()`` during
+    branch evaluation (streaming/recursive.py), so a readStream-driven
+    ``_stream_step`` that skips re-registering the table temp view
+    feeds the rec branch pre-append edges — new-row derivations that
+    chain through OTHER new rows are silently missing. Two micro-batch
+    files with chaining edges reproduce it; result must equal the batch
+    transitive closure."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    src = str(tmp_path / "rec_src")
+    spark.createDataFrame(
+        [(1, 2), (2, 3)], "a BIGINT, b BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE edge (a BIGINT, b BIGINT);
+        DECLARE RECURSIVE VIEW tc (a BIGINT, b BIGINT);
+        CREATE MATERIALIZED VIEW tc AS
+        SELECT a, b FROM edge
+        UNION
+        SELECT tc.a AS a, e.b AS b FROM tc JOIN edge e ON tc.b = e.a
+        """
+    )
+    b.connect_table("edge", spark.createDataFrame([], "a BIGINT, b BIGINT"))
+    p = b.create()
+    assert "tc" in p._ivm
+    # the mechanism under test: recursive plans read registered frames,
+    # so the hot loop must NOT defer table temp-view registration
+    assert p._defer_frames() is False
+
+    stream = (
+        spark.readStream.schema("a BIGINT, b BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    p.stream_table("edge", stream).awaitTermination(120)
+    assert {(r["a"], r["b"]) for r in p.view("tc").collect()} == {
+        (1, 2), (2, 3), (1, 3),
+    }
+
+    # second micro-batch: TWO edges that chain through each other —
+    # (3,4) then (4,5): deriving (3,5)/(2,5)/(1,5) needs the frontier
+    # round to see the FRESH edge table, not the pre-append temp view
+    spark.createDataFrame(
+        [(3, 4), (4, 5)], "a BIGINT, b BIGINT"
+    ).coalesce(1).write.mode("append").parquet(src)
+    p.stream_table("edge", stream).awaitTermination(120)
+    want = {
+        (i, j) for i in range(1, 6) for j in range(1, 6) if i < j
+    }
+    assert {(r["a"], r["b"]) for r in p.view("tc").collect()} == want
