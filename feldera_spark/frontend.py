@@ -1832,6 +1832,12 @@ def rewrite_lateral(sql: str, table_columns: dict[str, list[str]] | None = None)
         return sql
     alias = am.group("al")
     tail_pos = close_idx + am.end()
+    if m.group("lead") is None:
+        # LATERAL is the FIRST FROM relation: there is no outer row to
+        # correlate with and the splice below would emit "FROM JOIN …"
+        # (a parse error) — keep the view on the batch path unchanged
+        # (round-6 ADVICE low)
+        return sql
     lead = (m.group("lead") or "").strip().upper().replace("OUTER ", "")
     left_join = lead.startswith("LEFT")
     if left_join or lead == "JOIN":

@@ -270,6 +270,108 @@ def keyed_sink_split(
     return puts, deletes
 
 
+def redis_apply_deletes(
+    deletes: DataFrame,
+    key_field: str,
+    table: str,
+    opts: dict[str, str],
+    client_factory=None,
+) -> None:
+    """Issue the DELETE half of the keyed Redis sink contract
+    (``transport/redis/output.rs``: net weight < 0 → per-key DEL).
+    spark-redis has no delete writer, so this runs pipelined DELs per
+    partition via redis-py, import-gated INSIDE non-empty partitions
+    (delete-free snapshots never need the client). Keys follow
+    spark-redis's layout ``<table>:<key value>``. ``client_factory``
+    injects a fake client for broker-less tests."""
+    host = opts.get("host", "localhost")
+    port = int(opts.get("port", "6379"))
+    auth = opts.get("auth")
+    user = opts.get("user")
+    db = int(opts.get("dbNum", "0"))
+
+    def _part(rows):
+        import itertools
+
+        first = next(iter(rows), None)
+        if first is None:
+            return
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            try:
+                import redis as _redis
+            except ImportError as e:  # pragma: no cover - env-gated
+                raise RuntimeError(
+                    "redis_output deletions require the redis-py package "
+                    "on executors (pip install redis)"
+                ) from e
+            client = _redis.Redis(
+                host=host, port=port, db=db, username=user, password=auth
+            )
+        pipe = client.pipeline(transaction=False)
+        for row in itertools.chain([first], rows):
+            pipe.delete(f"{table}:{row[key_field]}")
+        pipe.execute()
+
+    deletes.foreachPartition(_part)
+
+
+def dynamodb_apply_deletes(
+    deletes: DataFrame,
+    key_fields: list[str],
+    opts: dict[str, str],
+    writer_factory=None,
+) -> None:
+    """Issue the DELETE half of the keyed DynamoDB sink contract
+    (``integrated/dynamodb/``: net weight < 0 → per-key ``DeleteItem``).
+    The spark-dynamodb connector only writes puts, so deletions run as
+    boto3 ``batch_writer`` delete_items per partition, import-gated
+    inside non-empty partitions. ``writer_factory`` injects a fake
+    batch writer for service-less tests."""
+    table_name = opts["tableName"]
+    region = opts.get("region")
+    endpoint = opts.get("endpoint")
+    access = opts.get("accessKey")
+    secret = opts.get("secretKey")
+
+    def _part(rows):
+        import contextlib
+        import itertools
+
+        first = next(iter(rows), None)
+        if first is None:
+            return
+        if writer_factory is not None:
+            ctx = writer_factory()
+        else:
+            try:
+                import boto3  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-gated
+                raise RuntimeError(
+                    "dynamodb_output deletions require boto3 on executors"
+                ) from e
+            import boto3
+
+            session = boto3.session.Session(
+                aws_access_key_id=access,
+                aws_secret_access_key=secret,
+                region_name=region,
+            )
+            ctx = (
+                session.resource("dynamodb", endpoint_url=endpoint)
+                .Table(table_name)
+                .batch_writer()
+            )
+        if not hasattr(ctx, "__enter__"):
+            ctx = contextlib.nullcontext(ctx)
+        with ctx as bw:
+            for row in itertools.chain([first], rows):
+                bw.delete_item(Key={k: row[k] for k in key_fields})
+
+    deletes.foreachPartition(_part)
+
+
 def jdbc_reader_options(config: dict[str, Any]) -> dict[str, str]:
     """Postgres/JDBC input (the reference's datagen-free DB sources):
     url/table/user/password → Spark jdbc options."""
@@ -525,7 +627,13 @@ def open_sink(changes: DataFrame, config: ConnectorConfig | dict):
         keys = config.format_config.get("key_fields") or []
         if not keys:
             raise ValueError("redis_output requires format.key_fields")
-        puts, _deletes = keyed_sink_split(changes, keys)
+        puts, deletes = keyed_sink_split(changes, keys)
+        # deletes FIRST: an update nets to delete(old)+put(new) on the
+        # same key — put-then-delete would drop the fresh value
+        redis_apply_deletes(
+            deletes, keys[0], tc.get("table", "view"),
+            redis_writer_options(tc),
+        )
         try:
             puts.write.format("org.apache.spark.sql.redis").options(
                 table=tc.get("table", "view"),
@@ -549,7 +657,9 @@ def open_sink(changes: DataFrame, config: ConnectorConfig | dict):
         keys = config.format_config.get("key_fields") or []
         if not keys:
             raise ValueError("dynamodb_output requires format.key_fields")
-        puts, _deletes = keyed_sink_split(changes, keys)
+        puts, deletes = keyed_sink_split(changes, keys)
+        # deletes first — see redis_output
+        dynamodb_apply_deletes(deletes, keys, dynamodb_writer_options(tc))
         try:
             puts.write.format("dynamodb").options(
                 **dynamodb_writer_options(tc)

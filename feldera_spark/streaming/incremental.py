@@ -671,12 +671,66 @@ class IncrementalJoinView:
                 else self._wjoin(state, delta, self.on)
             )
         state = zset.plus(*batches)
-        d = delta if _FULL_DELTA.get() else F.broadcast(delta)
+        if not _FULL_DELTA.get() and self._delta_broadcast_ok(delta):
+            d = F.broadcast(delta)
+            return (
+                self._wjoin(d, state, self.on)
+                if delta_left
+                else self._wjoin(state, d, self.on)
+            )
+        if _FULL_DELTA.get():
+            # init-load / bulk-DML regime: whole-table delta, plan as a
+            # shuffled join with no restriction pass
+            return (
+                self._wjoin(delta, state, self.on)
+                if delta_left
+                else self._wjoin(state, delta, self.on)
+            )
+        # fan-out guard (round-6 ADVICE): the delta's estimated bytes
+        # exceed the broadcast budget — an upstream join/explode can fan
+        # a small input delta into a wide/large view delta, and AQE is
+        # off inside steps (no runtime fallback, a too-big broadcast is
+        # a driver OOM). Broadcast only the deduped JOIN-KEY frame
+        # (bounded by distinct keys) to semi-restrict state, then join
+        # un-hinted: worst case a delta-sized shuffle, never a driver
+        # collect of the fanned-out delta.
+        keys = delta.select(*self.on).distinct()
+        slice_ = state.join(F.broadcast(keys), self.on, "left_semi")
         return (
-            self._wjoin(d, state, self.on)
+            self._wjoin(delta, slice_, self.on)
             if delta_left
-            else self._wjoin(state, d, self.on)
+            else self._wjoin(slice_, delta, self.on)
         )
+
+    def _delta_broadcast_ok(self, delta: DataFrame) -> bool:
+        """Byte-aware broadcast gate for a per-view delta: Catalyst's
+        plan-size estimate (stats propagate through checkpoints and
+        multiply through fan-out joins) against
+        ``spark.feldera.deltaBroadcastMaxBytes``. Driver-side only — no
+        job. Estimate unavailable → keep the fast path (the step-entry
+        row-count gate still bounds table deltas)."""
+        try:
+            est = int(
+                str(
+                    delta._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            return True
+        if est >= 1 << 50:
+            # "unknown": RDD-origin plans report defaultSizeInBytes
+            # (~8e18) — the gate is inapplicable, keep the fast path
+            # (the step-entry row-count gate still bounds table deltas)
+            return True
+        limit = int(
+            delta.sparkSession.conf.get(
+                "spark.feldera.deltaBroadcastMaxBytes", str(256 << 20)
+            )
+        )
+        return est <= limit
 
     @step_scoped
     def step(self, delta_a: DataFrame | None, delta_b: DataFrame | None) -> DataFrame:

@@ -353,6 +353,11 @@ class IncrementalRecursiveView:
                 "spark.feldera.recursive.speculativeRounds", "4")))
         except Exception:
             pass
+        try:
+            max_rounds = int(self.spark.conf.get(
+                "spark.feldera.recursive.maxRounds", str(max_rounds)))
+        except Exception:
+            pass
         added = self._empty()
         rounds = 0
         frontier = _checkpoint(frontier)
@@ -360,6 +365,12 @@ class IncrementalRecursiveView:
             for _ in range(k):
                 rounds += 1
                 if rounds > max_rounds:
+                    # speculative rounds keep counting PAST a drained
+                    # frontier within the K-window — only a genuinely
+                    # non-empty frontier at the limit is divergence
+                    # (round-6 ADVICE low)
+                    if frontier.limit(1).count() == 0:
+                        break
                     raise RuntimeError("recursive view did not converge")
                 acc = _checkpoint(acc.unionByName(frontier))
                 added = added.unionByName(frontier)
@@ -586,6 +597,11 @@ class IncrementalRecursiveView:
                 for _ in range(k):
                     guard += 1
                     if guard > 200:
+                        # see _semi_naive: a drained cone frontier inside
+                        # the speculative window is convergence, not
+                        # divergence (round-6 ADVICE low)
+                        if cur.limit(1).count() == 0:
+                            break
                         raise RuntimeError("overdelete did not converge")
                     cone = _checkpoint(cone.unionByName(cur).distinct())
                     nxt_parts = []

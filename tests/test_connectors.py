@@ -557,3 +557,76 @@ def test_redis_dynamodb_sink_paths(spark):
         open_sink(df, {"transport": {"name": "dynamodb_output", "config": {
             "table": "t", "region": "us-east-1"}},
             "format": {"name": "json", "config": {"key_fields": ["k"]}}})
+
+
+def test_keyed_sink_delete_half_applied(spark, tmp_path):
+    """Round-6 ADVICE (medium): the keyed-sink contract nets weight < 0
+    to a per-key DELETE (``transport/redis/output.rs``,
+    ``integrated/dynamodb/``) — the delete half must actually be issued,
+    before the puts, so a retracted view row leaves the external store.
+    Fakes collect issued deletions to a file (the partition fns run in
+    executor workers)."""
+    from feldera_spark.sources.connectors import (
+        dynamodb_apply_deletes,
+        keyed_sink_split,
+        redis_apply_deletes,
+    )
+
+    changes = spark.createDataFrame(
+        # k=1: lives; k=2: retracted; k=3: update (delete+put nets out)
+        [(1, "a", 1), (2, "b", 1), (2, "b", -2), (3, "c", -1), (3, "d", 1)],
+        "k INT, v STRING, __weight LONG",
+    )
+    puts, deletes = keyed_sink_split(changes, ["k"])
+    assert {r["k"] for r in puts.collect()} == {1, 3}
+    assert {r["k"] for r in deletes.collect()} == {2, 3}
+
+    redis_log = str(tmp_path / "redis_dels.txt")
+
+    class _FakePipe:
+        def __init__(self, path):
+            self.path, self.ops = path, []
+
+        def delete(self, key):
+            self.ops.append(key)
+
+        def execute(self):
+            with open(self.path, "a") as f:
+                f.writelines(op + "\n" for op in self.ops)
+
+    class _FakeRedis:
+        def __init__(self, path):
+            self.path = path
+
+        def pipeline(self, transaction=False):
+            return _FakePipe(self.path)
+
+    redis_apply_deletes(
+        deletes, "k", "myview", {"host": "h"},
+        client_factory=lambda: _FakeRedis(redis_log),
+    )
+    with open(redis_log) as f:
+        assert sorted(f.read().split()) == ["myview:2", "myview:3"]
+
+    ddb_log = str(tmp_path / "ddb_dels.txt")
+
+    class _FakeBatchWriter:
+        def __init__(self, path):
+            self.path = path
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def delete_item(self, Key):
+            with open(self.path, "a") as f:
+                f.write(f"{Key['k']}\n")
+
+    dynamodb_apply_deletes(
+        deletes, ["k"], {"tableName": "t"},
+        writer_factory=lambda: _FakeBatchWriter(ddb_log),
+    )
+    with open(ddb_log) as f:
+        assert sorted(f.read().split()) == ["2", "3"]

@@ -428,6 +428,10 @@ def test_rewrite_lateral_shapes_and_declines():
         # outer column in the select list
         "SELECT a.k, x.s FROM t1 a, "
         "LATERAL (SELECT a.k + v AS s FROM t2 WHERE t2.k = a.k) x",
+        # LATERAL as the FIRST FROM relation (no lead relation): the
+        # splice would emit "FROM JOIN …" — must return unchanged so
+        # the fence keeps the view on the batch path (round-6 ADVICE)
+        "SELECT x.v FROM LATERAL (SELECT v FROM t2 WHERE v > 0) x",
     ]
     for sql in keep:
         assert rl(sql) == sql, sql

@@ -699,3 +699,107 @@ def test_mutually_recursive_group_incremental(spark):
     p.execute("INSERT INTO ged VALUES (2, 3)")
     odd, even = expected({(1, 2), (2, 3), (3, 4), (4, 5)})
     assert got("vo") == odd and got("ve") == even
+
+
+def test_join_delta_broadcast_byte_gate(spark):
+    """Round-6 ADVICE (medium): ``_state_join`` must not broadcast a
+    fanned-out delta — with AQE off inside steps a too-big broadcast is
+    a driver OOM with no runtime fallback. Under a tiny
+    ``spark.feldera.deltaBroadcastMaxBytes`` a KNOWN-size delta takes
+    the narrow path (broadcast = deduped KEY frame only, state
+    semi-restricted, final join un-hinted) and results still equal the
+    batch join. Unknown-size plans (RDD origin) keep the fast path —
+    the gate fires only where Catalyst's estimate is meaningful (the
+    fan-out-join case)."""
+    from feldera_spark.streaming.incremental import IncrementalJoinView
+
+    dim = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "dim_v"]
+    ).withColumn(WEIGHT, F.lit(1).cast("long"))
+    # range origin => known stats (estimable like a parquet-scan delta)
+    delta = (
+        spark.range(50)
+        .select(
+            F.col("id"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )
+
+    view = IncrementalJoinView(on=["k"])
+    # default budget: small known delta broadcasts (fast path)
+    assert view._delta_broadcast_ok(delta) is True
+    # unknown-size (RDD-origin) plan: gate inapplicable, fast path
+    rdd_delta = spark.createDataFrame(
+        [(1, "a", 1.0)], ["id", "k", "v"]
+    ).withColumn(WEIGHT, F.lit(1).cast("long"))
+    spark.conf.set("spark.feldera.deltaBroadcastMaxBytes", "1")
+    try:
+        assert view._delta_broadcast_ok(rdd_delta) is True
+        assert view._delta_broadcast_ok(delta) is False
+        view.step(None, dim)
+        out = view.step(delta, None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every broadcast build in the plan is the narrow key frame:
+        # the full delta (with v/__weight) is never on a broadcast side
+        for seg in plan.split("BroadcastExchange")[1:]:
+            head = seg.split("\n")[0]
+            assert "v#" not in head and "dim_v" not in head, head
+    finally:
+        spark.conf.unset("spark.feldera.deltaBroadcastMaxBytes")
+
+    got = sorted(
+        (r.id, r.k, r.v, r.dim_v) for r in view.materialized().collect()
+    )
+    want = sorted(
+        (r.id, r.k, r.v, r.dim_v)
+        for r in delta.drop(WEIGHT).join(dim.drop(WEIGHT), on="k").collect()
+    )
+    assert got == want
+
+
+def test_speculative_rounds_guard_no_false_divergence(spark):
+    """Round-6 ADVICE (low): speculative-round batching keeps counting
+    rounds THROUGH the K-window after the frontier drains; the round
+    guard must only raise when the frontier is genuinely non-empty.
+    With maxRounds=3 (not divisible by K=4) a fixpoint converging in 2
+    rounds must NOT raise 'did not converge'."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    def build():
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE edge (a BIGINT, b BIGINT);
+            DECLARE RECURSIVE VIEW tc (a BIGINT, b BIGINT);
+            CREATE MATERIALIZED VIEW tc AS
+            SELECT a, b FROM edge
+            UNION
+            SELECT tc.a AS a, e.b AS b FROM tc JOIN edge e ON tc.b = e.a
+            """
+        )
+        b.connect_table(
+            "edge",
+            spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "a BIGINT, b BIGINT"),
+        )
+        return b.create()
+
+    spark.conf.set("spark.feldera.recursive.speculativeRounds", "4")
+    spark.conf.set("spark.feldera.recursive.maxRounds", "3")
+    try:
+        p = build()  # pre-fix: spurious RuntimeError inside the K-window
+        got = {(r["a"], r["b"]) for r in p.view("tc").collect()}
+        assert got == {(1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4)}
+        # genuine divergence (bound really exceeded) still raises
+        spark.conf.set("spark.feldera.recursive.maxRounds", "1")
+        import pytest
+
+        with pytest.raises(Exception, match="did not converge"):
+            build()
+    finally:
+        spark.conf.unset("spark.feldera.recursive.speculativeRounds")
+        spark.conf.unset("spark.feldera.recursive.maxRounds")
