@@ -184,19 +184,46 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
     src = f"{work}/bid"
     # 8 files per trigger: a micro-batch scan parallelizes across files
     # (single parquet files are one row group — unsplittable), exactly
-    # as cluster batches arrive as many source partitions
+    # as cluster batches arrive as many source partitions.
+    # TIME-ORDERED replay: the reference's Nexmark generator emits
+    # events in event-time order, so each micro-batch touches only its
+    # own window range (bounded state slices, closed windows stop
+    # changing). Batch k = the k-th event-time quantile, written
+    # sequentially so the file source replays them in order.
     files_per_batch = 8
-    bid.repartition(n_batches * files_per_batch).write.mode(
-        "overwrite"
-    ).parquet(src)
+    import time as _time
+
+    with_us = bid.withColumn("__us", F.unix_micros(F.col("date_time").cast("timestamp")))
+    bounds = with_us.approxQuantile(
+        "__us", [i / n_batches for i in range(1, n_batches)], 0.001
+    )
+    lo = None
+    for i in range(n_batches):
+        hi = bounds[i] if i < n_batches - 1 else None
+        part = with_us
+        if lo is not None:
+            part = part.filter(F.col("__us") > lo)
+        if hi is not None:
+            part = part.filter(F.col("__us") <= hi)
+        part.drop("__us").repartition(files_per_batch).write.mode(
+            "append"
+        ).parquet(src)
+        lo = hi
+        _time.sleep(1.1)  # mtime-distinct: the file source replays in order
     n_events = spark.read.parquet(src).count()
     schema = spark.read.parquet(src).schema
 
+    # Nexmark streams are insert-only (the reference's benchmark declares
+    # them so; bids never retract) — append_only lets MIN/MAX aggregates
+    # downstream of joins compile to the chain class (O(keys) state)
     bid_ddl = (
         "CREATE TABLE bid (event_id BIGINT, bidder BIGINT, auction BIGINT,"
-        " price DOUBLE, date_time TIMESTAMP);"
+        " price DOUBLE, date_time TIMESTAMP) WITH ('append_only'='true');"
     )
-    cat_ddl = "CREATE TABLE category (auction BIGINT, category BIGINT);"
+    cat_ddl = (
+        "CREATE TABLE category (auction BIGINT, category BIGINT)"
+        " WITH ('append_only'='true');"
+    )
     programs = {
         "nx01_stream": bid_ddl
         + "CREATE MATERIALIZED VIEW conv AS SELECT auction, bidder,"

@@ -554,6 +554,9 @@ class Pipeline:
         from feldera_spark.streaming.compiler import compile_view
 
         append_only = {n for n, d in self.tables.items() if d.append_only}
+        # source -> (key cols, value-monotone cols): lets downstream
+        # MAX aggregates take the chain class (view_monotone_out)
+        monotone: dict[str, tuple[set, set]] = {}
         self._ivm: dict[str, object] = {}
         self._ivm_ready: set[str] = set()
         # sources a compiled view may read: base tables, plus upstream
@@ -692,6 +695,7 @@ class Pipeline:
                 lateness={
                     t: d.lateness for t, d in self.tables.items() if d.lateness
                 },
+                monotone=monotone,
             )
             if plan is not None and decl.emit_final is not None:
                 # gate the compiled view's output on the derived
@@ -719,6 +723,20 @@ class Pipeline:
                 self._ivm[name] = plan
                 compilable.add(name)
                 known_cols[name] = list(plan.shape.out_cols)
+                # propagate insert-only-ness through the view DAG so
+                # downstream aggregates can take the chain class
+                # (O(keys) state, no integral) — the reference's
+                # monotonicity pass does the same
+                from feldera_spark.streaming.compiler import (
+                    view_monotone_out,
+                    view_output_append_only,
+                )
+
+                if view_output_append_only(plan, append_only):
+                    append_only.add(name)
+                mono = view_monotone_out(plan, append_only)
+                if mono is not None:
+                    monotone[name] = mono
         self._evaluate_views()
 
     def _evaluate_views(self, deltas: dict[str, DataFrame] | None = None) -> None:
@@ -807,8 +825,28 @@ class Pipeline:
                     out = plan.step(
                         {t: step_deltas.get(t) for t in plan.sources}
                     )
-                    if out is not None:
-                        step_deltas[name] = self._pin_delta(out)
+                    if out is not None and getattr(
+                        plan, "cheap_delta", False
+                    ):
+                        # narrow map over a committed upstream handle:
+                        # re-deriving it is cheaper than storing a copy
+                        step_deltas[name] = out
+                    elif out is not None:
+                        pinned = self._pin_delta(out)
+                        if use_counts.get(name, 0) >= 1:
+                            # the delta feeds downstream compiled views
+                            # IN THIS STEP: persist so its (expensive)
+                            # plan computes once — every downstream
+                            # broadcast build and the commit job would
+                            # otherwise re-execute it (nx05: the counts
+                            # hop-agg ran 3x per step). Unpersisted at
+                            # scope exit by the step batch.
+                            from feldera_spark.streaming.stepper import (
+                                persist_step,
+                            )
+
+                            pinned = persist_step(pinned)
+                        step_deltas[name] = pinned
                 if self._defer_frames() and not init_pass:
                     # every view is IVM-compiled: nothing re-reads the
                     # registered temp views between steps, so skip the
@@ -904,6 +942,15 @@ class Pipeline:
             name = md.group("table").lower()
             if name not in self.tables:
                 raise KeyError(f"table {name} is not declared in this pipeline")
+            if self.tables[name].append_only:
+                # the reference rejects deletions on append-only tables
+                # (docs/connectors/sources: 'append_only' contract) —
+                # chain-class aggregate state downstream RELIES on
+                # insert-only deltas
+                raise ValueError(
+                    f"table {name} is declared append_only — DELETE is "
+                    "not allowed"
+                )
             old = self._frames[name]
             pred = F.expr(md.group("pred")) if md.group("pred") else F.lit(True)
             with _no_constraint_prop():
@@ -932,6 +979,11 @@ class Pipeline:
             name = mu.group("table").lower()
             if name not in self.tables:
                 raise KeyError(f"table {name} is not declared in this pipeline")
+            if self.tables[name].append_only:
+                raise ValueError(
+                    f"table {name} is declared append_only — UPDATE "
+                    "(retract+insert) is not allowed"
+                )
             assignments: dict[str, str] = {}
             for item in _split_top_commas(mu.group("sets")):
                 am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", item, re.DOTALL)
@@ -1365,7 +1417,22 @@ class Pipeline:
     def _stream_step(self, decl: "TableDecl", spine, df: DataFrame) -> None:
         """One circuit step for a streamed table batch (under the step
         lock): build the Z-set delta, append to the table spine, advance
-        the views."""
+        the views.
+
+        The WHOLE step runs in one ``step_scope``: the table-spine
+        append otherwise checkpointed EAGERLY (its own Spark job per
+        micro-batch, re-scanning the batch the commit job scans again)
+        — deferring it into the step's single commit job and persisting
+        the handle when compiled views consume it cuts one full batch
+        materialization per step (round-7: nx01 step floor)."""
+        from feldera_spark.streaming.stepper import persist_step, step_scope
+
+        with step_scope():
+            self._stream_step_inner(decl, spine, df, persist_step)
+
+    def _stream_step_inner(
+        self, decl: "TableDecl", spine, df: DataFrame, persist_step
+    ) -> None:
         from feldera_spark import zset
 
         name = decl.name
@@ -1384,9 +1451,13 @@ class Pipeline:
             )
         else:
             delta = zset.lift(df)
-        # eager: pins the batch at the step boundary (append returns the
-        # checkpointed handle — batches[-1] may be a compacted state frame)
+        # inside the step scope the append defers into the single commit
+        # job (append returns the checkpointed handle — batches[-1] may
+        # be a compacted state frame); persist when compiled views read
+        # it so the batch scan computes once across all consumers
         delta_ck = spine.append(delta)
+        if any(name in p.sources for p in self._ivm.values()):
+            delta_ck = persist_step(delta_ck)
         if self._defer_frames():
             # all views compiled: nothing reads the table temp view
             # between steps — rebuild the consolidated frame lazily on

@@ -628,6 +628,7 @@ class CompiledView:
         lateness: dict[str, dict[str, int]] | None = None,
         columns: dict[str, list[str]] | None = None,
         materialize_output: bool = True,
+        monotone: dict[str, tuple[set, set]] | None = None,
     ):
         from feldera_spark.streaming.incremental import (
             IncrementalDistinctView,
@@ -755,6 +756,7 @@ class CompiledView:
         self._agg = None
         self._distinct = None
         self._linear_out = None
+        self.cheap_delta = False  # True: output deltas are narrow maps
         self._stepped = False  # becomes True on the first non-empty delta
         # GLOBAL aggregate (no GROUP BY) over empty input: SQL returns ONE
         # row (COUNT=0, other aggregates NULL). DBSP aggregation over an
@@ -787,9 +789,46 @@ class CompiledView:
             else:
                 self._join = IncrementalOuterJoinView(on=on_names, how=s.how)
         self._topk = None
+        self._mono_max = False
         if s.aggs:
+            # chain-class eligibility extends through INNER joins: the
+            # bilinear rule over insert-only sides emits insert-only
+            # deltas (weights 1x1), so MIN/MAX/SUM/COUNT over a join of
+            # append-only sources keep O(keys) state with no integral
+            # (Nexmark q4: bid JOIN category -> MAX per category)
+            ao_in = s.left in append_only and (
+                s.right is None
+                or (s.how == "inner" and s.right in append_only)
+            )
+            # value-monotone upstream (the reference's monotonicity
+            # pass): a COUNT/MAX aggregate over an append-only source
+            # only ever REPLACES a key's value with a larger one, so a
+            # downstream MAX grouped by a subset of the upstream keys
+            # equals MAX over the INSERTS alone — chain class, O(keys)
+            # state, retractions dropped at the feed (Nexmark q5:
+            # HOP counts -> per-window MAX)
+            mono_src = (
+                (monotone or {}).get(s.left) if s.right is None else None
+            )
+            if (
+                not ao_in
+                and mono_src
+                and s.where is None
+                and s.unnest is None
+                and not s.computed_keys
+                and s.having is None
+                and all(
+                    a.fn == "max"
+                    and a.arg
+                    and re.fullmatch(r"\w+", a.arg.strip())
+                    and a.arg.strip().lower() in mono_src[1]
+                    for a in s.aggs
+                )
+                and {k.lower() for k in s.keys} <= mono_src[0]
+            ):
+                self._mono_max = True
             self._agg = self._build_aggregate(
-                append_only=s.right is None and s.left in append_only
+                append_only=ao_in or self._mono_max
             )
         elif s.distinct:
             self._distinct = IncrementalDistinctView()
@@ -816,9 +855,23 @@ class CompiledView:
         elif materialize_output:
             from feldera_spark.streaming.incremental import Spine
 
-            # eager: joins the step's single commit job; keeps the
-            # accumulated output's read plan flat across steps
-            self._linear_out = Spine()
+            # PURE-linear views (project/filter/unnest over one source,
+            # no join) never store their output: the per-step delta is a
+            # narrow map over the source's already-committed batch
+            # handle, so re-deriving it on read costs one codegen'd map
+            # — checkpointing it per step was a second full copy of
+            # every batch (nx01: half the per-step commit volume). The
+            # spine stays lazy; compaction (every max_batches appends)
+            # consolidates, bounding the read plan. Joins and stateful
+            # classes keep the eager spine — their deltas are expensive
+            # to re-derive.
+            self.cheap_delta = (
+                s.right is None
+                and not s.aggs
+                and not s.distinct
+                and s.limit is None
+            )
+            self._linear_out = Spine(eager=not self.cheap_delta)
             # a set-op parent passes materialize_output=False: its
             # terminal DISTINCT already integrates the output, so a
             # plain-projection child keeps ZERO state of its own
@@ -1157,6 +1210,11 @@ class CompiledView:
             if hasattr(self, "_chain_prep"):
                 for col, expr_sql in self._chain_prep.items():
                     rows = rows.withColumn(col, F.expr(expr_sql))
+                if self._mono_max:
+                    # monotone upstream: every retraction is paired with
+                    # a same-key insertion of a >= value — MAX over the
+                    # inserts alone is the true MAX
+                    rows = rows.filter(F.col(WEIGHT) > 0)
                 rows = zset.to_bag(rows)  # chain view ingests plain rows
             if self._waterline is not None:
                 # windowed-GC strategy: drop late rows, advance the
@@ -1217,8 +1275,10 @@ class CompiledView:
             return out.drop("__g") if out is not None else None
         out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
         if self._linear_out is not None:
-            self._linear_out.append(out)
-            return self._linear_out.batches[-1]
+            # use append's RETURN (the checkpointed handle) — batches[-1]
+            # may be a compacted state frame (same class of bug as the
+            # round-6 i63 spine fix)
+            return self._linear_out.append(out)
         return out
 
     def state_components(self):
@@ -3218,6 +3278,7 @@ def _compile_simple(
     columns: dict[str, list[str]] | None,
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
+    monotone: dict[str, tuple[set, set]] | None = None,
 ) -> "CompiledView | CompiledRollingView | None":
     from feldera_spark.frontend import rewrite_lateral as _rw_lateral
 
@@ -3339,9 +3400,67 @@ def _compile_simple(
         return CompiledView(
             shape, append_only, lateness, columns,
             materialize_output=materialize_output,
+            monotone=monotone,
         )
     except Exception:
         return None
+
+
+def view_monotone_out(
+    plan, append_only: set[str]
+) -> tuple[set, set] | None:
+    """Value-monotonicity of a compiled aggregate view's output: COUNT
+    and MAX over an append-only input only ever replace a key's value
+    with a LARGER one (retraction paired with a >= insertion on the
+    same key) — the property a downstream chain-class MAX needs.
+    MAX-over-monotone outputs stay monotone. Returns (key cols, monotone
+    value cols) or None. Lateness/GC views decline: GC retractions are
+    not value-paired."""
+    if not isinstance(plan, CompiledView):
+        return None
+    s = plan.shape
+    if not s.aggs or plan._waterline is not None or plan._lateness:
+        return None
+    ao_in = s.left in append_only and (
+        s.right is None or (s.how == "inner" and s.right in append_only)
+    )
+    if ao_in:
+        cols = {
+            a.name.lower() for a in s.aggs if a.fn in ("count", "max")
+        }
+    elif getattr(plan, "_mono_max", False):
+        cols = {a.name.lower() for a in s.aggs if a.fn == "max"}
+    else:
+        return None
+    if not cols:
+        return None
+    return ({k.lower() for k in s.keys}, cols)
+
+
+def view_output_append_only(plan, append_only: set[str]) -> bool:
+    """Whether a compiled view's OUTPUT delta stream is insert-only, so
+    downstream views may compile chain-class aggregates against it.
+
+    The reference derives the same property in its monotonicity pass
+    (``MonotoneAnalyzer``/``InsertionOnly``, ``apply/`` visitors):
+    projections, filters, flat-maps, DISTINCT and INNER joins preserve
+    insert-only-ness; aggregates (value updates retract), outer joins
+    (NULL-padding flips) and top-k (evictions) do not. ``emit_final``
+    outputs are append-only by construction (sealed rows never
+    retract)."""
+    from feldera_spark.streaming.emit_final import EmitFinalView
+
+    if isinstance(plan, EmitFinalView):
+        return True
+    if not isinstance(plan, CompiledView):
+        return False
+    s = plan.shape
+    if s.aggs or s.limit is not None:
+        return False
+    if s.right is not None and s.how != "inner":
+        return False
+    srcs = [s.left] + ([s.right] if s.right else [])
+    return all(t in append_only for t in srcs)
 
 
 def compile_view(
@@ -3351,6 +3470,7 @@ def compile_view(
     columns: dict[str, list[str]] | None = None,
     exclude_functions: set[str] | None = None,
     lateness: dict[str, dict[str, int]] | None = None,
+    monotone: dict[str, tuple[set, set]] | None = None,
 ) -> "CompiledView | CompiledSetOpView | None":
     """Compile a view body to an IVM plan if (a) its shape is in the
     recognizer grammar and (b) every source is in ``tables`` — base
@@ -3400,7 +3520,8 @@ def compile_view(
         except Exception:
             return None
     return _compile_simple(
-        sql, tables, append_only or set(), columns, lateness
+        sql, tables, append_only or set(), columns, lateness,
+        monotone=monotone,
     )
 
 

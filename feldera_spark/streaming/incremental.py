@@ -1077,37 +1077,77 @@ class AppendOnlyAggregateView:
         """Ingest an (insert-only) delta; returns the output delta as a
         Z-set (retraction of each touched key's old row + new row).
 
-        Two jobs per step (partial + merged state); the output delta is
-        derived lazily from the checkpointed new state's touched slice."""
-        partial = _checkpoint(self._partial(delta))
+        Co-partitioned single-pass merge (round-7): the state checkpoint
+        carries its hash(keys) output partitioning, so the FULL OUTER
+        join with the delta's keyed partial plans with ONE exchange (the
+        partial) and ZERO state movement — this is the shard-once state
+        residency a 1000-executor cluster needs (the reference's
+        shard/exchange placement; Spark's own state stores partition the
+        same way). One state-sized checkpoint per step carries old+new
+        values side by side; the new state and the output delta are
+        narrow lazy projections of it — no second state read, no
+        broadcast builds, no key-restriction semi-joins."""
+        partial = self._partial(delta)
         if self.state is None:
-            self.state = partial
-            return partial.withColumn(WEIGHT, F.lit(1).cast("long"))
-        # merge: union of old state + new partials, re-reduced per key —
-        # both sides are already one-row-per-key, so this is tiny
-        touched = partial.select(*self.keys)
-        old_touched = nullsafe_keys_join(self.state, touched, self.keys)
-        merged = (
-            old_touched.unionByName(partial)
-            .groupBy(*self.keys)
-            .agg(
+            self.state = _checkpoint(partial)
+            return self.state.withColumn(WEIGHT, F.lit(1).cast("long"))
+        names = list(self.aggs)
+        p = partial.select(
+            *[F.col(k).alias(f"__pk_{k}") for k in self.keys],
+            *[F.col(n).alias(f"__p_{n}") for n in names],
+            F.lit(True).alias("__has_p"),
+        )
+        s = self.state.withColumn("__has_s", F.lit(True))
+        cond = None
+        for k in self.keys:
+            c = s[k].eqNullSafe(p[f"__pk_{k}"])
+            cond = c if cond is None else cond & c
+        j = s.join(p, cond, "full_outer")
+
+        def _merged(name: str, fn: str) -> F.Column:
+            old, new = F.col(name), F.col(f"__p_{name}")
+            if fn == "max":
+                return F.greatest(old, new)
+            if fn == "min":
+                return F.least(old, new)
+            # sum / count partials: NULL only when the side is absent
+            return F.coalesce(old + new, old, new)
+
+        aug = _checkpoint(
+            j.select(
                 *[
-                    self._MERGE[fn](name).alias(name)
-                    for name, (fn, _) in self.aggs.items()
-                ]
+                    F.coalesce(s[k], p[f"__pk_{k}"]).alias(k)
+                    for k in self.keys
+                ],
+                *[
+                    _merged(n, fn).alias(n)
+                    for n, (fn, _) in self.aggs.items()
+                ],
+                *[F.col(n).alias(f"__old_{n}") for n in names],
+                F.coalesce(F.col("__has_s"), F.lit(False)).alias("__has_s"),
+                F.coalesce(F.col("__has_p"), F.lit(False)).alias("__has_p"),
             )
         )
-        untouched = nullsafe_keys_join(self.state, touched, self.keys, anti=True)
-        prev_state = self.state
-        self.state = _checkpoint(untouched.unionByName(merged))
-        merged_now = nullsafe_keys_join(self.state, touched, self.keys)
-        old_prev = nullsafe_keys_join(prev_state, touched, self.keys)
-        return zset.consolidate(
-            zset.plus(
-                merged_now.withColumn(WEIGHT, F.lit(1).cast("long")),
-                old_prev.withColumn(WEIGHT, F.lit(-1).cast("long")),
+        core = [*self.keys, *names]
+        self.state = aug.select(*core)
+        changed = F.col("__has_s") & F.col("__has_p") & (
+            F.lit(False)
+            if not names
+            else __import__("functools").reduce(
+                lambda a, b: a | b,
+                [~F.col(n).eqNullSafe(F.col(f"__old_{n}")) for n in names],
             )
         )
+        fresh = ~F.col("__has_s") & F.col("__has_p")
+        retract = aug.filter(changed).select(
+            *self.keys,
+            *[F.col(f"__old_{n}").alias(n) for n in names],
+            F.lit(-1).cast("long").alias(WEIGHT),
+        )
+        insert = aug.filter(changed | fresh).select(
+            *core, F.lit(1).cast("long").alias(WEIGHT)
+        )
+        return retract.unionByName(insert)
 
     def materialized(self) -> DataFrame:
         assert self.state is not None, "no deltas processed yet"

@@ -2714,3 +2714,97 @@ def test_hop_starts_floor_safe_pre_epoch(spark):
     assert starts[0] == "1969-12-31 23:10:00", starts
     assert len(starts) == 6, starts
     assert starts[-1] == "1970-01-01 00:00:00", starts
+
+
+def test_append_only_propagates_through_inner_join(spark):
+    """Round-7: insert-only-ness propagates through the view DAG (the
+    reference's monotonicity pass): an INNER join of two append_only
+    tables emits insert-only deltas, so a MAX over it takes the CHAIN
+    class (O(keys) state, no integral — chain_aggregate.rs:28). Result
+    must still equal batch recomputation across multi-batch streaming
+    inserts."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import AppendOnlyAggregateView
+
+    def build(connect_rows):
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE bid (auction BIGINT, price DOUBLE)
+              WITH ('append_only'='true');
+            CREATE TABLE category (auction BIGINT, category BIGINT)
+              WITH ('append_only'='true');
+            CREATE LOCAL VIEW joined AS SELECT c.category, b.price
+              FROM bid b JOIN category c ON b.auction = c.auction;
+            CREATE MATERIALIZED VIEW catmax AS SELECT category,
+              MAX(price) AS final FROM joined GROUP BY category
+            """
+        )
+        b.connect_table(
+            "bid", spark.createDataFrame(connect_rows,
+                                         "auction BIGINT, price DOUBLE")
+        )
+        b.connect_table(
+            "category",
+            spark.createDataFrame([(i, i % 3) for i in range(10)],
+                                  "auction BIGINT, category BIGINT"),
+        )
+        return b.create()
+
+    p = build([(1, 10.0), (2, 5.0)])
+    assert isinstance(
+        p._ivm["catmax"].state_components()["_agg"], AppendOnlyAggregateView
+    )
+    rows = [(1, 10.0), (2, 5.0)]
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        chunk = [(rng.randrange(10), round(rng.uniform(1, 100), 2))
+                 for _ in range(20)]
+        vals = ", ".join(f"({a}, {pr})" for a, pr in chunk)
+        p.execute(f"INSERT INTO bid VALUES {vals}")
+        rows += chunk
+        want = {}
+        for a, pr in rows:
+            want[a % 3] = max(want.get(a % 3, -1e18), pr)
+        got = {r["category"]: r["final"]
+               for r in p.view("catmax").collect()}
+        assert got == want
+
+    # the fence: append_only tables reject DELETE/UPDATE (the chain
+    # state RELIES on insert-only deltas)
+    import pytest
+
+    with pytest.raises(ValueError, match="append_only"):
+        p.execute("DELETE FROM bid WHERE auction = 1")
+    with pytest.raises(ValueError, match="append_only"):
+        p.execute("UPDATE bid SET price = 0 WHERE auction = 1")
+
+
+def test_view_output_append_only_classifier(spark):
+    """Propagation whitelist: project/filter/inner-join preserve
+    insert-only-ness; aggregates, outer joins and top-k do not."""
+    from feldera_spark.streaming.compiler import (
+        compile_view,
+        view_output_append_only,
+    )
+
+    cols = {"t": ["k", "v"], "s": ["k", "w"]}
+    ao = {"t", "s"}
+    proj = compile_view("SELECT k, v FROM t WHERE v > 0",
+                        tables={"t", "s"}, columns=cols)
+    assert view_output_append_only(proj, ao) is True
+    assert view_output_append_only(proj, set()) is False
+    join = compile_view(
+        "SELECT t.k AS k, t.v AS v, s.w AS w FROM t JOIN s ON t.k = s.k",
+        tables={"t", "s"}, columns=cols)
+    assert view_output_append_only(join, ao) is True
+    assert view_output_append_only(join, {"t"}) is False
+    outer = compile_view(
+        "SELECT t.k AS k, s.w AS w FROM t LEFT JOIN s ON t.k = s.k",
+        tables={"t", "s"}, columns=cols)
+    if outer is not None:
+        assert view_output_append_only(outer, ao) is False
+    agg = compile_view("SELECT k, COUNT(*) AS n FROM t GROUP BY k",
+                       tables={"t", "s"}, columns=cols)
+    assert view_output_append_only(agg, ao) is False
