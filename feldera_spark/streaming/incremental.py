@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -212,7 +213,23 @@ class Spine:
         builds, downstream chaining) must use this return value, NOT
         ``batches[-1]``: a compaction triggered by this very append
         replaces ``batches`` with the merged STATE frame."""
-        ck = _checkpoint(delta) if self.eager else delta
+        if self.eager:
+            ck = _checkpoint(delta)
+        else:
+            # lazy spine: store committed handles (and narrow plans over
+            # them) as-is — but checkpoint plans with scans/shuffles in
+            # them (init loads, computed deltas), else every later read
+            # re-executes them
+            try:
+                txt = delta._jdf.queryExecution().logical().toString()
+                shallow = not re.search(
+                    r"Aggregate|Join|Deduplicate|Window|Sort|Relation|"
+                    r"SubqueryAlias|View",
+                    txt,
+                )
+            except Exception:
+                shallow = False
+            ck = delta if shallow else _checkpoint(delta)
         self.batches.append(ck)
         if getattr(self, "_raw", None) is not None:
             self._raw.append(ck)
@@ -478,16 +495,16 @@ class IncrementalLinearAggregateView:
     def step(self, delta: DataFrame) -> DataFrame:
         """Apply one delta (mixed-sign weights); returns the output delta.
 
-        Exactly ONE materialization job per step: the merged state. The
-        delta's partial sums stay LAZY (no dedicated job) but are
-        step-PERSISTED: the partial feeds the touched-key routing, the
-        state merge AND the output delta — at realistic micro-batch
-        sizes (100k+ rows) re-executing the delta aggregation once per
-        consuming branch dominated the step (measured 3.7s → 1.3s per
-        500k-event HOP-count step). The commit job computes it once into
-        the block cache; the step unpersists after lineage truncation.
-        The output delta is also derived lazily from the checkpointed
-        states."""
+        Co-partitioned single-pass merge (round-7, same shape as
+        AppendOnlyAggregateView): ONE full-outer shuffle-hash join of
+        the state with the delta's keyed partial computes merged values,
+        old values and liveness side by side; the new state and the
+        output delta are narrow filters over the (step-persisted) merged
+        frame. Two delta-driven exchanges per step, no broadcast key
+        builds, no key-restriction semi-joins, no output consolidation
+        shuffle. The state checkpoint still rides the background pool
+        (identity-guarded setter) so its build overlaps downstream
+        views' work."""
         from feldera_spark.streaming.stepper import (
             defer_checkpoint_async,
             persist_step,
@@ -502,51 +519,46 @@ class IncrementalLinearAggregateView:
         # (windowed GC filters frozen windows out) and the stale
         # checkpoint must then NOT clobber it.
         self._resolve_state_fut()
-        partial = persist_step(self._partial(delta))
+        partial = self._partial(delta)
         if self.state is None:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
-        # touched keys come from the RAW delta, not the aggregated
-        # partial: the key set is identical (groupBy preserves it, and
-        # prepared_keys dedups inside the broadcast subplan), but the
-        # broadcast BUILD job then scans the (already step-committed)
-        # delta instead of re-running the partial aggregation chain.
-        # Broadcast builds execute SERIALLY at plan-to-RDD time (non-AQE
-        # BroadcastExchange blocks in doExecute), so keeping them
-        # delta-scan-shaped moves the aggregation into the step's single
-        # parallel commit job — measured 5-stage 1.4s builds → 2-stage
-        # ~0.1s on 500k-event HOP-count steps.
-        touched = delta.select(*self.keys)
-        # one key-frame construction for both routing joins (each build
-        # is a Catalyst analysis pass — pure step constant)
-        kd = prepared_keys(touched, self.keys)
-        # old_t and live each feed BOTH the state merge and the output
-        # delta: persist so the single commit job computes them once.
-        # The output needs no extra routing joins — the touched slice
-        # of the NEW state is exactly ``live`` (untouched ∩ touched = ∅
-        # by the anti-join), and the touched slice of the OLD state is
-        # exactly ``old_t`` (round-5 step-constant work: this halves
-        # the per-step plan vs re-deriving both from the checkpoints).
-        old_t = persist_step(
-            nullsafe_keys_join(self.state, touched, self.keys, prepared=kd)
+        names = list(self.sums) + ["__n"]
+        p = partial.select(
+            *[F.col(k).alias(f"__pk_{k}") for k in self.keys],
+            *[F.col(n).alias(f"__p_{n}") for n in names],
+            F.lit(True).alias("__has_p"),
         )
-        merged = (
-            old_t.unionByName(partial)
-            .groupBy(*self.keys)
-            .agg(*self._merge_exprs)
+        s = self.state.withColumn("__has_s", F.lit(True))
+        cond = None
+        for k in self.keys:
+            c = s[k].eqNullSafe(p[f"__pk_{k}"])
+            cond = c if cond is None else cond & c
+        # shuffle-hash: hash table on the delta partial, no state-sized
+        # sort; both sides hash-cluster on the keys
+        j = s.join(p.hint("shuffle_hash"), cond, "full_outer")
+        aug = persist_step(
+            j.select(
+                *[
+                    F.coalesce(s[k], p[f"__pk_{k}"]).alias(k)
+                    for k in self.keys
+                ],
+                *[
+                    F.coalesce(
+                        F.col(n) + F.col(f"__p_{n}"),
+                        F.col(n),
+                        F.col(f"__p_{n}"),
+                    ).alias(n)
+                    for n in names
+                ],
+                *[F.col(n).alias(f"__old_{n}") for n in names],
+                F.coalesce(F.col("__has_s"), F.lit(False)).alias("__has_s"),
+                F.coalesce(F.col("__has_p"), F.lit(False)).alias("__has_p"),
+            )
         )
-        live = persist_step(merged.filter(F.col("__n") != 0))
-        untouched = nullsafe_keys_join(
-            self.state, touched, self.keys, anti=True, prepared=kd
+        state_plan = aug.filter(F.col("__n") != 0).select(
+            *self.keys, *names
         )
-        # the state checkpoint is the step's most expensive defer (its
-        # plan-to-RDD blocks on the routing-broadcast collects), and
-        # NOTHING in this step reads the new state — only the NEXT step
-        # and the commit do. Hand it to the background pool so the
-        # build overlaps the downstream views' work; the raw plan is a
-        # valid placeholder until the flush (or the resolve at the top
-        # of the next step) swaps in the lazy checkpoint.
-        state_plan = untouched.unionByName(live)
 
         def _set(ck, _self=self, _plan=state_plan):
             # only rebind if the slot still holds this step's plan (a
@@ -564,15 +576,24 @@ class IncrementalLinearAggregateView:
         else:
             self.state = state_plan
             self._state_fut = (state_plan, fut)
-        # the output delta stays LAZY: downstream stateful consumers
-        # spine-append it, and THAT deferred checkpoint becomes the
-        # committed handle they (and their broadcast key builds) read —
-        # one checkpoint per view edge, not two (an extra output
-        # checkpoint here re-collected the routing broadcast once more
-        # per query execution: +2 jobs/step, test_plans one-job guard)
-        return zset.consolidate(
-            zset.plus(self._out(live, 1), self._out(old_t, -1))
+        changed = (
+            F.col("__has_s")
+            & F.col("__has_p")
+            & functools.reduce(
+                lambda a, b: a | b,
+                [~F.col(n).eqNullSafe(F.col(f"__old_{n}")) for n in names],
+            )
         )
+        fresh = ~F.col("__has_s") & F.col("__has_p")
+        old_rows = aug.filter(changed).select(
+            *self.keys, *[F.col(f"__old_{n}").alias(n) for n in names]
+        )
+        new_rows = aug.filter(
+            (changed | fresh) & (F.col("__n") != 0)
+        ).select(*self.keys, *names)
+        # rows already net (one per key, old != new): no consolidation
+        # shuffle needed
+        return zset.plus(self._out(new_rows, 1), self._out(old_rows, -1))
 
     def _resolve_state_fut(self) -> None:
         if self._state_fut is None:
@@ -625,8 +646,13 @@ class IncrementalJoinView:
         # not take a driver-OOM broadcast path (round-3 ADVICE) — without
         # the hint AQE still broadcasts genuinely small sides at runtime.
         self.broadcast_tiny = broadcast_tiny
-        self.a = Spine()
-        self.b = Spine()
+        # INPUT integrals are LAZY: the deltas appended here are already
+        # committed handles (the pipeline pins table/view deltas before
+        # chaining), so an eager append would write a SECOND copy of
+        # every batch per step. Lazy batches are narrow lifts over those
+        # handles; compaction still consolidates periodically.
+        self.a = Spine(eager=False)
+        self.b = Spine(eager=False)
         # output joins the step's single commit job (stepper.py): eager
         # appends cost no extra job under step batching and keep the
         # accumulated output's read plan flat — one LogicalRDD per step
@@ -671,13 +697,6 @@ class IncrementalJoinView:
                 else self._wjoin(state, delta, self.on)
             )
         state = zset.plus(*batches)
-        if not _FULL_DELTA.get() and self._delta_broadcast_ok(delta):
-            d = F.broadcast(delta)
-            return (
-                self._wjoin(d, state, self.on)
-                if delta_left
-                else self._wjoin(state, d, self.on)
-            )
         if _FULL_DELTA.get():
             # init-load / bulk-DML regime: whole-table delta, plan as a
             # shuffled join with no restriction pass
@@ -685,6 +704,36 @@ class IncrementalJoinView:
                 self._wjoin(delta, state, self.on)
                 if delta_left
                 else self._wjoin(state, delta, self.on)
+            )
+        limit = self._broadcast_limit(delta)
+        de = self._est_bytes(delta)
+        if de is not None and de <= (8 << 20):
+            # small delta: broadcast it without estimating the state
+            # union (optimizing an N-batch union plan per step is pure
+            # driver cost)
+            d = F.broadcast(delta)
+            return (
+                self._wjoin(d, state, self.on)
+                if delta_left
+                else self._wjoin(state, d, self.on)
+            )
+        se = self._est_bytes(state)
+        if se is not None and se <= limit and (de is None or se <= de):
+            # the STORED side is the smaller estimable side (e.g. a
+            # static dimension joined against a large stream delta):
+            # broadcast it instead of collecting the delta to the driver
+            state = F.broadcast(state)
+            return (
+                self._wjoin(delta, state, self.on)
+                if delta_left
+                else self._wjoin(state, delta, self.on)
+            )
+        if de is None or de <= limit:
+            d = F.broadcast(delta)
+            return (
+                self._wjoin(d, state, self.on)
+                if delta_left
+                else self._wjoin(state, d, self.on)
             )
         # fan-out guard (round-6 ADVICE): the delta's estimated bytes
         # exceed the broadcast budget — an upstream join/explode can fan
@@ -702,35 +751,39 @@ class IncrementalJoinView:
             else self._wjoin(slice_, delta, self.on)
         )
 
-    def _delta_broadcast_ok(self, delta: DataFrame) -> bool:
-        """Byte-aware broadcast gate for a per-view delta: Catalyst's
-        plan-size estimate (stats propagate through checkpoints and
-        multiply through fan-out joins) against
-        ``spark.feldera.deltaBroadcastMaxBytes``. Driver-side only — no
-        job. Estimate unavailable → keep the fast path (the step-entry
-        row-count gate still bounds table deltas)."""
+    @staticmethod
+    def _est_bytes(df: DataFrame) -> int | None:
+        """Catalyst's plan-size estimate (stats propagate through
+        checkpoints and multiply through fan-out joins). Driver-side
+        only — no job. None when unknown (RDD-origin plans report
+        defaultSizeInBytes ~8e18)."""
         try:
             est = int(
                 str(
-                    delta._jdf.queryExecution()
+                    df._jdf.queryExecution()
                     .optimizedPlan()
                     .stats()
                     .sizeInBytes()
                 )
             )
         except Exception:
-            return True
-        if est >= 1 << 50:
-            # "unknown": RDD-origin plans report defaultSizeInBytes
-            # (~8e18) — the gate is inapplicable, keep the fast path
-            # (the step-entry row-count gate still bounds table deltas)
-            return True
-        limit = int(
-            delta.sparkSession.conf.get(
+            return None
+        return None if est >= 1 << 50 else est
+
+    @staticmethod
+    def _broadcast_limit(df: DataFrame) -> int:
+        return int(
+            df.sparkSession.conf.get(
                 "spark.feldera.deltaBroadcastMaxBytes", str(256 << 20)
             )
         )
-        return est <= limit
+
+    def _delta_broadcast_ok(self, delta: DataFrame) -> bool:
+        """Byte-aware broadcast gate for a per-view delta — estimate
+        unavailable → keep the fast path (the step-entry row-count gate
+        still bounds table deltas)."""
+        est = self._est_bytes(delta)
+        return est is None or est <= self._broadcast_limit(delta)
 
     @step_scoped
     def step(self, delta_a: DataFrame | None, delta_b: DataFrame | None) -> DataFrame:
@@ -1102,7 +1155,9 @@ class AppendOnlyAggregateView:
         for k in self.keys:
             c = s[k].eqNullSafe(p[f"__pk_{k}"])
             cond = c if cond is None else cond & c
-        j = s.join(p, cond, "full_outer")
+        # shuffle-hash, not sort-merge: no state-sized sort per step
+        # (the hash table builds on the delta partial — the small side)
+        j = s.join(p.hint("shuffle_hash"), cond, "full_outer")
 
         def _merged(name: str, fn: str) -> F.Column:
             old, new = F.col(name), F.col(f"__p_{name}")

@@ -576,10 +576,13 @@ def test_restricted_seed_gates_broadcast_on_cone_size(spark):
 
 
 def test_bulk_insert_step_skips_key_broadcast(spark):
-    """Round-5 verdict #3: a bulk ``INSERT INTO t SELECT ...`` produces
-    a state-sized delta; the step's key-routing joins must skip the
-    broadcast hint (full-delta regime). Asserted both regimes via the
-    full-delta flag observed at key-join build time."""
+    """Round-5 verdict #3, updated for the round-7 co-partitioned linear
+    merge: the linear aggregate step no longer builds key-routing
+    broadcasts AT ALL (state merges via a co-partitioned shuffle-hash
+    join whose exchanges are delta-partial-sized), so neither a small
+    VALUES insert nor a state-sized bulk insert can hit a broadcast
+    limit or driver OOM. Assert the merge plan is broadcast-free in both
+    regimes and results stay correct."""
     from feldera_spark.pipeline import PipelineBuilder
     from feldera_spark.streaming import incremental as inc
 
@@ -597,26 +600,27 @@ def test_bulk_insert_step_skips_key_broadcast(spark):
     p = b.create()
     assert "agg_v" in p._ivm
 
-    regimes: list[bool] = []
-    orig = inc.nullsafe_keys_join
+    plans: list[str] = []
+    orig = inc._checkpoint
 
-    def spy(df, keys_df, on, anti=False, prepared=None):
-        regimes.append(inc._FULL_DELTA.get())
-        return orig(df, keys_df, on, anti, prepared)
+    def spy(df):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(df)
 
     prev = spark.conf.get("spark.feldera.broadcastKeyRowLimit", "2000000")
-    inc.nullsafe_keys_join = spy
+    inc._checkpoint = spy
     spark.conf.set("spark.feldera.broadcastKeyRowLimit", "50")
     try:
-        # small VALUES insert: broadcast regime (full-delta flag False)
+        # small VALUES insert AND a state-sized bulk self-insert: the
+        # state merge must plan without a BroadcastExchange either way
         p.execute("INSERT INTO big_t VALUES (1, 1000)")
-        assert regimes and not any(regimes), regimes
-        regimes.clear()
-        # bulk insert over the table itself: >= limit rows → full-delta
         p.execute("INSERT INTO big_t SELECT k, v + 1 FROM big_t")
-        assert regimes and all(regimes), regimes
+        merge_plans = [pl for pl in plans if "__has_p" in pl]
+        assert merge_plans, "no merge checkpoints observed"
+        for pl in merge_plans:
+            assert "BroadcastExchange" not in pl, pl[:500]
     finally:
-        inc.nullsafe_keys_join = orig
+        inc._checkpoint = orig
         spark.conf.set("spark.feldera.broadcastKeyRowLimit", prev)
     # correctness across both regimes
     got = {
