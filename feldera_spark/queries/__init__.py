@@ -49,17 +49,26 @@ _MODULES = (
 # the previous all-fast set in case the gate is time-capped rather than
 # row-capped. Everything else follows in module order (cheapest-first).
 _GATE_ORDER = [
+    # Round-7 rotation (round-6 verdict task #8): i61-i64 + d15/d16/d20
+    # promoted (LATERAL-to-IVM, mutual goal-directed DRed, streamed
+    # compaction, the new NOW() temporal filter, CC clustering,
+    # decontamination, the dedup-survivor pipeline). Rotated out —
+    # q04/q11/q26/q30/q35/i18/q49 — each leaves >=2 gate rows in its
+    # family (joins: q03/q06/q08/q44/q45; aggregates: q12/q15/q55/i01;
+    # subqueries: q32/i38/i37; scalar: q39/q53/q56/e08; temporal: i64 is
+    # the superset of q49's machinery) and stays strict-checked in the
+    # full registry.
     "q01_pricing_summary", "q03_join_topk",
-    "q04_left_outer", "q06_semi_join",
-    "q08_star_join", "i38_ddl_scalar_subquery", "q11_arg_minmax",
+    "i61_ddl_lateral_join", "q06_semi_join",
+    "q08_star_join", "i38_ddl_scalar_subquery", "i62_ivm_mutual_goal_directed",
     "q12_grouping_sets", "q15_pivot", "q16_window_rank",
     "i37_ddl_topk_subquery", "q21_topk_per_group",
-    "q24_except_all", "q26_values_join", "q27_unnest_words",
-    "q30_correlated_subquery", "q32_scalar_subquery", "i18_ddl_having",
-    "q35_string_funcs", "i20_ddl_tumble_ivm", "q39_json_extract",
+    "q24_except_all", "i63_ivm_stream_past_compaction", "q27_unnest_words",
+    "i64_ddl_now_filter", "q32_scalar_subquery", "d15_neardup_clusters",
+    "d16_contamination", "i20_ddl_tumble_ivm", "q39_json_extract",
     "q53_array_agg_ordered", "q55_stats_exact", "q56_try_cast",
     "q41_tumble", "q43_session", "q44_asof_join", "q45_range_join",
-    "q46_latest_by_key", "q48_recursive_hierarchy", "q49_temporal_filter",
+    "q46_latest_by_key", "q48_recursive_hierarchy", "d20_dedup_survivors",
     "i46_ivm_recursive", "i47_ivm_emit_final",
     # round-5 machinery made gate-visible (round-5 verdict task #6):
     # DRed self-join/joint deletes, goal-directed rederive, append-only

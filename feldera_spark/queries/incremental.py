@@ -3249,3 +3249,64 @@ def i63_ivm_stream_past_compaction(spark, sf_dir):
     return p.view("agg").select(
         "event_type", "n", F.col("total_dec").cast("double").alias("total_value")
     )
+
+
+@q(
+    "i64_ddl_now_filter",
+    oracle="""
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts > TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def i64_ddl_now_filter(spark, sf_dir):
+    """``WHERE ts > NOW() - INTERVAL …`` compiled to the incremental
+    temporal filter (round-6 verdict missing #2; reference
+    ``ImplementNow``/``DBSPNowOperator.java``, semantics
+    ``docs/sql/streaming.md:59-100``): NOW() is a per-step clock —
+    each step emits in-window arrivals plus boundary-crossing
+    RETRACTIONS as the clock advances, state truncated to the window.
+    The clock is pinned per chunk via ``spark.feldera.now`` (the
+    deterministic mode); it ADVANCES between chunks, so rows admitted
+    under the early bound must fall out by the final one — per-step
+    incremental output must equal the batch filter at the LAST clock."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledTemporalFilterView
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i64_chunk{i}"
+        )
+    prev = None
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,"
+        " event_type VARCHAR);"
+        "CREATE MATERIALIZED VIEW recent AS "
+        "SELECT event_id, ts, event_type FROM ev "
+        "WHERE ts > NOW() - INTERVAL '7' DAY"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        pipe = b.create()
+        assert isinstance(
+            pipe._ivm.get("recent"), CompiledTemporalFilterView
+        ), "NOW() bound view must compile to the temporal filter"
+        pipe.execute("INSERT INTO ev SELECT * FROM __i64_chunk1")
+        # the clock advances 5 days: rows in (Jan 13, Jan 18] that the
+        # earlier steps emitted must be RETRACTED by this step
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i64_chunk2")
+        return pipe.view("recent")
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)

@@ -96,6 +96,7 @@ def _is_view_object(val) -> bool:
                 "CompiledAsofView", "CompiledChainJoinView",
                 "CompiledDistinctAggView", "CompiledGroupingSetsView",
                 "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
+                "CompiledTemporalFilterView",
             )
         )
     )
@@ -110,6 +111,7 @@ def save_view(view, path: str) -> dict:
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
         "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
+        "CompiledTemporalFilterView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -184,6 +186,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         "CompiledRollingView", "CompiledSessionView", "CompiledAsofView",
         "CompiledChainJoinView", "CompiledDistinctAggView",
         "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
+        "CompiledTemporalFilterView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():
@@ -192,6 +195,12 @@ def load_view(view, spark, path: str, meta: dict) -> None:
             if cmeta["class"] == "Spine":
                 if not cmeta.get("empty"):
                     obj.batches = [_checkpoint(spark.read.parquet(sub))]
+                    # archive generations referenced by the PREVIOUS
+                    # process are not this state's: the restored full
+                    # copy is authoritative; the next compaction writes
+                    # a fresh generation (orphans are never read)
+                    obj._archive_paths = []
+                    obj._spilled = False
             else:
                 load_view(obj, spark, sub, cmeta)
         wl_ts = meta["scalars"].get("waterline_max_ts")
@@ -214,6 +223,8 @@ def load_view(view, spark, path: str, meta: dict) -> None:
                 max_batches=cur.max_batches,
                 spill_dir=cur.spill_dir,
                 partition_cols=cur.partition_cols,
+                eager=cur.eager,
+                append_only=cur.append_only,
             )
             restored.batches = [df]
             _set_path(view, attr, restored)

@@ -241,7 +241,10 @@ def materialize_all(frames: list[DataFrame]) -> None:
     RDD union is untyped) and count. The job computes each marked RDD
     once (shared ancestors hit the block cache), and Spark's
     ``doCheckpoint`` cascade at job end truncates each frame's lineage.
-    Falls back to one job per frame if the private RDD APIs move."""
+    Falls back to one job per frame if the private RDD APIs move — and
+    WARNS LOUDLY once: the silent fallback loses the one-commit-per-step
+    property and every streaming bench regresses with no signal
+    (round-6 verdict wrong #4)."""
     spark = frames[0].sparkSession
     sc = spark.sparkContext
     try:
@@ -255,6 +258,22 @@ def materialize_all(frames: list[DataFrame]) -> None:
         for i, r in enumerate(jrdds):
             arr[i] = r
         sc._jsc.union(arr).count()
-    except Exception:
+    except Exception as e:
+        global _UNION_FALLBACK_WARNED
+        if not _UNION_FALLBACK_WARNED:
+            _UNION_FALLBACK_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "feldera_spark: union-RDD step commit failed "
+                f"({type(e).__name__}: {e}) — falling back to ONE JOB "
+                "PER FRAME. The one-commit-per-step property is lost "
+                "(private Dataset/RDD APIs moved?); per-step latency "
+                "will regress.",
+                RuntimeWarning,
+            )
         for f in frames:
             f.count()
+
+
+_UNION_FALLBACK_WARNED = False

@@ -372,3 +372,46 @@ def test_streaming_jobs_per_step_stay_flat(spark):
     early = sum(per_step[2:6])
     late = sum(per_step[-4:])
     assert late <= early + 2, per_step  # flat modulo compaction jitter
+
+
+def test_union_commit_private_api_probe_and_loud_fallback(spark):
+    """Round-6 verdict wrong #4: (a) startup probe pinning the private
+    Dataset/RDD APIs materialize_all relies on — if a Spark upgrade
+    moves them this test fails instead of the engine silently losing
+    one-commit-per-step; (b) a simulated API failure emits the loud
+    RuntimeWarning exactly once and still materializes every frame."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming import stepper
+
+    # (a) the exact private API chain materialize_all uses
+    df = spark.range(10).select(F.col("id").alias("v"))
+    jrdd = df._jdf.queryExecution().toRdd().toJavaRDD()
+    gw = spark.sparkContext._gateway
+    arr = gw.new_array(gw.jvm.org.apache.spark.api.java.JavaRDD, 1)
+    arr[0] = jrdd
+    assert spark.sparkContext._jsc.union(arr).count() == 10
+
+    # (b) simulated failure: frames whose _jdf access raises
+    class _Boom:
+        def __init__(self, inner):
+            self._inner = inner
+            self.sparkSession = inner.sparkSession
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("simulated private-API move")
+
+        def count(self):
+            return self._inner.count()
+
+    stepper._UNION_FALLBACK_WARNED = False
+    frames = [_Boom(df.localCheckpoint(eager=False)) for _ in range(2)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stepper.materialize_all(frames)
+        stepper.materialize_all(frames)  # second call: no repeat warning
+    loud = [x for x in w if "one-commit-per-step" in str(x.message)]
+    assert len(loud) == 1, [str(x.message) for x in w]
