@@ -111,6 +111,20 @@ def main() -> None:
     except Exception as e:  # informational — never fail the bench
         print(f"# streaming bench skipped: {e}", file=sys.stderr)
 
+    scale: dict = {}
+    try:
+        scale = run_scale_probe(spark, sf_dir)
+        print(
+            f"# scale probe: {scale['events']} events / "
+            f"{scale['batches']} batches — first-quarter "
+            f"{scale['first_q_events_per_sec']:,} ev/s vs last-quarter "
+            f"{scale['last_q_events_per_sec']:,} ev/s "
+            f"(ratio {scale['degradation_ratio']})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # informational — never fail the bench
+        print(f"# scale probe skipped: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3) if duck else None
     out = {
@@ -126,6 +140,8 @@ def main() -> None:
         out["vs_duckdb"] = round(total / duck_total, 2)
     if streaming:
         out["streaming"] = streaming
+    if scale:
+        out["scale"] = scale
     print(json.dumps(out))
 
 
@@ -288,3 +304,99 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def run_scale_probe(spark, sf_dir: str) -> dict:
+    """The cheap local detector for O(state)-per-step regressions
+    (round-6 verdict task #10): the 4-view stateful chain shape at 4x
+    the volume and 4x the batch count of the main streaming section.
+    If per-step work is O(delta + touched state) as designed, events/s
+    in the LAST quarter of the run (state 4x deeper) holds near the
+    first quarter; a degradation_ratio trending past ~2 means some step
+    re-reads or re-writes whole state."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.queries.nexmark import _bid
+
+    n_batches = 16
+    target = int(
+        os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")
+    )
+    bid = _bid(spark, sf_dir).select(
+        "event_id", "bidder", "auction", "price", "date_time"
+    )
+    base_n = bid.count()
+    reps = max(1, target // max(base_n, 1))
+    if reps > 1:
+        shift = spark.range(reps).select(F.col("id").alias("__rep"))
+        bid = (
+            bid.crossJoin(F.broadcast(shift))
+            .withColumn(
+                "event_id", F.col("event_id") + F.col("__rep") * base_n * 2
+            )
+            .drop("__rep")
+        )
+    work = tempfile.mkdtemp(prefix="scale_probe_")
+    src = f"{work}/bid"
+    bid.repartition(n_batches * 4).write.mode("overwrite").parquet(src)
+    n_events = spark.read.parquet(src).count()
+    schema = spark.read.parquet(src).schema
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE bid (event_id BIGINT, bidder BIGINT, auction BIGINT,"
+        " price DOUBLE, date_time TIMESTAMP) WITH ('append_only'='true');"
+        "CREATE LOCAL VIEW v1 AS SELECT auction, bidder, price * 0.908 AS"
+        "  price_eur FROM bid WHERE price > 1;"
+        "CREATE LOCAL VIEW v2 AS SELECT auction, price_eur FROM v1"
+        "  WHERE price_eur > 2;"
+        "CREATE LOCAL VIEW v3 AS SELECT auction, COUNT(*) AS n,"
+        "  SUM(price_eur) AS total FROM v2 GROUP BY auction;"
+        "CREATE MATERIALIZED VIEW v4 AS SELECT auction, total / n AS avg_eur"
+        "  FROM v3"
+    )
+    b.connect_table("bid", bid.limit(0))
+    p = b.create()
+    # per-step wall times via a _stream_step wrapper
+    step_secs: list[float] = []
+    orig = p._stream_step
+
+    def timed(decl, spine, df):
+        t0 = _time.perf_counter()
+        orig(decl, spine, df)
+        step_secs.append(_time.perf_counter() - t0)
+
+    p._stream_step = timed
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    t0 = _time.perf_counter()
+    p.stream_table("bid", stream, checkpoint_dir=f"{work}/ckpt")
+    # re-arm: availableNow processes all files queued at start
+    import pyspark.sql.streaming as _ss  # noqa: F401
+
+    for q in spark.streams.active:
+        q.awaitTermination()
+    el = _time.perf_counter() - t0
+    per_batch = n_events / max(len(step_secs), 1)
+    q1 = step_secs[: len(step_secs) // 4] or step_secs
+    q4 = step_secs[-len(step_secs) // 4:] or step_secs
+    first_q = int(per_batch * len(q1) / max(sum(q1), 1e-9))
+    last_q = int(per_batch * len(q4) / max(sum(q4), 1e-9))
+    return {
+        "shape": "chain_stream",
+        "events": n_events,
+        "batches": len(step_secs),
+        "events_per_sec": int(n_events / el),
+        "first_q_events_per_sec": first_q,
+        "last_q_events_per_sec": last_q,
+        "degradation_ratio": round(
+            (sum(q4) / len(q4)) / max(sum(q1) / len(q1), 1e-9), 2
+        ),
+        "sec": round(el, 3),
+    }

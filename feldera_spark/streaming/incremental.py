@@ -746,7 +746,7 @@ class IncrementalJoinView:
             )
         limit = self._broadcast_limit(delta)
         de = self._est_bytes(delta)
-        if de is not None and de <= (8 << 20):
+        if de is not None and de <= min(8 << 20, limit):
             # small delta: broadcast it without estimating the state
             # union (optimizing an N-batch union plan per step is pure
             # driver cost)
@@ -784,6 +784,32 @@ class IncrementalJoinView:
         # collect of the fanned-out delta.
         keys = delta.select(*self.on).distinct()
         slice_ = state.join(F.broadcast(keys), self.on, "left_semi")
+        salt = int(
+            delta.sparkSession.conf.get("spark.feldera.join.skewSalt", "0")
+        )
+        if salt > 1:
+            # declared-skew regime (round-6 verdict task #9): this
+            # un-hinted join shuffles BOTH sides by key, and a power-law
+            # hot key concentrates its whole state slice in one task
+            # (AQE skew-join is off inside steps). Salt the state side
+            # deterministically and replicate the delta across the salt
+            # domain — the hot key's slice spreads over `salt` tasks at
+            # the cost of a saltx delta fan-out.
+            sl = slice_.withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(*[c for c in slice_.columns]), F.lit(salt)
+                ).cast("int"),
+            )
+            dl = delta.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            ).withColumn("__salt", F.col("__salt").cast("int"))
+            out = (
+                self._wjoin(dl, sl, self.on + ["__salt"])
+                if delta_left
+                else self._wjoin(sl, dl, self.on + ["__salt"])
+            )
+            return out.drop("__salt")
         return (
             self._wjoin(delta, slice_, self.on)
             if delta_left
