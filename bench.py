@@ -302,10 +302,6 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
     return out
 
 
-if __name__ == "__main__":
-    main()
-
-
 def run_scale_probe(spark, sf_dir: str) -> dict:
     """The cheap local detector for O(state)-per-step regressions
     (round-6 verdict task #10): the 4-view stateful chain shape at 4x
@@ -400,3 +396,7 @@ def run_scale_probe(spark, sf_dir: str) -> dict:
         ),
         "sec": round(el, 3),
     }
+
+
+if __name__ == "__main__":
+    main()
