@@ -895,12 +895,129 @@ _SCALAR_OK_WORDS = frozenset(
     time timestamp day days hour hours minute minutes second seconds
     month months year years unsigned""".split()
 )
-_SCALAR_AGG_RE = re.compile(
-    r"\b(SUM|COUNT|AVG|MIN|MAX|STDDEV|STDDEV_POP|STDDEV_SAMP|VAR_POP|"
-    r"VAR_SAMP|VARIANCE|ARG_MIN|ARG_MAX|BOOL_AND|BOOL_OR|EVERY|"
-    r"BIT_AND|BIT_OR|BIT_XOR|COUNTIF)\s*\(",
-    re.IGNORECASE,
+_SCALAR_AGG_NAMES = frozenset(
+    """sum count avg min max stddev stddev_pop stddev_samp var_pop
+    var_samp variance arg_min arg_max bool_and bool_or every bit_and
+    bit_or bit_xor countif""".split()
 )
+
+
+class _BodyMatch:
+    __slots__ = ("_g",)
+
+    def __init__(self, g: dict):
+        self._g = g
+
+    def group(self, name: str):
+        return self._g.get(name)
+
+
+def _scalar_body_parts(body: str) -> "_BodyMatch | None":
+    """Token segmentation of a scalar-subquery body: ``SELECT <item>
+    FROM <t> [AS <al>] [WHERE <w>]`` — the literal-safe replacement for
+    the historical ``_SCALAR_BODY_RE``. Trailing clauses (GROUP/ORDER/…)
+    land in their own segments and the caller's keyword rejection
+    handles them exactly as before."""
+    from feldera_spark.sqlparse import split_clauses, tokenize
+
+    cl = split_clauses(body)
+    if cl is None or "SELECT" not in cl or "FROM" not in cl:
+        return None
+    ftoks = tokenize(cl["FROM"])
+    if not ftoks or ftoks[0].kind != "word":
+        return None
+    tbl = ftoks[0].text
+    al = None
+    if len(ftoks) == 2 and ftoks[1].kind == "word":
+        al = ftoks[1].text
+    elif (
+        len(ftoks) == 3
+        and ftoks[1].kind == "word"
+        and ftoks[1].up() == "AS"
+        and ftoks[2].kind == "word"
+    ):
+        al = ftoks[2].text
+    elif len(ftoks) != 1:
+        return None
+    return _BodyMatch(
+        {"item": cl["SELECT"], "t": tbl, "al": al, "w": cl.get("WHERE")}
+    )
+
+
+def _has_any_word(text: str, words: set[str]) -> bool:
+    """Any-depth word-token scan (the literal-safe form of the
+    historical keyword-rejection regex)."""
+    from feldera_spark.sqlparse import tokenize
+
+    up = {w.upper() for w in words}
+    return any(t.kind == "word" and t.up() in up for t in tokenize(text))
+
+
+def _strip_trailing_as(item: str) -> str:
+    """Strip one trailing ``AS <word>`` alias (token form of the old
+    lazy-regex alias strip)."""
+    from feldera_spark.sqlparse import tokenize
+
+    toks = tokenize(item)
+    if (
+        len(toks) >= 3
+        and toks[-1].kind == "word"
+        and toks[-2].kind == "word"
+        and toks[-2].up() == "AS"
+    ):
+        return item[: toks[-2].start]
+    return item
+
+
+def _exact_count_call(item_core: str) -> tuple[str, str] | None:
+    """(fn, arg text) when ``item_core`` is EXACTLY one
+    COUNT/COUNTIF/COUNT_IF(...) call; None otherwise."""
+    from feldera_spark.sqlparse import tokenize
+
+    toks = tokenize(item_core)
+    if (
+        len(toks) < 3
+        or toks[0].kind != "word"
+        or toks[0].text.lower() not in ("count", "countif", "count_if")
+        or toks[1].kind != "punct"
+        or toks[1].text != "("
+    ):
+        return None
+    depth = 0
+    for j, t in enumerate(toks[1:], start=1):
+        if t.kind == "punct" and t.text == "(":
+            depth += 1
+        elif t.kind == "punct" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                if j != len(toks) - 1:
+                    return None  # trailing tokens: a larger expression
+                return (
+                    toks[0].text.lower(),
+                    item_core[toks[1].end : t.start],
+                )
+    return None
+
+
+def _rename_sq_qualifiers(text: str, target: str) -> str:
+    """Replace every ``__sq<N>.`` qualifier with ``<target>.`` by token
+    splice (never touches literal content)."""
+    from feldera_spark.sqlparse import tokenize
+
+    toks = tokenize(text)
+    edits = []
+    for i, t in enumerate(toks):
+        if (
+            t.kind == "word"
+            and re.fullmatch(r"__sq\d+", t.text)
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "."
+        ):
+            edits.append((t.start, t.end))
+    for s, e in reversed(edits):
+        text = text[:s] + target + text[e:]
+    return text
 
 
 def extract_scalar_subqueries(
@@ -934,47 +1051,43 @@ def extract_scalar_subqueries(
     single-table outer FROM. IN/EXISTS subqueries and FROM-position
     derived tables are other passes' business. Returns None when nothing
     extracts."""
-    protected, lits = _protect_literals(sql)
+    from feldera_spark import sqlparse as _sp
+
+    # token walkers throughout (round-7 expression-tokenizer migration):
+    # the lexer skips literals/comments, so keyword-looking DATA cannot
+    # confuse any scan below — no literal-protection pass needed
+    protected = sql
     # a top-level set-op makes the FROM-splice ambiguous: leave alone
-    depth = 0
-    for i, ch in enumerate(protected):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and protected[i : i + 5].upper() in ("UNION", "EXCEP", "INTER"):
-            if re.match(r"\b(UNION|EXCEPT|INTERSECT)\b", protected[i:], re.IGNORECASE):
-                return None
+    if _sp.top_keyword_pos(protected, {"UNION", "EXCEPT", "INTERSECT"}) is not None:
+        return None
     out: list[tuple[str, str]] = []
     joins: list[str] = []  # spliced join clauses, one per hidden view
     pos = 0
     while True:
-        m = _SCALAR_SUBQ_RE.search(protected, pos)
-        if m is None:
+        span = _sp.next_subquery_span(protected, pos)
+        if span is None:
             break
-        start = m.start()
-        before = protected[:start]
+        start, end = span
         # FROM/JOIN position = derived table; IN/EXISTS have own passes
-        if re.search(r"\b(FROM|JOIN|IN|EXISTS)\s*$", before, re.IGNORECASE):
+        btoks = _sp.tokenize(protected[:start])
+        if btoks and btoks[-1].kind == "word" and btoks[-1].up() in (
+            "FROM", "JOIN", "IN", "EXISTS",
+        ):
             pos = start + 1
             continue
-        try:
-            end = _balanced(protected, start)
-        except ValueError:
-            return None
         # In a GROUP BY query, the joined scalar column is only legal
         # BELOW the aggregation (the WHERE clause). A ref in the select
         # list or HAVING would not be a grouping column — the rewrite
         # would be invalid SQL, so those positions stay as real
         # subqueries (batch evaluates them fine).
-        gb_pos = _top_level_kw_pos(protected, r"GROUP\s+BY")
+        gb_pos = _sp.top_keyword_pos(protected, {"GROUP"})
         if gb_pos is not None:
-            wh_pos = _top_level_kw_pos(protected, r"WHERE")
+            wh_pos = _sp.top_keyword_pos(protected, {"WHERE"})
             if wh_pos is None or not (wh_pos < start and end <= gb_pos):
                 pos = end
                 continue
         body = protected[start + 1 : end - 1].strip()
-        bm = _SCALAR_BODY_RE.match(body)
+        bm = _scalar_body_parts(body)
         parsed = None  # (inner_sql_builder args, join clause builder)
         if bm is not None:
             tbl = bm.group("t").lower()
@@ -983,36 +1096,25 @@ def extract_scalar_subqueries(
             inner_al = (bm.group("al") or tbl).lower()
             outer = _single_outer_table(protected)
             outer_al = outer[1] if outer else None
+            _words = _sp.bare_words
             if (
                 tbl in table_columns
-                and _SCALAR_AGG_RE.search(item)
-                and not re.search(
-                    r"\b(GROUP|ORDER|LIMIT|HAVING|JOIN|UNION)\b",
-                    body, re.IGNORECASE,
+                and _sp.has_agg_call(item, _SCALAR_AGG_NAMES)
+                and not _has_any_word(
+                    body,
+                    {"GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "UNION"},
                 )
-                and "," not in _mask_parens(item)
+                and not _sp.top_comma(item)
             ):
-                item_dots = {
-                    d.lower() for d in re.findall(r"\b(\w+)\s*\.", item)
-                }
+                item_dots = _sp.qualifier_words(item)
                 known = table_columns[tbl] | _SCALAR_OK_WORDS | {inner_al}
-
-                def _words(text: str) -> set[str]:
-                    return {
-                        t.lower()
-                        for t in re.findall(
-                            r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", text
-                        )
-                    }
 
                 corr: list[tuple[str, str]] = []  # (inner col, outer col)
                 ineq: tuple[str, str, str] | None = None  # (ic, oc, op)
                 rest: list[str] = []
                 bad = not (item_dots <= {inner_al})
                 for conj in _split_top_and_fe(w or ""):
-                    dots = {
-                        d.lower() for d in re.findall(r"\b(\w+)\s*\.", conj)
-                    }
+                    dots = _sp.qualifier_words(conj)
                     if outer_al is not None and outer_al in dots:
                         pair = _corr_equi_pair(
                             conj, inner_al, outer_al,
@@ -1055,8 +1157,7 @@ def extract_scalar_subqueries(
         tbl, item, rest, corr, outer_al, ineq = parsed
         n = len(out)
         col, al, hidden = f"__sv{n}", f"__sq{n}", f"{prefix}_{n}"
-        am = re.match(r"^(?P<e>.*?)\s+AS\s+\w+\s*$", item, re.IGNORECASE | re.DOTALL)
-        item_core = (am.group("e") if am else item).strip()
+        item_core = _strip_trailing_as(item).strip()
         # Correlated COUNT/COUNTIF: SQL returns 0 for an outer row with no
         # matching inner group, but the LEFT JOIN NULL-pads — Calcite
         # inserts the 0-default when decorrelating COUNT, so must we
@@ -1070,17 +1171,11 @@ def extract_scalar_subqueries(
         count_star = False
         is_countif = False
         if corr or ineq is not None:
-            cm2 = re.match(
-                r"(COUNT|COUNTIF|COUNT_IF)\s*\(", item_core, re.IGNORECASE
-            )
-            exact_count = cm2 is not None and _balanced(
-                item_core, item_core.index("(", cm2.end() - 1)
-            ) == len(item_core)
+            cfn = _exact_count_call(item_core)
+            exact_count = cfn is not None
             if exact_count:
-                is_countif = cm2.group(1).upper() in ("COUNTIF", "COUNT_IF")
-                arg = item_core[
-                    item_core.index("(", cm2.end() - 1) + 1 : -1
-                ].strip()
+                fn_name, arg = cfn
+                is_countif = fn_name in ("countif", "count_if")
                 # COUNT over a constant argument (*, literals, numeric
                 # exprs) counts the LEFT-JOIN padding row too and needs
                 # the range-column substitution below; COUNT(col) is
@@ -1088,11 +1183,15 @@ def extract_scalar_subqueries(
                 # MUST NOT be rewritten (round-4 ADVICE #2 — the old
                 # unconditional rewrite silently counted NULL-x rows)
                 count_star = not is_countif and (
-                    arg == "*" or re.search(r"[A-Za-z_]", arg) is None
+                    arg.strip() == "*"
+                    or not any(
+                        t.kind in ("word", "qident")
+                        for t in _sp.tokenize(arg)
+                    )
                 )
                 ref = f"COALESCE({al}.{col}, 0)"
-            elif re.search(
-                r"\b(COUNT|COUNTIF|COUNT_IF)\s*\(", item_core, re.IGNORECASE
+            elif _sp.has_agg_call(
+                item_core, frozenset({"count", "countif", "count_if"})
             ):
                 pos = end
                 continue
@@ -1149,7 +1248,7 @@ def extract_scalar_subqueries(
             joins.append(
                 f" LEFT JOIN {hidden} {al} ON {' AND '.join(on_outer)}"
             )
-            out.append((hidden, _restore_literals(inner_sql, lits)))
+            out.append((hidden, inner_sql))
             protected = protected[:start] + ref + protected[end:]
             pos = start + len(ref)
             continue
@@ -1181,7 +1280,7 @@ def extract_scalar_subqueries(
             joins.append(f" LEFT JOIN {hidden} {al} ON {on}")
         else:
             joins.append(f" CROSS JOIN {hidden} {al}")
-        out.append((hidden, _restore_literals(inner_sql, lits)))
+        out.append((hidden, inner_sql))
         protected = protected[:start] + ref + protected[end:]
         pos = start + len(ref)
     if not out:
@@ -1204,9 +1303,9 @@ def extract_scalar_subqueries(
             acc_cols.append(f"__sv{i}")
             cur = nm
         joins = [f" CROSS JOIN {cur} __sqall"]
-        protected = re.sub(r"\b__sq\d+\s*\.", "__sqall.", protected)
+        protected = _rename_sq_qualifiers(protected, "__sqall")
     # splice the joins at the end of the top-level FROM clause
-    span = _top_level_from_span(protected)
+    span = _sp.top_from_span(protected)
     if span is None:
         return None
     insert_at = span[1]
@@ -1216,32 +1315,14 @@ def extract_scalar_subqueries(
         + " "
         + protected[insert_at:]
     )
-    return _restore_literals(protected.strip(), lits), out
+    return protected.strip(), out
 
 
 def _split_top_and_fe(text: str) -> list[str]:
-    """Split on top-level ANDs (paren-aware)."""
-    if not text.strip():
-        return []
-    parts, depth, cur = [], 0, []
-    tokens = re.split(r"(\bAND\b|[()])", text, flags=re.IGNORECASE)
-    for tok in tokens:
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0 and tok.upper() == "AND":
-            parts.append("".join(cur).strip())
-            cur = []
-            continue
-        cur.append(tok)
-    parts.append("".join(cur).strip())
-    return [p for p in parts if p]
+    """Split on top-level ANDs (token-level, literal-safe)."""
+    from feldera_spark.sqlparse import split_and
 
-
-_CORR_EQ_RE = re.compile(
-    r"^\s*(?P<x>\w+(?:\s*\.\s*\w+)?)\s*=\s*(?P<y>\w+(?:\s*\.\s*\w+)?)\s*$"
-)
+    return split_and(text)
 
 
 def _corr_equi_pair(
@@ -1249,19 +1330,13 @@ def _corr_equi_pair(
     inner_cols: set[str], outer_cols: set[str],
 ) -> tuple[str, str] | None:
     """Parse one correlation conjunct ``inner_col = outer_al.col`` (either
-    order); None when it is not a plain equi term."""
-    m = _CORR_EQ_RE.match(conj)
+    order); None when it is not a plain equi term. Token-level."""
+    from feldera_spark.sqlparse import cmp_conjunct
+
+    m = cmp_conjunct(conj, ("=",))
     if m is None:
         return None
-
-    def _side(s: str) -> tuple[str | None, str]:
-        if "." in s:
-            a, c = (p.strip().lower() for p in s.split(".", 1))
-            return a, c
-        return None, s.strip().lower()
-
-    xa, xc = _side(m.group("x"))
-    ya, yc = _side(m.group("y"))
+    (xa, xc), _op, (ya, yc) = m
     if xa == outer_al:
         xa, xc, ya, yc = ya, yc, xa, xc
     if ya != outer_al:
@@ -1273,12 +1348,6 @@ def _corr_equi_pair(
     return xc, yc
 
 
-_CORR_INEQ_RE = re.compile(
-    r"^\s*(?P<x>\w+(?:\s*\.\s*\w+)?)\s*(?P<op><=|>=|<|>)\s*"
-    r"(?P<y>\w+(?:\s*\.\s*\w+)?)\s*$"
-)
-
-
 def _corr_ineq_pair(
     conj: str, inner_al: str, outer_al: str,
     inner_cols: set[str], outer_cols: set[str],
@@ -1288,20 +1357,13 @@ def _corr_ineq_pair(
     ``inner <op> outer``. Strict </> compile via an exclusive ROWS
     frame (round-5 verdict task #7 — fence retired; the k-row anchor
     tie-sorts outside the equal-value u-rows). ``<=>``/``<>`` cannot
-    match (the trailing ``>``/operand breaks the parse)."""
-    m = _CORR_INEQ_RE.match(conj)
+    match (each is ONE punct token, not in the op set). Token-level."""
+    from feldera_spark.sqlparse import cmp_conjunct
+
+    m = cmp_conjunct(conj, ("<=", ">=", "<", ">"))
     if m is None:
         return None
-
-    def _side(s: str) -> tuple[str | None, str]:
-        if "." in s:
-            a, c = (p.strip().lower() for p in s.split(".", 1))
-            return a, c
-        return None, s.strip().lower()
-
-    xa, xc = _side(m.group("x"))
-    ya, yc = _side(m.group("y"))
-    op = m.group("op")
+    (xa, xc), op, (ya, yc) = m
     if xa == outer_al:
         op = {"<=": ">=", ">=": "<=", "<": ">", ">": "<"}[op]
         xa, xc, ya, yc = ya, yc, xa, xc
@@ -1315,55 +1377,51 @@ def _corr_ineq_pair(
 def _single_outer_table(text: str) -> tuple[str, str] | None:
     """(table, alias-or-table) of the top-level FROM clause when it is a
     single plain table reference; None otherwise."""
+    from feldera_spark.sqlparse import tokenize
+
     span = _top_level_from_span(text)
     if span is None:
         return None
-    clause = text[span[0] : span[1]].strip()
-    m = re.match(
-        r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<al>\w+))?$", clause, re.IGNORECASE
-    )
-    if m is None:
+    toks = tokenize(text[span[0] : span[1]])
+    if not toks or toks[0].kind != "word":
         return None
-    t = m.group("t").lower()
-    return t, (m.group("al") or m.group("t")).lower()
+    t = toks[0].text.lower()
+    if len(toks) == 1:
+        return t, t
+    if len(toks) == 2 and toks[1].kind == "word":
+        return t, toks[1].text.lower()
+    if (
+        len(toks) == 3
+        and toks[1].kind == "word"
+        and toks[1].up() == "AS"
+        and toks[2].kind == "word"
+    ):
+        return t, toks[2].text.lower()
+    return None
 
 
 def _top_level_kw_pos(text: str, kw_pattern: str) -> int | None:
-    """Start offset of the first paren-depth-0 occurrence of a keyword."""
-    depth = 0
-    for mm in re.finditer(rf"[()]|\b(?:{kw_pattern})\b", text, re.IGNORECASE):
-        tok = mm.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0:
-            return mm.start()
-    return None
+    """Start offset of the first paren-depth-0 occurrence of a keyword.
+    Token-level; ``kw_pattern`` keeps its historical regex-alternation
+    shape — only each alternative's LEADING word matters for the
+    position (e.g. ``GROUP\s+BY`` → the GROUP token)."""
+    from feldera_spark.sqlparse import top_keyword_pos
+
+    words = set()
+    for alt in kw_pattern.split("|"):
+        m = re.match(r"\w+", alt.strip())
+        if m:
+            words.add(m.group(0).upper())
+    return top_keyword_pos(text, words)
 
 
 def _top_level_from_span(text: str) -> tuple[int, int] | None:
     """(start, end) of the top-level FROM clause body: after the first
-    depth-0 FROM, up to the next depth-0 clause keyword (or the end)."""
-    depth = 0
-    from_at = None
-    for mm in re.finditer(
-        r"[()]|\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT)\b", text, re.IGNORECASE
-    ):
-        tok = mm.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0:
-            kw = tok.upper()
-            if kw == "FROM" and from_at is None:
-                from_at = mm.end()
-            elif from_at is not None and kw != "FROM":
-                return from_at, mm.start()
-    if from_at is None:
-        return None
-    return from_at, len(text)
+    depth-0 FROM, up to the next depth-0 clause keyword (or the end).
+    Token-level."""
+    from feldera_spark.sqlparse import top_from_span
+
+    return top_from_span(text)
 
 
 def _mask_parens(text: str) -> str:

@@ -427,3 +427,190 @@ def _read_alias(
         if not _next_is(toks, i + 1, "("):
             return toks[i].text.lower(), toks[i].end, i + 1
     return None, None, i
+
+
+# ---------------------------------------------------------------------------
+# Expression-level walkers (round-7: the expression-tokenizer migration —
+# frontend passes that used to regex over literal-protected text call these
+# instead; the lexer already skips literals and comments, so none of them
+# can be confused by keyword-looking DATA)
+# ---------------------------------------------------------------------------
+
+
+def next_subquery_span(sql: str, pos: int = 0) -> tuple[int, int] | None:
+    """Span (offset of ``(``, one past ``)``) of the first
+    ``( SELECT ...`` starting at/after ``pos``, ANY depth, with the
+    close found by token-level paren matching. None when absent or
+    unbalanced."""
+    toks = tokenize(sql)
+    for i, t in enumerate(toks):
+        if t.start < pos or t.kind != "punct" or t.text != "(":
+            continue
+        if i + 1 >= len(toks) or toks[i + 1].up() != "SELECT":
+            continue
+        depth = 0
+        for j in range(i, len(toks)):
+            tj = toks[j]
+            if tj.kind == "punct" and tj.text == "(":
+                depth += 1
+            elif tj.kind == "punct" and tj.text == ")":
+                depth -= 1
+                if depth == 0:
+                    return t.start, tj.end
+        return None  # unbalanced
+    return None
+
+
+def top_keyword_pos(sql: str, words: set[str]) -> int | None:
+    """Offset of the first depth-0 word token whose upper-case text is
+    in ``words``."""
+    up = {w.upper() for w in words}
+    depth = 0
+    for t in tokenize(sql):
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.up() in up:
+            return t.start
+    return None
+
+
+def top_from_span(sql: str) -> tuple[int, int] | None:
+    """(start, end) offsets of the top-level FROM clause body: after the
+    first depth-0 FROM, up to the next depth-0 clause keyword (or end).
+    Depth-0 JOIN/ON/etc stay inside the span (they are FROM content)."""
+    stops = {"WHERE", "GROUP", "HAVING", "ORDER", "LIMIT"}
+    depth = 0
+    from_at = None
+    for t in tokenize(sql):
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            kw = t.up()
+            if kw == "FROM" and from_at is None:
+                from_at = t.end
+            elif from_at is not None and kw in stops:
+                return from_at, t.start
+    if from_at is None:
+        return None
+    return from_at, len(sql)
+
+
+def split_and(text: str) -> list[str]:
+    """Split on depth-0 AND word tokens; returns stripped substrings
+    (never raises; empty input → [])."""
+    if not text.strip():
+        return []
+    toks = tokenize(text)
+    parts: list[str] = []
+    depth = 0
+    seg_start = 0
+    for t in toks:
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.up() == "AND":
+            parts.append(text[seg_start:t.start].strip())
+            seg_start = t.end
+    parts.append(text[seg_start:].strip())
+    return [p for p in parts if p]
+
+
+def bare_words(text: str) -> set[str]:
+    """Lower-cased word tokens NOT immediately followed by ``(`` or
+    ``.`` — the token equivalent of the historical
+    ``\\b([A-Za-z_]\\w*)\\b(?!\\s*[(.])`` scan (a qualified reference's
+    COLUMN part is included, its qualifier is not). Literal content
+    never matches (it is one string token)."""
+    toks = tokenize(text)
+    out: set[str] = set()
+    for i, t in enumerate(toks):
+        if t.kind != "word":
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is not None and nxt.kind == "punct" and nxt.text in "(.":
+            continue
+        out.add(t.text.lower())
+    return out
+
+
+def qualifier_words(text: str) -> set[str]:
+    """Lower-cased word tokens immediately followed by ``.`` — the
+    token equivalent of the ``\\b(\\w+)\\s*\\.`` qualifier scan."""
+    toks = tokenize(text)
+    out: set[str] = set()
+    for i, t in enumerate(toks):
+        if (
+            t.kind == "word"
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "."
+        ):
+            out.add(t.text.lower())
+    return out
+
+
+def top_comma(text: str) -> bool:
+    """True when a depth-0 ``,`` exists (function arguments don't
+    count)."""
+    depth = 0
+    for t in tokenize(text):
+        if t.kind == "punct" and t.text in "([":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.kind == "punct" and t.text == ",":
+            return True
+    return False
+
+
+def ident_path(text: str) -> tuple[str | None, str] | None:
+    """Parse ``col`` or ``alias.col`` (word tokens only) →
+    (qualifier|None, column), lower-cased; None for anything else."""
+    toks = tokenize(text)
+    if len(toks) == 1 and toks[0].kind == "word":
+        return None, toks[0].text.lower()
+    if (
+        len(toks) == 3
+        and toks[0].kind == "word"
+        and toks[1].kind == "punct"
+        and toks[1].text == "."
+        and toks[2].kind == "word"
+    ):
+        return toks[0].text.lower(), toks[2].text.lower()
+    return None
+
+
+def cmp_conjunct(conj: str, ops: tuple[str, ...]) -> tuple | None:
+    """Parse ``<ident-path> <op> <ident-path>`` with ``op`` one of
+    ``ops`` → ((xa, xc), op, (ya, yc)); None otherwise. ``<=>`` never
+    matches (it is one token, excluded unless listed)."""
+    toks = tokenize(conj)
+    for i, t in enumerate(toks):
+        if t.kind == "punct" and t.text in ops:
+            left = ident_path(conj[: t.start])
+            right = ident_path(conj[t.end:])
+            if left is None or right is None:
+                return None
+            return left, t.text, right
+    return None
+
+
+def has_agg_call(text: str, agg_names: frozenset) -> bool:
+    """True when a word in ``agg_names`` is immediately followed by
+    ``(`` — the token form of the aggregate-call scan."""
+    toks = tokenize(text)
+    for i, t in enumerate(toks):
+        if (
+            t.kind == "word"
+            and t.text.lower() in agg_names
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "("
+        ):
+            return True
+    return False

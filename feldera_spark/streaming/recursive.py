@@ -60,29 +60,15 @@ from feldera_spark.zset import WEIGHT
 
 def _split_top_union(sql: str) -> list[str] | None:
     """Split a view body on top-level UNION [ALL]; None when EXCEPT/
-    INTERSECT appear at top level (non-monotone outer shape → batch)."""
-    from feldera_spark.frontend import _protect_literals
+    INTERSECT appear at top level (non-monotone outer shape → batch).
+    Token-level (round-7: no literal-protection pass needed)."""
+    from feldera_spark.sqlparse import split_set_ops
 
-    protected, _ = _protect_literals(sql)
-    parts, depth, last = [], 0, 0
-    for m in re.finditer(
-        r"[()]|\bUNION(?:\s+ALL)?\b|\bEXCEPT\b|\bINTERSECT\b",
-        protected,
-        re.IGNORECASE,
-    ):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0:
-            if tok.upper().startswith("UNION"):
-                parts.append(sql[last : m.start()])
-                last = m.end()
-            else:
-                return None
-    parts.append(sql[last:])
-    return [p.strip() for p in parts]
+    parts = split_set_ops(sql)
+    for _text, op in parts:
+        if op is not None and not op.startswith("UNION"):
+            return None
+    return [p for p, _op in parts]
 
 
 def parse_branch_projection(branch: str, out_cols: list[str]):
@@ -94,26 +80,28 @@ def parse_branch_projection(branch: str, out_cols: list[str]):
     None (→ full-body rederive fallback). Shared by the single-view and
     SCC-group rederives."""
     from feldera_spark.frontend import (
-        _protect_literals,
         _split_top_commas,
         list_table_positions,
     )
+    from feldera_spark.sqlparse import split_clauses, tokenize
 
-    protected, _ = _protect_literals(branch)
-    if re.search(
-        r"\b(GROUP\s+BY|HAVING|UNION|EXCEPT|INTERSECT|LIMIT)\b",
-        protected,
-        re.IGNORECASE,
+    # token segmentation (round-7 expression-tokenizer migration): the
+    # lexer skips literals, so keyword-looking DATA cannot force a
+    # spurious decline or — worse — a wrong clause split
+    if any(
+        t.kind == "word"
+        and t.up() in ("GROUP", "HAVING", "UNION", "EXCEPT",
+                       "INTERSECT", "LIMIT")
+        for t in tokenize(branch)
     ):
         return None
-    m = re.match(
-        r"^\s*SELECT\s+(?:DISTINCT\s+)?(?P<sel>.*?)\s+FROM\s",
-        protected,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if m is None:
+    cl = split_clauses(branch)
+    if cl is None or "SELECT" not in cl or "FROM" not in cl:
         return None
-    items = _split_top_commas(m.group("sel"))
+    sel = cl["SELECT"]
+    if cl.get("DISTINCT"):
+        pass  # DISTINCT segment handled by split_clauses
+    items = _split_top_commas(sel)
     if len(items) != len(out_cols):
         return None
     positions = list_table_positions(branch)
@@ -127,18 +115,32 @@ def parse_branch_projection(branch: str, out_cols: list[str]):
         alias_map[key] = i
     col_of_pos: dict[int, list[tuple[str, str]]] = {}
     for item, out_col in zip(items, out_cols):
-        im = re.match(
-            r"^\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+AS\s+\w+)?\s*$",
-            item,
-            re.IGNORECASE,
-        )
-        if im is None:
+        toks = tokenize(item)
+        # strip one trailing "AS <word>" alias
+        if (
+            len(toks) >= 3
+            and toks[-1].kind == "word"
+            and toks[-2].kind == "word"
+            and toks[-2].up() == "AS"
+        ):
+            toks = toks[:-2]
+        if len(toks) == 1 and toks[0].kind == "word":
+            qual, col = None, toks[0].text
+        elif (
+            len(toks) == 3
+            and toks[0].kind == "word"
+            and toks[1].kind == "punct"
+            and toks[1].text == "."
+            and toks[2].kind == "word"
+        ):
+            qual, col = toks[0].text, toks[2].text
+        else:
             return None  # computed item — not a verbatim copy
-        qual, col = im.group(1), im.group(2)
-        # literals also match \w+ (SELECT x, 0 FROM t / NULL / TRUE):
-        # they are computed items, not column copies — routing them
-        # through the restricted seed would reference a nonexistent
-        # column and crash the delete step (round-5 ADVICE #1)
+        # literal WORDS also tokenize as plain words (SELECT NULL / TRUE
+        # FROM t): they are computed items, not column copies — routing
+        # them through the restricted seed would reference a nonexistent
+        # column and crash the delete step (round-5 ADVICE #1). Numbers
+        # already fail the word-kind check above.
         if col[0].isdigit() or col.lower() in (
             "null", "true", "false", "current_timestamp",
             "current_date",
@@ -178,8 +180,6 @@ class IncrementalRecursiveView:
         schema_ddl: str,
         tables: set[str],
     ):
-        from feldera_spark.frontend import _protect_literals
-
         self.spark = spark
         self.name = name.lower()
         parts = _split_top_union(sql)
@@ -207,12 +207,13 @@ class IncrementalRecursiveView:
         self._types = [
             c.strip().split(None, 1)[1] for c in schema_ddl.split(",") if c.strip()
         ]
-        prot_all, _ = _protect_literals(sql)
+        from feldera_spark.sqlparse import tokenize as _tok
+
+        body_words = {
+            t2.text.lower() for t2 in _tok(sql) if t2.kind == "word"
+        }
         self.sources = [
-            t
-            for t in tables
-            if t != self.name
-            and re.search(rf"\b{re.escape(t)}\b", prot_all, re.IGNORECASE)
+            t for t in tables if t != self.name and t.lower() in body_words
         ]
         # occurrences per branch (conservative word count): >1 means a
         # delta binding would miss mixed new/old derivations → bind full
@@ -706,10 +707,7 @@ class IncrementalRecursiveGroup:
         views: dict[str, tuple[str, str]],  # name -> (body sql, schema ddl)
         tables: set[str],
     ):
-        from feldera_spark.frontend import (
-            _protect_literals,
-            count_table_positions,
-        )
+        from feldera_spark.frontend import count_table_positions
 
         if len(views) < 2:
             raise ValueError("group needs >= 2 mutually recursive views")
@@ -747,12 +745,15 @@ class IncrementalRecursiveGroup:
                     base.append(p)
             self.base_branches[name] = base
             self.rec_branches[name] = rec
-            prot, _ = _protect_literals(sql)
+            from feldera_spark.sqlparse import tokenize as _tok
+
+            body_words = {
+                t2.text.lower() for t2 in _tok(sql) if t2.kind == "word"
+            }
             srcs |= {
                 t
                 for t in tables
-                if t not in group
-                and re.search(rf"\b{re.escape(t)}\b", prot, re.IGNORECASE)
+                if t not in group and t.lower() in body_words
             }
         if not any(self.rec_branches[n] for n in self.names):
             raise ValueError("no member references the group — not recursive")

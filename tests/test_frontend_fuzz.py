@@ -313,3 +313,77 @@ def test_token_positions_ignore_comments():
     assert fe.list_table_positions(sql) == [("t1", 0, None)]
     assert fe.count_table_positions(sql, "t9") == 0
     assert fe.count_table_positions(sql, "t2x") == 0
+
+
+def test_scalar_extraction_literal_and_expression_hardening(spark):
+    """Round-7 expression-tokenizer migration: extract_scalar_subqueries
+    runs on RAW sql via token walkers — string literals containing
+    keywords, parens, subquery-looking text and AND must neither confuse
+    the extraction nor corrupt the splice. Results compared against
+    Spark's own evaluation of the ORIGINAL body."""
+    from feldera_spark import frontend as fe
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b, FROM", 20.0), (3, "(SELECT", 30.0),
+         (4, " AND ", 40.0)],
+        "id INT, name STRING, v DOUBLE",
+    ).createOrReplaceTempView("tt")
+    cols = {"tt": {"id", "name", "v"}}
+
+    bodies = [
+        # keyword-looking literals around a genuine scalar subquery
+        "SELECT id, name FROM tt WHERE name <> ' FROM UNION ' "
+        "AND v > (SELECT AVG(v) FROM tt)",
+        # literal containing a fake subquery open
+        "SELECT id FROM tt WHERE name <> '(SELECT' "
+        "AND v >= (SELECT MIN(v) FROM tt WHERE name <> ') AND (')",
+        # literal containing AND inside the subquery's WHERE
+        "SELECT id, v FROM tt a WHERE v < (SELECT MAX(v) FROM tt u "
+        "WHERE u.name <> ' AND ' AND u.id = a.id) + 100",
+    ]
+    for body in bodies:
+        got = fe.extract_scalar_subqueries(body, "__hx", cols)
+        assert got is not None, body
+        rewritten, hidden = got
+        for nm, hsql in hidden:
+            spark.sql(hsql).createOrReplaceTempView(nm)
+        want = sorted(map(tuple, spark.sql(body).collect()))
+        have = sorted(map(tuple, spark.sql(rewritten).collect()))
+        assert have == want, (body, rewritten)
+
+    # non-extractable shapes still decline cleanly (never corrupt text)
+    declines = [
+        # set op at top level
+        "SELECT id FROM tt WHERE v > (SELECT AVG(v) FROM tt) "
+        "UNION ALL SELECT id FROM tt",
+        # subquery with GROUP BY (cardinality)
+        "SELECT id FROM tt WHERE v > (SELECT AVG(v) FROM tt GROUP BY name)",
+        # plain non-aggregate subquery
+        "SELECT id FROM tt WHERE v > (SELECT v FROM tt WHERE id = 1)",
+    ]
+    for body in declines:
+        assert fe.extract_scalar_subqueries(body, "__hy", cols) is None, body
+
+
+def test_branch_projection_tokenized():
+    """parse_branch_projection on tokens: literal content cannot force
+    or fake a projection; quoted/keyword-looking literals in WHERE are
+    inert; computed items and literal select items decline."""
+    from feldera_spark.streaming.recursive import parse_branch_projection
+
+    ok = parse_branch_projection(
+        "SELECT e.a AS x, tc.b AS y FROM e JOIN tc ON e.b = tc.a "
+        "WHERE e.note <> ' GROUP BY haha '",
+        ["x", "y"],
+    )
+    assert ok is not None
+    positions, col_of = ok
+    assert {nm for nm, _i, _al in positions} == {"e", "tc"}
+    # literal select item declines (round-5 ADVICE #1 class)
+    assert parse_branch_projection(
+        "SELECT a, 0 FROM e", ["x", "y"]) is None
+    assert parse_branch_projection(
+        "SELECT a, NULL FROM e", ["x", "y"]) is None
+    # genuine GROUP BY declines
+    assert parse_branch_projection(
+        "SELECT a, COUNT(*) FROM e GROUP BY a", ["x", "y"]) is None
