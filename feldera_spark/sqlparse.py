@@ -614,3 +614,51 @@ def has_agg_call(text: str, agg_names: frozenset) -> bool:
         ):
             return True
     return False
+
+
+def next_call_span(
+    sql: str, names: frozenset, pos: int = 0
+) -> tuple[int, int, str] | None:
+    """First ``<name>(...)`` call at/after ``pos`` where lower-cased
+    ``name`` is in ``names``: (start of name, one past close paren,
+    lower name). Token-level balanced matching; None when absent."""
+    toks = tokenize(sql)
+    for i, t in enumerate(toks):
+        if (
+            t.start < pos
+            or t.kind != "word"
+            or t.text.lower() not in names
+            or i + 1 >= len(toks)
+            or toks[i + 1].kind != "punct"
+            or toks[i + 1].text != "("
+        ):
+            continue
+        depth = 0
+        for j in range(i + 1, len(toks)):
+            tj = toks[j]
+            if tj.kind == "punct" and tj.text == "(":
+                depth += 1
+            elif tj.kind == "punct" and tj.text == ")":
+                depth -= 1
+                if depth == 0:
+                    return t.start, tj.end, t.text.lower()
+        return None
+    return None
+
+
+def pred_words(sql: str, exclude: frozenset) -> set[str]:
+    """Lower-cased word tokens not immediately followed by ``(`` and
+    not in ``exclude`` — column candidates in a predicate (qualifier
+    words included, mirroring the historical regex)."""
+    toks = tokenize(sql)
+    out: set[str] = set()
+    for i, t in enumerate(toks):
+        if t.kind != "word":
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
+            continue
+        lw = t.text.lower()
+        if lw not in exclude:
+            out.add(lw)
+    return out

@@ -149,6 +149,11 @@ _AGG_HEAD_RE = re.compile(
     r"COUNTIF|COUNT_IF)\s*\(",
     re.IGNORECASE,
 )
+_AGG_NAMES = frozenset(
+    """sum count avg min max arg_min arg_max stddev_samp stddev_pop stddev
+    var_samp var_pop variance bool_and bool_or bit_and bit_or bit_xor
+    countif count_if""".split()
+)
 
 # non-column words legal in a post-aggregate expression (cast targets
 # etc.) — validation-only; NOT merged into _SQL_KEYWORDS because the
@@ -237,15 +242,11 @@ def _split_top_and(text: str) -> list[str]:
 
 def _pred_columns(conj: str) -> set[str]:
     """Column-candidate identifiers in a conjunct: word tokens that are
-    not function calls (not followed by '('), keywords, or literals."""
-    from feldera_spark.frontend import _protect_literals
+    not function calls (not followed by '('), keywords, or literals.
+    Token-level (literal content is one string token — never matches)."""
+    from feldera_spark.sqlparse import pred_words
 
-    no_lits, _ = _protect_literals(conj)
-    return {
-        t.lower()
-        for t in re.findall(r"\b[A-Za-z_]\w*\b(?!\s*\()", no_lits)
-        if t.lower() not in _SQL_KEYWORDS
-    }
+    return pred_words(conj, frozenset(_SQL_KEYWORDS))
 
 
 @dataclass
@@ -292,9 +293,8 @@ def _decompose_agg_expr(expr: str, shape: "_Shape") -> str | None:
     aggregate; a projection recombines them, which is linear over the
     aggregate's output Z-set). Returns None when the item cannot be
     decomposed (nested/DISTINCT aggregates)."""
-    from feldera_spark.frontend import _protect_literals, _restore_literals
+    from feldera_spark.sqlparse import next_call_span, tokenize
 
-    protected, lits = _protect_literals(expr)
     # reuse an existing aggregate computing the same call (dedup:
     # SUM(a)/SUM(b) AS r plus SUM(a) AS s share one state column)
     def _norm(fn: str, arg: str | None) -> tuple[str, str | None]:
@@ -304,31 +304,21 @@ def _decompose_agg_expr(expr: str, shape: "_Shape") -> str | None:
     out: list[str] = []
     i = 0
     while True:
-        m = _AGG_HEAD_RE.search(protected, i)
-        if m is None:
-            out.append(protected[i:])
+        span = next_call_span(expr, _AGG_NAMES, i)
+        if span is None:
+            out.append(expr[i:])
             break
-        out.append(protected[i : m.start()])
-        depth = 0
-        j = None
-        for k in range(m.end() - 1, len(protected)):
-            ch = protected[k]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    j = k
-                    break
-        if j is None:
-            return None  # unbalanced
-        arg = protected[m.end() : j]
-        if _AGG_HEAD_RE.search(arg) or re.match(
-            r"^\s*DISTINCT\b", arg, re.IGNORECASE
+        start, close, fn = span
+        out.append(expr[i:start])
+        # argument text between the call's parens
+        open_at = expr.index("(", start)
+        arg = expr[open_at + 1 : close - 1]
+        atoks = tokenize(arg)
+        if next_call_span(arg, _AGG_NAMES) is not None or (
+            atoks and atoks[0].kind == "word" and atoks[0].up() == "DISTINCT"
         ):
             return None  # nested or DISTINCT aggregate: batch fallback
-        fn = m.group(1).lower()
-        a = _restore_literals(arg, lits).strip()
+        a = arg.strip()
         if fn == "count" and a == "*":
             a = None
         key = _norm(fn, a)
@@ -338,8 +328,8 @@ def _decompose_agg_expr(expr: str, shape: "_Shape") -> str | None:
             shape.aggs.append(_Agg(alias, fn, a))
             existing[key] = alias
         out.append(alias)
-        i = j + 1
-    return _restore_literals("".join(out), lits)
+        i = close
+    return "".join(out)
 
 
 def _strip_aliases(text: str, aliases: dict[str, str]) -> str:
@@ -350,14 +340,57 @@ def _strip_aliases(text: str, aliases: dict[str, str]) -> str:
     return text
 
 
+def _unsupported_for_shape(sql: str) -> bool:
+    """Token scan for constructs outside the recognizer grammar (the
+    literal-safe port of the historical ``_UNSUPPORTED_RE`` sweep —
+    'UNION' as DATA inside a string cannot force batch fallback)."""
+    from feldera_spark.sqlparse import tokenize
+
+    toks = tokenize(sql)
+    plain = {
+        "UNION", "EXCEPT", "INTERSECT", "OVER", "WITH",
+        "TUMBLE", "HOP", "SESSION", "ASOF", "LATERAL",
+        "CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME",
+    }
+    call_only = {"now", "rand", "random", "uuid", "shuffle"}
+    for i, t in enumerate(toks):
+        if t.kind == "punct":
+            if (
+                t.text == "("
+                and i + 1 < len(toks)
+                and toks[i + 1].up() == "SELECT"
+            ):
+                return True
+            continue
+        if t.kind != "word":
+            continue
+        up = t.up()
+        if up in plain:
+            return True
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if (
+            t.text.lower() in call_only
+            and nxt is not None
+            and nxt.kind == "punct"
+            and nxt.text == "("
+        ):
+            return True
+        if (
+            up == "CROSS"
+            and i + 2 < len(toks)
+            and toks[i + 1].up() == "JOIN"
+            and toks[i + 2].up() == "UNNEST"
+        ):
+            return True
+    return False
+
+
 def parse_view_shape(sql: str) -> _Shape | None:
     """Parse a view body into the recognizer grammar; None = not
     incrementalizable (caller falls back to batch evaluation)."""
-    from feldera_spark.frontend import _protect_literals, _split_top_commas
+    from feldera_spark.frontend import _split_top_commas
 
-    # keyword scan over literal-protected text: 'UNION' as *data* inside
-    # a string literal must not force batch fallback
-    if _UNSUPPORTED_RE.search(_protect_literals(sql)[0]):
+    if _unsupported_for_shape(sql):
         return None
     m = _match_shape(sql)
     if m is None:
@@ -454,7 +487,9 @@ def parse_view_shape(sql: str) -> _Shape | None:
             shape.aggs.append(_Agg(name, fn, arg))
             shape.out_cols.append(name)
         else:
-            if _AGG_HEAD_RE.search(_protect_literals(expr)[0]):
+            from feldera_spark.sqlparse import next_call_span as _ncs
+
+            if _ncs(expr, _AGG_NAMES) is not None:
                 # an aggregate call buried in a compound expression
                 # (SUM(a)/SUM(b), COALESCE(MAX(x),0), …): decompose into
                 # hidden aggregates + a linear post-projection
@@ -584,7 +619,9 @@ def parse_view_shape(sql: str) -> _Shape | None:
         # with no COUNT(*) in the select list) has no output column to
         # filter on — batch fallback, never an unresolvable compiled
         # filter (found by the frontend fuzzer, round 4)
-        if _AGG_HEAD_RE.search(_protect_literals(hv)[0]):
+        from feldera_spark.sqlparse import next_call_span as _ncs2
+
+        if _ncs2(hv, _AGG_NAMES) is not None:
             return None
         shape.having = hv
     ob, lim = m.group("ob"), m.group("limit")
