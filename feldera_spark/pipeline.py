@@ -1357,7 +1357,11 @@ class Pipeline:
             self._step_lock = threading.Lock()
         spine = self._stream_spines.get(name)
         if spine is None:
-            spine = Spine()
+            # append_only tables never retract: their spine compacts
+            # without the consolidation shuffle (hierarchical generation
+            # merges — the 100x-scale probe caught the full-state
+            # rewrite at every max_batches crossing)
+            spine = Spine(append_only=decl.append_only)
             spine.append(zset.lift(self._frames[name]))
             self._stream_spines[name] = spine
 

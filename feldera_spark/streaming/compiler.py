@@ -892,21 +892,18 @@ class CompiledView:
         elif materialize_output:
             from feldera_spark.streaming.incremental import Spine
 
-            # PURE-linear views (project/filter/unnest over one source,
-            # no join) never store their output: the per-step delta is a
-            # narrow map over the source's already-committed batch
-            # handle, so re-deriving it on read costs one codegen'd map
-            # — checkpointing it per step was a second full copy of
-            # every batch (nx01: half the per-step commit volume). The
+            # PURE-linear views (project/filter/unnest, no aggregate)
+            # never store their output: the per-step delta is a narrow
+            # map over an already-committed batch handle — for single
+            # sources the table/upstream delta, for JOIN shapes the
+            # join's own committed output spine batch (the inner
+            # IncrementalJoinView checkpoints once; a second eager copy
+            # here doubled every join step's commit volume). Re-deriving
+            # on read costs one codegen'd map over stored blocks. The
             # spine stays lazy; compaction (every max_batches appends)
-            # consolidates, bounding the read plan. Joins and stateful
-            # classes keep the eager spine — their deltas are expensive
-            # to re-derive.
+            # consolidates, bounding the read plan.
             self.cheap_delta = (
-                s.right is None
-                and not s.aggs
-                and not s.distinct
-                and s.limit is None
+                not s.aggs and not s.distinct and s.limit is None
             )
             self._linear_out = Spine(eager=not self.cheap_delta)
             # a set-op parent passes materialize_output=False: its
