@@ -22,10 +22,15 @@ parquet reader:
   exactly the reference's CDF-to-weights mapping), else synthesized
   from ``add``/``remove`` data files (+1 / −1 per file row).
 
-Not supported (documented, loud): checkpoint parquet logs (tables with
->10k commits), deletion vectors, column mapping. The delta-spark
-package remains the first choice when installed; this reader is the
-ungated fallback and the CDF test surface.
+Checkpoint parquet logs ARE supported (round-7, closing the >10k-commit
+fence): ``_last_checkpoint`` names the newest checkpoint; its parquet
+part files carry one action struct per row, and the snapshot seeds its
+live-file set from the checkpoint's ``add`` rows before replaying the
+JSON commits above it — exactly how delta-spark reconstructs state.
+Still not supported (documented, loud): deletion vectors, column
+mapping. The delta-spark package remains the first choice when
+installed; this reader is the ungated fallback and the CDF test
+surface.
 """
 
 from __future__ import annotations
@@ -58,12 +63,59 @@ def list_versions(uri: str) -> list[int]:
     for f in os.listdir(d):
         if f.endswith(".json") and f.split(".")[0].isdigit():
             out.append(int(f.split(".")[0]))
-        elif f.endswith(".checkpoint.parquet"):
-            raise NotImplementedError(
-                "Delta checkpoint logs are not supported by the built-in "
-                "protocol reader — install delta-spark for this table"
-            )
     return sorted(out)
+
+
+def latest_checkpoint(uri: str) -> tuple[int, list[str]] | None:
+    """(version, parquet part paths) of the newest checkpoint named by
+    ``_last_checkpoint``, or None. Multi-part checkpoints
+    (``<v>.checkpoint.<i>.<n>.parquet``) are collected by listing."""
+    d = _log_dir(uri)
+    lc = os.path.join(d, "_last_checkpoint")
+    if not os.path.isfile(lc):
+        return None
+    with open(lc) as fh:
+        meta = json.loads(fh.read())
+    v = int(meta["version"])
+    single = os.path.join(d, f"{v:020d}.checkpoint.parquet")
+    if os.path.isfile(single):
+        return v, [single]
+    parts = sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.startswith(f"{v:020d}.checkpoint.")
+        and f.endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(
+            f"_last_checkpoint names version {v} but no checkpoint "
+            f"parquet exists: {uri}"
+        )
+    return v, parts
+
+
+def _checkpoint_live(
+    spark: SparkSession, uri: str, files: list[str]
+) -> dict[str, dict]:
+    """Live-file set from a checkpoint's ``add`` action rows."""
+    df = spark.read.parquet(*files)
+    if "add" not in df.columns:
+        return {}
+    add = df.select("add").filter(F.col("add").isNotNull())
+    fields = add.schema["add"].dataType.fieldNames()
+    if "deletionVector" in fields:
+        n_dv = add.filter(
+            F.col("add.deletionVector").isNotNull()
+        ).limit(1).count()
+        if n_dv:
+            raise NotImplementedError(
+                "Delta deletion vectors are not supported by the "
+                "built-in protocol reader"
+            )
+    return {
+        r["path"]: {"path": r["path"]}
+        for r in add.select("add.path").collect()
+    }
 
 
 def _actions(uri: str, version: int) -> list[dict]:
@@ -83,12 +135,28 @@ def snapshot(
     """Table contents at ``version`` (default: latest): replay
     add/remove actions, read the surviving parquet files."""
     versions = list_versions(uri)
+    ck = latest_checkpoint(uri)
     if version is None:
-        version = versions[-1]
+        version = max(
+            versions[-1] if versions else -1, ck[0] if ck else -1
+        )
     live: dict[str, dict] = {}
+    start_after = -1
+    if ck is not None and ck[0] <= version:
+        live = _checkpoint_live(spark, uri, ck[1])
+        start_after = ck[0]
+    missing = [
+        v for v in range(start_after + 1, version + 1)
+        if v not in set(versions)
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log is missing commit files {missing[:5]}... between "
+            f"the checkpoint and version {version}: {uri}"
+        )
     for v in versions:
-        if v > version:
-            break
+        if v > version or v <= start_after:
+            continue
         for a in _actions(uri, v):
             if "add" in a:
                 pa = a["add"]
@@ -189,3 +257,32 @@ def write_commit(
         lines.append(json.dumps({"cdc": {"path": p, "dataChange": False}}))
     with open(os.path.join(d, f"{version:020d}.json"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def write_checkpoint(
+    spark: SparkSession, uri: str, version: int, live_paths: list[str]
+) -> None:
+    """Write a protocol-correct single-part checkpoint parquet +
+    ``_last_checkpoint`` (test/tooling helper): one row per live file
+    with the ``add`` action struct populated."""
+    d = _log_dir(uri)
+    os.makedirs(d, exist_ok=True)
+    rows = [((p, True, None),) for p in live_paths]
+    df = spark.createDataFrame(
+        rows,
+        "add STRUCT<path: STRING, dataChange: BOOLEAN, "
+        "deletionVector: STRING>",
+    )
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ckwrite_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    target = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    shutil.copyfile(os.path.join(tmp, part), target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(d, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": version, "size": len(live_paths)}))
