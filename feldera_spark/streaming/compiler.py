@@ -385,6 +385,32 @@ def _unsupported_for_shape(sql: str) -> bool:
     return False
 
 
+def _fence_scan(
+    sql: str, plain: set[str], calls: set[str] = frozenset()
+) -> bool:
+    """Token fence: True when any word in ``plain`` appears anywhere, or
+    a word in ``calls`` is immediately followed by ``(`` (literal-safe —
+    string content is one token and never matches)."""
+    from feldera_spark.sqlparse import tokenize
+
+    up = {w.upper() for w in plain}
+    lo = {w.lower() for w in calls}
+    toks = tokenize(sql)
+    for i, t in enumerate(toks):
+        if t.kind != "word":
+            continue
+        if t.up() in up:
+            return True
+        if (
+            t.text.lower() in lo
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "("
+        ):
+            return True
+    return False
+
+
 def parse_view_shape(sql: str) -> _Shape | None:
     """Parse a view body into the recognizer grammar; None = not
     incrementalizable (caller falls back to batch evaluation)."""
@@ -1655,15 +1681,14 @@ class _RankShape:
 
 
 def parse_rank_shape(sql: str) -> _RankShape | None:
-    from feldera_spark.frontend import _protect_literals, _split_top_commas
+    from feldera_spark.frontend import _split_top_commas
 
-    protected, _ = _protect_literals(sql)
-    if re.search(
-        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
-        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|JOIN|"
-        r"GROUP\s+BY|HAVING|TUMBLE|HOP|SESSION|LIMIT)\b",
-        protected,
-        re.IGNORECASE,
+    if _fence_scan(
+        sql,
+        {"CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME", "UNION",
+         "EXCEPT", "INTERSECT", "JOIN", "GROUP", "HAVING", "TUMBLE",
+         "HOP", "SESSION", "LIMIT"},
+        {"now", "rand", "random", "uuid"},
     ):
         return None
     m = _match_shape(sql)
@@ -1948,15 +1973,14 @@ class _RollingShape:
 
 def parse_rolling_shape(sql: str) -> _RollingShape | None:
     """Recognize a single rolling OVER-RANGE window over one table."""
-    from feldera_spark.frontend import _protect_literals, _split_top_commas
+    from feldera_spark.frontend import _split_top_commas
 
-    protected, _ = _protect_literals(sql)
-    if re.search(
-        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
-        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|JOIN|"
-        r"GROUP\s+BY|HAVING|TUMBLE|HOP|SESSION)\b",
-        protected,
-        re.IGNORECASE,
+    if _fence_scan(
+        sql,
+        {"CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME", "UNION",
+         "EXCEPT", "INTERSECT", "JOIN", "GROUP", "HAVING", "TUMBLE",
+         "HOP", "SESSION"},
+        {"now", "rand", "random", "uuid"},
     ):
         return None
     m = _match_shape(sql)
@@ -2060,15 +2084,14 @@ class _AsofShape:
 
 
 def parse_asof_shape(sql: str) -> _AsofShape | None:
-    from feldera_spark.frontend import _protect_literals, _split_top_commas
+    from feldera_spark.frontend import _split_top_commas
 
-    protected, _ = _protect_literals(sql)
-    if re.search(
-        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
-        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|"
-        r"GROUP\s+BY|HAVING|OVER|TUMBLE|HOP|SESSION|LIMIT)\b",
-        protected,
-        re.IGNORECASE,
+    if _fence_scan(
+        sql,
+        {"CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME", "UNION",
+         "EXCEPT", "INTERSECT", "GROUP", "HAVING", "OVER", "TUMBLE",
+         "HOP", "SESSION", "LIMIT"},
+        {"now", "rand", "random", "uuid"},
     ):
         return None
     fm = _ASOF_FROM_RE.search(sql)
@@ -2225,18 +2248,17 @@ class _SessionShape:
 
 def parse_session_shape(sql: str) -> _SessionShape | None:
     """Recognize a SESSION-windowed aggregate over one table."""
-    from feldera_spark.frontend import _protect_literals, _split_top_commas
+    from feldera_spark.frontend import _split_top_commas
 
     fm = _SESSION_FROM_RE.search(sql)
     if fm is None:
         return None
-    protected, _ = _protect_literals(sql)
-    if re.search(
-        r"\b(NOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|"
-        r"RAND\s*\(|RANDOM\s*\(|UUID\s*\(|UNION|EXCEPT|INTERSECT|JOIN|"
-        r"HAVING|OVER|TUMBLE|HOP)\b",
-        protected,
-        re.IGNORECASE,
+    if _fence_scan(
+        sql,
+        {"CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME", "UNION",
+         "EXCEPT", "INTERSECT", "JOIN", "HAVING", "OVER", "TUMBLE",
+         "HOP"},
+        {"now", "rand", "random", "uuid"},
     ):
         return None
     gap = int(fm.group("n")) * _UNIT_SECS[fm.group("unit").lower().rstrip("s")]
@@ -3339,12 +3361,30 @@ def _compile_simple(
             )
     # UNNEST is a LINEAR flat-map (Uncollect): strip the clause, parse
     # the remainder, and attach the per-delta explode to the shape
-    from feldera_spark.frontend import _UNNEST_RE, _protect_literals
+    from feldera_spark.frontend import _UNNEST_RE
+    from feldera_spark.sqlparse import tokenize as _tok
 
+    # anchor the UNNEST rewrite on a genuine word token (round-7: the
+    # word inside a string literal cannot trigger the rewrite)
     unnest: tuple[str, str] | None = None
-    um = _UNNEST_RE.search(_protect_literals(sql)[0])
-    if um is not None:
-        um = _UNNEST_RE.search(sql)  # literal-free match position differs
+    um = None
+    toks = _tok(sql)
+    for _i, _t in enumerate(toks):
+        if _t.kind == "word" and _t.up() == "UNNEST":
+            prev = toks[_i - 1] if _i > 0 else None
+            lead = None
+            if prev is not None and prev.kind == "punct" and prev.text == ",":
+                lead = prev.start
+            elif (
+                _i >= 2
+                and toks[_i - 1].up() == "JOIN"
+                and toks[_i - 2].up() == "CROSS"
+            ):
+                lead = toks[_i - 2].start
+            if lead is not None:
+                um = _UNNEST_RE.match(sql, lead)
+                if um is not None:
+                    break
     if um is not None:
         unnest = (um.group("c").lower(), um.group("e"))
         sql = sql[: um.start()] + sql[um.end():]
@@ -3529,11 +3569,10 @@ def _try_temporal_filter(
     table, WHERE = (ts >[=] NOW() - INTERVAL …) AND static conjuncts,
     plain select items, the bound column among them. Anything else keeps
     the NOW() batch fence."""
-    from feldera_spark.frontend import _protect_literals, _split_top_commas
+    from feldera_spark.frontend import _split_top_commas
     from feldera_spark.sqlparse import split_clauses
 
-    protected, _lits = _protect_literals(sql.strip().rstrip(";"))
-    if not re.search(r"\bNOW\s*\(", protected, re.IGNORECASE):
+    if not _fence_scan(sql, set(), {"now"}):
         return None
     cl = split_clauses(sql.strip().rstrip(";"))
     if cl is None or "FROM" not in cl or "WHERE" not in cl:
