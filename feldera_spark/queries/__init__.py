@@ -49,42 +49,38 @@ _MODULES = (
 # the previous all-fast set in case the gate is time-capped rather than
 # row-capped. Everything else follows in module order (cheapest-first).
 _GATE_ORDER = [
-    # Round-7 rotation (round-6 verdict task #8): i61-i64 + d15/d16/d20
-    # promoted (LATERAL-to-IVM, mutual goal-directed DRed, streamed
-    # compaction, the new NOW() temporal filter, CC clustering,
-    # decontamination, the dedup-survivor pipeline). Rotated out —
-    # q04/q11/q26/q30/q35/i18/q49 — each leaves >=2 gate rows in its
-    # family (joins: q03/q06/q08/q44/q45; aggregates: q12/q15/q55/i01;
-    # subqueries: q32/i38/i37; scalar: q39/q53/q56/e08; temporal: i64 is
-    # the superset of q49's machinery) and stays strict-checked in the
-    # full registry.
+    # Round-8 rotation (round-7 verdict task #8): 7 never-driver-sampled
+    # queries promoted — i65 (the NEW widened-NOW dashboard: temporal
+    # filter feeding a GROUP BY), d14 (IVF ANN, a bench headliner),
+    # nx01 (currency conversion), d17/d18/d21 (repetition signals,
+    # stratified sampling, sequence packing — the LLM-pipeline bulk),
+    # e21 (deterministic sampling corner). Rotated out —
+    # i53/i54/i56/q53/q56/i37/i10 — each leaves >=2 gate rows in its
+    # family (recursion: q48/q78/i46/i55/i57/i62; emit-final: i47;
+    # scalar: q39/q55/e08; windows/subqueries: q16/q21/q32/i38;
+    # IVM aggregates: i01/i14/i20/i63/i64/i65) and stays strict-checked
+    # in the full registry.
     "q01_pricing_summary", "q03_join_topk",
     "i61_ddl_lateral_join", "q06_semi_join",
     "q08_star_join", "i38_ddl_scalar_subquery", "i62_ivm_mutual_goal_directed",
     "q12_grouping_sets", "q15_pivot", "q16_window_rank",
-    "i37_ddl_topk_subquery", "q21_topk_per_group",
+    "i65_ddl_now_dashboard", "q21_topk_per_group",
     "q24_except_all", "i63_ivm_stream_past_compaction", "q27_unnest_words",
     "i64_ddl_now_filter", "q32_scalar_subquery", "d15_neardup_clusters",
     "d16_contamination", "i20_ddl_tumble_ivm", "q39_json_extract",
-    "q53_array_agg_ordered", "q55_stats_exact", "q56_try_cast",
+    "d14_ivf_topk", "q55_stats_exact", "d17_repetition_signals",
     "q41_tumble", "q43_session", "q44_asof_join", "q45_range_join",
     "q46_latest_by_key", "q48_recursive_hierarchy", "d20_dedup_survivors",
     "i46_ivm_recursive", "i47_ivm_emit_final",
-    # round-5 machinery made gate-visible (round-5 verdict task #6):
-    # DRed self-join/joint deletes, goal-directed rederive, append-only
-    # emit archive across compactions. Swapped in for q05/q07/q19/e24,
-    # whose §2 families keep >=2 other gate rows each (joins: q03/q04/
-    # q06/q08/q44/q45; windows: q16/q21/i37; scalar: q35/q39/q53/q55/
-    # q56/e08); the swapped-out rows stay strict-checked in the full
-    # registry.
-    "i53_ivm_recursive_selfjoin_delete", "i54_ivm_recursive_joint_delete",
-    "i55_ivm_recursive_goal_directed", "i56_ivm_emit_final_growth",
+    "d18_stratified_sample", "d21_sequence_packing",
+    "i55_ivm_recursive_goal_directed", "e21_deterministic_sample",
     "i57_ivm_mutual_recursion",
     "q78_ddl_recursive",
     "q80_create_aggregate", "e08_three_valued_logic_table",
+    "nx01_currency_conversion",
     "nx04_avg_closing_price", "nx05_hot_items", "nx09_winning_bids",
     "d01_exact_dedup", "d03_lsh_candidate_pairs", "d06_cosine_topk",
-    "i01_ivm_agg", "i10_ddl_ivm_agg", "i14_ddl_windowed_gc",
+    "i01_ivm_agg", "i14_ddl_windowed_gc",
 ]
 
 

@@ -3322,3 +3322,74 @@ def i64_ddl_now_filter(spark, sf_dir):
                 pass
         else:
             spark.conf.set("spark.feldera.now", prev)
+
+
+@q(
+    "i65_ddl_now_dashboard",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-18 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def i65_ddl_now_dashboard(spark, sf_dir):
+    """The canonical streaming dashboard (round-7 verdict task #4 /
+    missing #2): a NOW()-bounded temporal filter FEEDING AN AGGREGATION
+    — ``SELECT user_id, COUNT(*), SUM(…) WHERE ts > NOW() - INTERVAL '7'
+    DAY GROUP BY user_id`` — compiled end-to-end to IVM (reference
+    ``ImplementNow``, ``CircuitOptimizer.java:81``: the NOW() predicate
+    becomes a window operator anywhere in the view DAG). The compiler
+    splits the view into a hidden temporal filter whose
+    boundary-crossing retractions flow into the linear aggregate as
+    ordinary weighted deltas. The clock ADVANCES between chunks, so
+    groups whose rows fall out of the window must shrink — per-step
+    incremental output must equal the batch aggregate at the LAST
+    clock."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i65_chunk{i}"
+        )
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE MATERIALIZED VIEW dash AS "
+        "SELECT user_id, COUNT(*) AS n,"
+        " SUM(CAST(value AS DECIMAL(12,2))) AS total_dec"
+        " FROM ev WHERE ts > NOW() - INTERVAL '7' DAY GROUP BY user_id"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        pipe = b.create()
+        assert isinstance(
+            pipe._ivm.get("dash"), CompiledComposedNowView
+        ), "NOW()+GROUP BY view must compile to the composed plan"
+        pipe.execute("INSERT INTO ev SELECT * FROM __i65_chunk1")
+        # the clock advances 5 days: rows in (Jan 13, Jan 18] leave the
+        # window — their groups must shrink (or vanish) by this step
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i65_chunk2")
+        return pipe.view("dash").select(
+            "user_id", "n",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)

@@ -27,10 +27,30 @@ fence): ``_last_checkpoint`` names the newest checkpoint; its parquet
 part files carry one action struct per row, and the snapshot seeds its
 live-file set from the checkpoint's ``add`` rows before replaying the
 JSON commits above it — exactly how delta-spark reconstructs state.
-Still not supported (documented, loud): deletion vectors, column
-mapping. The delta-spark package remains the first choice when
-installed; this reader is the ungated fallback and the CDF test
-surface.
+
+Round 8 (round-7 verdict task #6) adds the two modern-writer features:
+
+- **Deletion vectors** (``add.deletionVector`` descriptors; protocol
+  ``PROTOCOL.md#deletion-vectors``): the descriptor's bitmap — Z85
+  ``u``/``p`` file forms (1-byte format version, per-DV ``<int32 BE
+  size><bitmap><int32 BE CRC32>`` framing) and the inline ``i`` form —
+  is the 64-bit RoaringBitmapArray format (magic ``1681511377``, int64
+  bitmap count, then standard 32-bit roaring portable serializations;
+  array/bitmap/run containers all parsed). Deleted row INDEXES are
+  applied distributedly: the scan attaches ``_metadata.row_index`` /
+  ``_metadata.file_path`` and anti-joins a broadcast (file, index)
+  frame — the same broadcast-bitmap-to-scan-tasks shape delta-spark
+  uses, so a 1000-executor scan prunes rows without a driver loop over
+  data.
+- **Column mapping** ``delta.columnMapping.mode = name`` (the
+  ``metaData`` action's ``schemaString`` field metadata
+  ``delta.columnMapping.physicalName``): physical parquet columns are
+  renamed to their logical names on read. Mode ``id`` (parquet
+  field-id resolution) and NESTED physical names stay loud
+  ``NotImplementedError``s.
+
+The delta-spark package remains the first choice when installed; this
+reader is the ungated fallback and the CDF/DV test surface.
 """
 
 from __future__ import annotations
@@ -53,6 +73,243 @@ _CDF_WEIGHT = {
 
 def _log_dir(uri: str) -> str:
     return os.path.join(uri.removeprefix("file://"), "_delta_log")
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (Delta PROTOCOL.md "Deletion Vectors"): Z85 codec,
+# 64-bit RoaringBitmapArray (de)serialization, descriptor resolution.
+# ---------------------------------------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+_ROARING_MAGIC = 1681511377  # little-endian int32 head of the DV bitmap
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+
+
+def _z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("Z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("Z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _serialize_roaring64(indexes: list[int]) -> bytes:
+    """Serialize sorted row indexes as the Delta DV bitmap: magic +
+    RoaringBitmapArray portable format (int64 bitmap count, then each
+    32-bit bitmap's standard portable serialization)."""
+    import struct
+
+    if not indexes:
+        return struct.pack("<iq", _ROARING_MAGIC, 0)
+    idx = sorted(set(indexes))
+    n_maps = (idx[-1] >> 32) + 1
+    buckets: dict[int, dict[int, list[int]]] = {}
+    for v in idx:
+        hi, lo = v >> 32, v & 0xFFFFFFFF
+        buckets.setdefault(hi, {}).setdefault(lo >> 16, []).append(
+            lo & 0xFFFF
+        )
+    out = bytearray(struct.pack("<iq", _ROARING_MAGIC, n_maps))
+    for m in range(n_maps):
+        conts = buckets.get(m, {})
+        keys = sorted(conts)
+        body = bytearray()
+        body += struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys))
+        for k in keys:
+            body += struct.pack("<HH", k, len(conts[k]) - 1)
+        # offsets (always present for the no-run cookie)
+        off = len(body) + 4 * len(keys)
+        for k in keys:
+            body += struct.pack("<i", off)
+            off += (
+                2 * len(conts[k]) if len(conts[k]) <= 4096 else 8192
+            )
+        for k in keys:
+            vals = conts[k]
+            if len(vals) <= 4096:  # array container
+                body += struct.pack(f"<{len(vals)}H", *vals)
+            else:  # bitmap container
+                bm = bytearray(8192)
+                for v in vals:
+                    bm[v >> 3] |= 1 << (v & 7)
+                body += bm
+        out += body
+    return bytes(out)
+
+
+def _parse_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit roaring bitmap portable serialization at
+    ``pos``; returns (values, next pos). Array, bitmap and run
+    containers are all handled."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nbytes]
+        pos += nbytes
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys, cards = [], []
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c + 1)
+        pos += 4
+    if cookie == _SERIAL_COOKIE_NO_RUN or n >= _NO_OFFSET_THRESHOLD:
+        pos += 4 * n  # per-container offsets — sequential read skips them
+    vals: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = bool(run_flags) and bool(run_flags[i >> 3] & (1 << (i & 7)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                vals.extend(base + start + j for j in range(length + 1))
+        elif cards[i] <= 4096:  # array container
+            arr = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            pos += 2 * cards[i]
+            vals.extend(base + v for v in arr)
+        else:  # bitmap container
+            bm = buf[pos : pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(bm):
+                while b:
+                    low = b & -b
+                    vals.append(base + (byte_i << 3) + low.bit_length() - 1)
+                    b ^= low
+    return vals, pos
+
+
+def _parse_roaring64(data: bytes) -> list[int]:
+    import struct
+
+    magic, n_maps = struct.unpack_from("<iq", data, 0)
+    if magic != _ROARING_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    pos, out = 12, []
+    for hi in range(n_maps):
+        vals, pos = _parse_roaring32(data, pos)
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
+def _dv_uuid_path(uri: str, path_or_inline: str) -> str:
+    """Resolve a ``u``-form descriptor: the LAST 20 chars are the
+    Z85-encoded 16-byte UUID, anything before is a random prefix
+    directory; the file is ``[<prefix>/]deletion_vector_<uuid>.bin``."""
+    import uuid as _uuid
+
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    u = _uuid.UUID(bytes=_z85_decode(enc))
+    base = uri.removeprefix("file://")
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(base, prefix, name) if prefix else os.path.join(
+        base, name
+    )
+
+
+def dv_deleted_indexes(uri: str, dv: dict) -> list[int]:
+    """Deleted row indexes from a deletionVector descriptor (storage
+    types ``u`` (relative, Z85 UUID), ``p`` (absolute path), ``i``
+    (inline Z85 bitmap))."""
+    import struct
+    import zlib
+
+    st = dv["storageType"]
+    if st == "i":
+        return _parse_roaring64(_z85_decode(dv["pathOrInlineDv"]))
+    if st == "u":
+        path = _dv_uuid_path(uri, dv["pathOrInlineDv"])
+    elif st == "p":
+        path = dv["pathOrInlineDv"].removeprefix("file://")
+    else:
+        raise NotImplementedError(
+            f"deletion-vector storage type {st!r} is not supported"
+        )
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    off = int(dv.get("offset", 1))
+    (size,) = struct.unpack_from(">i", blob, off)
+    data = blob[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise ValueError(f"deletion-vector checksum mismatch: {path}")
+    return _parse_roaring64(data)
+
+
+def write_dv_file(uri: str, indexes: list[int]) -> dict:
+    """Write a protocol-correct on-disk deletion vector (test/tooling
+    helper — the layout delta-spark's DV writer produces): 1-byte
+    format version, then ``<int32 BE size><bitmap><int32 BE CRC32>``;
+    returns the ``u``-form descriptor dict for the ``add`` action."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    u = _uuid.uuid4()
+    data = _serialize_roaring64(indexes)
+    base = uri.removeprefix("file://")
+    with open(
+        os.path.join(base, f"deletion_vector_{u}.bin"), "wb"
+    ) as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
+
+
+def inline_dv_descriptor(indexes: list[int]) -> dict:
+    """An ``i``-form (inline) descriptor for small DVs."""
+    data = _serialize_roaring64(indexes)
+    if len(data) % 4:
+        data += b"\x00" * (4 - len(data) % 4)  # Z85 needs 4-byte groups
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": _z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
 
 
 def list_versions(uri: str) -> list[int]:
@@ -97,25 +354,39 @@ def latest_checkpoint(uri: str) -> tuple[int, list[str]] | None:
 def _checkpoint_live(
     spark: SparkSession, uri: str, files: list[str]
 ) -> dict[str, dict]:
-    """Live-file set from a checkpoint's ``add`` action rows."""
+    """Live-file set from a checkpoint's ``add`` action rows (deletion-
+    vector descriptors carried through when the struct is populated)."""
     df = spark.read.parquet(*files)
     if "add" not in df.columns:
         return {}
     add = df.select("add").filter(F.col("add").isNotNull())
     fields = add.schema["add"].dataType.fieldNames()
-    if "deletionVector" in fields:
-        n_dv = add.filter(
-            F.col("add.deletionVector").isNotNull()
-        ).limit(1).count()
-        if n_dv:
-            raise NotImplementedError(
-                "Delta deletion vectors are not supported by the "
-                "built-in protocol reader"
-            )
-    return {
-        r["path"]: {"path": r["path"]}
-        for r in add.select("add.path").collect()
-    }
+    live: dict[str, dict] = {}
+    for r in add.collect():
+        d = r["add"].asDict(recursive=True)
+        entry: dict = {"path": d["path"]}
+        dv = d.get("deletionVector") if "deletionVector" in fields else None
+        if isinstance(dv, str) and dv:
+            dv = json.loads(dv)
+        if isinstance(dv, dict) and dv.get("storageType"):
+            entry["deletionVector"] = dv
+        live[d["path"]] = entry
+    return live
+
+
+def _checkpoint_meta(spark: SparkSession, files: list[str]) -> dict | None:
+    """Latest ``metaData`` action row captured in a checkpoint."""
+    df = spark.read.parquet(*files)
+    if "metaData" not in df.columns:
+        return None
+    rows = (
+        df.select("metaData")
+        .filter(F.col("metaData.schemaString").isNotNull())
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[-1]["metaData"].asDict(recursive=True)
 
 
 def _actions(uri: str, version: int) -> list[dict]:
@@ -129,11 +400,106 @@ def _data_path(uri: str, rel: str) -> str:
     return rel if rel.startswith("/") else os.path.join(base, rel)
 
 
+def _read_adds(
+    spark: SparkSession, uri: str, adds: list[dict]
+) -> DataFrame:
+    """Read data files, applying deletion vectors distributedly: files
+    with a DV descriptor attach ``_metadata.row_index``/``file_path``
+    and anti-join a BROADCAST (file, deleted index) frame — scan tasks
+    prune rows in place, no driver loop over data."""
+    plain = [a["path"] for a in adds if not a.get("deletionVector")]
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            spark.read.parquet(*[_data_path(uri, p) for p in plain])
+        )
+    if dv_adds:
+        pairs = []
+        for a in dv_adds:
+            fp = os.path.abspath(_data_path(uri, a["path"]))
+            for i in dv_deleted_indexes(uri, a["deletionVector"]):
+                pairs.append((fp, int(i)))
+        df = spark.read.parquet(
+            *[_data_path(uri, a["path"]) for a in dv_adds]
+        )
+        cols = df.columns
+        deleted = spark.createDataFrame(pairs, "__fp STRING, __ri BIGINT")
+        # _metadata.file_path is a Hadoop URI ("file:/abs" or
+        # "file:///abs" depending on the filesystem impl) — normalize
+        # both sides to the plain absolute path before matching
+        df = (
+            df.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ),
+            )
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(deleted), ["__fp", "__ri"], "left_anti")
+            .select(*cols)
+        )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _nested_mapping(t) -> bool:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return any(
+                (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                or _nested_mapping(f.get("type"))
+                for f in t.get("fields", [])
+            )
+        return any(
+            _nested_mapping(v)
+            for v in t.values()
+            if isinstance(v, (dict, list))
+        )
+    if isinstance(t, list):
+        return any(_nested_mapping(v) for v in t)
+    return False
+
+
+def _apply_column_mapping(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Rename physical parquet columns to logical names per the
+    ``metaData`` schemaString (``delta.columnMapping.mode = name``)."""
+    if meta is None:
+        return df
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode") or "none"
+    if mode == "none":
+        return df
+    if mode != "name":
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r} is not supported by the "
+            "built-in protocol reader (mode 'id' needs parquet field-id "
+            "resolution); 'name' is"
+        )
+    schema = json.loads(meta["schemaString"])
+    sel = []
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        if _nested_mapping(f.get("type")):
+            raise NotImplementedError(
+                "nested column-mapping physical names are not supported"
+            )
+        sel.append(F.col(phys).alias(f["name"]))
+    return df.select(*sel)
+
+
 def snapshot(
     spark: SparkSession, uri: str, version: int | None = None
 ) -> DataFrame:
     """Table contents at ``version`` (default: latest): replay
-    add/remove actions, read the surviving parquet files."""
+    add/remove actions, read the surviving parquet files (deletion
+    vectors applied, column mapping resolved)."""
     versions = list_versions(uri)
     ck = latest_checkpoint(uri)
     if version is None:
@@ -141,9 +507,11 @@ def snapshot(
             versions[-1] if versions else -1, ck[0] if ck else -1
         )
     live: dict[str, dict] = {}
+    meta: dict | None = None
     start_after = -1
     if ck is not None and ck[0] <= version:
         live = _checkpoint_live(spark, uri, ck[1])
+        meta = _checkpoint_meta(spark, ck[1])
         start_after = ck[0]
     missing = [
         v for v in range(start_after + 1, version + 1)
@@ -155,22 +523,31 @@ def snapshot(
             f"the checkpoint and version {version}: {uri}"
         )
     for v in versions:
-        if v > version or v <= start_after:
+        if v > version:
             continue
-        for a in _actions(uri, v):
-            if "add" in a:
-                pa = a["add"]
-                if pa.get("deletionVector"):
-                    raise NotImplementedError(
-                        "Delta deletion vectors are not supported by the "
-                        "built-in protocol reader"
-                    )
-                live[pa["path"]] = pa
-            elif "remove" in a:
+        acts = _actions(uri, v)
+        for a in acts:
+            if "metaData" in a and (v > start_after or meta is None):
+                # the latest metaData ≤ version wins; pre-checkpoint
+                # JSONs never override the checkpoint's captured meta
+                meta = a["metaData"]
+        if v <= start_after:
+            continue
+        # per-commit reconciliation: removes apply FIRST, adds win on a
+        # shared path — the deletion-vector update pattern commits
+        # "remove(F, old DV) + add(F, new DV)" and the add is the
+        # surviving instance regardless of intra-commit action order
+        for a in acts:
+            if "remove" in a:
                 live.pop(a["remove"]["path"], None)
+        for a in acts:
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
     if not live:
         raise ValueError(f"empty Delta snapshot at version {version}: {uri}")
-    return spark.read.parquet(*[_data_path(uri, p) for p in live])
+    return _apply_column_mapping(
+        _read_adds(spark, uri, list(live.values())), meta
+    )
 
 
 def changes(
@@ -181,10 +558,14 @@ def changes(
     ``cdc`` files' ``_change_type``; commits without CDF synthesize
     +1/−1 from the added/removed data files."""
     out: list[tuple[int, DataFrame]] = []
+    meta: dict | None = None
     for v in list_versions(uri):
+        acts = _actions(uri, v)
+        for a in acts:
+            if "metaData" in a:
+                meta = a["metaData"]
         if v <= from_version:
             continue
-        acts = _actions(uri, v)
         cdc = [a["cdc"] for a in acts if "cdc" in a]
         if cdc:
             df = spark.read.parquet(
@@ -203,56 +584,96 @@ def changes(
                 .filter(F.col(WEIGHT) != 0)
                 .drop("_change_type", "_commit_version", "_commit_timestamp")
             )
+            delta = _apply_mapped_weighted(delta, meta)
         else:
+            # file-level synthesis; DV-bearing actions read the file
+            # MINUS its vector, so "remove(F, old DV) + add(F, new DV)"
+            # commits net out to exactly the newly-deleted rows
             parts = []
             adds = [
-                a["add"]["path"]
+                a["add"]
                 for a in acts
                 if "add" in a and a["add"].get("dataChange", True)
             ]
             removes = [
-                a["remove"]["path"]
+                a["remove"]
                 for a in acts
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
             if adds:
                 parts.append(
-                    spark.read.parquet(
-                        *[_data_path(uri, p) for p in adds]
-                    ).withColumn(WEIGHT, F.lit(1).cast("long"))
+                    _read_adds(spark, uri, adds).withColumn(
+                        WEIGHT, F.lit(1).cast("long")
+                    )
                 )
             if removes:
                 parts.append(
-                    spark.read.parquet(
-                        *[_data_path(uri, p) for p in removes]
-                    ).withColumn(WEIGHT, F.lit(-1).cast("long"))
+                    _read_adds(spark, uri, removes).withColumn(
+                        WEIGHT, F.lit(-1).cast("long")
+                    )
                 )
             if not parts:
                 continue
             delta = parts[0]
             for p in parts[1:]:
                 delta = delta.unionByName(p)
+            delta = _apply_mapped_weighted(delta, meta)
         out.append((v, delta))
     return out
+
+
+def _apply_mapped_weighted(
+    delta: DataFrame, meta: dict | None
+) -> DataFrame:
+    """Column mapping over a weighted delta (the weight column rides
+    along untouched)."""
+    conf = (meta or {}).get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode") or "none"
+    if mode == "none":
+        return delta
+    if mode != "name":
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r} is not supported"
+        )
+    schema = json.loads(meta["schemaString"])
+    sel = []
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        if _nested_mapping(f.get("type")):
+            raise NotImplementedError(
+                "nested column-mapping physical names are not supported"
+            )
+        sel.append(F.col(phys).alias(f["name"]))
+    return delta.select(*sel, F.col(WEIGHT))
 
 
 def write_commit(
     uri: str,
     version: int,
-    adds: list[str] | None = None,
-    removes: list[str] | None = None,
+    adds: list[str | dict] | None = None,
+    removes: list[str | dict] | None = None,
     cdc: list[str] | None = None,
+    metadata: dict | None = None,
 ) -> None:
     """Append one protocol-correct commit to the log (test/tooling
     helper — the layout a real Delta writer produces for these
-    actions). Paths are table-relative."""
+    actions). Paths are table-relative; dict entries pass action fields
+    through verbatim (e.g. ``{"path": ..., "deletionVector": {...}}``);
+    ``metadata`` writes a ``metaData`` action (column mapping etc.)."""
     d = _log_dir(uri)
     os.makedirs(d, exist_ok=True)
     lines = []
+    if metadata is not None:
+        lines.append(json.dumps({"metaData": metadata}))
     for p in adds or []:
-        lines.append(json.dumps({"add": {"path": p, "dataChange": True}}))
+        a = dict(p) if isinstance(p, dict) else {"path": p}
+        a.setdefault("dataChange", True)
+        lines.append(json.dumps({"add": a}))
     for p in removes or []:
-        lines.append(json.dumps({"remove": {"path": p, "dataChange": True}}))
+        a = dict(p) if isinstance(p, dict) else {"path": p}
+        a.setdefault("dataChange", True)
+        lines.append(json.dumps({"remove": a}))
     for p in cdc or []:
         lines.append(json.dumps({"cdc": {"path": p, "dataChange": False}}))
     with open(os.path.join(d, f"{version:020d}.json"), "w") as fh:

@@ -97,6 +97,7 @@ def _is_view_object(val) -> bool:
                 "CompiledDistinctAggView", "CompiledGroupingSetsView",
                 "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
                 "CompiledTemporalFilterView",
+                "CompiledComposedNowView",
             )
         )
     )
@@ -112,6 +113,7 @@ def save_view(view, path: str) -> dict:
         "CompiledChainJoinView", "CompiledDistinctAggView",
         "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
         "CompiledTemporalFilterView",
+                "CompiledComposedNowView",
     ):
         comps = {
             name: save_view(v, f"{path}/{name}")
@@ -187,6 +189,7 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         "CompiledChainJoinView", "CompiledDistinctAggView",
         "CompiledGroupingSetsView", "CompiledRankView", "EmitFinalView", "CompiledRangeScalarView",
         "CompiledTemporalFilterView",
+                "CompiledComposedNowView",
     ):
         comps = view.state_components()
         for name, cmeta in meta["components"].items():

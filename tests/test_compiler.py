@@ -2875,3 +2875,157 @@ def test_now_temporal_filter_compiles_and_streams(spark):
         assert "weird" not in p2._ivm
     finally:
         spark.conf.unset("spark.feldera.now")
+
+
+def test_now_filter_feeding_aggregate_compiles(spark):
+    """Round-7 verdict task #4 (missing #2): the widened NOW() grammar —
+    a temporal filter UNDER a GROUP BY in one view splits into a hidden
+    CompiledTemporalFilterView feeding the compiled aggregate (reference
+    ``ImplementNow``/``CircuitOptimizer.java:81`` incrementalizes
+    NOW()-bounded predicates anywhere in the DAG). Boundary-crossing
+    retractions must SHRINK the affected groups; shapes the remainder
+    grammar can't compile (or NOW() outside the bound conjunct) keep
+    the batch fence."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE ev (ts TIMESTAMP, u BIGINT, v BIGINT);
+            CREATE MATERIALIZED VIEW dash AS
+            SELECT u, COUNT(*) AS n, SUM(v) AS total FROM ev
+            WHERE ts > NOW() - INTERVAL '1' HOUR AND v >= 0
+            GROUP BY u
+            """
+        )
+        b.connect_table(
+            "ev",
+            spark.createDataFrame([], "ts TIMESTAMP_NTZ, u BIGINT, v BIGINT"),
+        )
+        p = b.create()
+        assert isinstance(p._ivm.get("dash"), CompiledComposedNowView)
+
+        def ins(rows):
+            vals = ", ".join(
+                f"(TIMESTAMP '{ts:%Y-%m-%d %H:%M:%S}', {u}, {v})"
+                for ts, u, v in rows
+            )
+            p.execute(f"INSERT INTO ev VALUES {vals}")
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        ins([
+            (t0 - dt.timedelta(minutes=30), 1, 10),  # in window, u=1
+            (t0 - dt.timedelta(minutes=50), 1, 5),   # in window, u=1
+            (t0 - dt.timedelta(hours=2), 1, 99),     # too old
+            (t0 - dt.timedelta(minutes=10), 2, -7),  # static conjunct drop
+            (t0 - dt.timedelta(minutes=20), 2, 3),   # in window, u=2
+        ])
+        got = {(r["u"], r["n"], r["total"]) for r in p.view("dash").collect()}
+        assert got == {(1, 2, 15), (2, 1, 3)}
+
+        # clock advances 15 min (bound 11:00 → 11:15): the 11:10 row
+        # (u=1, v=5) falls OUT — its group must shrink; u=1's 11:30 and
+        # u=2's 11:40 rows survive
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:15:00")
+        ins([(t0 + dt.timedelta(minutes=10), 2, 8)])
+        got = {(r["u"], r["n"], r["total"]) for r in p.view("dash").collect()}
+        assert got == {(1, 1, 10), (2, 2, 11)}
+
+        # the whole group can vanish when its last row expires
+        spark.conf.set("spark.feldera.now", "2024-01-01T14:00:00")
+        ins([(t0 + dt.timedelta(minutes=115), 3, 1)])
+        got = {(r["u"], r["n"], r["total"]) for r in p.view("dash").collect()}
+        assert got == {(3, 1, 1)}
+
+        # NOW() outside the bound conjunct anywhere → batch fence
+        b2 = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE ev2 (ts TIMESTAMP, u BIGINT);
+            CREATE MATERIALIZED VIEW w2 AS
+            SELECT u, MAX(NOW()) AS m FROM ev2
+            WHERE ts > NOW() - INTERVAL '1' HOUR GROUP BY u
+            """
+        )
+        b2.connect_table(
+            "ev2", spark.createDataFrame([], "ts TIMESTAMP_NTZ, u BIGINT")
+        )
+        assert "w2" not in b2.create()._ivm
+
+        # a join under the NOW() filter keeps the fence too
+        b3 = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE a3 (ts TIMESTAMP, k BIGINT);
+            CREATE TABLE b3 (k BIGINT, w BIGINT);
+            CREATE MATERIALIZED VIEW j3 AS
+            SELECT a3.k, COUNT(*) AS n FROM a3 JOIN b3 ON a3.k = b3.k
+            WHERE ts > NOW() - INTERVAL '1' HOUR GROUP BY a3.k
+            """
+        )
+        b3.connect_table(
+            "a3", spark.createDataFrame([], "ts TIMESTAMP_NTZ, k BIGINT")
+        )
+        b3.connect_table(
+            "b3", spark.createDataFrame([], "k BIGINT, w BIGINT")
+        )
+        assert "j3" not in b3.create()._ivm
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_composed_checkpoint_roundtrip(spark, tmp_path):
+    """The composed NOW view's state (temporal-filter spine + inner
+    aggregate) survives a durable checkpoint save/restore."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming import checkpoint as ck
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        def build():
+            b = PipelineBuilder(spark).sql(
+                """
+                CREATE TABLE ev (ts TIMESTAMP, u BIGINT);
+                CREATE MATERIALIZED VIEW dash AS
+                SELECT u, COUNT(*) AS n FROM ev
+                WHERE ts > NOW() - INTERVAL '1' HOUR GROUP BY u
+                """
+            )
+            b.connect_table(
+                "ev",
+                spark.createDataFrame([], "ts TIMESTAMP_NTZ, u BIGINT"),
+            )
+            return b.create()
+
+        p = build()
+        view = p._ivm["dash"]
+        assert isinstance(view, CompiledComposedNowView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        p.execute(
+            "INSERT INTO ev VALUES "
+            f"(TIMESTAMP '{t0 - dt.timedelta(minutes=30):%Y-%m-%d %H:%M:%S}', 1),"
+            f"(TIMESTAMP '{t0 - dt.timedelta(minutes=20):%Y-%m-%d %H:%M:%S}', 1)"
+        )
+        meta = ck.save_view(view, str(tmp_path / "st"))
+
+        p2 = build()
+        view2 = p2._ivm["dash"]
+        ck.load_view(view2, spark, str(tmp_path / "st"), meta)
+        got = {(r["u"], r["n"]) for r in view2.materialized().collect()}
+        assert got == {(1, 2)}
+        # restored state keeps retracting as the clock advances
+        # (bound 11:00 → 11:35: the 11:30 row expires, 11:40 survives)
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:35:00")
+        p2.execute(
+            "INSERT INTO ev VALUES "
+            f"(TIMESTAMP '{t0 + dt.timedelta(minutes=40):%Y-%m-%d %H:%M:%S}', 2)"
+        )
+        got = {(r["u"], r["n"]) for r in p2.view("dash").collect()}
+        assert got == {(1, 1), (2, 1)}
+    finally:
+        spark.conf.unset("spark.feldera.now")

@@ -412,6 +412,159 @@ def test_delta_protocol_reader_snapshot_follow_cdf(spark, tmp_path):
     assert {(r.k, r.v) for r in df.drop(WEIGHT).collect()} == slast
 
 
+def test_delta_deletion_vectors(spark, tmp_path):
+    """Round-7 verdict task #6: deletion vectors read UNGATED — the test
+    writes a protocol-correct DV file (1-byte version, Z85 UUID name,
+    ``<int32 BE size><64-bit roaring bitmap><CRC32>``) via the log
+    format, and the snapshot/changes paths must prune exactly the
+    flagged row indexes (reference
+    ``crates/adapters/src/integrated/delta_table/``)."""
+    import os
+
+    from feldera_spark.sources import delta_log as dl
+    from feldera_spark.zset import WEIGHT
+
+    uri = str(tmp_path / "dvt")
+    os.makedirs(uri)
+
+    def write_pq(rel, rows, schema="k BIGINT, v BIGINT"):
+        full = os.path.join(uri, rel)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(full + ".tmp")
+        part = next(
+            f for f in os.listdir(full + ".tmp") if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(full + ".tmp", part), full)
+
+    # roaring round trip first: array + bitmap containers, >2^32 split,
+    # and the inline Z85 form
+    big = sorted(
+        set(range(0, 9000, 2))            # dense: bitmap container
+        | {70000, 70001}                  # second 16-bit container
+        | {(1 << 32) + 5, (1 << 32) + 9}  # second 32-bit bitmap
+    )
+    assert dl._parse_roaring64(dl._serialize_roaring64(big)) == big
+    inline = dl.inline_dv_descriptor([2, 5])
+    assert dl.dv_deleted_indexes(uri, inline) == [2, 5]
+
+    # v0: one 6-row file (row index == k by construction: single
+    # partition preserves input order), plus an untouched file
+    write_pq("part-0.parquet", [(i, i * 10) for i in range(6)])
+    write_pq("part-1.parquet", [(100, 1000)])
+    dl.write_commit(uri, 0, adds=["part-0.parquet", "part-1.parquet"])
+    # v1: a DV deletes row indexes 1 and 4 of part-0 (remove + re-add
+    # with the descriptor — the shape a real DV writer commits)
+    dv = dl.write_dv_file(uri, [1, 4])
+    dl.write_commit(
+        uri,
+        1,
+        removes=["part-0.parquet"],
+        adds=[{"path": "part-0.parquet", "deletionVector": dv}],
+    )
+
+    snap = dl.snapshot(spark, uri)
+    got = {(r.k, r.v) for r in snap.collect()}
+    assert got == {(0, 0), (2, 20), (3, 30), (5, 50), (100, 1000)}
+
+    # follow: the v1 file-level delta nets to MINUS exactly the two
+    # DV-deleted rows (remove full file + add file-minus-DV)
+    from feldera_spark import zset
+
+    (v1, d1), = dl.changes(spark, uri, 0)
+    assert v1 == 1
+    net = {
+        (r.k, r.v, r[WEIGHT]) for r in zset.consolidate(d1).collect()
+    }
+    assert net == {(1, 10, -1), (4, 40, -1)}
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Round-7 verdict task #6: ``delta.columnMapping.mode=name`` —
+    physical parquet column names resolve to logical names via the
+    metaData schemaString; mode=id and nested physical names stay loud."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from feldera_spark.sources import delta_log as dl
+
+    uri = str(tmp_path / "cmt")
+    os.makedirs(uri)
+    full = os.path.join(uri, "part-0.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "`col-9f8e` BIGINT, `col-a1b2` BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(full + ".tmp")
+    part = next(
+        f for f in os.listdir(full + ".tmp") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(full + ".tmp", part), full)
+
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-9f8e",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-a1b2",
+                    },
+                },
+            ],
+        }
+    )
+    meta = {
+        "id": "test-table",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+    }
+    dl.write_commit(uri, 0, adds=["part-0.parquet"], metadata=meta)
+
+    snap = dl.snapshot(spark, uri)
+    assert snap.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in snap.collect()} == {(1, 10), (2, 20)}
+
+    # changes() resolves the same mapping on weighted deltas
+    from feldera_spark.zset import WEIGHT
+
+    full2 = os.path.join(uri, "part-1.parquet")
+    spark.createDataFrame(
+        [(3, 30)], "`col-9f8e` BIGINT, `col-a1b2` BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(full2 + ".tmp")
+    part2 = next(
+        f for f in os.listdir(full2 + ".tmp") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(full2 + ".tmp", part2), full2)
+    dl.write_commit(uri, 1, adds=["part-1.parquet"])
+    (v1, d1), = dl.changes(spark, uri, 0)
+    assert v1 == 1
+    assert {(r.k, r.v, r[WEIGHT]) for r in d1.collect()} == {(3, 30, 1)}
+
+    # mode=id: loud decline
+    meta_id = dict(meta, configuration={"delta.columnMapping.mode": "id"})
+    dl.write_commit(uri, 2, metadata=meta_id)
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        dl.snapshot(spark, uri).collect()
+
+
 def test_nats_reader_option_mapping():
     """nats_input (docs/connectors/sources/nats.md) — connection, stream,
     consumer (filter subjects, durable name, deliver policy incl. the
