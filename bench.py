@@ -271,6 +271,8 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
         "CREATE MATERIALIZED VIEW v4 AS SELECT auction, total / n AS avg_eur"
         "  FROM v3",
     }
+    from feldera_spark.streaming import stepper
+
     out: dict[str, dict] = {}
     for name, prog in programs.items():
         b = PipelineBuilder(spark).sql(prog)
@@ -288,16 +290,45 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
             .option("maxFilesPerTrigger", files_per_batch)
             .parquet(src)
         )
+        # per-step phase instrumentation (round-7 verdict task #10):
+        # driver-side read/plan wall (the _stream_step body), commit
+        # job wall + pipeline wait (stepper.flush_timings), jobs/step
+        step_secs: list[float] = []
+        orig = p._stream_step
+
+        def timed(decl, spine, df, _orig=orig, _acc=step_secs):
+            t0 = time.perf_counter()
+            _orig(decl, spine, df)
+            _acc.append(time.perf_counter() - t0)
+
+        p._stream_step = timed
+        stepper.flush_timings.clear()
+        jobs0 = spark._jsc.sc().statusStore().jobsList(None).size()
         t0 = time.perf_counter()
         q = p.stream_table("bid", stream, checkpoint_dir=f"{work}/ckpt_{name}")
         q.awaitTermination()
+        p.barrier()  # include the last pipelined commit in the wall time
         el = time.perf_counter() - t0
+        jobs = spark._jsc.sc().statusStore().jobsList(None).size() - jobs0
+        flushes = list(stepper.flush_timings)
+        n_steps = max(len(step_secs), 1)
         out[name] = {
             "events_per_sec": int(n_events / el),
             "events": n_events,
             "batches": n_batches,
             "sec": round(el, 3),
             "compiled_views": sorted(p._ivm),
+            "jobs_per_step": round(jobs / n_steps, 1),
+            "phase_ms": {
+                # driver read/plan phase: step wall minus in-step waits
+                "step": int(1000 * sum(step_secs) / n_steps),
+                "commit": int(
+                    1000 * sum(f for _, f in flushes) / max(len(flushes), 1)
+                ),
+                "commit_wait": int(
+                    1000 * sum(w for w, _ in flushes) / max(len(flushes), 1)
+                ),
+            },
         }
     return out
 
@@ -318,7 +349,11 @@ def run_scale_probe(spark, sf_dir: str) -> dict:
     from feldera_spark.pipeline import PipelineBuilder
     from feldera_spark.queries.nexmark import _bid
 
-    n_batches = 16
+    # 32 batches: generation folds fire every max_batches=8 crossings,
+    # so each QUARTER pays exactly one amortized fold — at 16 the second
+    # fold straddled the last-quarter boundary and the ratio measured
+    # the boundary, not the trend
+    n_batches = 32
     target = int(
         os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000")
     )
@@ -356,14 +391,16 @@ def run_scale_probe(spark, sf_dir: str) -> dict:
     )
     b.connect_table("bid", bid.limit(0))
     p = b.create()
-    # per-step wall times via a _stream_step wrapper
-    step_secs: list[float] = []
+    # wall-clock timestamp at each step's completion: with pipelined
+    # commits, quarter-boundary WALL segments absorb every overlapped
+    # flush exactly once (per-step driver times alone would miss them;
+    # per-step driver+flush sums would double-count overlap)
+    marks: list[float] = []
     orig = p._stream_step
 
     def timed(decl, spine, df):
-        t0 = _time.perf_counter()
         orig(decl, spine, df)
-        step_secs.append(_time.perf_counter() - t0)
+        marks.append(_time.perf_counter())
 
     p._stream_step = timed
     stream = (
@@ -378,21 +415,31 @@ def run_scale_probe(spark, sf_dir: str) -> dict:
 
     for q in spark.streams.active:
         q.awaitTermination()
-    el = _time.perf_counter() - t0
-    per_batch = n_events / max(len(step_secs), 1)
-    q1 = step_secs[: len(step_secs) // 4] or step_secs
-    q4 = step_secs[-len(step_secs) // 4:] or step_secs
-    first_q = int(per_batch * len(q1) / max(sum(q1), 1e-9))
-    last_q = int(per_batch * len(q4) / max(sum(q4), 1e-9))
+    p.barrier()  # include the last pipelined commit
+    end = _time.perf_counter()
+    el = end - t0
+    n_steps = max(len(marks), 1)
+    per_batch = n_events / n_steps
+    nq = max(n_steps // 4, 1)
+    # first quarter: steps 2..nq+1 (step 1 is JVM/scan warmup — letting
+    # it inflate q1 would flatter the ratio); last quarter: the final
+    # nq steps plus the trailing pipelined flush
+    if n_steps > nq + 1:
+        q1_sec = marks[nq] - marks[0]
+    else:
+        q1_sec = marks[nq - 1] - t0
+    q4_sec = end - marks[n_steps - nq - 1] if n_steps > nq else el
+    first_q = int(per_batch * nq / max(q1_sec, 1e-9))
+    last_q = int(per_batch * nq / max(q4_sec, 1e-9))
     return {
         "shape": "chain_stream",
         "events": n_events,
-        "batches": len(step_secs),
+        "batches": n_steps,
         "events_per_sec": int(n_events / el),
         "first_q_events_per_sec": first_q,
         "last_q_events_per_sec": last_q,
         "degradation_ratio": round(
-            (sum(q4) / len(q4)) / max(sum(q1) / len(q1), 1e-9), 2
+            (q4_sec / nq) / max(q1_sec / nq, 1e-9), 2
         ),
         "sec": round(el, 3),
     }

@@ -1428,11 +1428,33 @@ class Pipeline:
         micro-batch, re-scanning the batch the commit job scans again)
         — deferring it into the step's single commit job and persisting
         the handle when compiled views consume it cuts one full batch
-        materialization per step (round-7: nx01 step floor)."""
+        materialization per step (round-7: nx01 step floor).
+
+        Streamed steps PIPELINE the commit (round-8, the reference's
+        overlapped circuit/backpressure threads, controller.rs:745-766):
+        the scope submits its single commit job to the flush thread and
+        returns, so this step's executor-side commit overlaps the NEXT
+        micro-batch's driver-side read/plan phase. Disable with
+        ``spark.feldera.step.pipelined=false``."""
         from feldera_spark.streaming.stepper import persist_step, step_scope
 
-        with step_scope():
+        pipelined = getattr(self, "_pipelined_steps", None)
+        if pipelined is None:
+            pipelined = self._pipelined_steps = (
+                self.spark.conf.get("spark.feldera.step.pipelined", "true")
+                == "true"
+            )
+        with step_scope(pipelined=pipelined):
             self._stream_step_inner(decl, spine, df, persist_step)
+
+    def barrier(self) -> None:
+        """Wait for any in-flight pipelined step commit (a no-op when
+        none is outstanding). Streamed results are readable without it —
+        pending frames recompute deterministically — but benchmarks and
+        durable checkpoints must include the last commit's cost/effects."""
+        from feldera_spark.streaming.stepper import join_flush
+
+        join_flush()
 
     def _stream_step_inner(
         self, decl: "TableDecl", spine, df: DataFrame, persist_step
@@ -1507,6 +1529,8 @@ class Pipeline:
         """Re-register any table/view frames skipped by the step hot
         loop."""
         from feldera_spark import zset
+
+        self.barrier()  # reads follow the last pipelined commit
 
         stale_t = getattr(self, "_stale_tables", None)
         if stale_t:

@@ -278,6 +278,11 @@ class PipelineCheckpointer:
     def commit(
         self, batch_id: int, views: dict[str, object], extra: dict | None = None
     ) -> None:
+        # a durable generation must capture state AFTER the last
+        # pipelined step commit landed (barrier is a no-op otherwise)
+        from feldera_spark.streaming.stepper import join_flush
+
+        join_flush()
         gen = self._gen_dir(batch_id)
         view_meta = {
             name: save_view(v, os.path.join(gen, "views", name))

@@ -132,6 +132,15 @@ def _pool():
     return _ASYNC_POOL
 
 
+def background_pool():
+    """The shared state-checkpoint pool, for CROSS-STEP background work
+    (spine generation folds — the reference's asynchronous trace merges,
+    ``spine_async.rs``): submissions here are NOT joined by any step's
+    flush; callers poll their own futures and swap results in at a
+    later step."""
+    return _pool()
+
+
 def defer_checkpoint_async(df: DataFrame, setter):
     """Background-plan a state checkpoint inside the active scope;
     returns the Future (resolve with ``.result()`` if the caller needs
@@ -172,11 +181,59 @@ def persist_step(df: DataFrame) -> DataFrame:
     return df
 
 
+_FLUSH_POOL = None
+_PENDING_FLUSH = None
+# (wait_before_s, flush_s) per outermost scope — consumed by bench
+# instrumentation (BENCH task: publish per-step phase timings)
+flush_timings: list = []
+
+
+def _flush_pool():
+    global _FLUSH_POOL
+    if _FLUSH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # ONE thread: pipelined commits stay strictly ordered (the
+        # reference's circuit thread commits step k while the
+        # backpressure thread admits step k+1, controller.rs:745-766)
+        _FLUSH_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="step-flush"
+        )
+    return _FLUSH_POOL
+
+
+def join_flush() -> float:
+    """Barrier on the previous step's pipelined commit job; returns the
+    seconds spent waiting (0.0 when none was outstanding). Exceptions
+    from the background flush surface here."""
+    global _PENDING_FLUSH
+    f, _PENDING_FLUSH = _PENDING_FLUSH, None
+    if f is None:
+        return 0.0
+    import time as _time
+
+    t0 = _time.perf_counter()
+    f.result()
+    return _time.perf_counter() - t0
+
+
 @contextmanager
-def step_scope():
+def step_scope(pipelined: bool = False):
     """Collect every state checkpoint requested during one circuit step
     and commit them in ONE Spark job at scope exit. Nested scopes join
     the outermost batch — one commit per outermost step.
+
+    ``pipelined=True`` (streamed micro-batch steps) submits the commit
+    job to a single flush thread instead of running it inline: step
+    k+1's driver-side read/plan phase overlaps step k's commit job on
+    the executors — the reference overlaps its circuit step with the
+    next input batch the same way (``controller.rs:745-766,2690``).
+    Safe because stepping stays on one thread (state mutation ordered),
+    commits stay ordered (one flush thread, joined before the next
+    submit), and every deferred frame's plan is deterministic — a job
+    issued while the previous commit is in flight at worst recomputes a
+    pending frame instead of reading its stored blocks. Readers outside
+    the hot loop barrier via ``join_flush()``.
 
     AQE is disabled for the scope's duration (restored on exit) unless
     ``spark.feldera.step.adaptive=true``: AdaptiveSparkPlanExec
@@ -226,7 +283,32 @@ def step_scope():
     finally:
         _STACK.pop()
         try:
-            batch.flush()
+            import time as _time
+
+            # strict commit ordering: wait out any pipelined
+            # predecessor before this step's commit runs or submits
+            waited = join_flush()
+            if pipelined:
+                global _PENDING_FLUSH
+
+                def run_flush(b=batch):
+                    t0 = _time.perf_counter()
+                    try:
+                        b.flush()
+                    finally:
+                        if len(flush_timings) > 65536:
+                            del flush_timings[:32768]
+                        flush_timings.append(
+                            (waited, _time.perf_counter() - t0)
+                        )
+
+                _PENDING_FLUSH = _flush_pool().submit(run_flush)
+            else:
+                t0 = _time.perf_counter()
+                batch.flush()
+                if len(flush_timings) > 65536:
+                    del flush_timings[:32768]
+                flush_timings.append((waited, _time.perf_counter() - t0))
         finally:
             if prev_aqe is not None:
                 spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
