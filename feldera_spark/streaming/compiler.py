@@ -3949,6 +3949,29 @@ for _cls in (
     _cls._stepped = property(lambda self: not self._view.output.empty)
 
 
+def enable_async_output_appends(plan) -> None:
+    """Mark a TERMINAL view's output spines for background appends
+    (round-8): no downstream view consumes the committed handle within
+    the step, so the output checkpoint's synchronous planning stall —
+    which includes executing any broadcast-collect jobs embedded in the
+    delta plan — moves to the background pool and resolves at flush.
+    Only the top-level operators' OUTPUT spines are marked: set-op /
+    nested children are read by their parent in-step and keep
+    synchronous appends."""
+    from feldera_spark.streaming.incremental import Spine
+
+    for name in ("_agg", "_join", "_distinct", "_topk", "_linear_out"):
+        v = getattr(plan, name, None)
+        if v is None:
+            continue
+        if isinstance(v, Spine):
+            v.async_appends = True
+        else:
+            out = getattr(v, "output", None)
+            if isinstance(out, Spine):
+                out.async_appends = True
+
+
 def enable_spill(plan, base_dir: str) -> int:
     """Point every Spine inside a compiled plan at durable storage:
     compactions then write consolidated state to parquet under

@@ -224,6 +224,15 @@ class Spine:
         builds, downstream chaining) must use this return value, NOT
         ``batches[-1]``: a compaction triggered by this very append
         replaces ``batches`` with the merged STATE frame."""
+        if getattr(self, "async_appends", False):
+            # terminal-view output spines: nothing consumes the
+            # committed handle this step (pipeline marks these) — the
+            # checkpoint planning (incl. its broadcast-collect jobs)
+            # moves to the background pool
+            return self.append_async(delta)
+        return self._append_sync(delta)
+
+    def _append_sync(self, delta: DataFrame) -> DataFrame:
         self._resolve_fold()
         if self.eager:
             ck = _checkpoint(delta)
@@ -242,6 +251,9 @@ class Spine:
             except Exception:
                 shallow = False
             ck = delta if shallow else _checkpoint(delta)
+        return self._post_append(ck)
+
+    def _post_append(self, ck: DataFrame) -> DataFrame:
         self.batches.append(ck)
         if getattr(self, "_raw", None) is not None:
             self._raw.append(ck)
@@ -266,6 +278,53 @@ class Spine:
                 self.batches = [_checkpoint(merged)]
             self._raw = None
         return ck
+
+    def append_async(self, delta: DataFrame) -> DataFrame:
+        """Append whose COMMITTED handle nobody consumes this step (join
+        input integrals: the appended side is read by LATER steps only).
+        The raw delta plan takes the batch slot now; the checkpoint
+        builds on the background pool and an identity-guarded setter
+        swaps the slot at flush — the ~0.4s synchronous
+        ``localCheckpoint`` planning stall moves off the step's driver
+        path (round-8; same pattern as the aggregate state
+        checkpoints). A compaction that replaces the batch list before
+        the swap just orphans the background frame (skipped at flush)."""
+        from feldera_spark.streaming import stepper
+
+        if not self.eager or not stepper.deferring():
+            return self._append_sync(delta)
+        self._resolve_fold()
+        # within-step dedupe (defer_checkpoint's rule): a frame already
+        # pending in this step's commit — or already committed
+        # (LogicalRDD) — is appended as-is; a fresh checkpoint here
+        # would materialize a SECOND full copy of the same rows
+        if stepper.is_pending(delta):
+            return self._post_append(delta)
+        try:
+            if (
+                delta._jdf.queryExecution().logical().nodeName()
+                == "LogicalRDD"
+            ):
+                return self._post_append(delta)
+        except Exception:
+            pass
+        i = len(self.batches)
+
+        def _set(ck, _self=self, _plan=delta, _i=i):
+            # always materialize: an overlapped next step may have read
+            # the batch list (state joins) while this slot was raw —
+            # its plans then embed whatever the slot resolves to. A
+            # compaction that replaced the list merely orphans the ck
+            # (one wasted frame at crossing steps).
+            lst = _self.batches
+            if _i < len(lst) and lst[_i] is _plan:
+                lst[_i] = ck
+            return False
+
+        fut = stepper.defer_checkpoint_async(delta, _set)
+        if fut is None:
+            return self._append_sync(delta)
+        return self._post_append(delta)
 
     def _resolve_fold(self) -> None:
         """Swap in a completed BACKGROUND generation fold. The fold is
@@ -747,14 +806,19 @@ class IncrementalLinearAggregateView:
         state_plan = aug.filter("__n != 0").selectExpr(*x["core"])
 
         def _set(ck, _self=self, _plan=state_plan):
-            # only rebind if the slot still holds this step's plan (a
-            # later step in the same scope — or a wrapper like the
-            # windowed GC — may already have advanced/filtered it);
-            # returns True when stale so flush skips materializing it
+            # rebind only if the slot still holds this step's plan (a
+            # wrapper like the windowed GC may have advanced/filtered
+            # it) — but ALWAYS materialize: with PIPELINED flushes the
+            # next step may have resolved this ck into its own plans
+            # (or read it and advanced the slot again) before this
+            # setter fires, and skipping the materialization would
+            # leave an unmaterialized checkpoint chained into every
+            # later state plan — per-step cost then grows with step
+            # count (the round-8 scale probe caught exactly this).
+            # Discarded futures are skipped via cancellation instead.
             if _self.state is _plan:
                 _self.state = ck
-                return False
-            return True
+            return False
 
         fut = defer_checkpoint_async(state_plan, _set)
         if fut is None:  # no active scope: eager as before
@@ -1037,10 +1101,13 @@ class IncrementalJoinView:
         db = zset.lift(delta_b) if delta_b is not None else None
         a_old = list(self.a.batches)
         b_old = list(self.b.batches)
+        # integral appends: committed handles are read by LATER steps
+        # only (this step joins against the PRE-append lists) — their
+        # checkpoints build on the background pool
         if da is not None:
-            self.a.append(da)
+            self.a.append_async(da)
         if db is not None:
-            self.b.append(db)
+            self.b.append_async(db)
         parts = []
         if da is not None and b_old:
             parts.append(self._state_join(da, b_old, True))
@@ -1353,6 +1420,7 @@ class AppendOnlyAggregateView:
         self.keys = keys
         self.aggs = aggs
         self.state: DataFrame | None = None  # one row per key
+        self._state_fut = None  # background state-checkpoint handle
 
     def _partial(self, delta: DataFrame) -> DataFrame:
         return delta.groupBy(*self.keys).agg(
@@ -1373,7 +1441,19 @@ class AppendOnlyAggregateView:
         same way). One state-sized checkpoint per step carries old+new
         values side by side; the new state and the output delta are
         narrow lazy projections of it — no second state read, no
-        broadcast builds, no key-restriction semi-joins."""
+        broadcast builds, no key-restriction semi-joins.
+
+        The state checkpoint rides the BACKGROUND pool (round-8: its
+        synchronous ``localCheckpoint(eager=False)`` planning was a
+        ~0.4s serial driver stall per chain view per step — profiled on
+        nx05); the merged frame is step-persisted so the output delta
+        and downstream consumers compute it once."""
+        from feldera_spark.streaming.stepper import (
+            defer_checkpoint_async,
+            persist_step,
+        )
+
+        self._resolve_state_fut()
         partial = self._partial(delta)
         if self.state is None:
             self.state = _checkpoint(partial)
@@ -1387,11 +1467,42 @@ class AppendOnlyAggregateView:
         # shuffle-hash, not sort-merge: no state-sized sort per step
         # (the hash table builds on the delta partial — the small side)
         j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = _checkpoint(j.selectExpr(*x["aug_sel"]))
-        self.state = aug.selectExpr(*x["core"])
+        aug = persist_step(j.selectExpr(*x["aug_sel"]))
+        state_plan = aug.selectExpr(*x["core"])
+
+        def _set(ck, _self=self, _plan=state_plan):
+            # see IncrementalLinearAggregateView._set: always
+            # materialize — later steps may already embed this ck
+            if _self.state is _plan:
+                _self.state = ck
+            return False
+
+        fut = defer_checkpoint_async(state_plan, _set)
+        if fut is None:  # no active scope: eager as before
+            self.state = _checkpoint(state_plan)
+        else:
+            self.state = state_plan
+            self._state_fut = (state_plan, fut)
         retract = aug.filter(x["changed"]).selectExpr(*x["old_sel"])
         insert = aug.filter(x["ins_pred"]).selectExpr(*x["new_sel"])
         return retract.unionByName(insert)
+
+    def _resolve_state_fut(self) -> None:
+        if self._state_fut is None:
+            return
+        plan, fut = self._state_fut
+        self._state_fut = None
+        if self.state is plan:  # nobody advanced the slot: swap in the ck
+            self.state = fut.result()
+        else:  # the slot moved on: drop the orphan early
+            fut.cancel()
+
+    def discard_state_fut(self) -> None:
+        """See IncrementalLinearAggregateView.discard_state_fut."""
+        if self._state_fut is not None:
+            _plan, fut = self._state_fut
+            fut.cancel()
+            self._state_fut = None
 
     def _merge_exprs_cached(self) -> dict:
         cached = getattr(self, "_mx", None)
@@ -1448,6 +1559,7 @@ class AppendOnlyAggregateView:
 
     def materialized(self) -> DataFrame:
         assert self.state is not None, "no deltas processed yet"
+        self._resolve_state_fut()  # mid-scope read: resolve first
         return self.state
 
 

@@ -93,12 +93,22 @@ class _StepBatch:
 
     def flush(self) -> None:
         # async frames first: join the pool threads, rebind the owners'
-        # slots to the lazy checkpoints, and commit them with the rest
+        # slots to the lazy checkpoints, and commit them with the rest.
+        # A future the owner DISCARDED (discard_state_fut cancels it) is
+        # skipped; one still QUEUED behind pool capacity must be waited
+        # out, not cancelled — cancelling it would leave the owner's
+        # slot on the raw plan forever and later steps' plans would
+        # chain through it (O(steps) growth).
+        from concurrent.futures import CancelledError
+
         async_items, self.async_pending = self.async_pending, []
         for fut, setter in async_items:
-            if fut.cancel():  # owner discarded it before it started
+            if fut.cancelled():
                 continue
-            ck = fut.result()
+            try:
+                ck = fut.result()
+            except CancelledError:  # discarded between check and wait
+                continue
             if setter(ck):  # True: the owner's slot moved on — the
                 continue    # orphaned frame need not materialize
             self.pending.append(ck)
@@ -171,6 +181,13 @@ def defer_checkpoint(df: DataFrame) -> DataFrame:
         if df is p:
             return df
     return batch.defer(df)
+
+
+def is_pending(df: DataFrame) -> bool:
+    """True when ``df`` IS one of the active step's pending checkpoint
+    handles (the defer_checkpoint dedupe rule, exposed for async
+    appends): appending it again must share the handle, not copy it."""
+    return bool(_STACK) and any(df is p for p in _STACK[-1].pending)
 
 
 def persist_step(df: DataFrame) -> DataFrame:
