@@ -37,17 +37,12 @@ _INTERVAL_RE = re.compile(
     r"INTERVAL\s+'?(\d+)'?\s+(\w+)", re.IGNORECASE
 )
 _DESCRIPTOR_RE = re.compile(r"DESCRIPTOR\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
-_SAFE_CAST_RE = re.compile(r"\bSAFE_CAST\b", re.IGNORECASE)
-_SUBSCRIPT_RE = re.compile(r"\b(\w+(?:\.\w+)?)\s*\[([^\[\]]+)\]")
 _ASOF_RE = re.compile(
     r"\bFROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!LEFT\b|ASOF\b)\w+))?\s+"
     r"LEFT\s+ASOF\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!MATCH_CONDITION\b)\w+))?\s+"
     r"MATCH_CONDITION\s*\(",
     re.IGNORECASE,
 )
-_CMP_RE = re.compile(r"(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)")
-_EQ_RE = re.compile(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)")
-
 _asof_counter = 0
 
 
@@ -238,22 +233,19 @@ def rewrite_unnest(sql: str) -> str:
 
 
 def rewrite_scalars(sql: str) -> str:
-    """SAFE_CAST → TRY_CAST; 1-based ``arr[i]`` → ``element_at``.
+    """SAFE_CAST → TRY_CAST; COUNTIF → count_if; 1-based ``arr[i]`` →
+    ``element_at``. Token-spliced (round-8, retiring the masked regex
+    passes here): a literal like ``'a[1]'`` or ``'SAFE_CAST'`` is one
+    string token and can never trigger a rewrite. COUNTIF is Feldera
+    dialect (``aggregates.rs``) — Spark's builtin is count_if; the IVM
+    compiler maps it in its own function table."""
+    from feldera_spark.sqlparse import replace_words, rewrite_subscripts
 
-    Quote-aware: string literals are protected before the regex passes
-    (a literal like ``'a[1]'`` or ``'SAFE_CAST'`` is data, not syntax)."""
-    sql, lits = _protect_literals(sql)
-    sql = _SAFE_CAST_RE.sub("TRY_CAST", sql)
-    # COUNTIF is Feldera dialect (aggregates.rs) — Spark's builtin is
-    # count_if. Needed on the batch path; the IVM compiler maps it in
-    # its own function table (streaming/compiler.py).
-    sql = re.sub(r"\bCOUNTIF\s*\(", "count_if(", sql, flags=re.IGNORECASE)
-    # repeat so chained subscripts a[1] inside other subscripts resolve
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _SUBSCRIPT_RE.sub(r"element_at(\1, \2)", sql)
-    return _restore_literals(sql, lits)
+    sql = replace_words(
+        sql,
+        {"safe_cast": ("TRY_CAST", False), "countif": ("count_if", True)},
+    )
+    return rewrite_subscripts(sql)
 
 
 _CAST_HEAD_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
@@ -346,10 +338,14 @@ def _rewrite_asof(spark: SparkSession, sql: str) -> str:
         raise ValueError("ASOF JOIN requires an ON clause")
     on_text, clause_end = _find_on_clause(sql, on_m.end())
 
-    cm = _CMP_RE.search(cond)
+    from feldera_spark.sqlparse import cmp_conjunct
+
+    cm = cmp_conjunct(cond, (">=", "<="))
     if cm is None:
         raise ValueError(f"unsupported MATCH_CONDITION: {cond!r}")
-    a_al, a_col, op, b_al, b_col = cm.groups()
+    (a_al, a_col), op, (b_al, b_col) = cm
+    if a_al is None or b_al is None:
+        raise ValueError(f"unsupported MATCH_CONDITION: {cond!r}")
     # normalize to left_ts >= right_ts (latest right at-or-before left)
     if op == "<=":
         a_al, a_col, b_al, b_col = b_al, b_col, a_al, a_col
@@ -364,8 +360,13 @@ def _rewrite_asof(spark: SparkSession, sql: str) -> str:
         raise ValueError(f"MATCH_CONDITION aliases {a_al}/{b_al} do not match {la}/{ra}")
 
     left_keys, renames = [], {}
-    for em in _EQ_RE.finditer(on_text):
-        x_al, x_col, y_al, y_col = em.groups()
+    for term in _split_top_and_fe(on_text):
+        em = cmp_conjunct(term, ("=",))
+        if em is None:
+            continue  # same tolerance as the historical finditer scan
+        (x_al, x_col), _op, (y_al, y_col) = em
+        if x_al is None or y_al is None:
+            continue
         if x_al == ra:  # normalize to left = right
             x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
         if x_al != la or y_al != ra:

@@ -662,3 +662,88 @@ def pred_words(sql: str, exclude: frozenset) -> set[str]:
         if lw not in exclude:
             out.add(lw)
     return out
+
+
+def replace_words(sql: str, table: dict) -> str:
+    """Literal-safe word substitution: each key (lower-case word) maps
+    to ``(replacement, call_only)`` — with ``call_only`` the word must
+    be immediately followed by ``(`` to rewrite (function names). A
+    string literal containing the word is one token and never matches
+    (round-8: retires the masked regex passes in rewrite_scalars)."""
+    toks = tokenize(sql)
+    out, pos = [], 0
+    for i, t in enumerate(toks):
+        if t.kind != "word":
+            continue
+        spec = table.get(t.text.lower())
+        if spec is None:
+            continue
+        repl, call_only = spec
+        if call_only:
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if nxt is None or nxt.kind != "punct" or nxt.text != "(":
+                continue
+        out.append(sql[pos : t.start])
+        out.append(repl)
+        pos = t.end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def rewrite_subscripts(sql: str) -> str:
+    """1-based ``base[expr]`` → ``element_at(base, expr)`` as a token
+    splice (round-8, retiring the masked ``_SUBSCRIPT_RE`` pass): the
+    base is a word or dotted pair directly before ``[`` (same grammar
+    as the historical regex — calls like ``f(x)[1]`` stay untouched),
+    innermost-first so ``a[b[1]]`` resolves, and a literal ``'a[1]'``
+    is one string token that can never trigger the rewrite. ``ARRAY[…]``
+    constructors are excluded (the regex would have mangled them)."""
+    while True:
+        toks = tokenize(sql)
+        # innermost-first: the LAST '[' opener seen before its closer
+        spans = []  # (open tok idx, close tok idx)
+        stack = []
+        for i, t in enumerate(toks):
+            if t.kind != "punct":
+                continue
+            if t.text == "[":
+                stack.append(i)
+            elif t.text == "]" and stack:
+                spans.append((stack.pop(), i))
+        done = True
+        # spans are emitted innermost-first within each nest
+        for oi, ci in spans:
+            base_start = None
+            bi = oi - 1
+            if bi >= 0 and toks[bi].kind in ("word", "qident"):
+                if toks[bi].kind == "word" and toks[bi].up() == "ARRAY":
+                    continue
+                base_start = toks[bi].start
+                if (
+                    bi >= 2
+                    and toks[bi - 1].kind == "punct"
+                    and toks[bi - 1].text == "."
+                    and toks[bi - 2].kind in ("word", "qident")
+                ):
+                    base_start = toks[bi - 2].start
+            if base_start is None:
+                continue
+            # inner content must not itself contain a '[' (resolve the
+            # nested one first on the next pass — it appears earlier in
+            # spans, so this branch is only a guard)
+            if any(
+                toks[k].kind == "punct" and toks[k].text == "["
+                for k in range(oi + 1, ci)
+            ):
+                continue
+            base = sql[base_start : toks[oi].start].rstrip()
+            inner = sql[toks[oi].end : toks[ci].start]
+            sql = (
+                sql[:base_start]
+                + f"element_at({base}, {inner.strip()})"
+                + sql[toks[ci].end :]
+            )
+            done = False
+            break
+        if done:
+            return sql

@@ -186,7 +186,6 @@ _GENERAL_AGG_FNS = {
     "count_if": lambda a: F.count_if(F.expr(a[0])),
 }
 
-_EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
 _SQL_KEYWORDS = frozenset(
     "and or not in is null true false between like case when then else end "
@@ -447,11 +446,14 @@ def parse_view_shape(sql: str) -> _Shape | None:
         aliases[(jm.group("la") or jm.group("lt")).lower()] = "l"
         aliases[(jm.group("ra") or jm.group("rt")).lower()] = "r"
         la = (jm.group("la") or jm.group("lt")).lower()
-        for term in re.split(r"\bAND\b", jm.group("on"), flags=re.IGNORECASE):
-            em = _EQ_RE.match(term)
-            if em is None:
+        from feldera_spark.sqlparse import cmp_conjunct as _cmp
+
+        for term in _split_top_and(jm.group("on")):
+            em = _cmp(term, ("=",))
+            if em is None or em[0][0] is None or em[2][0] is None:
                 return None
-            xa, xc, ya, yc = (g.lower() for g in em.groups())
+            xa, xc = em[0][0].lower(), em[0][1].lower()
+            ya, yc = em[2][0].lower(), em[2][1].lower()
             if xa == la:
                 shape.on.append((xc, yc))
             elif ya == la:
@@ -2062,7 +2064,6 @@ _ASOF_FROM_RE = re.compile(
     r"ON\s+(?P<on>.*?)(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_CMP_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)\s*$")
 
 
 @dataclass
@@ -2103,10 +2104,14 @@ def parse_asof_shape(sql: str) -> _AsofShape | None:
         return None
     la = (fm.group("la") or fm.group("lt")).lower()
     ra = (fm.group("ra") or fm.group("rt")).lower()
-    cm = _CMP_RE.match(fm.group("cond"))
-    if cm is None:
+    from feldera_spark.sqlparse import cmp_conjunct as _cmpq
+
+    cmt = _cmpq(fm.group("cond"), (">=", "<="))
+    if cmt is None or cmt[0][0] is None or cmt[2][0] is None:
         return None
-    a_al, a_col, op, b_al, b_col = (g.lower() for g in cm.groups())
+    a_al, a_col = cmt[0][0].lower(), cmt[0][1].lower()
+    op = cmt[1]
+    b_al, b_col = cmt[2][0].lower(), cmt[2][1].lower()
     if op == "<=":
         a_al, a_col, b_al, b_col = b_al, b_col, a_al, a_col
     if (a_al, b_al) != (la, ra):
@@ -2114,11 +2119,14 @@ def parse_asof_shape(sql: str) -> _AsofShape | None:
     left_ts, right_ts = a_col, b_col
     keys: list[str] = []
     renames: dict[str, str] = {}
-    for term in re.split(r"\bAND\b", fm.group("on"), flags=re.IGNORECASE):
-        em = _EQ_RE.match(term)
-        if em is None:
+    from feldera_spark.sqlparse import cmp_conjunct as _cmp
+
+    for term in _split_top_and(fm.group("on")):
+        em = _cmp(term, ("=",))
+        if em is None or em[0][0] is None or em[2][0] is None:
             return None
-        x_al, x_col, y_al, y_col = (g.lower() for g in em.groups())
+        x_al, x_col = em[0][0].lower(), em[0][1].lower()
+        y_al, y_col = em[2][0].lower(), em[2][1].lower()
         if x_al == ra:
             x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
         if x_al != la or y_al != ra:
@@ -3112,11 +3120,14 @@ def _compile_chain_join(
         tbl = jm.group("t").lower()
         al = (jm.group("a") or jm.group("t")).lower()
         inner_aliases[al] = tbl
-        for term in re.split(r"\bAND\b", jm.group("on"), flags=re.IGNORECASE):
-            em = _EQ_RE.match(term)
-            if em is None:
+        from feldera_spark.sqlparse import cmp_conjunct as _cmpeq
+
+        for term in _split_top_and(jm.group("on")):
+            em = _cmpeq(term, ("=",))
+            if em is None or em[0][0] is None or em[2][0] is None:
                 return None
-            x_al, x_col, y_al, y_col = (g.lower() for g in em.groups())
+            x_al, x_col = em[0][0].lower(), em[0][1].lower()
+            y_al, y_col = em[2][0].lower(), em[2][1].lower()
             if x_al == al:
                 x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
             if y_al == al and y_col != x_col:
@@ -3255,10 +3266,13 @@ def _rewrite_exists_subquery(sql: str) -> str:
     inner_al = (em.group("a") or em.group("u")).lower()
     on_terms = []
     for term in _split_top_and(em.group("p")):
-        eq = _EQ_RE.match(term)
-        if eq is None:
+        from feldera_spark.sqlparse import cmp_conjunct as _cmpeq
+
+        eq = _cmpeq(term, ("=",))
+        if eq is None or eq[0][0] is None or eq[2][0] is None:
             return sql  # non-equi correlation: batch
-        x_al, x_col, y_al, y_col = (g.lower() for g in eq.groups())
+        x_al, x_col = eq[0][0].lower(), eq[0][1].lower()
+        y_al, y_col = eq[2][0].lower(), eq[2][1].lower()
         if x_al == inner_al:
             x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
         if x_al != outer_al or y_al != inner_al:
@@ -4125,10 +4139,13 @@ def parse_range_scalar_shape(sql: str) -> _RangeScalarShape | None:
                 x, xc, y, yc = y, yc, x, xc
             ineq = (yc.lower(), xc.lower(), op)  # (left col, right col, op)
             continue
-        em = _EQ_RE.match(term)
-        if em is None:
+        from feldera_spark.sqlparse import cmp_conjunct as _cmpeq
+
+        em = _cmpeq(term, ("=",))
+        if em is None or em[0][0] is None or em[2][0] is None:
             return None
-        xa, xc, ya, yc = (g.lower() for g in em.groups())
+        xa, xc = em[0][0].lower(), em[0][1].lower()
+        ya, yc = em[2][0].lower(), em[2][1].lower()
         if xa == r_al:
             xa, xc, ya, yc = ya, yc, xa, xc
         if xa != l_al or ya != r_al:

@@ -1020,6 +1020,8 @@ class IncrementalJoinView:
         salt = int(
             delta.sparkSession.conf.get("spark.feldera.join.skewSalt", "0")
         )
+        if salt <= 1:
+            salt = self._auto_salt(delta)
         if salt > 1:
             # declared-skew regime (round-6 verdict task #9): this
             # un-hinted join shuffles BOTH sides by key, and a power-law
@@ -1048,6 +1050,59 @@ class IncrementalJoinView:
             if delta_left
             else self._wjoin(slice_, delta, self.on)
         )
+
+    def _auto_salt(self, delta: DataFrame) -> int:
+        """AUTO skew detection (round-7 verdict task #9): at 100x scale
+        a hot key appears at runtime, not in a config. This branch (the
+        fan-out guard) is the one place an un-hinted both-sides shuffle
+        runs with AQE off, so a power-law key concentrates a whole
+        state slice in one task. Probe the DELTA's key concentration
+        (max/avg rows per key — the hot key of a power-law stream is
+        hot in every delta) with ONE bounded aggregation job, amortized:
+        the verdict re-probes every 16 fan-out joins per view and caches
+        in between. Past ``spark.feldera.join.skewAutoRatio`` (default
+        16; 0 disables) the salted plan activates with a salt scaled to
+        the concentration, capped at 32 — the delta replicates saltx,
+        so over-salting costs more than it spreads. The reference
+        relies on its sharded exchange operators for the same hazard
+        (``shard.rs``); on Spark outside steps AQE's skew-join does
+        this at runtime."""
+        self._skew_probe_uses = getattr(self, "_skew_probe_uses", 0) + 1
+        cached = getattr(self, "_skew_salt_cached", None)
+        if cached is not None and self._skew_probe_uses % 16 != 1:
+            return cached
+        try:
+            ratio_bar = float(
+                delta.sparkSession.conf.get(
+                    "spark.feldera.join.skewAutoRatio", "16"
+                )
+            )
+            if ratio_bar <= 0:
+                self._skew_salt_cached = 0
+                return 0
+            row = (
+                delta.groupBy(*self.on)
+                .count()
+                .agg(
+                    F.max("count").alias("mx"),
+                    F.avg("count").alias("av"),
+                    F.count(F.lit(1)).alias("nkeys"),
+                )
+                .collect()[0]
+            )
+            salt = 0
+            if (
+                row["nkeys"] is not None
+                and row["nkeys"] > 1
+                and row["av"]
+                and row["mx"] / row["av"] >= ratio_bar
+            ):
+                salt = int(min(32, max(2, row["mx"] // max(row["av"], 1))))
+            self._skew_salt_cached = salt
+            return salt
+        except Exception:
+            self._skew_salt_cached = 0
+            return 0
 
     @staticmethod
     def _est_bytes(df: DataFrame) -> int | None:

@@ -809,6 +809,74 @@ def test_speculative_rounds_guard_no_false_divergence(spark):
         spark.conf.unset("spark.feldera.recursive.maxRounds")
 
 
+def test_auto_skew_detection_salts_undeclared_hot_key(spark):
+    """Round-7 verdict task #9: ``skewSalt`` was a manually declared
+    config; at 100x a hot key appears at RUNTIME. In the fan-out-guard
+    branch the join now probes the delta's key concentration (max/avg
+    rows per key, one bounded aggregation job, cached between probes)
+    and activates the salted plan automatically past
+    ``spark.feldera.join.skewAutoRatio``. Plan-asserted with an
+    UNDECLARED ~100:1 hot key; result equals the plain join."""
+    from feldera_spark.streaming.incremental import IncrementalJoinView
+
+    state_rows = [("hot", i) for i in range(50)] + [
+        (f"k{i}", i) for i in range(60)
+    ]
+    dim = spark.createDataFrame(state_rows, ["k", "sv"]).withColumn(
+        WEIGHT, F.lit(1).cast("long")
+    )
+    # undeclared hot key: 960 of 1020 delta rows hit "hot" (~57:1
+    # max/avg concentration, past the default ratio bar of 16)
+    delta = (
+        spark.range(1020)
+        .select(
+            F.when(F.col("id") < 960, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id") - 960))
+            .alias("k"),
+            F.col("id").alias("dv"),
+        )
+        .withColumn(WEIGHT, F.lit(1).cast("long"))
+    )
+    want = sorted(
+        (r.k, r.dv, r.sv)
+        for r in delta.drop(WEIGHT).join(dim.drop(WEIGHT), "k").collect()
+    )
+    # force the fallback path (delta too big to broadcast); NO skewSalt
+    spark.conf.set("spark.feldera.deltaBroadcastMaxBytes", "1")
+    try:
+        spark.conf.unset("spark.feldera.join.skewSalt")
+    except Exception:
+        pass
+    try:
+        view = IncrementalJoinView(on=["k"])
+        view.step(None, dim)
+        raw = view._state_join(delta, [dim], True)
+        plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan, plan[:800]
+        assert view._skew_salt_cached and view._skew_salt_cached > 1
+        view.step(delta, None)
+        got = sorted(
+            (r.k, r.dv, r.sv) for r in view.materialized().collect()
+        )
+        assert got == want
+        # a UNIFORM delta on a fresh view must NOT salt
+        uni = (
+            spark.range(300)
+            .select(
+                F.concat(F.lit("k"), F.col("id") % 50).alias("k"),
+                F.col("id").alias("dv"),
+            )
+            .withColumn(WEIGHT, F.lit(1).cast("long"))
+        )
+        v2 = IncrementalJoinView(on=["k"])
+        v2.step(None, dim)
+        plan2 = v2._state_join(uni, [dim], True)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "__salt" not in plan2, plan2[:800]
+    finally:
+        spark.conf.unset("spark.feldera.deltaBroadcastMaxBytes")
+
+
 def test_skew_salted_state_join(spark):
     """Round-6 verdict task #9: with ``spark.feldera.join.skewSalt`` set,
     the non-broadcast state-join fallback salts the state side and
