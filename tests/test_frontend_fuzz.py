@@ -37,7 +37,13 @@ def view_bodies(draw) -> str:
     w = lambda: _ws(rng)
 
     items_plain = ["k", "v", "s", "t1.k", "k + 1 AS kk", "upper(s) AS us",
-                   "'lit UNION (SELECT' AS trap", "coalesce(v, 0) AS cv"]
+                   "'lit UNION (SELECT' AS trap", "coalesce(v, 0) AS cv",
+                   # round-8 token-splice rewrites: subscript-looking /
+                   # SAFE_CAST-looking literal content must pass through
+                   # byte-identical (rewrite_scalars no longer masks)
+                   "'a[1] SAFE_CAST' AS sub_trap",
+                   "'COUNTIF(x)' AS cif_trap",
+                   "element_at(array(v, k), 1) AS ea"]
     items_agg = ["COUNT(*) AS n", "SUM(v) AS sv", "MIN(v) AS mv",
                  "MAX(k) AS mk", "AVG(v) AS av",
                  "SUM(v) + COUNT(*) AS compound"]
