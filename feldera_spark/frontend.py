@@ -1402,7 +1402,7 @@ def _single_outer_table(text: str) -> tuple[str, str] | None:
 
 
 def _top_level_kw_pos(text: str, kw_pattern: str) -> int | None:
-    """Start offset of the first paren-depth-0 occurrence of a keyword.
+    r"""Start offset of the first paren-depth-0 occurrence of a keyword.
     Token-level; ``kw_pattern`` keeps its historical regex-alternation
     shape — only each alternative's LEADING word matters for the
     position (e.g. ``GROUP\s+BY`` → the GROUP token)."""

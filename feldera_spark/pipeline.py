@@ -737,6 +737,22 @@ class Pipeline:
                 mono = view_monotone_out(plan, append_only)
                 if mono is not None:
                     monotone[name] = mono
+        # TERMINAL compiled views (referenced by no other view): nothing
+        # consumes their committed output handle within the step —
+        # downstream readers (ad-hoc queries, Pipeline.view) barrier on
+        # join_flush — so their output spine appends move to the
+        # background pool (Spine.append_async) and the synchronous
+        # checkpoint-planning stall leaves the step's driver path.
+        # Non-terminal views keep synchronous appends: their committed
+        # handles feed downstream views' deltas in the same step.
+        from feldera_spark.streaming.compiler import (
+            enable_async_output_appends,
+        )
+
+        use_counts = self._view_use_counts()
+        for name, plan in self._ivm.items():
+            if use_counts.get(name, 0) == 0:
+                enable_async_output_appends(plan)
         self._evaluate_views()
 
     def _evaluate_views(self, deltas: dict[str, DataFrame] | None = None) -> None:

