@@ -737,6 +737,26 @@ class Pipeline:
                 mono = view_monotone_out(plan, append_only)
                 if mono is not None:
                     monotone[name] = mono
+                # LINEAR join views (projection/filter above the join)
+                # read their output via _linear_out — the inner join's
+                # output spine is never read per step, so its appends
+                # go RAW (no per-step full-copy commit; only amortized
+                # folds materialize). When the monotone pass proved the
+                # view's output append-only, the per-step output
+                # consolidation shuffle is also a no-op and is skipped.
+                from feldera_spark.streaming.incremental import (
+                    IncrementalJoinView,
+                )
+
+                ij = getattr(plan, "_join", None)
+                if (
+                    getattr(plan, "cheap_delta", False)
+                    and isinstance(ij, IncrementalJoinView)
+                ):
+                    ij.raw_output = True
+                    if name in append_only:
+                        ij.append_only_out = True
+                        ij.output.append_only = True
         # TERMINAL compiled views (referenced by no other view): nothing
         # consumes their committed output handle within the step —
         # downstream readers (ad-hoc queries, Pipeline.view) barrier on
@@ -848,21 +868,44 @@ class Pipeline:
                         # re-deriving it is cheaper than storing a copy
                         step_deltas[name] = out
                     elif out is not None:
-                        pinned = self._pin_delta(out)
-                        if use_counts.get(name, 0) >= 1:
-                            # the delta feeds downstream compiled views
-                            # IN THIS STEP: persist so its (expensive)
-                            # plan computes once — every downstream
-                            # broadcast build and the commit job would
-                            # otherwise re-execute it (nx05: the counts
-                            # hop-agg ran 3x per step). Unpersisted at
-                            # scope exit by the step batch.
-                            from feldera_spark.streaming.stepper import (
-                                persist_step,
-                            )
+                        from feldera_spark.streaming.stepper import (
+                            persist_step,
+                        )
 
-                            pinned = persist_step(pinned)
-                        step_deltas[name] = pinned
+                        uses = use_counts.get(name, 0)
+                        if uses == 0 and not init_pass:
+                            # TERMINAL view: nothing consumes the output
+                            # delta — storing (or even executing) it is
+                            # pure commit volume. The view's own state
+                            # commits inside step(); the delta plan is
+                            # kept raw and never runs. (round-9)
+                            step_deltas[name] = out
+                        elif self._ephemeral_delta(name) and not init_pass:
+                            # every consumer folds the delta into its
+                            # own flushed state THIS step and keeps no
+                            # handle (linear/chain aggregates): the pin
+                            # checkpoint is a redundant copy, and its
+                            # synchronous localCheckpoint blocks the
+                            # step thread on every broadcast-collect
+                            # job embedded in the delta plan (non-AQE
+                            # broadcasts run at RDD construction).
+                            # Persist instead: consumers share one
+                            # execution inside the commit job, and the
+                            # cache drops at scope exit. (round-9)
+                            step_deltas[name] = persist_step(out)
+                        else:
+                            pinned = self._pin_delta(out)
+                            if uses >= 1:
+                                # the delta feeds downstream compiled
+                                # views IN THIS STEP: persist so its
+                                # (expensive) plan computes once —
+                                # every downstream broadcast build and
+                                # the commit job would otherwise
+                                # re-execute it (nx05: the counts
+                                # hop-agg ran 3x per step). Unpersisted
+                                # at scope exit by the step batch.
+                                pinned = persist_step(pinned)
+                            step_deltas[name] = pinned
                 if self._defer_frames() and not init_pass:
                     # every view is IVM-compiled: nothing re-reads the
                     # registered temp views between steps, so skip the
@@ -892,6 +935,57 @@ class Pipeline:
                     df = df.cache()
             df.createOrReplaceTempView(name)
             self._frames[name] = df
+
+    def _ephemeral_delta(self, name: str) -> bool:
+        """True when every consumer of view ``name``'s output delta
+        folds it into its own state WITHIN the step and keeps no
+        long-lived reference to the delta handle — i.e. every compiled
+        consumer is a plain linear/chain aggregate view (state merges
+        commit at this step's flush; no input-integral spine, no join
+        input spine storing a derived plan across steps). Such deltas
+        skip the pin checkpoint: the plan-depth argument for pinning
+        only applies to handles that SURVIVE the step inside a spine.
+        Conservative: any consumer that is not a plain CompiledView
+        with a known-ephemeral aggregate keeps the pin."""
+        cached = getattr(self, "_ephemeral_cache", None)
+        if cached is None:
+            cached = self._ephemeral_cache = {}
+        hit = cached.get(name)
+        if hit is not None:
+            return hit
+        from feldera_spark.streaming.compiler import CompiledView
+        from feldera_spark.streaming.incremental import (
+            AppendOnlyAggregateView,
+            IncrementalLinearAggregateView,
+            WindowedLinearAggregateView,
+        )
+
+        ok = True
+        for vname, plan in self._ivm.items():
+            if vname == name or name not in plan.sources:
+                continue
+            if type(plan) is not CompiledView:
+                ok = False
+                break
+            if (
+                plan._join is not None
+                or plan._distinct is not None
+                or plan._topk is not None
+                or not isinstance(
+                    plan._agg,
+                    (
+                        IncrementalLinearAggregateView,
+                        AppendOnlyAggregateView,
+                        WindowedLinearAggregateView,
+                    ),
+                )
+            ):
+                ok = False
+                break
+        # a non-compiled (batch-fallback) view consuming `name` reads
+        # registered frames, not deltas — it does not hold the handle
+        cached[name] = ok
+        return ok
 
     @staticmethod
     def _pin_delta(out: DataFrame) -> DataFrame:
@@ -1497,7 +1591,20 @@ class Pipeline:
         # job (append returns the checkpointed handle — batches[-1] may
         # be a compacted state frame); persist when compiled views read
         # it so the batch scan computes once across all consumers
-        delta_ck = spine.append(delta)
+        # Append-only non-PK tables store the RAW plan: the micro-batch
+        # is a LogicalRDD whose lineage is the trigger's own file scan —
+        # re-executable and deterministic — so checkpointing a full copy
+        # of every input batch into the step's commit job is pure waste
+        # (the reference materializes an input trace only where an
+        # operator integrates it; Nexmark bids never are). Readers
+        # re-scan; the spine's amortized background folds bound
+        # read-plan depth. PK tables keep committed appends: their
+        # spine is read back each step (read_for_keys replaced-row
+        # lookup), and retraction-bearing spines consolidate in-step.
+        if decl.append_only and not decl.primary_key:
+            delta_ck = spine.append_raw(delta)
+        else:
+            delta_ck = spine.append(delta)
         if any(name in p.sources for p in self._ivm.values()):
             delta_ck = persist_step(delta_ck)
         if self._defer_frames():

@@ -747,3 +747,193 @@ def rewrite_subscripts(sql: str) -> str:
             break
         if done:
             return sql
+
+
+# -- FROM-clause shape walkers (round-9, retiring the compiler's
+# -- _JOIN_RE/_CROSS_JOIN_RE/_TABLE_RE and the frontend's _ASOF_RE) ---------
+
+_JOIN_SPEC_WORDS = frozenset(
+    "join inner left right full outer semi anti cross".split()
+)
+_JOIN_HOWS = {
+    ("join",): "inner",
+    ("inner", "join"): "inner",
+    ("left", "join"): "left",
+    ("left", "outer", "join"): "left",
+    ("right", "join"): "right",
+    ("right", "outer", "join"): "right",
+    ("full", "join"): "full",
+    ("full", "outer", "join"): "full",
+    ("left", "semi", "join"): "semi",
+    ("left", "anti", "join"): "anti",
+    ("cross", "join"): "cross",
+}
+
+
+def _name_alias(toks, i, stop_words):
+    """Read ``name [AS alias | alias]`` starting at token ``i`` where
+    the name must be a PLAIN word (no dots, no call parens — the IVM
+    recognizer grammar). Returns (name, alias, next_index) or None."""
+    def w(j):
+        return (
+            toks[j].text.lower()
+            if j < len(toks) and toks[j].kind == "word"
+            else None
+        )
+
+    if w(i) is None:
+        return None
+    # a dotted or called name is outside the recognizer grammar
+    if i + 1 < len(toks) and toks[i + 1].kind == "punct" and toks[
+        i + 1
+    ].text in (".", "("):
+        return None
+    name = toks[i].text
+    i += 1
+    alias = None
+    if w(i) == "as":
+        if w(i + 1) is None:
+            return None
+        alias = toks[i + 1].text
+        i += 2
+    elif w(i) is not None and w(i) not in stop_words:
+        alias = toks[i].text
+        i += 1
+    return name, alias, i
+
+
+def single_join(frm: str):
+    """Parse a FROM-clause body that is exactly one of::
+
+        t [AS a]
+        t1 [AS a] [join-spec] JOIN t2 [AS b] ON <cond>
+        t1 [AS a] CROSS JOIN t2 [AS b]
+
+    (plain undotted relation names — the IVM recognizer grammar).
+    Returns ``{"kind": "table"|"join"|"cross", ...}`` with lowercase
+    ``how`` normalized (``inner/left/right/full/semi/anti``) and ``on``
+    the raw condition tail text, or None when the body is any other
+    shape (subqueries, comma lists, chained joins, dotted names).
+    Token-walking replaces the regex row: a string literal anywhere in
+    the ON tail is a single token and cannot shift the structure."""
+    toks = tokenize(frm)
+
+    def w(j):
+        return (
+            toks[j].text.lower()
+            if j < len(toks) and toks[j].kind == "word"
+            else None
+        )
+
+    got = _name_alias(toks, 0, _JOIN_SPEC_WORDS)
+    if got is None:
+        return None
+    lt, la, i = got
+    if i == len(toks):
+        return {"kind": "table", "lt": lt, "la": la}
+    spec: list[str] = []
+    while i < len(toks) and w(i) in _JOIN_SPEC_WORDS:
+        spec.append(w(i))
+        i += 1
+        if spec[-1] == "join":
+            break
+    how = _JOIN_HOWS.get(tuple(spec))
+    if how is None:
+        return None
+    got = _name_alias(toks, i, frozenset(("on",)))
+    if got is None:
+        return None
+    rt, ra, i = got
+    if how == "cross":
+        if i != len(toks):
+            return None
+        return {"kind": "cross", "lt": lt, "la": la, "rt": rt, "ra": ra}
+    if w(i) != "on" or i + 1 >= len(toks):
+        return None
+    return {
+        "kind": "join",
+        "how": how,
+        "lt": lt,
+        "la": la,
+        "rt": rt,
+        "ra": ra,
+        "on": frm[toks[i + 1].start :],
+    }
+
+
+def single_table(frm: str):
+    """``t [AS a]`` (plain undotted name) → (t, alias_or_None); None
+    for any other FROM-body shape."""
+    got = single_join(frm)
+    if got is None or got["kind"] != "table":
+        return None
+    return got["lt"], got["la"]
+
+
+def agg_call(expr: str, names: frozenset):
+    """``expr`` is exactly ONE call ``name(args)`` with ``name`` in
+    ``names`` (case-insensitive) and the argument parens balanced to
+    the very end of the text — returns ``(name_lower, args_text)``,
+    else None. The token walk makes the old post-hoc balance scan
+    unnecessary: ``SUM(a) / SUM(b)`` fails because the first call's
+    close paren is not the final token."""
+    toks = tokenize(expr)
+    if (
+        len(toks) < 3
+        or toks[0].kind != "word"
+        or toks[0].text.lower() not in names
+        or toks[1].kind != "punct"
+        or toks[1].text != "("
+    ):
+        return None
+    if _skip_parens(toks, 1) != len(toks):
+        return None
+    return toks[0].text.lower(), expr[toks[1].end : toks[-1].start]
+
+
+def find_asof(sql: str):
+    """Locate the first ``FROM lt [AS la] LEFT ASOF JOIN rt [AS ra]
+    MATCH_CONDITION (`` head (round-9, retiring the frontend's
+    ``_ASOF_RE``): returns ``{"start": <offset of FROM>, "lt", "la",
+    "rt", "ra", "mc_open": <offset of the '(' after MATCH_CONDITION>}``
+    or None. Token-walking means the pattern inside a string literal
+    can never match."""
+    toks = tokenize(sql)
+
+    def w(j):
+        return (
+            toks[j].text.lower()
+            if j < len(toks) and toks[j].kind == "word"
+            else None
+        )
+
+    for f, t in enumerate(toks):
+        if t.kind != "word" or t.text.lower() != "from":
+            continue
+        got = _name_alias(toks, f + 1, frozenset(("left", "asof")))
+        if got is None:
+            continue
+        lt, la, i = got
+        if (w(i), w(i + 1), w(i + 2)) != ("left", "asof", "join"):
+            continue
+        got = _name_alias(toks, i + 3, frozenset(("match_condition",)))
+        if got is None:
+            continue
+        rt, ra, i = got
+        if w(i) != "match_condition":
+            continue
+        if not (
+            i + 1 < len(toks)
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "("
+        ):
+            continue
+        return {
+            "start": t.start,
+            "lt": lt,
+            "la": la,
+            "rt": rt,
+            "ra": ra,
+            "mc_open": toks[i + 1].start,
+        }
+    return None

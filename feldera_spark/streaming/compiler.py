@@ -116,31 +116,20 @@ _ORDER_ITEM_RE = re.compile(
     r"^(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?$", re.IGNORECASE
 )
 
-_JOIN_RE = re.compile(
-    r"^(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b)\w+))?\s+"
-    r"(?:(?P<how>INNER|LEFT\s+SEMI|LEFT\s+ANTI|"
-    r"LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\s+"
-    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>(?!ON\b)\w+))?\s+"
-    r"ON\s+(?P<on>.+)$",
-    re.IGNORECASE | re.DOTALL,
-)
+# FROM-clause / aggregate-item shape recognition is token-walked
+# (sqlparse.single_join / single_table / agg_call, round-9 — retiring
+# the _JOIN_RE/_CROSS_JOIN_RE/_TABLE_RE/_AGG_RE regex row): literals
+# anywhere in the text are single tokens and cannot shift structure.
+from feldera_spark.sqlparse import agg_call as _agg_call
+from feldera_spark.sqlparse import next_call_span as _next_call_span
+from feldera_spark.sqlparse import single_join as _single_join
+from feldera_spark.sqlparse import single_table as _single_table
 
-_TABLE_RE = re.compile(r"^(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?$", re.IGNORECASE)
 
-# CROSS JOIN has no ON clause: the empty-key join (scalar-subquery
-# lowering joins against a 1-row aggregate view this way)
-_CROSS_JOIN_RE = re.compile(
-    r"^(?P<lt>\w+)(?:\s+(?:AS\s+)?(?P<la>(?!CROSS\b)\w+))?\s+"
-    r"CROSS\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-_AGG_RE = re.compile(
-    r"^(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
-    r"VAR_SAMP|VAR_POP|VARIANCE|BOOL_AND|BOOL_OR|BIT_AND|BIT_OR|BIT_XOR|"
-    r"COUNTIF|COUNT_IF)\s*\((.*)\)$",
-    re.IGNORECASE | re.DOTALL,
-)
+def _ncs_guard(arg: str):
+    """Span of the first aggregate call ANYWHERE in ``arg`` (None when
+    absent) — the nested-aggregate fence for single-call agg items."""
+    return _next_call_span(arg, _AGG_NAMES)
 
 # aggregate-call head inside a larger expression (compound decomposition)
 _AGG_HEAD_RE = re.compile(
@@ -425,30 +414,30 @@ def parse_view_shape(sql: str) -> _Shape | None:
 
     frm = m.group("from").strip()
     aliases: dict[str, str] = {}
-    cm = _CROSS_JOIN_RE.match(frm)
-    if cm:
-        shape.left = cm.group("lt").lower()
-        shape.right = cm.group("rt").lower()
+    # token-walked FROM shape (round-9, retiring _JOIN_RE /
+    # _CROSS_JOIN_RE / _TABLE_RE): literals in the ON tail are single
+    # tokens and cannot shift the parsed structure
+    from feldera_spark.sqlparse import single_join as _sj
+
+    fm = _sj(frm)
+    if fm is None:
+        return None
+    if fm["kind"] == "cross":
+        shape.left = fm["lt"].lower()
+        shape.right = fm["rt"].lower()
         shape.how = "inner"  # cross join = inner equi-join on the empty key
-        aliases[(cm.group("la") or cm.group("lt")).lower()] = "l"
-        aliases[(cm.group("ra") or cm.group("rt")).lower()] = "r"
-        jm = None
-    else:
-        jm = _JOIN_RE.match(frm)
-    if jm:
-        shape.left = jm.group("lt").lower()
-        shape.right = jm.group("rt").lower()
-        how = re.sub(
-            r"\s+", " ", (jm.group("how") or "inner").lower()
-        ).replace(" outer", "")
-        how = {"left semi": "semi", "left anti": "anti"}.get(how, how)
-        shape.how = how
-        aliases[(jm.group("la") or jm.group("lt")).lower()] = "l"
-        aliases[(jm.group("ra") or jm.group("rt")).lower()] = "r"
-        la = (jm.group("la") or jm.group("lt")).lower()
+        aliases[(fm["la"] or fm["lt"]).lower()] = "l"
+        aliases[(fm["ra"] or fm["rt"]).lower()] = "r"
+    elif fm["kind"] == "join":
+        shape.left = fm["lt"].lower()
+        shape.right = fm["rt"].lower()
+        shape.how = fm["how"]
+        aliases[(fm["la"] or fm["lt"]).lower()] = "l"
+        aliases[(fm["ra"] or fm["rt"]).lower()] = "r"
+        la = (fm["la"] or fm["lt"]).lower()
         from feldera_spark.sqlparse import cmp_conjunct as _cmp
 
-        for term in _split_top_and(jm.group("on")):
+        for term in _split_top_and(fm["on"]):
             em = _cmp(term, ("=",))
             if em is None or em[0][0] is None or em[2][0] is None:
                 return None
@@ -460,16 +449,13 @@ def parse_view_shape(sql: str) -> _Shape | None:
                 shape.on.append((yc, xc))
             else:
                 return None
-    elif cm is None:
-        tm = _TABLE_RE.match(frm)
-        if tm is None:
-            return None
-        shape.left = tm.group("t").lower()
+    else:
+        shape.left = fm["lt"].lower()
         # the bare table NAME is a legal qualifier when no alias is
         # declared (``SELECT t.k FROM t``) — it must strip like an alias
         # or the compiled filter would carry an unresolvable reference
         # (found by the frontend fuzzer, round 4)
-        aliases[(tm.group("a") or tm.group("t")).lower()] = "l"
+        aliases[(fm["la"] or fm["lt"]).lower()] = "l"
 
     where = m.group("where")
     shape.where = _strip_aliases(where.strip(), aliases) if where else None
@@ -488,28 +474,18 @@ def parse_view_shape(sql: str) -> _Shape | None:
         else:
             expr, name = item, None
         expr = _strip_aliases(expr, aliases)
-        gm = _AGG_RE.match(expr)
-        if gm is not None:
-            # the greedy arg capture must be a BALANCED expression:
-            # "SUM(a) / SUM(b)" matches with arg "a) / SUM(b" — that is
-            # a compound-aggregate item, not one call (batch fallback)
-            depth = 0
-            for ch in gm.group(2):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth < 0:
-                        gm = None
-                        break
-            if gm is not None and depth != 0:
-                gm = None
-        # reject nested aggregates inside the argument
-        if gm and not _AGG_RE.match(gm.group(2).strip()):
+        # token-walked single-aggregate-call test (round-9, retiring
+        # _AGG_RE): "SUM(a) / SUM(b)" fails structurally — the first
+        # call's close paren is not the final token — so the old
+        # post-hoc balance scan is built in
+        gm = _agg_call(expr, _AGG_NAMES)
+        # reject nested aggregates anywhere inside the argument (the
+        # compound-decomposition branch below handles those)
+        if gm and _ncs_guard(gm[1]) is None:
             if name is None:
                 return None  # aggregates must be aliased (driver contract)
-            arg = gm.group(2).strip()
-            fn = gm.group(1).lower()
+            arg = gm[1].strip()
+            fn = gm[0]
             if fn == "count" and arg == "*":
                 arg = None
             shape.aggs.append(_Agg(name, fn, arg))
@@ -1337,6 +1313,17 @@ class CompiledView:
             return out.drop("__g") if out is not None else None
         out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
         if self._linear_out is not None:
+            if self._join is not None:
+                # JOIN-shaped linear view: the inner join's own output
+                # spine commits the batch this step — store only the
+                # narrow projection over it, uncheckpointed. The plain
+                # append's shallow-plan test cannot recognize an ASYNC
+                # join-output placeholder (raw plan text says "Join")
+                # and would lazily checkpoint the whole join plan:
+                # blocking the step thread on its embedded broadcast
+                # builds AND committing a second full copy of the
+                # output (round-9; the round-8 async wiring exposed it).
+                return self._linear_out.append_raw(out)
             # use append's RETURN (the checkpointed handle) — batches[-1]
             # may be a compacted state frame (same class of bug as the
             # round-6 i63 spine fix)
@@ -1702,10 +1689,10 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
         or m.group("limit")
     ):
         return None
-    tm = _TABLE_RE.match(m.group("from").strip())
+    tm = _single_table(m.group("from").strip())
     if tm is None:
         return None
-    aliases = {tm.group("a").lower(): "l"} if tm.group("a") else {}
+    aliases = {tm[1].lower(): "l"} if tm[1] else {}
     select: list[tuple[str, str]] = []
     out_cols: list[str] = []
     windows: list[tuple] = []
@@ -1793,7 +1780,7 @@ def parse_rank_shape(sql: str) -> _RankShape | None:
     fn, partition, order, out_name, arg, off, frame, dflt = windows[0]
     where = m.group("where")
     return _RankShape(
-        left=tm.group("t").lower(),
+        left=tm[0].lower(),
         where=where.strip() if where else None,
         select=select,
         fn=fn,
@@ -1995,12 +1982,10 @@ def parse_rolling_shape(sql: str) -> _RollingShape | None:
         or m.group("limit")
     ):
         return None
-    tm = _TABLE_RE.match(m.group("from").strip())
+    tm = _single_table(m.group("from").strip())
     if tm is None:
         return None
-    aliases = (
-        {tm.group("a").lower(): "l"} if tm.group("a") else {}
-    )
+    aliases = {tm[1].lower(): "l"} if tm[1] else {}
     where = m.group("where")
     select: list[tuple[str, str]] = []
     out_cols: list[str] = []
@@ -2043,7 +2028,7 @@ def parse_rolling_shape(sql: str) -> _RollingShape | None:
         return None
     fn, arg, partition, ts, secs, out_name = window
     return _RollingShape(
-        left=tm.group("t").lower(),
+        left=tm[0].lower(),
         where=_strip_aliases(where.strip(), aliases) if where else None,
         select=select,
         fn=fn,
@@ -2301,12 +2286,12 @@ def parse_session_shape(sql: str) -> _SessionShape | None:
         expr, name = (
             (am.group("e").strip(), am.group("n").lower()) if am else (item, None)
         )
-        gm = _AGG_RE.match(expr)
+        gm = _agg_call(expr, _AGG_NAMES)
         if gm is not None:
             if name is None:
                 return None
-            arg = gm.group(2).strip()
-            fn = gm.group(1).lower()
+            arg = gm[1].strip()
+            fn = gm[0]
             if fn == "count" and arg == "*":
                 arg = None
             aggs.append(_Agg(name, fn, arg))
@@ -2782,13 +2767,13 @@ def _compile_grouping_sets(
     sets = _parse_grouping_sets(m.group("gb"))
     if sets is None:
         return None
-    tm = _TABLE_RE.match(m.group("from").strip())
+    tm = _single_table(m.group("from").strip())
     if tm is None:
         return None
-    left = tm.group("t").lower()
+    left = tm[0].lower()
     if left not in tables:
         return None
-    aliases = {tm.group("a").lower(): "l"} if tm.group("a") else {}
+    aliases = {tm[1].lower(): "l"} if tm[1] else {}
     all_keys = {k for s in sets for k in s}
     key_cols: list[str] = []
     agg_items: list[str] = []
@@ -2813,7 +2798,7 @@ def _compile_grouping_sets(
             grouping_cols.append((name, gk))
             out_cols.append(name)
             continue
-        if _AGG_RE.match(expr):
+        if _agg_call(expr, _AGG_NAMES):
             if name is None:
                 return None
             agg_items.append(f"{expr} AS {name}")
@@ -3100,10 +3085,10 @@ def _compile_chain_join(
     last_seg = parts[-1]
     # inner aliases: "tbl [AS al]" for base, "JOIN tbl [AS al] ON …"
     inner_aliases: dict[str, str] = {}
-    bm = _TABLE_RE.match(parts[0])
+    bm = _single_table(parts[0])
     if bm is None:
         return None
-    inner_aliases[(bm.group("a") or bm.group("t")).lower()] = bm.group("t").lower()
+    inner_aliases[(bm[1] or bm[0]).lower()] = bm[0].lower()
     # right-side join keys that the equi-join renames to the left name
     # must NOT be exposed by the inner view (they no longer exist in
     # the join output under their own name)
@@ -3248,10 +3233,10 @@ def _rewrite_exists_subquery(sql: str) -> str:
     m = _match_shape(sql)
     if m is None or m.group("where") is None:
         return sql
-    tm = _TABLE_RE.match(m.group("from").strip())
+    tm = _single_table(m.group("from").strip())
     if tm is None:
         return sql
-    outer_al = (tm.group("a") or tm.group("t")).lower()
+    outer_al = (tm[1] or tm[0]).lower()
     conjs = _split_top_and(m.group("where"))
     hit = None
     for i, cj in enumerate(conjs):
@@ -3307,7 +3292,7 @@ def _rewrite_in_subquery(sql: str) -> str:
     m = _match_shape(sql)
     if m is None or m.group("where") is None:
         return sql
-    tm = _TABLE_RE.match(m.group("from").strip())
+    tm = _single_table(m.group("from").strip())
     if tm is None:
         return sql
     conjs = _split_top_and(m.group("where"))
@@ -3322,7 +3307,7 @@ def _rewrite_in_subquery(sql: str) -> str:
         return sql
     i, mm = hit
     rest = [c for j, c in enumerate(conjs) if j != i]
-    al = tm.group("a") or tm.group("t")
+    al = tm[1] or tm[0]
     new_from = (
         f"{m.group('from').strip()} LEFT SEMI JOIN {mm.group('u')} __inq "
         f"ON {al}.{mm.group('col')} = __inq.{mm.group('c')}"
@@ -4117,17 +4102,16 @@ def parse_range_scalar_shape(sql: str) -> _RangeScalarShape | None:
             or m.group("having") or m.group("ob") or m.group("limit") \
             or m.group("distinct"):
         return None
-    jm = _JOIN_RE.match(m.group("from").strip())
-    if jm is None:
+    jm = _single_join(m.group("from").strip())
+    if jm is None or jm["kind"] != "join":
         return None
-    how = re.sub(r"\s+", " ", (jm.group("how") or "inner").lower())
-    if how not in ("left", "left outer"):
+    if jm["how"] != "left":
         return None
-    l_al = (jm.group("la") or jm.group("lt")).lower()
-    r_al = (jm.group("ra") or jm.group("rt")).lower()
+    l_al = (jm["la"] or jm["lt"]).lower()
+    r_al = (jm["ra"] or jm["rt"]).lower()
     ineq = None
     equi: list[tuple[str, str]] = []
-    for term in _split_top_and(jm.group("on")):
+    for term in _split_top_and(jm["on"]):
         im = _INEQ_RE.match(term)
         if im is not None and {im.group("x").lower(), im.group("y").lower()} \
                 == {l_al, r_al}:
@@ -4155,7 +4139,7 @@ def parse_range_scalar_shape(sql: str) -> _RangeScalarShape | None:
         return None
     range_key, r_range_col, op = ineq
     shape = _RangeScalarShape(
-        left=jm.group("lt").lower(), right=jm.group("rt").lower(),
+        left=jm["lt"].lower(), right=jm["rt"].lower(),
         l_al=l_al, r_al=r_al, keys=[], range_key=range_key,
         r_range_col=r_range_col, op=op, equi=equi,
     )

@@ -279,6 +279,21 @@ class Spine:
             self._raw = None
         return ck
 
+    def append_raw(self, delta: DataFrame) -> DataFrame:
+        """Append WITHOUT any checkpoint: for output accumulators whose
+        delta is a narrow map over a batch some OTHER spine commits this
+        step (a linear join view's projection of the inner join's output
+        spine batch). The base may still be a raw ASYNC placeholder here
+        — the text-based shallow test in ``_append_sync`` cannot see
+        that and would lazily checkpoint the whole join plan, which (a)
+        BLOCKS the step thread on every broadcast-collect job embedded
+        in the raw plan (non-AQE broadcasts execute at RDD-construction
+        time) and (b) stores a SECOND full copy of the join output in
+        the step's commit. Reads re-derive the narrow map over the
+        committed base — the documented cheap_delta cost model."""
+        self._resolve_fold()
+        return self._post_append(delta)
+
     def append_async(self, delta: DataFrame) -> DataFrame:
         """Append whose COMMITTED handle nobody consumes this step (join
         input integrals: the appended side is read by LATER steps only).
@@ -936,6 +951,20 @@ class IncrementalJoinView:
         # batch counts and, when the inputs are chained view deltas,
         # would compound across steps)
         self.output = Spine()
+        # raw_output (round-9): a LINEAR join view (projection/filter
+        # only above the join) reads its output through _linear_out —
+        # the output spine here is never read per step, so committing a
+        # full copy of the (pre-WHERE) join delta every step is pure
+        # commit volume (nx05: 100k rows/step). The compiled view sets
+        # this flag; appends then store the RAW delta plan (over stable
+        # committed/raw inputs) and only the amortized spine folds
+        # materialize. append_only_out additionally records that both
+        # inputs are insert-only (monotone pass): all weights are +1,
+        # so the per-step output consolidation SHUFFLE is a no-op
+        # normalization and is skipped (reference: the monotonicity
+        # analysis drops consolidation for append-only streams).
+        self.raw_output = False
+        self.append_only_out = False
 
     def _wjoin(self, x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
         xr = x.withColumnRenamed(WEIGHT, "__wx")
@@ -1185,7 +1214,12 @@ class IncrementalJoinView:
             parts.append(self._wjoin(da, db, self.on))
         if not parts:
             return None
-        out_delta = zset.consolidate(zset.plus(*parts))
+        if self.append_only_out:
+            out_delta = zset.plus(*parts) if len(parts) > 1 else parts[0]
+        else:
+            out_delta = zset.consolidate(zset.plus(*parts))
+        if self.raw_output:
+            return self.output.append_raw(out_delta)
         return self.output.append(out_delta)
 
     def materialized(self) -> DataFrame:

@@ -607,8 +607,20 @@ def test_bulk_insert_step_skips_key_broadcast(spark):
         plans.append(df._jdf.queryExecution().executedPlan().toString())
         return orig(df)
 
+    # the state merge rides the ASYNC checkpoint path (round-8), and
+    # since round 9 a terminal view's output delta is never pinned — so
+    # spy the async defer too, not just the sync _checkpoint
+    from feldera_spark.streaming import stepper as _stepper
+
+    orig_async = _stepper.defer_checkpoint_async
+
+    def spy_async(df, setter):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig_async(df, setter)
+
     prev = spark.conf.get("spark.feldera.broadcastKeyRowLimit", "2000000")
     inc._checkpoint = spy
+    _stepper.defer_checkpoint_async = spy_async
     spark.conf.set("spark.feldera.broadcastKeyRowLimit", "50")
     try:
         # small VALUES insert AND a state-sized bulk self-insert: the
@@ -621,6 +633,7 @@ def test_bulk_insert_step_skips_key_broadcast(spark):
             assert "BroadcastExchange" not in pl, pl[:500]
     finally:
         inc._checkpoint = orig
+        _stepper.defer_checkpoint_async = orig_async
         spark.conf.set("spark.feldera.broadcastKeyRowLimit", prev)
     # correctness across both regimes
     got = {
