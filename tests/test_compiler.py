@@ -3029,3 +3029,108 @@ def test_now_composed_checkpoint_roundtrip(spark, tmp_path):
         assert got == {(1, 1), (2, 1)}
     finally:
         spark.conf.unset("spark.feldera.now")
+
+
+def test_now_composed_through_join(spark):
+    """Round-8 verdict task #4: a NOW()-bounded conjunct on ONE input
+    of an equi-join composes — the bound side becomes a hidden
+    temporal-filter view feeding the bilinear incremental join, so
+    boundary-crossing retractions retract their join outputs and a
+    late dim delta reads the CURRENT in-window fact state. Outer joins
+    and unqualified bounds keep the batch fence."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE ev (ts TIMESTAMP, u BIGINT, v BIGINT);
+            CREATE TABLE usr (u BIGINT, seg VARCHAR);
+            CREATE MATERIALIZED VIEW recent AS
+            SELECT e.ts, e.v, s.seg FROM ev e JOIN usr s ON e.u = s.u
+            WHERE e.ts > NOW() - INTERVAL '1' HOUR
+            """
+        )
+        b.connect_table(
+            "ev",
+            spark.createDataFrame([], "ts TIMESTAMP_NTZ, u BIGINT, v BIGINT"),
+        )
+        b.connect_table(
+            "usr", spark.createDataFrame([(1, "a")], "u BIGINT, seg STRING")
+        )
+        p = b.create()
+        assert isinstance(p._ivm.get("recent"), CompiledComposedNowView)
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute(
+            f"INSERT INTO ev VALUES (TIMESTAMP '{ts(30)}', 1, 10),"
+            f" (TIMESTAMP '{ts(50)}', 1, 5), (TIMESTAMP '{ts(120)}', 1, 9),"
+            f" (TIMESTAMP '{ts(20)}', 2, 7)"
+        )
+        got = {(r["v"], r["seg"]) for r in p.view("recent").collect()}
+        # u=2 has no dim row yet; the 2h-old row is out of window
+        assert got == {(10, "a"), (5, "a")}
+
+        # late dim arrival: u=2's IN-WINDOW fact history must appear
+        p.execute("INSERT INTO usr VALUES (2, 'b')")
+        got = {(r["v"], r["seg"]) for r in p.view("recent").collect()}
+        assert got == {(10, "a"), (5, "a"), (7, "b")}
+
+        # clock advances 25 min (bound 11:00 -> 11:25): the 11:10 row
+        # (v=5) crosses out and its JOIN OUTPUT must retract
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:25:00")
+        p.execute(f"INSERT INTO ev VALUES (TIMESTAMP '{ts(5)}', 2, 11)")
+        got = {(r["v"], r["seg"]) for r in p.view("recent").collect()}
+        assert got == {(10, "a"), (7, "b"), (11, "b")}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_join_fences(spark):
+    """Shapes the join composition must NOT claim: LEFT JOIN (pushdown
+    under the padding side changes semantics) and an UNQUALIFIED bound
+    column in a join (ambiguous side) keep the batch fence — results
+    still correct via batch evaluation."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        for view_sql in (
+            # LEFT JOIN: fence
+            "SELECT e.ts, s.seg FROM ev e LEFT JOIN usr s ON e.u = s.u "
+            "WHERE e.ts > NOW() - INTERVAL '1' HOUR",
+            # unqualified bound in a join: fence
+            "SELECT e.ts, s.seg FROM ev e JOIN usr s ON e.u = s.u "
+            "WHERE ts > NOW() - INTERVAL '1' HOUR",
+        ):
+            b = PipelineBuilder(spark).sql(
+                "CREATE TABLE ev (ts TIMESTAMP, u BIGINT);"
+                "CREATE TABLE usr (u BIGINT, seg VARCHAR);"
+                f"CREATE MATERIALIZED VIEW vw AS {view_sql}"
+            )
+            b.connect_table(
+                "ev",
+                spark.createDataFrame(
+                    [], "ts TIMESTAMP_NTZ, u BIGINT"
+                ),
+            )
+            b.connect_table(
+                "usr",
+                spark.createDataFrame([(1, "a")], "u BIGINT, seg STRING"),
+            )
+            p = b.create()
+            assert not isinstance(
+                p._ivm.get("vw"), CompiledComposedNowView
+            ), view_sql
+    finally:
+        spark.conf.unset("spark.feldera.now")
