@@ -889,10 +889,23 @@ class Pipeline:
                             # step thread on every broadcast-collect
                             # job embedded in the delta plan (non-AQE
                             # broadcasts run at RDD construction).
-                            # Persist instead: consumers share one
-                            # execution inside the commit job, and the
-                            # cache drops at scope exit. (round-9)
-                            step_deltas[name] = persist_step(out)
+                            # Persist only when the plan executes more
+                            # than once (2+ consumers, or a windowed
+                            # consumer whose waterline pass re-reads
+                            # it): persist() itself runs full physical
+                            # planning on the step thread (~0.3s on a
+                            # deep plan), and a single linear/chain
+                            # consumer reads the delta exactly once —
+                            # in its keyed partial. (round-9)
+                            if (
+                                uses >= 2
+                                or self._ephemeral_cache.get(
+                                    (name, "multi_read"), False
+                                )
+                            ):
+                                step_deltas[name] = persist_step(out)
+                            else:
+                                step_deltas[name] = out
                         else:
                             pinned = self._pin_delta(out)
                             if uses >= 1:
@@ -961,6 +974,7 @@ class Pipeline:
         )
 
         ok = True
+        multi_read = False
         for vname, plan in self._ivm.items():
             if vname == name or name not in plan.sources:
                 continue
@@ -982,9 +996,16 @@ class Pipeline:
             ):
                 ok = False
                 break
+            # a windowed consumer's waterline pass reads the delta a
+            # second time (bound advance) — the caller then persists
+            if isinstance(plan._agg, WindowedLinearAggregateView) or (
+                getattr(plan, "_waterline", None) is not None
+            ):
+                multi_read = True
         # a non-compiled (batch-fallback) view consuming `name` reads
         # registered frames, not deltas — it does not hold the handle
         cached[name] = ok
+        cached[(name, "multi_read")] = multi_read
         return ok
 
     @staticmethod

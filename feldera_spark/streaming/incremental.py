@@ -1023,6 +1023,17 @@ class IncrementalJoinView:
                 else self._wjoin(state, d, self.on)
             )
         se = self._est_bytes(state)
+        if se is None:
+            # committed state batches are LogicalRDDs with no Catalyst
+            # stats — a STATIC small dim then lost the broadcast choice
+            # to the (estimable, much larger) stream delta: nx04 was
+            # collecting a 500k-row delta to the driver every step
+            # while the category dim sat unbroadcast. Probe the state
+            # side once with a limited count, cached on batch-list
+            # identity; a churning side is never re-probed. (round-9)
+            se = self._probe_state_bytes(
+                "b" if delta_left else "a", batches, state, limit
+            )
         if se is not None and se <= limit and (de is None or se <= de):
             # the STORED side is the smaller estimable side (e.g. a
             # static dimension joined against a large stream delta):
@@ -1092,6 +1103,45 @@ class IncrementalJoinView:
             if delta_left
             else self._wjoin(slice_, delta, self.on)
         )
+
+    def _probe_state_bytes(
+        self, tag: str, batches: list, state: DataFrame, limit: int
+    ) -> int | None:
+        """Rough byte size of an estimate-less state side, ONE limited
+        count job amortized over the side's lifetime: cached on the
+        batch-list identity; once the list churns (a delta landed) the
+        side is marked churning and never probed again — a per-step
+        probe job would tax exactly the hot joins this exists to help.
+        The limited count stops scanning past the broadcast budget, so
+        a 100 TB state side costs one bounded partial scan, not a full
+        count."""
+        cache = getattr(self, "_sprobe", None)
+        if cache is None:
+            cache = self._sprobe = {}
+        key = tuple(map(id, batches))
+        ent = cache.get(tag)
+        if ent is not None:
+            if ent[0] == key:
+                return ent[1]
+            cache[tag] = (key, None)  # churned: stop probing this side
+            return None
+        try:
+            width = sum(
+                8
+                if f.dataType.simpleString()
+                in ("bigint", "int", "double", "float", "boolean",
+                    "date", "timestamp", "timestamp_ntz", "smallint",
+                    "tinyint")
+                else 32
+                for f in state.schema.fields
+            ) or 32
+            cap = max(16, limit // width)
+            n = state.limit(cap + 1).count()
+            size = n * width if n <= cap else None
+        except Exception:
+            size = None
+        cache[tag] = (key, size)
+        return size
 
     def _auto_salt(self, delta: DataFrame, slice_: DataFrame = None) -> int:
         """AUTO skew detection (round-7 verdict task #9): at 100x scale

@@ -304,6 +304,14 @@ def test_step_scope_commits_in_one_job(spark):
     view.step(base.filter(F.col("v") < 20).withColumn(
         WEIGHT, F.lit(1).cast("long")
     ))
+    # quiesce global background machinery (pipelined flush thread,
+    # checkpoint pool) — a straggler job from a PREVIOUS test landing
+    # inside the counted window is not this step's job
+    from feldera_spark.streaming import stepper as _st
+
+    _st.join_flush()
+    _st._pool().submit(lambda: None).result()
+
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
     with step_scope():
