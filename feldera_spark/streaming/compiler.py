@@ -1313,6 +1313,15 @@ class CompiledView:
             return out.drop("__g") if out is not None else None
         out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
         if self._linear_out is not None:
+            if self._join is not None and getattr(
+                self._linear_out, "async_appends", False
+            ):
+                # TERMINAL join view: no downstream consumer's state
+                # materializes the join, so the output delta must still
+                # be computed+stored once per step (honest per-tick
+                # evaluation — the raw path below relies on a consumer
+                # doing the materializing); the build rides the pool
+                return self._linear_out.append_async_forced(out)
             if self._join is not None:
                 # JOIN-shaped linear view: the inner join's own output
                 # spine commits the batch this step — store only the

@@ -294,6 +294,33 @@ class Spine:
         self._resolve_fold()
         return self._post_append(delta)
 
+    def append_async_forced(self, delta: DataFrame) -> DataFrame:
+        """Async-checkpointed append on a LAZY output spine: used for
+        TERMINAL join-view outputs, where nothing downstream
+        materializes the join — the output delta must still be
+        COMPUTED and stored once per step (the reference evaluates
+        every operator each tick; skipping it would make streaming
+        benches measure state maintenance but not the join), while its
+        planning/broadcast builds ride the background pool instead of
+        blocking the step thread."""
+        from feldera_spark.streaming import stepper
+
+        if not stepper.deferring():
+            return self._append_sync(delta)
+        self._resolve_fold()
+        i = len(self.batches)
+
+        def _set(ck, _self=self, _plan=delta, _i=i):
+            lst = _self.batches
+            if _i < len(lst) and lst[_i] is _plan:
+                lst[_i] = ck
+            return False
+
+        fut = stepper.defer_checkpoint_async(delta, _set)
+        if fut is None:
+            return self._append_sync(delta)
+        return self._post_append(delta)
+
     def append_async(self, delta: DataFrame) -> DataFrame:
         """Append whose COMMITTED handle nobody consumes this step (join
         input integrals: the appended side is read by LATER steps only).

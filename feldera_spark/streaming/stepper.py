@@ -179,7 +179,7 @@ def _pool():
         # broadcast-collect jobs; 2 threads overlap a view's state build
         # with the downstream DAG without flooding the scheduler
         _ASYNC_POOL = ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="state-ckpt"
+            max_workers=4, thread_name_prefix="state-ckpt"
         )
     return _ASYNC_POOL
 
