@@ -1622,7 +1622,21 @@ class Pipeline:
         # read-plan depth. PK tables keep committed appends: their
         # spine is read back each step (read_for_keys replaced-row
         # lookup), and retraction-bearing spines consolidate in-step.
+        raw_ok = False
         if decl.append_only and not decl.primary_key:
+            # determinism guard (round-9 review): raw appends re-execute
+            # on every read/fold — only the engine-materialized
+            # micro-batch shape (LogicalRDD, lineage = the trigger's own
+            # scan) is known re-executable; anything else (a rebind
+            # fallback, an exotic source) keeps the committed append
+            try:
+                raw_ok = (
+                    df._jdf.queryExecution().logical().nodeName()
+                    == "LogicalRDD"
+                )
+            except Exception:
+                raw_ok = False
+        if raw_ok:
             delta_ck = spine.append_raw(delta)
         else:
             delta_ck = spine.append(delta)

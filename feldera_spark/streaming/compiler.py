@@ -131,6 +131,29 @@ def _ncs_guard(arg: str):
     absent) — the nested-aggregate fence for single-call agg items."""
     return _next_call_span(arg, _AGG_NAMES)
 
+
+def _agg_like(expr: str) -> bool:
+    """Looser head test for sites that pass the item TEXTUALLY into
+    generated SQL (grouping sets): starts with an aggregate-function
+    word + '(' and ends on ')' — the retired ``_AGG_RE.match``
+    acceptance, which admitted compound items like
+    ``SUM(a) / COUNT(b)`` (tail is ')'); the strict ``_agg_call``
+    walker would reject those and silently demote the whole view to
+    batch recomputation (round-9 review finding). Structure is
+    validated downstream when the generated per-set SQL compiles."""
+    from feldera_spark.sqlparse import tokenize
+
+    toks = tokenize(expr)
+    return (
+        len(toks) >= 3
+        and toks[0].kind == "word"
+        and toks[0].text.lower() in _AGG_NAMES
+        and toks[1].kind == "punct"
+        and toks[1].text == "("
+        and toks[-1].kind == "punct"
+        and toks[-1].text == ")"
+    )
+
 # aggregate-call head inside a larger expression (compound decomposition)
 _AGG_HEAD_RE = re.compile(
     r"\b(SUM|COUNT|AVG|MIN|MAX|ARG_MIN|ARG_MAX|STDDEV_SAMP|STDDEV_POP|STDDEV|"
@@ -417,9 +440,7 @@ def parse_view_shape(sql: str) -> _Shape | None:
     # token-walked FROM shape (round-9, retiring _JOIN_RE /
     # _CROSS_JOIN_RE / _TABLE_RE): literals in the ON tail are single
     # tokens and cannot shift the parsed structure
-    from feldera_spark.sqlparse import single_join as _sj
-
-    fm = _sj(frm)
+    fm = _single_join(frm)
     if fm is None:
         return None
     if fm["kind"] == "cross":
@@ -2807,7 +2828,7 @@ def _compile_grouping_sets(
             grouping_cols.append((name, gk))
             out_cols.append(name)
             continue
-        if _agg_call(expr, _AGG_NAMES):
+        if _agg_like(expr):
             if name is None:
                 return None
             agg_items.append(f"{expr} AS {name}")
@@ -3773,6 +3794,12 @@ def _try_composed_now(
         # the predicate into a window operator anywhere in the DAG)
         lt, rt = jm["lt"].lower(), jm["rt"].lower()
         if lt not in tables or rt not in tables:
+            return None
+        if lt == rt:
+            # SELF-join: sources would be ['t','t'] and the step router
+            # (which keys deltas by source NAME) could never deliver
+            # the raw delta to the unfiltered side — it would silently
+            # stay empty. Keep the batch fence.
             return None
         join = jm
         side_of = {

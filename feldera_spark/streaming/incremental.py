@@ -1145,29 +1145,65 @@ class IncrementalJoinView:
         cache = getattr(self, "_sprobe", None)
         if cache is None:
             cache = self._sprobe = {}
-        key = tuple(map(id, batches))
         ent = cache.get(tag)
         if ent is not None:
-            if ent[0] == key:
+            # identity compare against HELD references — caching bare
+            # id() tuples was unsound (id reuse after GC could alias a
+            # different batch list onto a stale size)
+            prev = ent[0]
+            if len(prev) == len(batches) and all(
+                a is b for a, b in zip(prev, batches)
+            ):
                 return ent[1]
-            cache[tag] = (key, None)  # churned: stop probing this side
+            cache[tag] = (list(batches), None)  # churned: stop probing
             return None
+        size = None
         try:
-            width = sum(
-                8
-                if f.dataType.simpleString()
-                in ("bigint", "int", "double", "float", "boolean",
+            fixed = 0
+            var_exprs = []
+            for f in state.schema.fields:
+                t = f.dataType.simpleString()
+                if t in (
+                    "bigint", "int", "double", "float", "boolean",
                     "date", "timestamp", "timestamp_ntz", "smallint",
-                    "tinyint")
-                else 32
-                for f in state.schema.fields
-            ) or 32
-            cap = max(16, limit // width)
-            n = state.limit(cap + 1).count()
-            size = n * width if n <= cap else None
+                    "tinyint", "long", "short", "byte",
+                ) or t.startswith("decimal"):
+                    fixed += 8
+                elif t in ("string", "binary"):
+                    var_exprs.append(
+                        F.coalesce(
+                            F.octet_length(F.col(f.name).cast("binary")),
+                            F.lit(0),
+                        )
+                    )
+                else:  # struct/array/map: measure the JSON rendering
+                    var_exprs.append(
+                        F.coalesce(
+                            F.octet_length(F.to_json(F.col(f.name))),
+                            F.lit(0),
+                        )
+                    )
+            row_bytes = F.lit(fixed + 16)  # per-row overhead
+            for e in var_exprs:
+                row_bytes = row_bytes + e
+            cap = max(16, limit // max(fixed + 16, 24))
+            row = (
+                state.limit(cap + 1)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(row_bytes).alias("b"),
+                )
+                .collect()[0]
+            )
+            # MEASURED bytes, not a per-type guess: wide-string state
+            # that fits the row cap but not the byte budget must not
+            # broadcast (driver OOM — AQE is off inside steps, no
+            # runtime fallback)
+            if row["n"] is not None and row["n"] <= cap:
+                size = int(row["b"] or 0)
         except Exception:
             size = None
-        cache[tag] = (key, size)
+        cache[tag] = (list(batches), size)
         return size
 
     def _auto_salt(self, delta: DataFrame, slice_: DataFrame = None) -> int:

@@ -176,8 +176,13 @@ def _pool():
         from concurrent.futures import ThreadPoolExecutor
 
         # small and shared: each submission is driver-side planning plus
-        # broadcast-collect jobs; 2 threads overlap a view's state build
-        # with the downstream DAG without flooding the scheduler
+        # broadcast-collect jobs. 4 threads (round-9, up from 2): with
+        # terminal join outputs also building here, a 3-view pipeline
+        # submits state builds + an output build per step and two
+        # threads left the NEXT step's state-future resolution queued
+        # behind the output's broadcast jobs; the builds are mostly
+        # blocked on executor jobs, so 4 still doesn't flood the
+        # scheduler
         _ASYNC_POOL = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="state-ckpt"
         )

@@ -3112,6 +3112,10 @@ def test_now_join_fences(spark):
             # unqualified bound in a join: fence
             "SELECT e.ts, s.seg FROM ev e JOIN usr s ON e.u = s.u "
             "WHERE ts > NOW() - INTERVAL '1' HOUR",
+            # SELF-join: fence (the step router keys deltas by source
+            # NAME and could never feed the unfiltered side)
+            "SELECT a.ts, b.u AS seg FROM ev a JOIN ev b ON a.u = b.u "
+            "WHERE a.ts > NOW() - INTERVAL '1' HOUR",
         ):
             b = PipelineBuilder(spark).sql(
                 "CREATE TABLE ev (ts TIMESTAMP, u BIGINT);"
