@@ -773,6 +773,35 @@ class Pipeline:
         for name, plan in self._ivm.items():
             if use_counts.get(name, 0) == 0:
                 enable_async_output_appends(plan)
+                # TERMINAL keyed linear/chain aggregate in an
+                # all-compiled pipeline: the output delta is kept raw
+                # and never executed (the ephemeral/terminal pin rule),
+                # so the merged `aug` frame has exactly ONE executing
+                # consumer (the state build) — skip its step persist,
+                # whose physical-planning pass costs ~0.3s/step on the
+                # step thread. Global aggregates (default-row probe
+                # reads state in-step) and windowed views (GC reads)
+                # keep the persist. (round-9)
+                from feldera_spark.streaming.compiler import CompiledView
+                from feldera_spark.streaming.incremental import (
+                    AppendOnlyAggregateView,
+                    IncrementalLinearAggregateView,
+                )
+
+                if (
+                    type(plan) is CompiledView
+                    and plan._waterline is None
+                    and plan.shape.keys
+                    and self._defer_frames()
+                    and isinstance(
+                        plan._agg,
+                        (
+                            IncrementalLinearAggregateView,
+                            AppendOnlyAggregateView,
+                        ),
+                    )
+                ):
+                    plan._agg.aug_unshared = True
         self._evaluate_views()
 
     def _evaluate_views(self, deltas: dict[str, DataFrame] | None = None) -> None:

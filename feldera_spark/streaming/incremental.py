@@ -848,7 +848,15 @@ class IncrementalLinearAggregateView:
         # shuffle-hash: hash table on the delta partial, no state-sized
         # sort; both sides hash-cluster on the keys
         j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = persist_step(j.selectExpr(*x["aug_sel"]))
+        aug = j.selectExpr(*x["aug_sel"])
+        if not getattr(self, "aug_unshared", False):
+            # aug feeds the state checkpoint AND the output delta; the
+            # persist computes it once across both. TERMINAL keyed
+            # views (pipeline sets aug_unshared) skip it: their output
+            # delta is never executed, so the state build is aug's only
+            # consumer and persist() would just pay a full physical
+            # planning pass on the step thread (round-9).
+            aug = persist_step(aug)
         state_plan = aug.filter("__n != 0").selectExpr(*x["core"])
 
         def _set(ck, _self=self, _plan=state_plan):
@@ -1708,7 +1716,12 @@ class AppendOnlyAggregateView:
         # shuffle-hash, not sort-merge: no state-sized sort per step
         # (the hash table builds on the delta partial — the small side)
         j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = persist_step(j.selectExpr(*x["aug_sel"]))
+        aug = j.selectExpr(*x["aug_sel"])
+        if not getattr(self, "aug_unshared", False):
+            # see IncrementalLinearAggregateView.step: terminal keyed
+            # views' output deltas never execute — skip the persist's
+            # physical-planning pass (round-9)
+            aug = persist_step(aug)
         state_plan = aug.selectExpr(*x["core"])
 
         def _set(ck, _self=self, _plan=state_plan):

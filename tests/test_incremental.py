@@ -627,7 +627,13 @@ def test_bulk_insert_step_skips_key_broadcast(spark):
         # state merge must plan without a BroadcastExchange either way
         p.execute("INSERT INTO big_t VALUES (1, 1000)")
         p.execute("INSERT INTO big_t SELECT k, v + 1 FROM big_t")
-        merge_plans = [pl for pl in plans if "__has_p" in pl]
+        # match the merge's join-key aliases (__pk_/__sk_): they sit in
+        # the full-outer join condition and survive column pruning —
+        # the __has_p marker column is pruned out of the STATE plan now
+        # that terminal views skip the aug persist barrier (round-9)
+        merge_plans = [
+            pl for pl in plans if "__pk_" in pl or "__has_p" in pl
+        ]
         assert merge_plans, "no merge checkpoints observed"
         for pl in merge_plans:
             assert "BroadcastExchange" not in pl, pl[:500]
