@@ -802,6 +802,7 @@ class Pipeline:
                     )
                 ):
                     plan._agg.aug_unshared = True
+        self._wire_shared_traces()
         self._evaluate_views()
 
     def _evaluate_views(self, deltas: dict[str, DataFrame] | None = None) -> None:
@@ -977,6 +978,71 @@ class Pipeline:
                     df = df.cache()
             df.createOrReplaceTempView(name)
             self._frames[name] = df
+
+    def _wire_shared_traces(self) -> None:
+        """TRACE SHARING (round-9; the reference keeps ONE trace per
+        stream shared by every consumer, circuit.rs): when a compiled
+        join view's source is a compiled keyed linear/chain aggregate
+        view, wire the join's state provider to read that view's
+        CURRENT consolidated state (post-step — the upstream steps
+        first in declaration order; the join's delta rule rearranges to
+        ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB). The join then keeps no integral
+        of its own for that side: no duplicate trace storage, and state
+        reads see net rows instead of a k-batch ±churn union."""
+        from feldera_spark import zset
+        from feldera_spark.streaming.compiler import CompiledView
+        from feldera_spark.streaming.incremental import (
+            IncrementalJoinView,
+        )
+
+        for plan in self._ivm.values():
+            if type(plan) is not CompiledView:
+                continue
+            ij = plan._join
+            if not isinstance(ij, IncrementalJoinView) or not ij.on:
+                continue
+            s = plan.shape
+            if s.unnest is not None:
+                continue
+            from feldera_spark.streaming.incremental import (
+                AppendOnlyAggregateView,
+                IncrementalLinearAggregateView,
+            )
+
+            for attr, src, side in (
+                ("a_state", s.left, "l"),
+                ("b_state", s.right, "r"),
+            ):
+                up = self._ivm.get(src)
+                # STATIC eligibility must cover every case state_bag
+                # declines at runtime: once wired, a None provider
+                # result means "no state yet (empty side)", never
+                # "shape ineligible" — a mid-stream fallback is not
+                # possible
+                if (
+                    type(up) is not CompiledView
+                    or up._lateness
+                    or up._waterline is not None
+                    or not up.shape.keys
+                    or not isinstance(
+                        up._agg,
+                        (
+                            IncrementalLinearAggregateView,
+                            AppendOnlyAggregateView,
+                        ),
+                    )
+                ):
+                    continue
+
+                def provider(_up=up, _plan=plan, _side=side):
+                    bag = _up.state_bag()
+                    if bag is None:
+                        return None
+                    # the provider frame gets the same per-side prep
+                    # (renames, pushed filters, pruning) the deltas get
+                    return _plan._prep(bag, _side)
+
+                setattr(ij, attr, provider)
 
     def _ephemeral_delta(self, name: str) -> bool:
         """True when every consumer of view ``name``'s output delta

@@ -1418,6 +1418,45 @@ class CompiledView:
             return self._finish(self._post_join(out) if out is not None else None)
         return self._finish(dl)
 
+    def state_bag(self) -> DataFrame | None:
+        """Current view contents as a weight-1 Z-set WITHOUT resolving
+        state futures — TRACE SHARING (round-9): a downstream join
+        reads this instead of duplicating the view's integral in its
+        own input spine (the reference shares one trace per stream
+        across all consumers). Mid-step the state slot may be the raw
+        merge plan; it re-derives deterministically from the persisted
+        merge frame. None when the shape is outside the safe grammar
+        (global aggregates' default-row fix-up, windowed GC) or no
+        state exists yet."""
+        s = self.shape
+        if (
+            self._agg is None
+            or not s.keys
+            or self._g_default is not None
+            or self._waterline is not None
+        ):
+            return None
+        from feldera_spark.streaming.incremental import (
+            AppendOnlyAggregateView,
+            IncrementalLinearAggregateView,
+        )
+
+        if not isinstance(
+            self._agg,
+            (IncrementalLinearAggregateView, AppendOnlyAggregateView),
+        ):
+            return None
+        if getattr(self._agg, "state", None) is None:
+            return None
+        df = self._agg.materialized(resolve=False)
+        if set(s.out_cols) <= set(df.columns):
+            df = df.select(*s.out_cols)
+        else:
+            df = self._out_select(df)
+        if s.having:
+            df = df.filter(F.expr(s.having))
+        return zset.lift(df)
+
     def materialized(self) -> DataFrame:
         s = self.shape
         if self._agg is not None:

@@ -941,9 +941,13 @@ class IncrementalLinearAggregateView:
             fut.cancel()
             self._state_fut = None
 
-    def materialized(self) -> DataFrame:
+    def materialized(self, resolve: bool = True) -> DataFrame:
         assert self.state is not None, "no deltas processed yet"
-        self._resolve_state_fut()  # mid-scope read: resolve first
+        if resolve:
+            self._resolve_state_fut()  # mid-scope read: resolve first
+        # resolve=False (trace sharing): mid-step readers take the RAW
+        # state plan — deterministic, re-derived from the persisted
+        # merge — instead of blocking on the background checkpoint
         return self.project(self.state.drop("__n"))
 
 
@@ -1000,6 +1004,18 @@ class IncrementalJoinView:
         # analysis drops consolidation for append-only streams).
         self.raw_output = False
         self.append_only_out = False
+        # TRACE SHARING (round-9; the reference shares one trace per
+        # stream across consumers, circuit.rs): when a side's source is
+        # a compiled aggregate view, the pipeline wires a PROVIDER
+        # returning that view's CURRENT consolidated state as a weight-1
+        # Z-set — this join then keeps NO integral of its own for that
+        # side (no duplicate trace, no k-batch ±churn union re-scan).
+        # The provider hands A_new (the upstream stepped FIRST in the
+        # same pass), so the delta rule rearranges:
+        #   both providers:  ΔJ = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
+        #   one provider(A): ΔJ = ΔA⋈B_old + A_new⋈ΔB   (cross cancels)
+        self.a_state = None
+        self.b_state = None
 
     def _wjoin(self, x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
         xr = x.withColumnRenamed(WEIGHT, "__wx")
@@ -1334,22 +1350,39 @@ class IncrementalJoinView:
         than recomputing its narrow final stages)."""
         da = zset.lift(delta_a) if delta_a is not None else None
         db = zset.lift(delta_b) if delta_b is not None else None
-        a_old = list(self.a.batches)
-        b_old = list(self.b.batches)
+        use_pa = self.a_state is not None
+        use_pb = self.b_state is not None
+        a_old = None if use_pa else list(self.a.batches)
+        b_old = None if use_pb else list(self.b.batches)
         # integral appends: committed handles are read by LATER steps
         # only (this step joins against the PRE-append lists) — their
-        # checkpoints build on the background pool
-        if da is not None:
+        # checkpoints build on the background pool. Provider-backed
+        # sides keep NO integral (trace sharing).
+        if da is not None and not use_pa:
             self.a.append_async(da)
-        if db is not None:
+        if db is not None and not use_pb:
             self.b.append_async(db)
         parts = []
-        if da is not None and b_old:
-            parts.append(self._state_join(da, b_old, True))
-        if db is not None and a_old:
-            parts.append(self._state_join(db, a_old, False))
+        if da is not None:
+            bf = self.b_state() if use_pb else None
+            if bf is not None:
+                parts.append(self._state_join(da, [bf], True))
+            elif not use_pb and b_old:
+                parts.append(self._state_join(da, b_old, True))
+        if db is not None:
+            af = self.a_state() if use_pa else None
+            if af is not None:
+                parts.append(self._state_join(db, [af], False))
+            elif not use_pa and a_old:
+                parts.append(self._state_join(db, a_old, False))
         if da is not None and db is not None:
-            parts.append(self._wjoin(da, db, self.on))
+            if use_pa and use_pb:
+                # both sides post-step: subtract the double-counted
+                # cross term (see the class comment's rearrangement)
+                parts.append(zset.neg(self._wjoin(da, db, self.on)))
+            elif not use_pa and not use_pb:
+                parts.append(self._wjoin(da, db, self.on))
+            # exactly one provider: the cross term cancels
         if not parts:
             return None
         if self.append_only_out:
@@ -1811,9 +1844,10 @@ class AppendOnlyAggregateView:
         }
         return self._mx
 
-    def materialized(self) -> DataFrame:
+    def materialized(self, resolve: bool = True) -> DataFrame:
         assert self.state is not None, "no deltas processed yet"
-        self._resolve_state_fut()  # mid-scope read: resolve first
+        if resolve:
+            self._resolve_state_fut()  # mid-scope read: resolve first
         return self.state
 
 

@@ -1005,3 +1005,65 @@ def test_auto_skew_detection_probes_state_side(spark):
         assert got == want
     finally:
         spark.conf.unset("spark.feldera.deltaBroadcastMaxBytes")
+
+
+def test_shared_trace_join_per_step_equals_batch(spark):
+    """Round-9 trace sharing: a compiled join whose sources are compiled
+    keyed aggregate views reads the upstreams' CURRENT state via
+    providers (ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB) and keeps NO input
+    integral of its own. Per-step output must equal batch recomputation
+    of the prefix — including retraction chunks that shrink/flip
+    aggregate values — and the join's own input spines must stay
+    empty."""
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ev (k BIGINT, g BIGINT, v BIGINT);
+        CREATE LOCAL VIEW sums AS
+          SELECT k, SUM(v) AS total FROM ev GROUP BY k;
+        CREATE LOCAL VIEW cnts AS
+          SELECT k, COUNT(*) AS n FROM ev GROUP BY k;
+        CREATE MATERIALIZED VIEW joined AS
+          SELECT s.k, s.total, c.n FROM sums s JOIN cnts c ON s.k = c.k
+        """
+    )
+    b.connect_table(
+        "ev",
+        spark.createDataFrame(
+            [(1, 0, 10), (2, 0, 20)], "k BIGINT, g BIGINT, v BIGINT"
+        ),
+    )
+    p = b.create()
+    plan = p._ivm["joined"]
+    ij = plan._join
+    assert ij.a_state is not None and ij.b_state is not None
+    assert not ij.a.batches and not ij.b.batches  # no duplicate trace
+
+    import duckdb  # noqa: F401  (just ensures deterministic env)
+
+    rows = [(1, 0, 5), (3, 0, 7), (2, 0, -20), (3, 1, 2)]
+    prefix = [(1, 0, 10), (2, 0, 20)]
+    for i, r in enumerate(rows):
+        if i == 2:
+            # retraction: DELETE the (2,0,20) row entirely — the k=2
+            # group vanishes from both aggregates and from the join
+            p.execute("DELETE FROM ev WHERE k = 2")
+            prefix = [t for t in prefix if t[0] != 2]
+        else:
+            p.execute(f"INSERT INTO ev VALUES ({r[0]}, {r[1]}, {r[2]})")
+            prefix.append(r)
+        import collections
+
+        sums = collections.defaultdict(int)
+        cnt = collections.Counter()
+        for k, _g, v in prefix:
+            sums[k] += v
+            cnt[k] += 1
+        want = sorted((k, sums[k], cnt[k]) for k in sums)
+        got = sorted(
+            (r2["k"], r2["total"], r2["n"])
+            for r2 in p.view("joined").collect()
+        )
+        assert got == want, (i, got, want)
+        assert not ij.a.batches and not ij.b.batches
