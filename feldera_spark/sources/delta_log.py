@@ -48,9 +48,11 @@ Round 8 (round-7 verdict task #6) adds the two modern-writer features:
   ``delta.columnMapping.physicalName``) and ``id`` (each field's
   ``delta.columnMapping.id`` resolved against the parquet footers'
   field ids — what Iceberg-converted tables carry): physical parquet
-  columns are renamed to their logical names on read. NESTED physical
-  names, and id-mode files that disagree on a field id's physical
-  name, stay loud ``NotImplementedError``s.
+  columns are renamed to their logical names on read, recursing
+  through nested structs / arrays / map values (row-wise rebuild, no
+  shuffle). Id-mode files that disagree on a field id's physical
+  name, and column-mapped struct map KEYS, stay loud
+  ``NotImplementedError``s.
 
 The delta-spark package remains the first choice when installed; this
 reader is the ungated fallback and the CDF/DV test surface.
@@ -503,72 +505,166 @@ def _read_adds(
     return out
 
 
-def _nested_mapping(t) -> bool:
+def _has_struct(t) -> bool:
+    """True when a Delta JSON type contains a struct at any depth —
+    the shapes whose physical→logical rename must REBUILD the value
+    (nested field renames) instead of a top-level alias."""
     if isinstance(t, dict):
-        if t.get("type") == "struct":
-            return any(
-                (f.get("metadata") or {}).get(
-                    "delta.columnMapping.physicalName"
-                )
-                or _nested_mapping(f.get("type"))
-                for f in t.get("fields", [])
+        kind = t.get("type")
+        if kind == "struct":
+            return True
+        if kind == "array":
+            return _has_struct(t.get("elementType"))
+        if kind == "map":
+            return _has_struct(t.get("keyType")) or _has_struct(
+                t.get("valueType")
             )
-        return any(
-            _nested_mapping(v)
-            for v in t.values()
-            if isinstance(v, (dict, list))
-        )
-    if isinstance(t, list):
-        return any(_nested_mapping(v) for v in t)
     return False
 
 
-def _parquet_field_ids(path: str) -> dict[int, str]:
-    """``field_id -> physical column name`` from one parquet footer
-    (pyarrow surfaces the parquet field_id as the ``PARQUET:field_id``
-    field-metadata key). Metadata-only read, a few KB per file."""
+def _parquet_field_tree(path: str) -> dict[int, tuple[str, dict]]:
+    """``field_id -> (physical name, children tree)`` from one parquet
+    footer, recursing into struct / array-of-struct / map-of-struct
+    fields (pyarrow surfaces the parquet field_id as the
+    ``PARQUET:field_id`` field-metadata key at EVERY nesting level).
+    Metadata-only read, a few KB per file."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out: dict[int, str] = {}
-    for field in pq.read_schema(path):
-        md = field.metadata or {}
-        fid = md.get(b"PARQUET:field_id")
-        if fid is not None:
-            out[int(fid)] = field.name
-    return out
+    def struct_children(t) -> list:
+        if pa.types.is_struct(t):
+            return [t.field(i) for i in range(t.num_fields)]
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return struct_children(t.value_type)
+        if pa.types.is_map(t):
+            return struct_children(t.item_type)
+        return []
+
+    def walk(fields) -> dict[int, tuple[str, dict]]:
+        out: dict[int, tuple[str, dict]] = {}
+        for f in fields:
+            md = f.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is None:
+                continue
+            out[int(fid)] = (f.name, walk(struct_children(f.type)))
+        return out
+
+    return walk(pq.read_schema(path))
 
 
-def _field_ids_for(files: list[str]) -> dict[int, str]:
-    """Consistent field-id map across the scan's data files. Our union
+def _merge_field_trees(
+    a: dict[int, tuple[str, dict]], b: dict[int, tuple[str, dict]]
+) -> dict[int, tuple[str, dict]]:
+    merged = dict(a)
+    for fid, (name, kids) in b.items():
+        if fid not in merged:
+            merged[fid] = (name, kids)
+            continue
+        prev_name, prev_kids = merged[fid]
+        if prev_name != name:
+            raise NotImplementedError(
+                "delta.columnMapping.mode='id': data files disagree "
+                f"on the physical name of field id {fid} "
+                f"({prev_name!r} vs {name!r}); per-file projection "
+                "is not supported"
+            )
+        merged[fid] = (prev_name, _merge_field_trees(prev_kids, kids))
+    return merged
+
+
+def _field_ids_for(files: list[str]) -> dict[int, tuple[str, dict]]:
+    """Consistent field-id tree across the scan's data files. Our union
     scan reads all files by (physical) column NAME, so files that
     disagree on a field id's physical name cannot be renamed by one
     post-scan projection — that shape needs per-file projection and
     stays loud."""
-    merged: dict[int, str] = {}
+    merged: dict[int, tuple[str, dict]] = {}
     for p in files:
-        for fid, name in _parquet_field_ids(p).items():
-            if fid in merged and merged[fid] != name:
-                raise NotImplementedError(
-                    "delta.columnMapping.mode='id': data files disagree "
-                    f"on the physical name of field id {fid} "
-                    f"({merged[fid]!r} vs {name!r}); per-file projection "
-                    "is not supported"
-                )
-            merged[fid] = name
+        merged = _merge_field_trees(merged, _parquet_field_tree(p))
     return merged
+
+
+def _resolve_field(
+    f: dict, mode: str, fid_tree: dict[int, tuple[str, dict]] | None
+) -> tuple[str, dict | None]:
+    """Physical name + (id mode) children field-id tree for one Delta
+    schema field at any nesting level."""
+    md = f.get("metadata") or {}
+    if mode == "id":
+        fid = md.get("delta.columnMapping.id")
+        if fid is None or fid_tree is None or int(fid) not in fid_tree:
+            raise NotImplementedError(
+                "delta.columnMapping.mode='id': field "
+                f"{f['name']!r} (id {fid!r}) has no matching parquet "
+                "field id in the data files"
+            )
+        return fid_tree[int(fid)]
+    return md.get("delta.columnMapping.physicalName", f["name"]), None
+
+
+def _logical_value(
+    col: F.Column,
+    dtype,
+    mode: str,
+    fid_tree: dict[int, tuple[str, dict]] | None,
+) -> F.Column:
+    """Rewrite a physical-schema value of Delta type ``dtype`` into its
+    logical shape: struct fields are renamed per their column-mapping
+    metadata at EVERY nesting level (round-9 verdict missing #4 —
+    nested column mapping; the rename recurses through arrays and map
+    values with ``transform``/``transform_values``, all row-wise)."""
+    if not isinstance(dtype, dict):
+        return col
+    kind = dtype.get("type")
+    if kind == "struct":
+        inner = []
+        for f in dtype.get("fields", []):
+            phys, sub = _resolve_field(f, mode, fid_tree)
+            inner.append(
+                _logical_value(
+                    col.getField(phys), f.get("type"), mode, sub
+                ).alias(f["name"])
+            )
+        # struct() of a NULL struct's fields is a struct of NULLs —
+        # guard to preserve top-level nullness
+        return F.when(col.isNotNull(), F.struct(*inner))
+    if kind == "array":
+        et = dtype.get("elementType")
+        if not _has_struct(et):
+            return col
+        return F.transform(
+            col, lambda x: _logical_value(x, et, mode, fid_tree)
+        )
+    if kind == "map":
+        kt, vt = dtype.get("keyType"), dtype.get("valueType")
+        if _has_struct(kt):
+            raise NotImplementedError(
+                "column-mapped struct map KEYS are not supported"
+            )
+        if not _has_struct(vt):
+            return col
+        return F.transform_values(
+            col, lambda _k, v: _logical_value(v, vt, mode, fid_tree)
+        )
+    return col
 
 
 def _mapping_pairs(
     meta: dict | None, files: list[str] | None = None
-) -> list[tuple[str, str]] | None:
-    """``(physical, logical)`` column pairs per the table's
-    ``delta.columnMapping.mode``; None when no mapping applies.
+) -> list[tuple[F.Column, str]] | None:
+    """``(physical expression, logical name)`` column pairs per the
+    table's ``delta.columnMapping.mode``; None when no mapping applies.
 
-    - ``name``: the schemaString's ``delta.columnMapping.physicalName``.
+    - ``name``: the schemaString's ``delta.columnMapping.physicalName``
+      — at every nesting level (struct fields carry their own
+      physicalName metadata; the expression rebuilds nested structs
+      with logical field names, round-9 verdict missing #4).
     - ``id`` (what Iceberg-converted tables use, round-8 verdict task
       #7): each logical field's ``delta.columnMapping.id`` resolves
       against the parquet footers' field ids — the physical NAME in
-      the footer is then authoritative for our name-based union scan.
+      the footer is then authoritative for our name-based union scan;
+      nested field ids resolve through the footers' nested field trees.
     """
     if meta is None:
         return None
@@ -581,34 +677,20 @@ def _mapping_pairs(
             f"delta.columnMapping.mode={mode!r} is not supported by the "
             "built-in protocol reader ('name' and 'id' are)"
         )
-    fid_to_phys: dict[int, str] = {}
+    fid_tree: dict[int, tuple[str, dict]] | None = None
     if mode == "id":
         if not files:
             raise NotImplementedError(
                 "delta.columnMapping.mode='id' needs the scan's data "
                 "files to resolve parquet field ids"
             )
-        fid_to_phys = _field_ids_for(files)
+        fid_tree = _field_ids_for(files)
     schema = json.loads(meta["schemaString"])
     pairs = []
     for f in schema.get("fields", []):
-        md = f.get("metadata") or {}
-        if _nested_mapping(f.get("type")):
-            raise NotImplementedError(
-                "nested column-mapping physical names are not supported"
-            )
-        if mode == "id":
-            fid = md.get("delta.columnMapping.id")
-            if fid is None or int(fid) not in fid_to_phys:
-                raise NotImplementedError(
-                    "delta.columnMapping.mode='id': field "
-                    f"{f['name']!r} (id {fid!r}) has no matching parquet "
-                    "field id in the data files"
-                )
-            phys = fid_to_phys[int(fid)]
-        else:
-            phys = md.get("delta.columnMapping.physicalName", f["name"])
-        pairs.append((phys, f["name"]))
+        phys, sub = _resolve_field(f, mode, fid_tree)
+        expr = _logical_value(F.col(phys), f.get("type"), mode, sub)
+        pairs.append((expr, f["name"]))
     return pairs
 
 
@@ -621,7 +703,7 @@ def _apply_column_mapping(
     pairs = _mapping_pairs(meta, files)
     if pairs is None:
         return df
-    return df.select(*[F.col(p).alias(n) for p, n in pairs])
+    return df.select(*[e.alias(n) for e, n in pairs])
 
 
 def snapshot(
@@ -772,7 +854,7 @@ def _apply_mapped_weighted(
     if pairs is None:
         return delta
     return delta.select(
-        *[F.col(p).alias(n) for p, n in pairs], F.col(WEIGHT)
+        *[e.alias(n) for e, n in pairs], F.col(WEIGHT)
     )
 
 

@@ -691,6 +691,171 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
         dl.snapshot(spark, uri).collect()
 
 
+def test_delta_column_mapping_nested_name_mode(spark, tmp_path):
+    """Round-9 verdict missing #4 / task #6: NESTED column mapping in
+    'name' mode — struct fields (including a struct inside an array)
+    carry their own ``delta.columnMapping.physicalName``; the reader
+    rebuilds the logical shape row-wise at every level. Snapshot + CDF
+    both resolve; NULL structs stay NULL."""
+    import json as _json
+    import os
+
+    from feldera_spark.sources import delta_log as dl
+    from feldera_spark.zset import WEIGHT
+
+    uri = str(tmp_path / "nnm")
+    os.makedirs(uri)
+
+    def write_data(rel, rows):
+        df = spark.createDataFrame(
+            rows,
+            "`col-k` BIGINT, `col-s` STRUCT<`col-a`: BIGINT,"
+            " `col-b`: STRING>,"
+            " `col-arr` ARRAY<STRUCT<`col-x`: BIGINT>>",
+        )
+        tmp = str(tmp_path / ("w_" + rel))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(uri, rel))
+
+    write_data(
+        "part-0.parquet",
+        [(1, (10, "x"), [(100,), (101,)]), (2, None, None)],
+    )
+    pn = "delta.columnMapping.physicalName"
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {pn: "col-k"}},
+                {"name": "s", "nullable": True, "metadata": {pn: "col-s"},
+                 "type": {
+                     "type": "struct",
+                     "fields": [
+                         {"name": "a", "type": "long", "nullable": True,
+                          "metadata": {pn: "col-a"}},
+                         {"name": "b", "type": "string", "nullable": True,
+                          "metadata": {pn: "col-b"}},
+                     ],
+                 }},
+                {"name": "arr", "nullable": True,
+                 "metadata": {pn: "col-arr"},
+                 "type": {
+                     "type": "array", "containsNull": True,
+                     "elementType": {
+                         "type": "struct",
+                         "fields": [
+                             {"name": "x", "type": "long",
+                              "nullable": True,
+                              "metadata": {pn: "col-x"}},
+                         ],
+                     },
+                 }},
+            ],
+        }
+    )
+    meta = {
+        "id": "nested-name",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }
+    dl.write_commit(uri, 0, adds=["part-0.parquet"], metadata=meta)
+    snap = dl.snapshot(spark, uri)
+    assert snap.columns == ["k", "s", "arr"]
+    assert snap.schema["s"].dataType.fieldNames() == ["a", "b"]
+    rows = {r.k: r for r in snap.collect()}
+    assert rows[1].s.a == 10 and rows[1].s.b == "x"
+    assert [e.x for e in rows[1].arr] == [100, 101]
+    assert rows[2].s is None and rows[2].arr is None
+
+    # CDF path resolves the same nested mapping on weighted deltas
+    write_data("part-1.parquet", [(3, (30, "z"), [])])
+    dl.write_commit(uri, 1, adds=["part-1.parquet"])
+    (v1, d1), = dl.changes(spark, uri, 0)
+    assert v1 == 1
+    r = d1.collect()[0]
+    assert (r.k, r.s.a, r.s.b, r[WEIGHT]) == (3, 30, "z", 1)
+
+
+def test_delta_column_mapping_nested_id_mode(spark, tmp_path):
+    """Nested 'id'-mode mapping: nested parquet field ids (what an
+    Iceberg-converted table carries at every level) resolve through the
+    footers' field trees; the schemaString's physicalNames are wrong on
+    purpose to prove the ids are authoritative."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feldera_spark.sources import delta_log as dl
+
+    uri = str(tmp_path / "nim")
+    os.makedirs(uri)
+    inner = pa.struct(
+        [
+            pa.field("col-a", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+            pa.field("col-b", pa.string(),
+                     metadata={b"PARQUET:field_id": b"4"}),
+        ]
+    )
+    sch = pa.schema(
+        [
+            pa.field("col-k", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-s", inner,
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"col-k": [1, 2], "col-s": [{"col-a": 10, "col-b": "x"},
+                                        {"col-a": 20, "col-b": "y"}]},
+            schema=sch,
+        ),
+        os.path.join(uri, "part-0.parquet"),
+    )
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "WRONG"}},
+                {"name": "s", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2},
+                 "type": {
+                     "type": "struct",
+                     "fields": [
+                         {"name": "a", "type": "long", "nullable": True,
+                          "metadata": {"delta.columnMapping.id": 3}},
+                         {"name": "b", "type": "string", "nullable": True,
+                          "metadata": {"delta.columnMapping.id": 4}},
+                     ],
+                 }},
+            ],
+        }
+    )
+    meta = {
+        "id": "nested-id",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "id"},
+    }
+    dl.write_commit(uri, 0, adds=["part-0.parquet"], metadata=meta)
+    snap = dl.snapshot(spark, uri)
+    assert snap.columns == ["k", "s"]
+    assert snap.schema["s"].dataType.fieldNames() == ["a", "b"]
+    assert {(r.k, r.s.a, r.s.b) for r in snap.collect()} == {
+        (1, 10, "x"), (2, 20, "y")
+    }
+
+
 def test_nats_reader_option_mapping():
     """nats_input (docs/connectors/sources/nats.md) — connection, stream,
     consumer (filter subjects, durable name, deliver policy incl. the
