@@ -222,13 +222,9 @@ def load_view(view, spark, path: str, meta: dict) -> None:
         df = spark.read.parquet(f"{path}/{attr.replace('.', '__')}")
         cur = _get_path(view, attr)
         if isinstance(cur, Spine):
-            restored = Spine(
-                max_batches=cur.max_batches,
-                spill_dir=cur.spill_dir,
-                partition_cols=cur.partition_cols,
-                eager=cur.eager,
-                append_only=cur.append_only,
-            )
+            # fresh() keeps the subclass (KeyedStateSpine restores as a
+            # keyed state spine with the saved merged frame as its base)
+            restored = cur.fresh()
             restored.batches = [df]
             _set_path(view, attr, restored)
         else:

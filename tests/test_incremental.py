@@ -218,7 +218,7 @@ def test_spine_checkpoint_restore(spark, tmp_path):
 
     # checkpoint the linear view's state frame via a spine wrapper
     s = Spine()
-    s.append(view.state.withColumn(WEIGHT, F.lit(1).cast("long")))
+    s.append(view.state_frame().withColumn(WEIGHT, F.lit(1).cast("long")))
     s.save(ckpt)
 
     restored = IncrementalLinearAggregateView(

@@ -203,8 +203,10 @@ def test_q70_is_single_action(spark):
 
 
 def test_stepped_state_plans_stay_shallow(spark):
-    """After a committed step, view state must read from checkpointed
-    blocks (LogicalRDD) — plan depth must NOT grow with step count."""
+    """LEGACY (merged-frame) state mode: after a committed step, view
+    state must read from checkpointed blocks (LogicalRDD) — plan depth
+    must NOT grow with step count. (Spine mode's depth invariant is
+    pinned by test_spine_state_read_depth_bounded.)"""
     from pyspark.sql import functions as F
 
     from feldera_spark.streaming.incremental import (
@@ -214,24 +216,177 @@ def test_stepped_state_plans_stay_shallow(spark):
     )
     from feldera_spark.zset import WEIGHT
 
+    spark.conf.set("spark.feldera.agg.stateSpine", "false")
+    try:
+        view = IncrementalLinearAggregateView(
+            keys=["k"], sums={"n": wcount(), "s": wsum("v")}
+        )
+        base = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(60)], "k INT, v DOUBLE"
+        )
+        sizes = []
+        for step_i in range(6):
+            view.step(
+                base.filter(F.col("v") % 6 == step_i).withColumn(
+                    WEIGHT, F.lit(1).cast("long")
+                )
+            )
+            plan = (
+                view.state._jdf.queryExecution().optimizedPlan().toString()
+            )
+            sizes.append(len(plan.splitlines()))
+            assert "LogicalRDD" in plan
+        # depth constant across steps (each step's commit truncates
+        # lineage)
+        assert max(sizes) == min(sizes), sizes
+    finally:
+        spark.conf.unset("spark.feldera.agg.stateSpine")
+
+
+def test_spine_state_commit_volume_is_o_touched(spark):
+    """Round-10 headline (round-9 verdict task #1): a step's STATE
+    WRITE volume must scale with the delta (touched keys), not the
+    integral. 20-step growth run: every step touches ~100 keys while
+    the key universe grows to 1000+; the rows committed to the state
+    spine per step must stay delta-sized to the end, and the final
+    merged state must equal the batch recompute."""
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        KeyedStateSpine,
+        wcount,
+        wsum,
+    )
+    from feldera_spark.zset import WEIGHT
+
+    spark.conf.set("spark.feldera.agg.stateSpine", "true")
     view = IncrementalLinearAggregateView(
         keys=["k"], sums={"n": wcount(), "s": wsum("v")}
     )
-    base = spark.createDataFrame(
-        [(i % 3, float(i)) for i in range(60)], "k INT, v DOUBLE"
+    all_rows = []
+    committed_rows = []
+    for step_i in range(20):
+        # 50 NEW keys + 50 repeats of warm keys: state grows ~50/step,
+        # touched stays ~100
+        rows = [(1000 + step_i * 50 + j, float(j)) for j in range(50)]
+        rows += [(j % 50, float(step_i)) for j in range(50)]
+        all_rows.extend(rows)
+        delta = spark.createDataFrame(rows, "k INT, v DOUBLE").withColumn(
+            WEIGHT, F.lit(1).cast("long")
+        )
+        view.step(delta)
+        sp = view.state
+        assert isinstance(sp, KeyedStateSpine)
+        committed_rows.append(sp.batches[-1].count())
+    # per-step commit stays O(touched): ~100 distinct keys per delta —
+    # never the growing integral (state ends at 1000+ keys)
+    assert max(committed_rows) <= 150, committed_rows
+    state_keys = view.materialized().count()
+    assert state_keys == 50 + 20 * 50
+    # exactness vs batch recompute
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0.0])
+    for k, v in all_rows:
+        want[k][0] += 1
+        want[k][1] += v
+    got = {
+        r["k"]: (r["n"], r["s"]) for r in view.materialized().collect()
+    }
+    assert got == {k: (n, s) for k, (n, s) in want.items()}
+    spark.conf.unset("spark.feldera.agg.stateSpine")
+
+
+def test_spine_state_auto_mode_switches_on_ratio(spark):
+    """Default (auto) state-storage selection: the view starts on the
+    merged-frame path (touched ≈ state: zero-movement merge wins),
+    then flips to the spine once measured state bytes exceed
+    stateSpineRatio x delta bytes — after which per-step commits are
+    delta-sized. The probe is job-free (checkpoint stats)."""
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        KeyedStateSpine,
+        wcount,
     )
-    sizes = []
-    for step_i in range(6):
-        view.step(
-            base.filter(F.col("v") % 6 == step_i).withColumn(
-                WEIGHT, F.lit(1).cast("long")
+    from feldera_spark.zset import WEIGHT
+
+    spark.conf.set("spark.feldera.agg.stateSpineProbeEvery", "4")
+    view = IncrementalLinearAggregateView(keys=["k"], sums={"n": wcount()})
+    switched_at = None
+    commits = []
+    for step_i in range(16):
+        # 20 fresh keys per step, constant delta size: the measured
+        # state/delta row ratio grows linearly and crosses the bar
+        # (default 8) mid-run; the probe fires every 4th step here
+        delta = (
+            spark.range(step_i * 20, step_i * 20 + 20)
+            .select(F.col("id").alias("k"))
+            .localCheckpoint(eager=True)
+            .withColumn(WEIGHT, F.lit(1).cast("long"))
+        )
+        view.step(delta)
+        if isinstance(view.state, KeyedStateSpine):
+            if switched_at is None:
+                switched_at = step_i
+            commits.append(view.state.batches[-1].count())
+    assert switched_at is not None and switched_at >= 1, (
+        "auto mode must start on the merged-frame path and switch "
+        f"later (switched at {switched_at})"
+    )
+    # post-switch commits are delta-sized (20 keys), not state-sized
+    assert commits and max(commits) <= 40, commits
+    assert view.materialized().count() == 16 * 20
+    spark.conf.unset("spark.feldera.agg.stateSpineProbeEvery")
+
+
+def test_spine_state_read_depth_bounded(spark):
+    """Spine-mode state reads must stay bounded in plan depth as steps
+    accumulate: the tail is capped at max_batches (folds consolidate
+    amortizedly), and settled batches are checkpointed LogicalRDDs —
+    per-step read cost must not grow with step count."""
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming import stepper
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        KeyedStateSpine,
+        wcount,
+    )
+    from feldera_spark.zset import WEIGHT
+
+    spark.conf.set("spark.feldera.agg.stateSpine", "true")
+    view = IncrementalLinearAggregateView(keys=["k"], sums={"n": wcount()})
+    depths = []
+    for step_i in range(24):
+        delta = spark.createDataFrame(
+            [(step_i * 10 + j,) for j in range(10)], "k INT"
+        ).withColumn(WEIGHT, F.lit(1).cast("long"))
+        view.step(delta)
+        sp = view.state
+        assert isinstance(sp, KeyedStateSpine)
+        depths.append(
+            len(
+                view.materialized()
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+                .splitlines()
             )
         )
-        plan = view.state._jdf.queryExecution().optimizedPlan().toString()
-        sizes.append(len(plan.splitlines()))
-        assert "LogicalRDD" in plan
-    # depth constant across steps (each step's commit truncates lineage)
-    assert max(sizes) == min(sizes), sizes
+    stepper.join_flush()
+    # folds keep the tail (and so the read plan) bounded: the deepest
+    # read must not exceed the max_batches-tail composite's footprint
+    assert max(depths) <= depths[7] + 40, depths
+    # settled batches read from checkpointed blocks, not raw plans
+    import re as _re
+
+    for b in view.state.batches[:-1]:
+        node = b._jdf.queryExecution().logical().nodeName()
+        assert node in ("LogicalRDD", "InMemoryRelation"), node
+    spark.conf.unset("spark.feldera.agg.stateSpine")
 
 
 def test_touched_key_state_routing_broadcasts(spark):
@@ -529,20 +684,27 @@ def test_pipelined_state_plan_depth_flat_across_20_steps(spark):
     )
     from feldera_spark.streaming.stepper import join_flush, step_scope
 
-    view = IncrementalLinearAggregateView(keys=["k"], sums={"s": wsum("v")})
-    sizes = []
-    for i in range(20):
-        delta = spark.createDataFrame(
-            [(j % 5, float(i + j)) for j in range(10)], "k INT, v DOUBLE"
-        ).localCheckpoint()
-        with step_scope(pipelined=True):
-            view.step(zset.lift(delta))
-        join_flush()
-        view._resolve_state_fut()
-        sizes.append(
-            len(view.state._jdf.queryExecution().logical().toString())
+    spark.conf.set("spark.feldera.agg.stateSpine", "false")
+    try:
+        view = IncrementalLinearAggregateView(
+            keys=["k"], sums={"s": wsum("v")}
         )
-    assert sizes[-1] <= sizes[4] * 1.5, sizes
+        sizes = []
+        for i in range(20):
+            delta = spark.createDataFrame(
+                [(j % 5, float(i + j)) for j in range(10)],
+                "k INT, v DOUBLE",
+            ).localCheckpoint()
+            with step_scope(pipelined=True):
+                view.step(zset.lift(delta))
+            join_flush()
+            view._resolve_state_fut()
+            sizes.append(
+                len(view.state._jdf.queryExecution().logical().toString())
+            )
+        assert sizes[-1] <= sizes[4] * 1.5, sizes
+    finally:
+        spark.conf.unset("spark.feldera.agg.stateSpine")
 
 
 def test_retired_spill_paths_deleted_only_after_flush(spark, tmp_path):
