@@ -3477,3 +3477,190 @@ def i66_ddl_now_join(spark, sf_dir):
                 pass
         else:
             spark.conf.set("spark.feldera.now", prev)
+
+
+@q(
+    "i67_ddl_now_chain",
+    oracle="""
+    SELECT e.event_id, e.ts, u.seg, c.grp, CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    JOIN (SELECT DISTINCT user_id, user_id % 5 AS seg FROM events) u
+      ON e.user_id = u.user_id
+    JOIN (SELECT DISTINCT event_type, LENGTH(event_type) AS grp
+          FROM events) c
+      ON e.event_type = c.event_type
+    WHERE e.ts > TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def i67_ddl_now_chain(spark, sf_dir):
+    """NOW() composed through a 3-table FROM (round-9 verdict missing
+    #2 / round-10 task #3): fact + two dims — the routine dashboard —
+    compiles as hidden temporal filter → N-way chain join (reference
+    ``ImplementNow`` composes anywhere in the DAG). The clock ADVANCES
+    between fact chunks (retractions flow through BOTH joins) and each
+    dim receives a late delta (their A⋈ΔB terms must read the CURRENT
+    in-window fact state). Final incremental output must equal the
+    batch 3-way join at the LAST clock."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import (
+        CompiledChainJoinView,
+        CompiledComposedNowView,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    usr = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("seg", F.col("user_id") % 5)
+    )
+    cat = (
+        t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("grp", F.length(F.col("event_type")).cast("bigint"))
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i67_chunk{i}"
+        )
+    usr.filter(F.col("user_id") % 2 == 1).createOrReplaceTempView(
+        "__i67_usr_odd"
+    )
+    cat.filter(F.length("event_type") % 2 == 1).createOrReplaceTempView(
+        "__i67_cat_odd"
+    )
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE TABLE usr (user_id BIGINT, seg BIGINT);"
+        "CREATE TABLE cat (event_type VARCHAR, grp BIGINT);"
+        "CREATE MATERIALIZED VIEW recent3 AS "
+        "SELECT e.event_id, e.ts, u.seg, c.grp, e.value"
+        " FROM ev e JOIN usr u ON e.user_id = u.user_id"
+        " JOIN cat c ON e.event_type = c.event_type"
+        " WHERE e.ts > NOW() - INTERVAL '7' DAY"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        b.connect_table("usr", usr.filter(F.col("user_id") % 2 == 0))
+        b.connect_table("cat", cat.filter(F.length("event_type") % 2 == 0))
+        pipe = b.create()
+        plan = pipe._ivm.get("recent3")
+        assert isinstance(plan, CompiledComposedNowView), (
+            "NOW()-bounded 3-way view must compile to the composed plan"
+        )
+        assert isinstance(plan._inner, CompiledChainJoinView), (
+            "the remainder must route through the chain-join compiler"
+        )
+        pipe.execute("INSERT INTO ev SELECT * FROM __i67_chunk1")
+        # late dim arrivals on BOTH dims: their keys' FULL in-window
+        # fact history must appear through the chain
+        pipe.execute("INSERT INTO usr SELECT * FROM __i67_usr_odd")
+        pipe.execute("INSERT INTO cat SELECT * FROM __i67_cat_odd")
+        # the clock advances 5 days: fact rows in (Jan 13, Jan 18]
+        # leave the window — their outputs retract through both joins
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i67_chunk2")
+        return pipe.view("recent3").select(
+            "event_id", "ts", "seg", "grp",
+            F.col("value").cast("double").alias("value"),
+        )
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)
+
+
+@q(
+    "i68_ddl_now_left_join",
+    oracle="""
+    SELECT e.event_id, e.ts, u.seg, CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT user_id, user_id % 5 AS seg FROM events
+               WHERE user_id % 3 < 2) u
+      ON e.user_id = u.user_id
+    WHERE e.ts > TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def i68_ddl_now_left_join(spark, sf_dir):
+    """NOW() bound on the PRESERVED side of a LEFT JOIN composes
+    (round-10 task #3): filtering the left input pre-join is identical
+    — a filtered-out fact produces no padded output either. Facts for
+    users missing from the dim emit NULL-padded rows; a LATE dim delta
+    flips them to matched rows (incremental outer-join boundary flip),
+    users never arriving stay padded; advancing the clock retracts
+    padded and matched rows alike. Must equal the batch LEFT JOIN at
+    the LAST clock."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    usr = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("seg", F.col("user_id") % 5)
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i68_chunk{i}"
+        )
+    usr.filter(F.col("user_id") % 3 == 1).createOrReplaceTempView(
+        "__i68_usr_late"
+    )
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " value DOUBLE);"
+        "CREATE TABLE usr (user_id BIGINT, seg BIGINT);"
+        "CREATE MATERIALIZED VIEW recent_left AS "
+        "SELECT e.event_id, e.ts, u.seg, e.value"
+        " FROM ev e LEFT JOIN usr u ON e.user_id = u.user_id"
+        " WHERE e.ts > NOW() - INTERVAL '7' DAY"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        # dim starts with user_id % 3 == 0 only; % 3 == 1 arrives late;
+        # % 3 == 2 never arrives (padded rows must survive to the end)
+        b.connect_table("usr", usr.filter(F.col("user_id") % 3 == 0))
+        pipe = b.create()
+        assert isinstance(
+            pipe._ivm.get("recent_left"), CompiledComposedNowView
+        ), "left-side NOW() bound under LEFT JOIN must compose"
+        pipe.execute("INSERT INTO ev SELECT * FROM __i68_chunk1")
+        # late dim delta: padded rows for % 3 == 1 users flip to matched
+        pipe.execute("INSERT INTO usr SELECT * FROM __i68_usr_late")
+        # the clock advances 5 days: boundary-crossing retractions must
+        # remove padded AND matched rows alike
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i68_chunk2")
+        return pipe.view("recent_left").select(
+            "event_id", "ts", "seg",
+            F.col("value").cast("double").alias("value"),
+        )
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)

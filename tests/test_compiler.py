@@ -3150,26 +3150,28 @@ def test_now_composed_through_join(spark):
 
 
 def test_now_join_fences(spark):
-    """Shapes the join composition must NOT claim: LEFT JOIN (pushdown
-    under the padding side changes semantics) and an UNQUALIFIED bound
-    column in a join (ambiguous side) keep the batch fence — results
-    still correct via batch evaluation."""
+    """Shapes the join composition must NOT claim: an UNQUALIFIED
+    bound column in a join (ambiguous side), CROSS JOIN, and NOW()
+    outside the bound conjunct keep the batch fence — results still
+    correct via batch evaluation. (LEFT JOIN and SELF-join shapes
+    COMPOSE since round 10 — see test_now_left_join_composes /
+    test_now_self_join_composes.)"""
     from feldera_spark.pipeline import PipelineBuilder
     from feldera_spark.streaming.compiler import CompiledComposedNowView
 
     spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
     try:
         for view_sql in (
-            # LEFT JOIN: fence
-            "SELECT e.ts, s.seg FROM ev e LEFT JOIN usr s ON e.u = s.u "
-            "WHERE e.ts > NOW() - INTERVAL '1' HOUR",
             # unqualified bound in a join: fence
             "SELECT e.ts, s.seg FROM ev e JOIN usr s ON e.u = s.u "
             "WHERE ts > NOW() - INTERVAL '1' HOUR",
-            # SELF-join: fence (the step router keys deltas by source
-            # NAME and could never feed the unfiltered side)
-            "SELECT a.ts, b.u AS seg FROM ev a JOIN ev b ON a.u = b.u "
-            "WHERE a.ts > NOW() - INTERVAL '1' HOUR",
+            # CROSS JOIN: fence
+            "SELECT e.ts, s.seg FROM ev e CROSS JOIN usr s "
+            "WHERE e.ts > NOW() - INTERVAL '1' HOUR",
+            # NOW() outside the bound conjunct: fence
+            "SELECT e.ts, s.seg, NOW() AS seen FROM ev e "
+            "JOIN usr s ON e.u = s.u "
+            "WHERE e.ts > NOW() - INTERVAL '1' HOUR",
         ):
             b = PipelineBuilder(spark).sql(
                 "CREATE TABLE ev (ts TIMESTAMP, u BIGINT);"
@@ -3190,5 +3192,192 @@ def test_now_join_fences(spark):
             assert not isinstance(
                 p._ivm.get("vw"), CompiledComposedNowView
             ), view_sql
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def _now_pipe(spark, view_sql, usr_rows=((1, "a"),)):
+    from feldera_spark.pipeline import PipelineBuilder
+
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (ts TIMESTAMP, u BIGINT, v BIGINT);"
+        "CREATE TABLE usr (u BIGINT, seg VARCHAR);"
+        f"CREATE MATERIALIZED VIEW vw AS {view_sql}"
+    )
+    b.connect_table(
+        "ev",
+        spark.createDataFrame([], "ts TIMESTAMP_NTZ, u BIGINT, v BIGINT"),
+    )
+    b.connect_table(
+        "usr",
+        spark.createDataFrame(list(usr_rows), "u BIGINT, seg STRING"),
+    )
+    return b.create()
+
+
+def test_now_left_join_composes(spark):
+    """Round-9 verdict missing #2 / round-10 task #3: the NOW() bound
+    on the PRESERVED side of a LEFT JOIN composes (filtering the left
+    input pre-join is identical — a filtered-out row produces no
+    padded output either); padded rows appear for unmatched in-window
+    facts and retract when their fact crosses the boundary."""
+    import datetime as dt
+
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        p = _now_pipe(
+            spark,
+            "SELECT e.ts, e.v, s.seg FROM ev e LEFT JOIN usr s"
+            " ON e.u = s.u WHERE e.ts > NOW() - INTERVAL '1' HOUR",
+        )
+        assert isinstance(p._ivm.get("vw"), CompiledComposedNowView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute(
+            f"INSERT INTO ev VALUES (TIMESTAMP '{ts(30)}', 1, 10),"
+            f" (TIMESTAMP '{ts(50)}', 2, 5), (TIMESTAMP '{ts(120)}', 1, 9)"
+        )
+        got = {(r["v"], r["seg"]) for r in p.view("vw").collect()}
+        # u=2 unmatched: NULL-padded; 2h-old row out of window
+        assert got == {(10, "a"), (5, None)}
+        # clock advances: the 11:10 padded row (v=5) must retract
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:25:00")
+        p.execute(f"INSERT INTO ev VALUES (TIMESTAMP '{ts(5)}', 2, 11)")
+        got = {(r["v"], r["seg"]) for r in p.view("vw").collect()}
+        assert got == {(10, "a"), (11, None)}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_left_join_padding_side_bound_composes(spark):
+    """The NOW() bound on the PADDING side of a LEFT JOIN is
+    null-rejecting there, so the join reduces to INNER (standard
+    outer-join simplification) and composes."""
+    import datetime as dt
+
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        # usr LEFT JOIN ev with the bound on ev (the padding side)
+        p = _now_pipe(
+            spark,
+            "SELECT s.seg, e.v, e.ts FROM usr s LEFT JOIN ev e"
+            " ON s.u = e.u WHERE e.ts > NOW() - INTERVAL '1' HOUR",
+            usr_rows=((1, "a"), (2, "b"), (3, "c")),
+        )
+        assert isinstance(p._ivm.get("vw"), CompiledComposedNowView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute(
+            f"INSERT INTO ev VALUES (TIMESTAMP '{ts(30)}', 1, 10),"
+            f" (TIMESTAMP '{ts(120)}', 2, 9)"
+        )
+        got = {(r["seg"], r["v"]) for r in p.view("vw").collect()}
+        # u=2's only event is out of window, u=3 has none: the bound
+        # null-rejects padded rows, so neither appears (INNER shape)
+        assert got == {("a", 10)}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_self_join_stays_fenced(spark):
+    """SELF-join with a NOW() bound: the composed-now router since
+    round 10 delivers the raw occurrence under its own name (so a
+    composed plan WOULD route correctly), but the inner join compile
+    declines the identical-schema two-occurrence shape (ambiguous
+    unqualified columns) — the view stays on the batch path, never a
+    silently-starved incremental plan (the round-9 hazard)."""
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        p = _now_pipe(
+            spark,
+            "SELECT a.ts, a.v, b.v AS v2 FROM ev a JOIN ev b"
+            " ON a.u = b.u WHERE a.ts > NOW() - INTERVAL '1' HOUR",
+        )
+        assert not isinstance(p._ivm.get("vw"), CompiledComposedNowView)
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_three_way_chain_composes(spark):
+    """Round-10 task #3 (verdict missing #2): a NOW() bound inside a
+    3-table FROM (fact + two dims — the routine dashboard) composes:
+    the bound side becomes the hidden temporal filter and the
+    remainder routes through the N-way chain-join compiler. Advancing
+    clock retractions and late dim deltas flow through both joins."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            "CREATE TABLE ev (ts TIMESTAMP, u BIGINT, c BIGINT,"
+            " v BIGINT);"
+            "CREATE TABLE usr (u BIGINT, seg VARCHAR);"
+            "CREATE TABLE cat (c BIGINT, cname VARCHAR);"
+            "CREATE MATERIALIZED VIEW vw AS"
+            " SELECT e.v, s.seg, k.cname FROM ev e"
+            " JOIN usr s ON e.u = s.u"
+            " JOIN cat k ON e.c = k.c"
+            " WHERE e.ts > NOW() - INTERVAL '1' HOUR"
+        )
+        b.connect_table(
+            "ev",
+            spark.createDataFrame(
+                [], "ts TIMESTAMP_NTZ, u BIGINT, c BIGINT, v BIGINT"
+            ),
+        )
+        b.connect_table(
+            "usr",
+            spark.createDataFrame([(1, "a")], "u BIGINT, seg STRING"),
+        )
+        b.connect_table(
+            "cat",
+            spark.createDataFrame([(7, "x")], "c BIGINT, cname STRING"),
+        )
+        p = b.create()
+        assert isinstance(p._ivm.get("vw"), CompiledComposedNowView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute(
+            f"INSERT INTO ev VALUES (TIMESTAMP '{ts(30)}', 1, 7, 10),"
+            f" (TIMESTAMP '{ts(50)}', 1, 8, 5),"
+            f" (TIMESTAMP '{ts(120)}', 1, 7, 9)"
+        )
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        # c=8 has no cat row yet; 2h-old row out of window
+        assert got == {(10, "a", "x")}
+        # late dim delta: c=8's in-window fact history must appear
+        p.execute("INSERT INTO cat VALUES (8, 'y')")
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        assert got == {(10, "a", "x"), (5, "a", "y")}
+        # clock advances 25 min: the 11:10 row (v=5) crosses out — its
+        # output through BOTH joins must retract
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:25:00")
+        p.execute(f"INSERT INTO ev VALUES (TIMESTAMP '{ts(5)}', 1, 8, 11)")
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        assert got == {(10, "a", "x"), (11, "a", "y")}
     finally:
         spark.conf.unset("spark.feldera.now")
