@@ -50,9 +50,10 @@ Round 8 (round-7 verdict task #6) adds the two modern-writer features:
   field ids — what Iceberg-converted tables carry): physical parquet
   columns are renamed to their logical names on read, recursing
   through nested structs / arrays / map values (row-wise rebuild, no
-  shuffle). Id-mode files that disagree on a field id's physical
-  name, and column-mapped struct map KEYS, stay loud
-  ``NotImplementedError``s.
+  shuffle). Id-mode files that disagree on a field id's physical name
+  (post-rename rewrites mid-table) scan + rename per signature group,
+  unioned by logical name. Column-mapped struct map KEYS stay a loud
+  ``NotImplementedError``.
 
 The delta-spark package remains the first choice when installed; this
 reader is the ungated fallback and the CDF/DV test surface.
@@ -574,11 +575,11 @@ def _merge_field_trees(
 
 
 def _field_ids_for(files: list[str]) -> dict[int, tuple[str, dict]]:
-    """Consistent field-id tree across the scan's data files. Our union
-    scan reads all files by (physical) column NAME, so files that
-    disagree on a field id's physical name cannot be renamed by one
-    post-scan projection — that shape needs per-file projection and
-    stays loud."""
+    """Consistent field-id tree across ONE scan group's data files.
+    Files that disagree on a field id's physical name cannot share a
+    post-scan projection — ``_mapping_groups`` splits such scans by
+    signature BEFORE this runs, so the raise below is an internal
+    invariant, not a user-visible fence."""
     merged: dict[int, tuple[str, dict]] = {}
     for p in files:
         merged = _merge_field_trees(merged, _parquet_field_tree(p))
@@ -706,6 +707,62 @@ def _apply_column_mapping(
     return df.select(*[e.alias(n) for e, n in pairs])
 
 
+def _tree_sig(tree: dict[int, tuple[str, dict]]):
+    return tuple(
+        sorted(
+            (fid, name, _tree_sig(kids))
+            for fid, (name, kids) in tree.items()
+        )
+    )
+
+
+def _mapping_groups(meta: dict | None, items: list, path_of) -> list[list]:
+    """Split a scan's files into groups that can share ONE
+    physical→logical projection. Only id-mode tables whose files
+    DISAGREE on a field id's physical name need more than one group
+    (post-rename parquet rewrites mid-table): a by-name union scan
+    cannot read such files together at all, so each signature group
+    gets its own scan + projection, unioned by LOGICAL name after the
+    rename (round-9 verdict missing #4 residual). Metadata-only footer
+    reads, O(files) — the same footers id-mode resolution reads
+    anyway."""
+    mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) or "none"
+    if mode != "id" or len(items) <= 1:
+        return [items]
+    groups: dict = {}
+    for it in items:
+        try:
+            s = _tree_sig(_parquet_field_tree(path_of(it)))
+        except Exception:
+            s = ("__unreadable__", str(path_of(it)))
+        groups.setdefault(s, []).append(it)
+    return list(groups.values())
+
+
+def _read_adds_mapped(
+    spark: SparkSession, uri: str, adds: list[dict], meta: dict | None
+) -> DataFrame:
+    """``_read_adds`` + column mapping, per signature group (see
+    ``_mapping_groups``)."""
+    parts = []
+    for g in _mapping_groups(
+        meta, adds, lambda a: _data_path(uri, a["path"])
+    ):
+        parts.append(
+            _apply_column_mapping(
+                _read_adds(spark, uri, g),
+                meta,
+                [_data_path(uri, a["path"]) for a in g],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snapshot(
     spark: SparkSession, uri: str, version: int | None = None
 ) -> DataFrame:
@@ -757,11 +814,7 @@ def snapshot(
                 live[a["add"]["path"]] = a["add"]
     if not live:
         raise ValueError(f"empty Delta snapshot at version {version}: {uri}")
-    return _apply_column_mapping(
-        _read_adds(spark, uri, list(live.values())),
-        meta,
-        [_data_path(uri, p) for p in live],
-    )
+    return _read_adds_mapped(spark, uri, list(live.values()), meta)
 
 
 def changes(
@@ -782,25 +835,40 @@ def changes(
             continue
         cdc = [a["cdc"] for a in acts if "cdc" in a]
         if cdc:
-            df = spark.read.parquet(
-                *[_data_path(uri, c["path"]) for c in cdc]
-            )
-            wcol = None
-            for ct, w in _CDF_WEIGHT.items():
-                cond = F.col("_change_type") == ct
-                wcol = (
-                    F.when(cond, F.lit(w))
-                    if wcol is None
-                    else wcol.when(cond, F.lit(w))
+            gparts = []
+            for g in _mapping_groups(
+                meta, cdc, lambda c: _data_path(uri, c["path"])
+            ):
+                df = spark.read.parquet(
+                    *[_data_path(uri, c["path"]) for c in g]
                 )
-            delta = (
-                df.withColumn(WEIGHT, wcol.otherwise(F.lit(0)).cast("long"))
-                .filter(F.col(WEIGHT) != 0)
-                .drop("_change_type", "_commit_version", "_commit_timestamp")
-            )
-            delta = _apply_mapped_weighted(
-                delta, meta, [_data_path(uri, c["path"]) for c in cdc]
-            )
+                wcol = None
+                for ct, w in _CDF_WEIGHT.items():
+                    cond = F.col("_change_type") == ct
+                    wcol = (
+                        F.when(cond, F.lit(w))
+                        if wcol is None
+                        else wcol.when(cond, F.lit(w))
+                    )
+                d = (
+                    df.withColumn(
+                        WEIGHT, wcol.otherwise(F.lit(0)).cast("long")
+                    )
+                    .filter(F.col(WEIGHT) != 0)
+                    .drop(
+                        "_change_type",
+                        "_commit_version",
+                        "_commit_timestamp",
+                    )
+                )
+                gparts.append(
+                    _apply_mapped_weighted(
+                        d, meta, [_data_path(uri, c["path"]) for c in g]
+                    )
+                )
+            delta = gparts[0]
+            for p in gparts[1:]:
+                delta = delta.unionByName(p)
         else:
             # file-level synthesis; DV-bearing actions read the file
             # MINUS its vector, so "remove(F, old DV) + add(F, new DV)"
@@ -818,29 +886,21 @@ def changes(
             ]
             if adds:
                 parts.append(
-                    _read_adds(spark, uri, adds).withColumn(
+                    _read_adds_mapped(spark, uri, adds, meta).withColumn(
                         WEIGHT, F.lit(1).cast("long")
                     )
                 )
             if removes:
                 parts.append(
-                    _read_adds(spark, uri, removes).withColumn(
-                        WEIGHT, F.lit(-1).cast("long")
-                    )
+                    _read_adds_mapped(
+                        spark, uri, removes, meta
+                    ).withColumn(WEIGHT, F.lit(-1).cast("long"))
                 )
             if not parts:
                 continue
             delta = parts[0]
             for p in parts[1:]:
                 delta = delta.unionByName(p)
-            delta = _apply_mapped_weighted(
-                delta,
-                meta,
-                [
-                    _data_path(uri, a["path"])
-                    for a in adds + removes
-                ],
-            )
         out.append((v, delta))
     return out
 

@@ -677,7 +677,10 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
     assert v1 == 1
     assert {(r.k, r.v, r[WEIGHT]) for r in d1.collect()} == {(3, 30, 1)}
 
-    # files disagreeing on a field id's physical name: loud
+    # files disagreeing on a field id's physical name (post-rename
+    # parquet rewrites mid-table): per-signature-group projection
+    # (round-10) — each group scans + renames separately, unioned by
+    # LOGICAL name; snapshot AND changes() resolve
     sch2 = pa.schema(
         [pa.field("renamed", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
          pa.field("col-y7", pa.int64(), metadata={b"PARQUET:field_id": b"2"})]
@@ -687,8 +690,14 @@ def test_delta_column_mapping_id_mode(spark, tmp_path):
         os.path.join(uri, "part-2.parquet"),
     )
     dl.write_commit(uri, 2, adds=["part-2.parquet"])
-    with pytest.raises(NotImplementedError, match="disagree"):
-        dl.snapshot(spark, uri).collect()
+    snap2 = dl.snapshot(spark, uri)
+    assert snap2.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in snap2.collect()} == {
+        (1, 10), (2, 20), (3, 30), (9, 90)
+    }
+    (v2, d2), = dl.changes(spark, uri, 1)
+    assert v2 == 2
+    assert {(r.k, r.v, r[WEIGHT]) for r in d2.collect()} == {(9, 90, 1)}
 
 
 def test_delta_column_mapping_nested_name_mode(spark, tmp_path):
