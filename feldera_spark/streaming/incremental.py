@@ -1582,6 +1582,23 @@ class IncrementalJoinView:
                 return ent[1]
             cache[tag] = (list(batches), None)  # churned: stop probing
             return None
+        # probe ONLY materialized batches (committed LogicalRDDs /
+        # persisted frames): the limited count is a bounded partial
+        # SCAN there. A derived plan — a trace-sharing provider's raw
+        # merge, a composite spine read — would EXECUTE the upstream
+        # merge on the step thread (measured 2.5s/probe on nx05,
+        # round-10 profile), which is neither bounded nor free.
+        for b in batches:
+            try:
+                if b._jdf.queryExecution().logical().nodeName() not in (
+                    "LogicalRDD",
+                    "InMemoryRelation",
+                ):
+                    cache[tag] = (list(batches), None)
+                    return None
+            except Exception:
+                cache[tag] = (list(batches), None)
+                return None
         size = None
         try:
             fixed = 0
@@ -1648,9 +1665,18 @@ class IncrementalJoinView:
         (``shard.rs``); on Spark outside steps AQE's skew-join does
         this at runtime."""
         self._skew_probe_uses = getattr(self, "_skew_probe_uses", 0) + 1
+        fut = getattr(self, "_skew_fut", None)
+        if fut is not None and fut.done():
+            self._skew_fut = None
+            try:
+                self._skew_salt_cached = fut.result()
+            except Exception:
+                self._skew_salt_cached = 0
         cached = getattr(self, "_skew_salt_cached", None)
         if cached is not None and self._skew_probe_uses % 16 != 1:
             return cached
+        if getattr(self, "_skew_fut", None) is not None:
+            return cached or 0  # probe in flight: use the last answer
         try:
             ratio_bar = float(
                 delta.sparkSession.conf.get(
@@ -1681,22 +1707,36 @@ class IncrementalJoinView:
                 # job; the slice is already delta-key-restricted, so
                 # the extra pass is bounded by the join's own read.
                 probe = probe.unionByName(conc(slice_))
-            salt = 0
-            for row in probe.collect():
-                if (
-                    row["nkeys"] is not None
-                    and row["nkeys"] > 1
-                    and row["av"]
-                    and row["mx"] / row["av"] >= ratio_bar
-                ):
-                    salt = max(
-                        salt,
-                        int(
-                            min(32, max(2, row["mx"] // max(row["av"], 1)))
-                        ),
-                    )
-            self._skew_salt_cached = salt
-            return salt
+
+            # the collect runs on the BACKGROUND pool (round-10
+            # profile: executing the probe — whose plan may embed an
+            # un-materialized state merge — cost 4.6s on the step
+            # thread); the salt decision lags one probe window, which
+            # the amortized 1/16 cadence already accepts
+            def run(_probe=probe, _bar=ratio_bar):
+                salt = 0
+                for row in _probe.collect():
+                    if (
+                        row["nkeys"] is not None
+                        and row["nkeys"] > 1
+                        and row["av"]
+                        and row["mx"] / row["av"] >= _bar
+                    ):
+                        salt = max(
+                            salt,
+                            int(
+                                min(
+                                    32,
+                                    max(2, row["mx"] // max(row["av"], 1)),
+                                )
+                            ),
+                        )
+                return salt
+
+            from feldera_spark.streaming.stepper import background_pool
+
+            self._skew_fut = background_pool().submit(run)
+            return cached or 0
         except Exception:
             self._skew_salt_cached = 0
             return 0

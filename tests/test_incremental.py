@@ -828,6 +828,16 @@ def test_speculative_rounds_guard_no_false_divergence(spark):
         spark.conf.unset("spark.feldera.recursive.maxRounds")
 
 
+def _resolve_skew_probe(view):
+    """The concentration probe runs on the background pool (round-10):
+    wait it out and land the cached salt, as a later step's crossing
+    would."""
+    fut = getattr(view, "_skew_fut", None)
+    if fut is not None:
+        view._skew_salt_cached = fut.result()
+        view._skew_fut = None
+
+
 def test_auto_skew_detection_salts_undeclared_hot_key(spark):
     """Round-7 verdict task #9: ``skewSalt`` was a manually declared
     config; at 100x a hot key appears at RUNTIME. In the fan-out-guard
@@ -869,6 +879,10 @@ def test_auto_skew_detection_salts_undeclared_hot_key(spark):
     try:
         view = IncrementalJoinView(on=["k"])
         view.step(None, dim)
+        # first call submits the background probe; the salted plan
+        # activates once it lands (one probe window of lag)
+        view._state_join(delta, [dim], True)
+        _resolve_skew_probe(view)
         raw = view._state_join(delta, [dim], True)
         plan = raw._jdf.queryExecution().executedPlan().toString()
         assert "__salt" in plan, plan[:800]
@@ -994,6 +1008,8 @@ def test_auto_skew_detection_probes_state_side(spark):
     try:
         view = IncrementalJoinView(on=["k"])
         view.step(None, dim)
+        view._state_join(uni, [dim], True)
+        _resolve_skew_probe(view)
         raw = view._state_join(uni, [dim], True)
         plan = raw._jdf.queryExecution().executedPlan().toString()
         assert "__salt" in plan, plan[:800]
