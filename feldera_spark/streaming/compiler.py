@@ -1218,9 +1218,45 @@ class CompiledView:
                 s.computed_keys.items(),
                 key=lambda kv: bool(_HOP_END_RE.match(kv[1].strip())),
             )
+            # HOP PANE pre-aggregation (round-10; Flink/Scotty-style
+            # window slicing, and what the reference's ExpandHop avoids
+            # paying by indexing): when size % slide == 0, every row in
+            # a slide-aligned PANE belongs to the SAME size/slide
+            # windows, so aggregate once per (pane, keys) FIRST and
+            # explode the (already tiny) pane partials into windows —
+            # the explode fan-out applies to |panes × keys| rows, not
+            # |delta| rows, and the partial hash sees |delta| rows
+            # instead of (size/slide)·|delta|. Only re-aggregatable
+            # classes (linear sums / chain min-max-sum) qualify; ragged
+            # hops (pane membership depends on the exact timestamp)
+            # keep the per-row explode.
+            from feldera_spark.streaming.incremental import (
+                AppendOnlyAggregateView,
+                IncrementalLinearAggregateView,
+            )
+
+            pane = None
+            if self._waterline is None and isinstance(
+                self._agg,
+                (IncrementalLinearAggregateView, AppendOnlyAggregateView),
+            ):
+                hops = [
+                    (kn, m)
+                    for kn, ke in ordered_keys
+                    if (m := _HOP_START_RE.match(ke.strip())) is not None
+                ]
+                if len(hops) == 1:
+                    kn, hm = hops[0]
+                    slide = int(hm.group("slide"))
+                    size = int(hm.group("size"))
+                    if size % slide == 0 and size != slide:
+                        pane = (kn, hm.group("ts"), slide, size, hm.groups())
+            deferred_ends: list[tuple[str, int]] = []
             for kname, kexpr in ordered_keys:
                 hm = _HOP_START_RE.match(kexpr.strip())
                 if hm is not None:
+                    if pane is not None and kname == pane[0]:
+                        continue  # deferred: pane floor + post-agg explode
                     rows = rows.withColumn(
                         kname,
                         F.explode(
@@ -1234,6 +1270,11 @@ class CompiledView:
                     continue
                 em = _HOP_END_RE.match(kexpr.strip())
                 if em is not None:
+                    if pane is not None and em.groups() == pane[4]:
+                        deferred_ends.append(
+                            (kname, int(em.group("size")))
+                        )
+                        continue
                     start_alias = next(
                         n for n, ke in s.computed_keys.items()
                         if (mm := _HOP_START_RE.match(ke.strip()))
@@ -1282,6 +1323,31 @@ class CompiledView:
                 out = self._agg.step(
                     rows, waterline_bound=self._waterline.bound
                 )
+            elif pane is not None:
+                kname, ts, slide, size, _g = pane
+                sl_us = slide * 1_000_000
+                us = (
+                    f"timestampdiff(MICROSECOND, {_EPOCH}, "
+                    f"CAST({ts} AS TIMESTAMP_NTZ))"
+                )
+                rows = rows.withColumn(
+                    kname,
+                    F.expr(
+                        f"timestampadd(MICROSECOND, "
+                        f"{us} - pmod({us}, {sl_us}), {_EPOCH})"
+                    ),
+                )
+                dropped = {n for n, _sz in deferred_ends}
+                gb = [k for k in self._agg.keys if k not in dropped]
+                panes = rows.groupBy(*gb).agg(*self._agg._partial_exprs)
+                panes = panes.withColumn(
+                    kname, F.explode(_hop_starts_col(kname, slide, size))
+                )
+                for n, esz in deferred_ends:
+                    panes = panes.withColumn(
+                        n, F.expr(f"timestampadd(SECOND, {esz}, {kname})")
+                    )
+                out = self._agg.step(panes, pre_partial=True)
             else:
                 out = self._agg.step(rows)
             if out is not None:

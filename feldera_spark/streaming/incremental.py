@@ -1046,8 +1046,20 @@ class IncrementalLinearAggregateView:
             WEIGHT, self._w_lit[weight]
         )
 
+    def _keyed_partial(
+        self, delta: DataFrame, pre_partial: bool
+    ) -> DataFrame:
+        """The delta's per-key partial frame. ``pre_partial=True``
+        declares the delta ALREADY holds partial rows (keys + partial
+        columns + ``__n`` — e.g. hop-pane pre-aggregation upstream):
+        they re-aggregate by per-column SUM (linear merges are
+        additive), instead of the raw weighted expressions."""
+        if pre_partial:
+            return delta.groupBy(*self.keys).agg(*self._merge_exprs)
+        return self._partial(delta)
+
     @step_scoped
-    def step(self, delta: DataFrame) -> DataFrame:
+    def step(self, delta: DataFrame, pre_partial: bool = False) -> DataFrame:
         """Apply one delta (mixed-sign weights); returns the output delta.
 
         Co-partitioned single-pass merge (round-7, same shape as
@@ -1065,9 +1077,10 @@ class IncrementalLinearAggregateView:
             persist_step,
         )
 
-        delta = zset.lift(delta)
+        if not pre_partial:
+            delta = zset.lift(delta)
         if self._decide_spine(delta):
-            return self._step_spine(delta)
+            return self._step_spine(delta, pre_partial)
         # a prior step in the SAME scope may have handed the state
         # checkpoint to the background pool (below) — resolve it before
         # reading, or this step's plans would nest the raw plan and
@@ -1076,7 +1089,7 @@ class IncrementalLinearAggregateView:
         # (windowed GC filters frozen windows out) and the stale
         # checkpoint must then NOT clobber it.
         self._resolve_state_fut()
-        partial = self._partial(delta)
+        partial = self._keyed_partial(delta, pre_partial)
         if self.state is None:
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
@@ -1263,7 +1276,9 @@ class IncrementalLinearAggregateView:
             self.state = sp
         return self.state
 
-    def _step_spine(self, delta: DataFrame) -> DataFrame:
+    def _step_spine(
+        self, delta: DataFrame, pre_partial: bool = False
+    ) -> DataFrame:
         """O(touched) state commit (round-10, verdict task #1): the
         step appends ONLY the delta's keyed partial to the state spine;
         the output delta derives from the TOUCHED keys' old merged
@@ -1274,7 +1289,7 @@ class IncrementalLinearAggregateView:
         from feldera_spark.streaming.stepper import persist_step
 
         sp = self._spine()
-        partial = self._partial(delta)
+        partial = self._keyed_partial(delta, pre_partial)
         if sp.empty:
             h = sp.append(partial.filter(F.col("__n") != 0))
             return self._out(h, 1)
@@ -2152,14 +2167,29 @@ class AppendOnlyAggregateView:
         self.state: DataFrame | KeyedStateSpine | None = None
         self._spine_mode: bool | None = None
         self._state_fut = None  # background state-checkpoint handle
+        self._partial_exprs = [
+            self._PARTIAL[fn](c).alias(name)
+            for name, (fn, c) in aggs.items()
+        ]
+        # re-aggregation of pre-computed partials (hop panes): per-key
+        # semigroup merges — count partials SUM
+        self._merge_agg_exprs = [
+            self._MERGE[fn](name).alias(name)
+            for name, (fn, _c) in aggs.items()
+        ]
 
     def _partial(self, delta: DataFrame) -> DataFrame:
-        return delta.groupBy(*self.keys).agg(
-            *[self._PARTIAL[fn](c).alias(name) for name, (fn, c) in self.aggs.items()]
-        )
+        return delta.groupBy(*self.keys).agg(*self._partial_exprs)
+
+    def _keyed_partial(
+        self, delta: DataFrame, pre_partial: bool
+    ) -> DataFrame:
+        if pre_partial:
+            return delta.groupBy(*self.keys).agg(*self._merge_agg_exprs)
+        return self._partial(delta)
 
     @step_scoped
-    def step(self, delta: DataFrame) -> DataFrame:
+    def step(self, delta: DataFrame, pre_partial: bool = False) -> DataFrame:
         """Ingest an (insert-only) delta; returns the output delta as a
         Z-set (retraction of each touched key's old row + new row).
 
@@ -2185,9 +2215,9 @@ class AppendOnlyAggregateView:
         )
 
         if self._decide_spine(delta):
-            return self._step_spine(delta)
+            return self._step_spine(delta, pre_partial)
         self._resolve_state_fut()
-        partial = self._partial(delta)
+        partial = self._keyed_partial(delta, pre_partial)
         if self.state is None:
             self.state = _checkpoint(partial)
             return self.state.withColumn(WEIGHT, F.lit(1).cast("long"))
@@ -2239,7 +2269,9 @@ class AppendOnlyAggregateView:
             self.state = sp
         return self.state
 
-    def _step_spine(self, delta: DataFrame) -> DataFrame:
+    def _step_spine(
+        self, delta: DataFrame, pre_partial: bool = False
+    ) -> DataFrame:
         """O(touched) chain-state commit (round-10, verdict task #1):
         append the delta's keyed partial; derive retract/insert rows
         from the touched keys' old merged values (key-restricted read)
@@ -2249,7 +2281,7 @@ class AppendOnlyAggregateView:
         from feldera_spark.streaming.stepper import persist_step
 
         sp = self._spine()
-        partial = self._partial(delta)
+        partial = self._keyed_partial(delta, pre_partial)
         if sp.empty:
             h = sp.append(partial)
             return h.withColumn(WEIGHT, F.lit(1).cast("long"))

@@ -1079,6 +1079,48 @@ def test_compiled_hop_equals_batch(spark):
     assert _canon(plan.materialized()) == expected
 
 
+def test_hop_pane_preaggregation_engages(spark):
+    """Round-10: aligned hops (size % slide == 0) pre-aggregate per
+    slide PANE and explode the pane partials into windows (window
+    slicing) — the ×(size/slide) fan-out applies to pane rows, not
+    delta rows. The aggregate must receive a PRE-PARTIAL frame;
+    ragged hops (window membership depends on the exact timestamp)
+    keep the per-row explode. Correctness incl. retractions is pinned
+    by test_compiled_hop_equals_batch (chunk 3 is weight −1)."""
+    chunks, _live = _ts_chunks(spark)
+
+    def spy(plan):
+        calls = []
+        orig = plan._agg.step
+
+        def wrapped(rows, *a, **kw):
+            calls.append(kw.get("pre_partial", False))
+            return orig(rows, *a, **kw)
+
+        plan._agg.step = wrapped
+        return calls
+
+    aligned = compile_view(
+        "SELECT window_start, k, COUNT(*) AS n FROM TABLE(HOP(TABLE t, "
+        "DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, k",
+        tables={"t"},
+    )
+    calls = spy(aligned)
+    aligned.step({"t": chunks[0]})
+    assert calls == [True], "aligned hop must feed pane partials"
+
+    ragged = compile_view(
+        "SELECT window_start, k, COUNT(*) AS n FROM TABLE(HOP(TABLE t, "
+        "DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, k",
+        tables={"t"},
+    )
+    calls = spy(ragged)
+    ragged.step({"t": chunks[0]})
+    assert calls == [False], "ragged hop must keep the per-row explode"
+
+
 def test_hop_ragged_compiles(spark):
     # size not a multiple of slide COMPILES since round 4 (ExpandHop
     # parity — aligned-range starts; oracle coverage: i48)
