@@ -4299,6 +4299,16 @@ def enable_spill(plan, base_dir: str) -> int:
             return
         seen.add(id(obj))
         pcols = _window_partition_cols(obj) or pcols
+        # linear/chain aggregate views create their KeyedStateSpine
+        # LAZILY (first spine-mode step, after this walk): pre-set the
+        # spill target on the VIEW so the spine picks it up at creation
+        # (round-10; _fold_target writes parquet generations there)
+        if hasattr(obj, "_spine_mode") and hasattr(obj, "keys"):
+            obj.state_spill_dir = f"{path}/state"
+            if pcols:
+                obj.state_partition_cols = [
+                    c for c in pcols if c in getattr(obj, "keys", [])
+                ]
         for name, val in vars(obj).items():
             sub = f"{path}/{name.strip('_')}"
             if isinstance(val, Spine):
@@ -4308,8 +4318,9 @@ def enable_spill(plan, base_dir: str) -> int:
                 # raw-ts join side does not — checked lazily at write
                 # via the batch schema is not possible here, so gate on
                 # the owning view's key being materialized per delta:
-                # integral/output spines of aggregate/recompute views)
-                if pcols and name in ("integral", "output"):
+                # integral/output spines of aggregate/recompute views;
+                # the keyed STATE spine's rows are key rows too)
+                if pcols and name in ("integral", "output", "state"):
                     val.partition_cols = list(pcols)
                 # the emit_final archive partitions by the emit column:
                 # materialized() and band reads prune whole directories

@@ -752,8 +752,14 @@ class KeyedStateSpine(Spine):
         merges: dict[str, str],
         live_pred: str | None = None,
         max_batches: int = 8,
+        spill_dir: str | None = None,
+        partition_cols: list[str] | None = None,
     ):
-        super().__init__(max_batches=max_batches)
+        super().__init__(
+            max_batches=max_batches,
+            spill_dir=spill_dir,
+            partition_cols=partition_cols,
+        )
         self.keys = keys
         self.merges = merges
         self.live_pred = live_pred
@@ -777,6 +783,8 @@ class KeyedStateSpine(Spine):
             dict(self.merges),
             live_pred=self.live_pred,
             max_batches=self.max_batches,
+            spill_dir=self.spill_dir,
+            partition_cols=list(self.partition_cols),
         )
 
     # -- merge plans ---------------------------------------------------------
@@ -873,13 +881,38 @@ class KeyedStateSpine(Spine):
             self._schedule_state_fold()
         return ck
 
+    def _fold_target(self, merged: DataFrame) -> DataFrame:
+        """Materialize a fold result: parquet generation when spilling
+        (durable, partition-prunable — the reference's spine spill,
+        ``spine_async.rs:968-1012``), else a local checkpoint. Tracks
+        the written generation in ``_pending_gen`` for the caller to
+        reference/retire."""
+        if self.spill_dir is None:
+            self._pending_gen = None
+            return merged.localCheckpoint(eager=True)
+        import uuid
+
+        gen = f"{self.spill_dir}/gen-{uuid.uuid4().hex[:12]}"
+        w = merged.write.mode("overwrite")
+        pcols = [c for c in self.partition_cols if c in merged.columns]
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(gen)
+        self._pending_gen = gen
+        return merged.sparkSession.read.parquet(gen)
+
     def _schedule_state_fold(self) -> None:
         from feldera_spark.streaming import stepper
 
         if not stepper.deferring():
             # ad-hoc/batch use outside a circuit step: synchronous,
             # deterministic fold
-            self.batches = [_checkpoint(self._composite(self.batches))]
+            self.batches = [self._fold_target(self._composite(self.batches))]
+            old, self._gen_path = getattr(self, "_gen_path", None), getattr(
+                self, "_pending_gen", None
+            )
+            if old is not None:
+                stepper.retire_paths([old])
             self._raw = None
             return
         if self._fold_pending():
@@ -897,11 +930,18 @@ class KeyedStateSpine(Spine):
         lst = self.batches
 
         def run():
-            return self._composite(captured).localCheckpoint(eager=True)
+            return self._fold_target(self._composite(captured))
 
         def apply(folded, _self=self, _n=len(captured)):
             _self.batches[:_n] = [folded]
             _self._raw = None  # monotone-truncate snapshot superseded
+            # superseded spilled generation: lazy plans built before
+            # this swap may still scan it — deletion defers past the
+            # next commit barrier
+            old = getattr(_self, "_gen_path", None)
+            _self._gen_path = getattr(_self, "_pending_gen", None)
+            if old is not None:
+                stepper.retire_paths([old])
 
         self._fold = {
             "fut": stepper.background_pool().submit(run),
@@ -910,6 +950,19 @@ class KeyedStateSpine(Spine):
             "captured": captured,
             "apply": apply,
         }
+
+    def reset_base(self, base: DataFrame) -> None:
+        """Replace the whole spine with one base batch (bulk/init-load
+        folds). A fresh list: in-flight async append setters
+        identity-miss and orphan harmlessly; a superseded spilled
+        generation retires past the next commit barrier."""
+        from feldera_spark.streaming import stepper
+
+        self.batches = [base]
+        self._raw = None
+        old, self._gen_path = getattr(self, "_gen_path", None), None
+        if old is not None:
+            stepper.retire_paths([old])
 
     # the base class's z-set compaction/save paths must never run here
     def append_raw(self, delta: DataFrame) -> DataFrame:  # pragma: no cover
@@ -1264,12 +1317,17 @@ class IncrementalLinearAggregateView:
 
     def _spine(self) -> "KeyedStateSpine":
         """The state spine, creating it (or adopting a restored flat
-        state frame as its base batch) on first use."""
+        state frame as its base batch) on first use. ``enable_spill``
+        pre-sets ``state_spill_dir``/``state_partition_cols`` on the
+        view so the lazily-created spine spills its folds to durable
+        parquet generations."""
         if not isinstance(self.state, KeyedStateSpine):
             sp = KeyedStateSpine(
                 self.keys,
                 {n: "sum" for n in list(self.sums) + ["__n"]},
                 live_pred="__n != 0",
+                spill_dir=getattr(self, "state_spill_dir", None),
+                partition_cols=getattr(self, "state_partition_cols", None),
             )
             if self.state is not None:  # checkpoint-restored flat frame
                 sp.batches = [self.state]
@@ -1315,9 +1373,7 @@ class IncrementalLinearAggregateView:
             aug = persist_step(aug)
         if bulk:
             merged = aug.filter("__n != 0").selectExpr(*x["core"])
-            # fresh list: in-flight async append setters identity-miss
-            # and orphan harmlessly
-            sp.batches = [_checkpoint(merged)]
+            sp.reset_base(_checkpoint(merged))
             sp.read_filter = None  # baked into the merged base
         else:
             sp.append_async(partial)
@@ -2263,7 +2319,12 @@ class AppendOnlyAggregateView:
                 name: ("sum" if fn in ("sum", "count") else fn)
                 for name, (fn, _) in self.aggs.items()
             }
-            sp = KeyedStateSpine(self.keys, merges)
+            sp = KeyedStateSpine(
+                self.keys,
+                merges,
+                spill_dir=getattr(self, "state_spill_dir", None),
+                partition_cols=getattr(self, "state_partition_cols", None),
+            )
             if self.state is not None:  # checkpoint-restored flat frame
                 sp.batches = [self.state]
             self.state = sp
@@ -2302,7 +2363,7 @@ class AppendOnlyAggregateView:
         if not getattr(self, "aug_unshared", False) or bulk:
             aug = persist_step(aug)
         if bulk:
-            sp.batches = [_checkpoint(aug.selectExpr(*x["core"]))]
+            sp.reset_base(_checkpoint(aug.selectExpr(*x["core"])))
             sp.read_filter = None
         else:
             sp.append_async(partial)

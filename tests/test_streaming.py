@@ -593,6 +593,72 @@ def test_enable_spill_sets_window_partition_cols(spark, tmp_path):
     ), [(s.spill_dir, s.partition_cols) for s in spines]
 
 
+def test_keyed_state_spine_spills_folds(spark, tmp_path):
+    """Round-10: a spine-mode aggregate with ``storage_dir`` set writes
+    its background FOLDS as durable parquet generations (the
+    reference's spine spill) instead of in-memory checkpoints, the
+    merged state stays correct across folds, and superseded
+    generations are retired from disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming import stepper
+    from feldera_spark.streaming.incremental import KeyedStateSpine
+
+    spark.conf.set("spark.feldera.agg.stateSpine", "true")
+    try:
+        b = PipelineBuilder(spark).sql(
+            "CREATE TABLE ev (k BIGINT, v BIGINT);"
+            "CREATE MATERIALIZED VIEW agg AS "
+            "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM ev GROUP BY k"
+        )
+        b.connect_table(
+            "ev", spark.createDataFrame([], "k BIGINT, v BIGINT")
+        )
+        p = b.create(storage_dir=str(tmp_path / "store"))
+        plan = p._ivm["agg"]
+        assert getattr(plan._agg, "state_spill_dir", None), (
+            "enable_spill must pre-set the lazy state spine's target"
+        )
+        total = 0
+        for step_i in range(22):  # > 2 fold windows at max_batches=8
+            rows = ", ".join(
+                f"({step_i * 7 + j}, {j})" for j in range(7)
+            )
+            p.execute(f"INSERT INTO ev VALUES {rows}")
+            total += 7
+        p.barrier()
+        sp = plan._agg.state
+        assert isinstance(sp, KeyedStateSpine)
+        # drain background folds deterministically
+        for _ in range(100):
+            sp._resolve_fold()
+            if not sp._fold_pending():
+                break
+            import time as _t
+
+            _t.sleep(0.1)
+        stepper.join_flush()
+        got = {(r.k, r.n, r.s) for r in p.view("agg").collect()}
+        assert len(got) == total and all(n == 1 for _, n, _s in got)
+        # at least one fold landed as a parquet generation on disk
+        root = str(tmp_path / "store")
+        gens = [
+            os.path.join(dp, d)
+            for dp, dns, _ in os.walk(root)
+            for d in dns
+            if d.startswith("gen-")
+        ]
+        assert gens, f"no spilled state generation under {root}"
+        # the live base scans the newest generation; superseded ones
+        # were retired (at most the live one + an in-flight pending)
+        assert len(gens) <= 2, gens
+    finally:
+        spark.conf.unset("spark.feldera.agg.stateSpine")
+
+
 def test_emit_final_step_reads_unsealed_suffix_only(spark):
     """Round-4 verdict "what's wrong" #1: the emit step must be
     O(unsealed suffix), not O(inner state). Grow the emitted history
