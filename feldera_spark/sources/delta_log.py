@@ -652,7 +652,10 @@ def _logical_value(
 
 
 def _mapping_pairs(
-    meta: dict | None, files: list[str] | None = None
+    meta: dict | None,
+    files: list[str] | None = None,
+    fid_tree: dict[int, tuple[str, dict]] | None = None,
+    known_ids: set[int] | None = None,
 ) -> list[tuple[F.Column, str]] | None:
     """``(physical expression, logical name)`` column pairs per the
     table's ``delta.columnMapping.mode``; None when no mapping applies.
@@ -678,8 +681,7 @@ def _mapping_pairs(
             f"delta.columnMapping.mode={mode!r} is not supported by the "
             "built-in protocol reader ('name' and 'id' are)"
         )
-    fid_tree: dict[int, tuple[str, dict]] | None = None
-    if mode == "id":
+    if mode == "id" and fid_tree is None:
         if not files:
             raise NotImplementedError(
                 "delta.columnMapping.mode='id' needs the scan's data "
@@ -689,6 +691,19 @@ def _mapping_pairs(
     schema = json.loads(meta["schemaString"])
     pairs = []
     for f in schema.get("fields", []):
+        if mode == "id" and known_ids:
+            md = f.get("metadata") or {}
+            fid = md.get("delta.columnMapping.id")
+            if (
+                fid is not None
+                and int(fid) not in (fid_tree or {})
+                and int(fid) in known_ids
+            ):
+                # schema evolution: the column exists in OTHER file
+                # groups but not this one — omit it here; the by-name
+                # union NULL-fills (missing everywhere stays loud via
+                # _resolve_field below)
+                continue
         phys, sub = _resolve_field(f, mode, fid_tree)
         expr = _logical_value(F.col(phys), f.get("type"), mode, sub)
         pairs.append((expr, f["name"]))
@@ -696,12 +711,17 @@ def _mapping_pairs(
 
 
 def _apply_column_mapping(
-    df: DataFrame, meta: dict | None, files: list[str] | None = None
+    df: DataFrame,
+    meta: dict | None,
+    files: list[str] | None = None,
+    fid_tree: dict[int, tuple[str, dict]] | None = None,
+    known_ids: set[int] | None = None,
 ) -> DataFrame:
     """Rename physical parquet columns to logical names per the
     ``metaData`` schemaString (``delta.columnMapping.mode`` 'name' or
-    'id' — 'id' resolves against the ``files`` footers)."""
-    pairs = _mapping_pairs(meta, files)
+    'id' — 'id' resolves against ``fid_tree`` or the ``files``
+    footers)."""
+    pairs = _mapping_pairs(meta, files, fid_tree, known_ids)
     if pairs is None:
         return df
     return df.select(*[e.alias(n) for e, n in pairs])
@@ -716,50 +736,74 @@ def _tree_sig(tree: dict[int, tuple[str, dict]]):
     )
 
 
-def _mapping_groups(meta: dict | None, items: list, path_of) -> list[list]:
+def _mapping_groups(
+    meta: dict | None, items: list, path_of
+) -> tuple[list[tuple[list, dict | None]], set[int] | None]:
     """Split a scan's files into groups that can share ONE
-    physical→logical projection. Only id-mode tables whose files
-    DISAGREE on a field id's physical name need more than one group
-    (post-rename parquet rewrites mid-table): a by-name union scan
-    cannot read such files together at all, so each signature group
-    gets its own scan + projection, unioned by LOGICAL name after the
-    rename (round-9 verdict missing #4 residual). Metadata-only footer
-    reads, O(files) — the same footers id-mode resolution reads
-    anyway."""
+    physical→logical projection, each paired with its (already parsed)
+    field-id tree. Only id-mode tables whose files DISAGREE on a field
+    id's physical name need more than one group (post-rename parquet
+    rewrites mid-table): a by-name union scan cannot read such files
+    together at all, so each signature group gets its own scan +
+    projection, unioned by LOGICAL name after the rename (round-9
+    verdict missing #4 residual). Returns ``(groups, known_ids)`` —
+    the union of top-level field ids across groups, so a field ABSENT
+    from one group's files (schema evolution: column added mid-table)
+    can be NULL-filled there instead of refusing the whole scan. One
+    metadata-only footer read per file."""
     mode = ((meta or {}).get("configuration") or {}).get(
         "delta.columnMapping.mode"
     ) or "none"
-    if mode != "id" or len(items) <= 1:
-        return [items]
+    if mode != "id":
+        return [(items, None)], None
     groups: dict = {}
     for it in items:
         try:
-            s = _tree_sig(_parquet_field_tree(path_of(it)))
+            t = _parquet_field_tree(path_of(it))
+            s = _tree_sig(t)
         except Exception:
-            s = ("__unreadable__", str(path_of(it)))
-        groups.setdefault(s, []).append(it)
-    return list(groups.values())
+            t, s = None, ("__unreadable__", str(path_of(it)))
+        if s not in groups:
+            groups[s] = ([], t)
+        groups[s][0].append(it)
+    known: set[int] = set()
+    for _items, t in groups.values():
+        if t:
+            known |= set(t)
+    return list(groups.values()), (known or None)
 
 
 def _read_adds_mapped(
     spark: SparkSession, uri: str, adds: list[dict], meta: dict | None
 ) -> DataFrame:
     """``_read_adds`` + column mapping, per signature group (see
-    ``_mapping_groups``)."""
-    parts = []
-    for g in _mapping_groups(
+    ``_mapping_groups``); groups missing an evolved column are
+    NULL-filled through the by-name union."""
+    groups, known = _mapping_groups(
         meta, adds, lambda a: _data_path(uri, a["path"])
-    ):
+    )
+    parts = []
+    for g, tree in groups:
         parts.append(
             _apply_column_mapping(
                 _read_adds(spark, uri, g),
                 meta,
                 [_data_path(uri, a["path"]) for a in g],
+                fid_tree=tree,
+                known_ids=known,
             )
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
+    if len(parts) > 1 and meta is not None:
+        # stable logical column order regardless of group order
+        names = [
+            f["name"]
+            for f in json.loads(meta["schemaString"]).get("fields", [])
+            if f["name"] in out.columns
+        ]
+        out = out.select(*names)
     return out
 
 
@@ -835,10 +879,11 @@ def changes(
             continue
         cdc = [a["cdc"] for a in acts if "cdc" in a]
         if cdc:
-            gparts = []
-            for g in _mapping_groups(
+            groups, known = _mapping_groups(
                 meta, cdc, lambda c: _data_path(uri, c["path"])
-            ):
+            )
+            gparts = []
+            for g, tree in groups:
                 df = spark.read.parquet(
                     *[_data_path(uri, c["path"]) for c in g]
                 )
@@ -863,12 +908,16 @@ def changes(
                 )
                 gparts.append(
                     _apply_mapped_weighted(
-                        d, meta, [_data_path(uri, c["path"]) for c in g]
+                        d,
+                        meta,
+                        [_data_path(uri, c["path"]) for c in g],
+                        fid_tree=tree,
+                        known_ids=known,
                     )
                 )
             delta = gparts[0]
             for p in gparts[1:]:
-                delta = delta.unionByName(p)
+                delta = delta.unionByName(p, allowMissingColumns=True)
         else:
             # file-level synthesis; DV-bearing actions read the file
             # MINUS its vector, so "remove(F, old DV) + add(F, new DV)"
@@ -906,11 +955,15 @@ def changes(
 
 
 def _apply_mapped_weighted(
-    delta: DataFrame, meta: dict | None, files: list[str] | None = None
+    delta: DataFrame,
+    meta: dict | None,
+    files: list[str] | None = None,
+    fid_tree: dict[int, tuple[str, dict]] | None = None,
+    known_ids: set[int] | None = None,
 ) -> DataFrame:
     """Column mapping over a weighted delta (the weight column rides
     along untouched)."""
-    pairs = _mapping_pairs(meta, files)
+    pairs = _mapping_pairs(meta, files, fid_tree, known_ids)
     if pairs is None:
         return delta
     return delta.select(

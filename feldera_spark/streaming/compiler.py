@@ -3926,21 +3926,23 @@ def _try_composed_now(
     if cl is None or "FROM" not in cl or "WHERE" not in cl:
         return None
     frm = cl["FROM"].strip()
-    jm = _single_join(frm)
+    # round-10 (verdict missing #2): N-way (3+) INNER chains — a
+    # NOW()-bounded fact joined with several dims, the routine
+    # dashboard — substitute the bound side with the hidden filter and
+    # let the remainder route through _compile_chain_join. Chains parse
+    # FIRST: single_join greedily matches a left-deep chain by stuffing
+    # the later joins into its 'on' tail, which silently limited the
+    # composable bound to the first two tables (round-10 review).
     join = None
-    chain = None
-    if jm is None:
-        # round-10 (verdict missing #2): N-way (3+) INNER chains — a
-        # NOW()-bounded fact joined with several dims, the routine
-        # dashboard — substitute the bound side with the hidden filter
-        # and let the remainder route through _compile_chain_join
-        chain = _parse_now_chain(frm)
-        if chain is None:
-            return None
+    chain = _parse_now_chain(frm)
+    jm = None if chain is not None else _single_join(frm)
+    if chain is not None:
         side_of = {alias: i for i, (_, alias, _on) in enumerate(chain)}
         if len(side_of) < len(chain):
             return None  # duplicate aliases: ambiguous qualifiers
         src = alias = None  # resolved once the bound conjunct is found
+    elif jm is None:
+        return None
     elif jm["kind"] == "table":
         src = jm["lt"].lower()
         alias = (jm["la"] or jm["lt"]).lower()
@@ -3976,7 +3978,7 @@ def _try_composed_now(
         m = _NOW_BOUND_Q_RE.match(conj)
         if m is not None and bound is None:
             q = m.group("qual")
-            if join is None:
+            if join is None and chain is None:
                 if q is not None and q.lower() not in (alias, src):
                     return None
             else:

@@ -951,6 +951,24 @@ class KeyedStateSpine(Spine):
             "apply": apply,
         }
 
+    def _resolve_fold(self) -> None:
+        f = getattr(self, "_fold", None)
+        if f is None or not f["fut"].done():
+            return
+        super()._resolve_fold()
+        # a fold DROPPED by the identity guard (reset_base replaced the
+        # list, an async-append setter swapped a captured slot) or a
+        # failed run leaves its freshly written spill generation
+        # unreferenced — retire it, or bulk-during-fold cycles
+        # accumulate dead parquet dirs
+        pend = getattr(self, "_pending_gen", None)
+        if pend is not None:
+            if pend != getattr(self, "_gen_path", None):
+                from feldera_spark.streaming import stepper
+
+                stepper.retire_paths([pend])
+            self._pending_gen = None
+
     def reset_base(self, base: DataFrame) -> None:
         """Replace the whole spine with one base batch (bulk/init-load
         folds). A fresh list: in-flight async append setters
@@ -976,6 +994,46 @@ class KeyedStateSpine(Spine):
 # ---------------------------------------------------------------------------
 # Weighted aggregate expression helpers (linear aggregates: O(delta))
 # ---------------------------------------------------------------------------
+
+def _spine_step_aug(view, sp: "KeyedStateSpine", partial: DataFrame):
+    """Shared spine-mode step scaffolding for the keyed aggregate
+    classes (linear/chain): persist the partial (key frame + aug +
+    state append all read it), join the old TOUCHED slice — or, on
+    bulk/init steps, the full merged state — full-outer against it
+    with the class's cached merge expressions, gate the aug persist,
+    and commit the state (O(touched) append, or a synchronous base
+    fold under bulk). Returns ``(aug, merge_exprs, persisted
+    partial)``; the caller derives its output rows from ``aug``."""
+    from feldera_spark.streaming.stepper import persist_step
+
+    partial = persist_step(partial)
+    x = view._merge_exprs_cached()
+    bulk = _FULL_DELTA.get()
+    if bulk:
+        # init-load / bulk-DML: the delta's keys are state-scale — a
+        # tail append would later broadcast a state-sized key frame
+        # (driver OOM at 100 TB). The step is O(state) anyway: merge
+        # against the FULL state and fold synchronously into one base.
+        old = sp.read_merged()
+    else:
+        kd = prepared_keys(partial, view.keys)
+        old = sp.read_for_keys(partial, view.keys, prepared=kd)
+    p = partial.selectExpr(*x["p_sel"])
+    s = old.selectExpr(*x["s_sel"])
+    j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
+    aug = j.selectExpr(*x["aug_sel"])
+    if not getattr(view, "aug_unshared", False) or bulk:
+        aug = persist_step(aug)
+    if bulk:
+        core = aug.selectExpr(*x["core"])
+        if sp.live_pred:
+            core = core.filter(sp.live_pred)
+        sp.reset_base(_checkpoint(core))
+        sp.read_filter = None  # baked into the merged base
+    else:
+        sp.append_async(partial)
+    return aug, x
+
 
 def wcount() -> F.Column:
     return F.sum(F.col(WEIGHT))
@@ -1294,7 +1352,9 @@ class IncrementalLinearAggregateView:
             every <= 0
             or self._probe_tick <= every  # short runs never pay a probe
             or self._probe_tick % every != 2 % every
-            or probe is not None
+            # re-read the attribute: a probe consumed just above must
+            # not block scheduling the next one via the stale local
+            or getattr(self, "_probe_fut", None) is not None
         ):
             return False
         # the probe runs on the BACKGROUND pool — two bounded count
@@ -1322,6 +1382,11 @@ class IncrementalLinearAggregateView:
         view so the lazily-created spine spills its folds to durable
         parquet generations."""
         if not isinstance(self.state, KeyedStateSpine):
+            # a pipelined-flush background checkpoint may still own the
+            # state slot (raw merge plan): resolve FIRST, or the spine
+            # adopts the un-materialized plan as its base and every
+            # read until the first fold re-executes the O(state) merge
+            self._resolve_state_fut()
             sp = KeyedStateSpine(
                 self.keys,
                 {n: "sum" for n in list(self.sums) + ["__n"]},
@@ -1351,32 +1416,7 @@ class IncrementalLinearAggregateView:
         if sp.empty:
             h = sp.append(partial.filter(F.col("__n") != 0))
             return self._out(h, 1)
-        # three consumers (key frame, aug, state append): compute once
-        partial = persist_step(partial)
-        x = self._merge_exprs_cached()
-        bulk = _FULL_DELTA.get()
-        if bulk:
-            # init-load / bulk-DML: the delta's keys are state-scale —
-            # a tail append would later broadcast a state-sized key
-            # frame (driver OOM at 100 TB). The step is O(state)
-            # anyway: merge against the FULL state and fold the result
-            # into one base batch synchronously (legacy cost model).
-            old = sp.read_merged()
-        else:
-            kd = prepared_keys(partial, self.keys)
-            old = sp.read_for_keys(partial, self.keys, prepared=kd)
-        p = partial.selectExpr(*x["p_sel"])
-        s = old.selectExpr(*x["s_sel"])
-        j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = j.selectExpr(*x["aug_sel"])
-        if not getattr(self, "aug_unshared", False) or bulk:
-            aug = persist_step(aug)
-        if bulk:
-            merged = aug.filter("__n != 0").selectExpr(*x["core"])
-            sp.reset_base(_checkpoint(merged))
-            sp.read_filter = None  # baked into the merged base
-        else:
-            sp.append_async(partial)
+        aug, x = _spine_step_aug(self, sp, partial)
         old_rows = aug.filter(x["changed"]).selectExpr(*x["old_sel"])
         new_rows = aug.filter(x["ins_pred"]).selectExpr(*x["core"])
         return zset.plus(self._out(new_rows, 1), self._out(old_rows, -1))
@@ -2315,6 +2355,9 @@ class AppendOnlyAggregateView:
 
     def _spine(self) -> "KeyedStateSpine":
         if not isinstance(self.state, KeyedStateSpine):
+            # see IncrementalLinearAggregateView._spine: resolve the
+            # in-flight state checkpoint before adopting the slot
+            self._resolve_state_fut()
             merges = {
                 name: ("sum" if fn in ("sum", "count") else fn)
                 for name, (fn, _) in self.aggs.items()
@@ -2346,27 +2389,7 @@ class AppendOnlyAggregateView:
         if sp.empty:
             h = sp.append(partial)
             return h.withColumn(WEIGHT, F.lit(1).cast("long"))
-        partial = persist_step(partial)
-        x = self._merge_exprs_cached()
-        bulk = _FULL_DELTA.get()
-        if bulk:
-            # see IncrementalLinearAggregateView._step_spine: bulk
-            # steps merge against the full state and fold synchronously
-            old = sp.read_merged()
-        else:
-            kd = prepared_keys(partial, self.keys)
-            old = sp.read_for_keys(partial, self.keys, prepared=kd)
-        p = partial.selectExpr(*x["p_sel"])
-        s = old.selectExpr(*x["s_sel"])
-        j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = j.selectExpr(*x["aug_sel"])
-        if not getattr(self, "aug_unshared", False) or bulk:
-            aug = persist_step(aug)
-        if bulk:
-            sp.reset_base(_checkpoint(aug.selectExpr(*x["core"])))
-            sp.read_filter = None
-        else:
-            sp.append_async(partial)
+        aug, x = _spine_step_aug(self, sp, partial)
         retract = aug.filter(x["changed"]).selectExpr(*x["old_sel"])
         insert = aug.filter(x["ins_pred"]).selectExpr(*x["new_sel"])
         return retract.unionByName(insert)

@@ -3423,3 +3423,40 @@ def test_now_three_way_chain_composes(spark):
         assert got == {(10, "a", "x"), (11, "a", "y")}
     finally:
         spark.conf.unset("spark.feldera.now")
+
+
+def test_now_chain_bound_on_any_table_composes():
+    """Round-10 review: single_join greedily matches a left-deep chain
+    (later joins land in its 'on' tail), which silently limited the
+    composable NOW() bound to the first two tables. Chains parse FIRST
+    now — a bound qualified on ANY chain table composes; a qualifier
+    not in the chain stays fenced."""
+    from feldera_spark.streaming.compiler import (
+        CompiledComposedNowView,
+        _try_composed_now,
+    )
+
+    tables = {"ev", "usr", "cat"}
+    cols = {
+        "ev": ["u", "c", "v", "ts"],
+        "usr": ["u", "seg", "sts"],
+        "cat": ["c", "cname", "kts"],
+    }
+    base = (
+        "SELECT e.v, s.seg, k.cname FROM ev e"
+        " JOIN usr s ON e.u = s.u JOIN cat k ON e.c = k.c"
+        " WHERE {bound} > NOW() - INTERVAL '1' HOUR"
+    )
+    for q in ("e.ts", "s.sts", "k.kts"):
+        plan = _try_composed_now(
+            base.format(bound=q), tables, set(), cols, {}
+        )
+        assert isinstance(plan, CompiledComposedNowView), (
+            f"bound on {q} must compose"
+        )
+    assert (
+        _try_composed_now(
+            base.format(bound="zz.ts"), tables, set(), cols, {}
+        )
+        is None
+    )
