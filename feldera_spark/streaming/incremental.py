@@ -1035,6 +1035,43 @@ def _spine_step_aug(view, sp: "KeyedStateSpine", partial: DataFrame):
     return aug, x
 
 
+def _view_tpl(view) -> "TemplateCache":
+    """Lazy per-view plan-template cache (streaming/plantemplate.py):
+    the step's fixed plan shapes build once and rebind leaves JVM-side
+    — the reference compiles the circuit once and steps it many times
+    (``dbsp_handle.rs:1712``); rebuilding the AST over py4j every step
+    was the measured ~1.5 s/step driver floor (SCALE.md round-10)."""
+    tpl = getattr(view, "_tplc", None)
+    if tpl is None:
+        from feldera_spark.streaming.plantemplate import TemplateCache
+
+        tpl = view._tplc = TemplateCache()
+    return tpl
+
+
+def _merged_aug_plan(
+    view, delta: DataFrame, state: DataFrame, pre_partial: bool
+) -> DataFrame:
+    """PURE plan: delta → keyed partial → full-outer merge with the
+    state frame → the augmented (old+new side-by-side) frame. Shared by
+    the linear and chain aggregate classes; the only difference is the
+    class's cached merge expressions. Template-safe: no data inspection,
+    no persists, no step-varying literals."""
+    x = view._merge_exprs_cached()
+    p = view._keyed_partial(delta, pre_partial).selectExpr(*x["p_sel"])
+    s = state.selectExpr(*x["s_sel"])
+    j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
+    return j.selectExpr(*x["aug_sel"])
+
+
+def _templated_aug(view, delta: DataFrame, pre_partial: bool) -> DataFrame:
+    return _view_tpl(view).bind(
+        ("aug", pre_partial),
+        {"d": delta, "s": view.state},
+        lambda m: _merged_aug_plan(view, m["d"], m["s"], pre_partial),
+    )
+
+
 def wcount() -> F.Column:
     return F.sum(F.col(WEIGHT))
 
@@ -1200,20 +1237,17 @@ class IncrementalLinearAggregateView:
         # (windowed GC filters frozen windows out) and the stale
         # checkpoint must then NOT clobber it.
         self._resolve_state_fut()
-        partial = self._keyed_partial(delta, pre_partial)
         if self.state is None:
+            partial = self._keyed_partial(delta, pre_partial)
             self.state = _checkpoint(partial.filter(F.col("__n") != 0))
             return self._out(self.state, 1)
-        # cached selectExpr strings: one py4j/analysis round trip per
-        # projection (Column-object construction was ~0.1s/step of pure
-        # driver time — the step constant)
+        # delta → partial → shuffle-hash full-outer merge → aug, as ONE
+        # plan template (plantemplate.py): built once, leaves (delta,
+        # state) rebound JVM-side per step. The hash table builds on the
+        # delta partial — no state-sized sort; both sides hash-cluster
+        # on the keys.
         x = self._merge_exprs_cached()
-        p = partial.selectExpr(*x["p_sel"])
-        s = self.state.selectExpr(*x["s_sel"])
-        # shuffle-hash: hash table on the delta partial, no state-sized
-        # sort; both sides hash-cluster on the keys
-        j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = j.selectExpr(*x["aug_sel"])
+        aug = _templated_aug(self, delta, pre_partial)
         if not getattr(self, "aug_unshared", False):
             # aug feeds the state checkpoint AND the output delta; the
             # persist computes it once across both. TERMINAL keyed
@@ -2313,20 +2347,16 @@ class AppendOnlyAggregateView:
         if self._decide_spine(delta):
             return self._step_spine(delta, pre_partial)
         self._resolve_state_fut()
-        partial = self._keyed_partial(delta, pre_partial)
         if self.state is None:
+            partial = self._keyed_partial(delta, pre_partial)
             self.state = _checkpoint(partial)
             return self.state.withColumn(WEIGHT, F.lit(1).cast("long"))
-        # cached selectExpr strings (one py4j/analysis round trip per
-        # projection — Column-object construction was ~0.1s/step of pure
-        # driver time, the step-constant the round-6 verdict flags)
+        # delta → partial → shuffle-hash full-outer merge → aug as ONE
+        # plan template (plantemplate.py; see the linear class): no
+        # state-sized sort per step, the hash table builds on the delta
+        # partial — the small side.
         x = self._merge_exprs_cached()
-        p = partial.selectExpr(*x["p_sel"])
-        s = self.state.selectExpr(*x["s_sel"])
-        # shuffle-hash, not sort-merge: no state-sized sort per step
-        # (the hash table builds on the delta partial — the small side)
-        j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-        aug = j.selectExpr(*x["aug_sel"])
+        aug = _templated_aug(self, delta, pre_partial)
         if not getattr(self, "aug_unshared", False):
             # see IncrementalLinearAggregateView.step: terminal keyed
             # views' output deltas never execute — skip the persist's

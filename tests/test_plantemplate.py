@@ -1,0 +1,173 @@
+"""Plan-template rebinding (streaming/plantemplate.py).
+
+The per-step plan trees are built once over marker leaves and rebound
+JVM-side (feldera_spark/java/.../PlanTemplate.java). These tests pin the
+contract: bind(key, leaves, build) ≡ build(leaves) in values and schema,
+across agg/join/broadcast shapes, self-joined leaves, nullability skew,
+and the fallback paths (helper off, schema drift)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feldera_spark.streaming.plantemplate import TemplateCache, helper
+from tests.conftest import spark  # noqa: F401
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_helper_loads(spark):
+    assert helper(spark) is not None, (
+        "JVM helper failed to compile/load — javac present in this "
+        "sandbox, so this must not silently fall back"
+    )
+
+
+def test_rebind_agg_join_broadcast(spark):
+    tc = TemplateCache()
+    dim = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") % 3).alias("cat")
+    )
+
+    def build(m):
+        return (
+            m["d"].join(F.broadcast(dim), "a")
+            .groupBy("cat")
+            .agg(F.sum("price").alias("s"), F.count("*").alias("n"))
+            .selectExpr("cat", "s / n AS avg_p")
+        )
+
+    def mk(n):
+        return spark.range(n).select(
+            (F.col("id") % 10).alias("a"), (F.col("id") * 1.0).alias("price")
+        )
+
+    first = tc.bind("k", {"d": mk(100)}, build)   # direct + template store
+    second = tc.bind("k", {"d": mk(200)}, build)  # rebound
+    assert _rows(first) == _rows(build({"d": mk(100)}))
+    assert _rows(second) == _rows(build({"d": mk(200)}))
+    assert not tc._t["k"].dead
+
+
+def test_rebind_same_leaf_twice_self_join(spark):
+    tc = TemplateCache()
+
+    def build(m):
+        l = m["d"].alias("l")
+        r = m["d"].alias("r")
+        return l.join(r, F.col("l.a") == F.col("r.a")).select(
+            F.col("l.a").alias("a"), F.col("r.v").alias("v2")
+        )
+
+    def mk(n):
+        return spark.range(n).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("v")
+        )
+
+    tc.bind("s", {"d": mk(5)}, build)
+    out = tc.bind("s", {"d": mk(7)}, build)
+    assert _rows(out) == _rows(build({"d": mk(7)}))
+
+
+def test_rebind_two_leaves_and_filter(spark):
+    tc = TemplateCache()
+
+    def build(m):
+        return (
+            m["x"].unionByName(m["y"]).filter("v > 3").withColumn(
+                "w", F.col("v") * 10
+            )
+        )
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("v"))
+
+    tc.bind("u", {"x": mk(0, 5), "y": mk(5, 8)}, build)
+    out = tc.bind("u", {"x": mk(2, 6), "y": mk(6, 9)}, build)
+    assert _rows(out) == _rows(build({"x": mk(2, 6), "y": mk(6, 9)}))
+
+
+def test_nullability_skew_is_tolerated(spark):
+    """Markers are all-nullable; a non-null actual leaf must rebind and
+    compute correctly (and vice versa across steps)."""
+    tc = TemplateCache()
+
+    def build(m):
+        return m["d"].groupBy("k").agg(F.sum("v").alias("s"))
+
+    nonnull = spark.range(10).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    )
+    nullable = spark.createDataFrame(
+        [(0, 1), (1, None)], "k BIGINT, v BIGINT"
+    )
+    tc.bind("n", {"d": nonnull}, build)
+    out = tc.bind("n", {"d": nullable}, build)
+    assert _rows(out) == _rows(build({"d": nullable}))
+
+
+def test_schema_drift_falls_back(spark):
+    tc = TemplateCache()
+
+    def build(m):
+        return m["d"].selectExpr("*")
+
+    tc.bind("x", {"d": spark.range(3)}, build)
+    drifted = spark.range(3).select(F.col("id").cast("int").alias("id"))
+    out = tc.bind("x", {"d": drifted}, build)
+    assert _rows(out) == _rows(drifted)
+    assert tc._t["x"].dead
+
+
+def test_conf_off_falls_back(spark):
+    spark.conf.set("spark.feldera.planTemplates", "off")
+    prev = getattr(spark, "_fs_plan_helper", None)
+    spark._fs_plan_helper = None  # force re-check of the conf
+    try:
+        assert helper(spark) is None
+        tc = TemplateCache()
+        out = tc.bind(
+            "c", {"d": spark.range(4)}, lambda m: m["d"].filter("id > 1")
+        )
+        assert _rows(out) == [(2,), (3,)]
+        assert tc._t == {}  # nothing cached: pure fallback
+    finally:
+        spark.conf.set("spark.feldera.planTemplates", "on")
+        spark._fs_plan_helper = prev
+
+
+def test_agg_view_step_uses_template(spark):
+    """The linear-aggregate step path must actually engage the template
+    (no silent fallback) and stay correct across steps."""
+    from feldera_spark import zset
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        wcount,
+        wsum,
+    )
+
+    v = IncrementalLinearAggregateView(
+        keys=["k"], sums={"total": wsum("x"), "cnt": wcount()}
+    )
+
+    def mk(lo, hi):
+        return zset.lift(
+            spark.range(lo, hi).select(
+                (F.col("id") % 3).alias("k"), F.col("id").alias("x")
+            )
+        )
+
+    v.step(mk(0, 10))
+    v.step(mk(10, 30))
+    v.step(mk(30, 40))
+    ent = v._tplc._t.get(("aug", False))
+    assert ent is not None and not ent.dead
+    got = _rows(v.materialized().select("k", "total", "cnt"))
+    exp = _rows(
+        spark.range(40)
+        .select((F.col("id") % 3).alias("k"), F.col("id").alias("x"))
+        .groupBy("k")
+        .agg(F.sum("x").alias("total"), F.count("*").alias("cnt"))
+    )
+    assert got == exp
