@@ -36,12 +36,18 @@ def get_spark(
         # per-step IVM parallelism (streaming/stepper.py): step scopes
         # run over bounded delta/state slices, not full-table scans —
         # a deep view chain pays (shuffle rounds x tasks) in scheduling
-        # at the analytic partition count. Locally cpus/4; on a cluster
-        # size to per-step delta volume like a state-store partition
-        # count (rows x row_width / ~128MB).
+        # at the analytic partition count, and each task of a commit
+        # stage pays a near-constant ~100-400 ms of block/shuffle-file
+        # plumbing and task deserialization regardless of rows (jstack
+        # profile: copyFileStreamNIO + BlockInfoManager locks dominate
+        # on 16-100-row state frames). Locally cpus/8 — measured 2x on
+        # the nx05 shape vs cpus/2 (ev/s 122k -> 245k avg, commit wall
+        # 2.9-4.3 s -> 1.3-1.9 s; parts 2/4/8 are equivalent, 16 is
+        # not). On a cluster size to per-step delta volume like a
+        # state-store partition count (rows x row_width / ~128MB).
         .config(
             "spark.feldera.step.shufflePartitions",
-            str(max(8, cpus // 2)),
+            str(max(4, cpus // 8)),
         )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
