@@ -881,15 +881,16 @@ class KeyedStateSpine(Spine):
             self._schedule_state_fold()
         return ck
 
-    def _fold_target(self, merged: DataFrame) -> DataFrame:
+    def _fold_target(self, merged: DataFrame) -> tuple[DataFrame, str | None]:
         """Materialize a fold result: parquet generation when spilling
         (durable, partition-prunable — the reference's spine spill,
-        ``spine_async.rs:968-1012``), else a local checkpoint. Tracks
-        the written generation in ``_pending_gen`` for the caller to
-        reference/retire."""
+        ``spine_async.rs:968-1012``), else a local checkpoint. Returns
+        ``(frame, gen_path_or_None)`` — the gen path travels with the
+        result explicitly (NOT via an attribute): the background fold
+        thread and the step thread would otherwise race on a shared
+        slot, mis-assigning which generation to retire."""
         if self.spill_dir is None:
-            self._pending_gen = None
-            return merged.localCheckpoint(eager=True)
+            return merged.localCheckpoint(eager=True), None
         import uuid
 
         gen = f"{self.spill_dir}/gen-{uuid.uuid4().hex[:12]}"
@@ -898,8 +899,7 @@ class KeyedStateSpine(Spine):
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(gen)
-        self._pending_gen = gen
-        return merged.sparkSession.read.parquet(gen)
+        return merged.sparkSession.read.parquet(gen), gen
 
     def _schedule_state_fold(self) -> None:
         from feldera_spark.streaming import stepper
@@ -907,10 +907,9 @@ class KeyedStateSpine(Spine):
         if not stepper.deferring():
             # ad-hoc/batch use outside a circuit step: synchronous,
             # deterministic fold
-            self.batches = [self._fold_target(self._composite(self.batches))]
-            old, self._gen_path = getattr(self, "_gen_path", None), getattr(
-                self, "_pending_gen", None
-            )
+            folded, gen = self._fold_target(self._composite(self.batches))
+            self.batches = [folded]
+            old, self._gen_path = getattr(self, "_gen_path", None), gen
             if old is not None:
                 stepper.retire_paths([old])
             self._raw = None
@@ -932,14 +931,15 @@ class KeyedStateSpine(Spine):
         def run():
             return self._fold_target(self._composite(captured))
 
-        def apply(folded, _self=self, _n=len(captured)):
+        def apply(result, _self=self, _n=len(captured)):
+            folded, gen = result
             _self.batches[:_n] = [folded]
             _self._raw = None  # monotone-truncate snapshot superseded
             # superseded spilled generation: lazy plans built before
             # this swap may still scan it — deletion defers past the
             # next commit barrier
             old = getattr(_self, "_gen_path", None)
-            _self._gen_path = getattr(_self, "_pending_gen", None)
+            _self._gen_path = gen
             if old is not None:
                 stepper.retire_paths([old])
 
@@ -952,22 +952,35 @@ class KeyedStateSpine(Spine):
         }
 
     def _resolve_fold(self) -> None:
+        # full override (not super()): KeyedStateSpine folds return
+        # (frame, gen_path) tuples, and a fold DROPPED by the identity
+        # guard (reset_base replaced the list, an async-append setter
+        # swapped a captured slot) leaves its freshly written spill
+        # generation unreferenced — retire it, or bulk-during-fold
+        # cycles accumulate dead parquet dirs. Only state folds can
+        # occupy self._fold here (_post_append schedules nothing else).
         f = getattr(self, "_fold", None)
         if f is None or not f["fut"].done():
             return
-        super()._resolve_fold()
-        # a fold DROPPED by the identity guard (reset_base replaced the
-        # list, an async-append setter swapped a captured slot) or a
-        # failed run leaves its freshly written spill generation
-        # unreferenced — retire it, or bulk-during-fold cycles
-        # accumulate dead parquet dirs
-        pend = getattr(self, "_pending_gen", None)
-        if pend is not None:
-            if pend != getattr(self, "_gen_path", None):
+        self._fold = None
+        try:
+            result = f["fut"].result()
+        except Exception:
+            return  # failed fold: batches stay unfolded, retry later
+        lst, start, captured = f["lst"], f["start"], f["captured"]
+        dropped = (
+            self.batches is not lst
+            or len(lst) < start + len(captured)
+            or any(lst[start + i] is not b for i, b in enumerate(captured))
+        )
+        if dropped:
+            gen = result[1]
+            if gen is not None:
                 from feldera_spark.streaming import stepper
 
-                stepper.retire_paths([pend])
-            self._pending_gen = None
+                stepper.retire_paths([gen])
+            return
+        f["apply"](result)
 
     def reset_base(self, base: DataFrame) -> None:
         """Replace the whole spine with one base batch (bulk/init-load
@@ -1165,8 +1178,9 @@ class IncrementalLinearAggregateView:
         self.sums = sums
         self.project = project or (lambda df: df)
         # legacy mode: one merged DataFrame, re-checkpointed per step.
-        # Spine mode (spark.feldera.agg.stateSpine, default on): a
-        # KeyedStateSpine of per-step touched-row partials — O(delta)
+        # Spine mode (spark.feldera.agg.stateSpine, default 'auto' —
+        # cost-selected by _decide_spine's measured state/delta ratio):
+        # a KeyedStateSpine of per-step touched-row partials — O(delta)
         # commit volume (round-10; the reference's trace appends)
         self.state: DataFrame | KeyedStateSpine | None = None
         self._spine_mode: bool | None = None
@@ -1393,17 +1407,23 @@ class IncrementalLinearAggregateView:
             return False
         # the probe runs on the BACKGROUND pool — two bounded count
         # jobs off the step thread. The state handle must already be a
-        # committed checkpoint (cheap RDD count, no recompute); the
-        # delta count may re-execute a raw view-delta plan, bounded by
-        # one delta pass per probe window.
+        # committed checkpoint (cheap RDD count, no recompute). The
+        # delta is PINNED to this step's commit first: counting the
+        # caller's raw plan later could re-execute it against sources
+        # that have since advanced (temp-view rebinds), feeding the
+        # flip decision stale rows. Pinning costs one extra delta copy
+        # per probe window (every ``stateSpineProbeEvery`` steps).
         st, d = self.state, delta
         try:
             if st._jdf.queryExecution().logical().nodeName() != "LogicalRDD":
                 return False
         except Exception:
             return False
+        from feldera_spark.streaming import stepper
         from feldera_spark.streaming.stepper import background_pool
 
+        if stepper.deferring():
+            d = stepper.defer_checkpoint(d)
         self._probe_fut = background_pool().submit(
             lambda: (st.count(), d.count())
         )
@@ -1733,16 +1753,20 @@ class IncrementalJoinView:
         # merge, a composite spine read — would EXECUTE the upstream
         # merge on the step thread (measured 2.5s/probe on nx05,
         # round-10 profile), which is neither bounded nor free.
+        # DECLINE without caching: in pipelined runs the just-appended
+        # batch stays a raw async plan until the commit barrier, and
+        # the batch OBJECTS are materialized in place — poisoning the
+        # cache for this list identity would disable the probe for the
+        # side's whole lifetime. Re-checking nodeName next call costs
+        # one metadata round trip per batch, bounded by max_batches.
         for b in batches:
             try:
                 if b._jdf.queryExecution().logical().nodeName() not in (
                     "LogicalRDD",
                     "InMemoryRelation",
                 ):
-                    cache[tag] = (list(batches), None)
                     return None
             except Exception:
-                cache[tag] = (list(batches), None)
                 return None
         size = None
         try:

@@ -301,9 +301,11 @@ def test_spine_state_commit_volume_is_o_touched(spark):
 def test_spine_state_auto_mode_switches_on_ratio(spark):
     """Default (auto) state-storage selection: the view starts on the
     merged-frame path (touched ≈ state: zero-movement merge wins),
-    then flips to the spine once measured state bytes exceed
-    stateSpineRatio x delta bytes — after which per-step commits are
-    delta-sized. The probe is job-free (checkpoint stats)."""
+    then flips to the spine once measured state rows exceed
+    stateSpineRatio x delta rows — after which per-step commits are
+    delta-sized. The probe runs two bounded background count jobs
+    every stateSpineProbeEvery steps (Catalyst size estimates were
+    tried and mis-flip both ways — see _decide_spine)."""
     from pyspark.sql import functions as F
 
     from feldera_spark.streaming.incremental import (
