@@ -3664,3 +3664,114 @@ def i68_ddl_now_left_join(spark, sf_dir):
                 pass
         else:
             spark.conf.set("spark.feldera.now", prev)
+
+
+@q(
+    "i69_ddl_now_outer_chain",
+    oracle="""
+    SELECT e.event_id, e.ts, u.seg, c.grp, CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT user_id, user_id % 5 AS seg FROM events
+               WHERE user_id % 3 < 2) u
+      ON e.user_id = u.user_id
+    JOIN (SELECT DISTINCT event_type, LENGTH(event_type) AS grp
+          FROM events) c
+      ON e.event_type = c.event_type
+    WHERE e.ts > TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def i69_ddl_now_outer_chain(spark, sf_dir):
+    """NOW() composed through a 3-table chain with an OUTER stage
+    (round-10 verdict task #5): fact LEFT JOIN dim JOIN dim2, bound on
+    the fact. The bound side is PRESERVED by the LEFT stage, so the
+    pre-join temporal filter commutes through it unchanged (reference
+    ``ImplementNow`` composes anywhere, ``CircuitOptimizer.java:81``);
+    the INNER stage routes through the chain compiler as in i67. Facts
+    whose user is missing from the dim emit NULL-padded rows; a LATE
+    dim delta flips them to matched (outer-join boundary flip inside
+    the chain); a late dim2 delta surfaces the full in-window fact
+    history; advancing the clock retracts padded and matched rows
+    alike through BOTH stages."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import (
+        CompiledChainJoinView,
+        CompiledComposedNowView,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    usr = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("seg", F.col("user_id") % 5)
+    )
+    cat = (
+        t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("grp", F.length(F.col("event_type")).cast("bigint"))
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i69_chunk{i}"
+        )
+    usr.filter(F.col("user_id") % 3 == 1).createOrReplaceTempView(
+        "__i69_usr_late"
+    )
+    cat.filter(F.length("event_type") % 2 == 1).createOrReplaceTempView(
+        "__i69_cat_odd"
+    )
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE);"
+        "CREATE TABLE usr (user_id BIGINT, seg BIGINT);"
+        "CREATE TABLE cat (event_type VARCHAR, grp BIGINT);"
+        "CREATE MATERIALIZED VIEW recent_lc AS "
+        "SELECT e.event_id, e.ts, u.seg, c.grp, e.value"
+        " FROM ev e LEFT JOIN usr u ON e.user_id = u.user_id"
+        " JOIN cat c ON e.event_type = c.event_type"
+        " WHERE e.ts > NOW() - INTERVAL '7' DAY"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        # dim starts with user_id % 3 == 0 only; % 3 == 1 arrives late;
+        # % 3 == 2 never arrives (padded rows must survive to the end)
+        b.connect_table("usr", usr.filter(F.col("user_id") % 3 == 0))
+        b.connect_table("cat", cat.filter(F.length("event_type") % 2 == 0))
+        pipe = b.create()
+        plan = pipe._ivm.get("recent_lc")
+        assert isinstance(plan, CompiledComposedNowView), (
+            "NOW()-bounded LEFT-chain view must compile to the composed plan"
+        )
+        assert isinstance(plan._inner, CompiledChainJoinView), (
+            "the remainder must route through the chain-join compiler"
+        )
+        pipe.execute("INSERT INTO ev SELECT * FROM __i69_chunk1")
+        # late dim delta: padded rows for % 3 == 1 users flip to matched
+        pipe.execute("INSERT INTO usr SELECT * FROM __i69_usr_late")
+        # late dim2 delta: odd-length event types surface their full
+        # in-window fact history through the chain
+        pipe.execute("INSERT INTO cat SELECT * FROM __i69_cat_odd")
+        # the clock advances 5 days: boundary-crossing retractions must
+        # remove padded AND matched rows alike through both stages
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i69_chunk2")
+        return pipe.view("recent_lc").select(
+            "event_id", "ts", "seg", "grp",
+            F.col("value").cast("double").alias("value"),
+        )
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)

@@ -3157,7 +3157,10 @@ _JOIN_KW_RE = re.compile(
 def _split_chain_from(frm: str) -> list[str] | None:
     """Split a FROM clause into [base, join-seg, join-seg, …] at
     top-level JOIN keywords (each seg starts with its JOIN). Returns
-    None unless there are >= 2 joins, all INNER."""
+    None unless there are >= 2 joins, every non-final one INNER, LEFT
+    or RIGHT (round 11 — was INNER-only; the chain lowering peels
+    binary stages, and the binary compiled views support outer kinds)
+    and the final one anything but CROSS."""
     depth, in_str = 0, False
     cuts: list[int] = []
     hows: list[str] = []
@@ -3180,9 +3183,13 @@ def _split_chain_from(frm: str) -> list[str] | None:
             cuts.append(m.start())
     if len(cuts) < 2:
         return None
-    # inner stages must be INNER; the LAST join may be any kind the
-    # binary compiled view supports (it rides on the outer stage)
-    if any(h != "inner" for h in hows[:-1]) or hows[-1] == "cross":
+    # non-final stages peel into binary compiled views, which support
+    # INNER/LEFT/RIGHT (FULL would need both-sides schema donation at
+    # every level — fenced); the LAST join may be any kind the binary
+    # compiled view supports
+    if any(h not in ("inner", "left", "right") for h in hows[:-1]) or (
+        hows[-1] == "cross"
+    ):
         return None
     parts = []
     prev = 0
@@ -3230,7 +3237,8 @@ def _compile_chain_join(
     renamed_away: set[tuple[str, str]] = set()
     for seg in parts[1:-1]:
         jm = re.match(
-            r"^(?:INNER\s+)?JOIN\s+(?P<t>\w+)(?:\s+(?:AS\s+)?"
+            r"^(?:(?P<k>INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?)\s+)?"
+            r"JOIN\s+(?P<t>\w+)(?:\s+(?:AS\s+)?"
             r"(?P<a>(?!ON\b)\w+))?\s+ON\s+(?P<on>.*)$",
             seg,
             re.IGNORECASE | re.DOTALL,
@@ -3239,6 +3247,7 @@ def _compile_chain_join(
             return None
         tbl = jm.group("t").lower()
         al = (jm.group("a") or jm.group("t")).lower()
+        kind = (jm.group("k") or "inner").lower().split()[0]
         inner_aliases[al] = tbl
         from feldera_spark.sqlparse import cmp_conjunct as _cmpeq
 
@@ -3250,8 +3259,34 @@ def _compile_chain_join(
             y_al, y_col = em[2][0].lower(), em[2][1].lower()
             if x_al == al:
                 x_al, x_col, y_al, y_col = y_al, y_col, x_al, x_col
-            if y_al == al and y_col != x_col:
-                renamed_away.add((tbl, y_col))
+            # INNER equi-join: the right key equals the left key in
+            # every output row, so the right name is dropped and later
+            # references resolve to the left column. OUTER kinds keep
+            # BOTH when names differ (a padded row holds NULL on the
+            # null-supplying side while the preserved side has a value
+            # — aliasing one to the other would be wrong); when the key
+            # NAME is shared, only the preserved copy can be exposed,
+            # and any reference to the null-supplied alias's copy
+            # elsewhere in the statement would silently read the
+            # preserved value — decline to the batch path then.
+            if kind == "inner":
+                if y_al == al and y_col != x_col:
+                    renamed_away.add((tbl, y_col))
+            elif x_col == y_col:
+                if kind == "left":
+                    dead_al, dead_tbl, dead_col = al, tbl, y_col
+                else:  # right: the accumulated left side pads NULL
+                    if x_al not in inner_aliases:
+                        return None
+                    dead_al, dead_tbl = x_al, inner_aliases[x_al]
+                    dead_col = x_col
+                ref = re.compile(
+                    rf"\b{re.escape(dead_al)}\s*\.\s*{re.escape(dead_col)}\b",
+                    re.IGNORECASE,
+                )
+                if len(ref.findall(sql)) > len(ref.findall(jm.group("on"))):
+                    return None
+                renamed_away.add((dead_tbl, dead_col))
     inner_tables = set(inner_aliases.values())
     if not inner_tables <= set(columns):
         return None
@@ -3876,19 +3911,24 @@ class CompiledComposedNowView:
 
 
 def _parse_now_chain(frm: str):
-    """FROM body that is a left-deep INNER chain of 3+ plain tables —
-    the shape ``_compile_chain_join`` accepts — as
-    ``[(table, alias, on_or_None), ...]``, else None."""
+    """FROM body that is a left-deep chain of 3+ plain tables with
+    INNER/LEFT/RIGHT stages — the shape ``_compile_chain_join``
+    accepts — as ``[(table, alias, on_or_None, kind), ...]`` (the base
+    entry carries ``kind='base'``), else None. FULL stages keep the
+    batch fence (``_split_chain_from`` rejects them mid-chain; here the
+    final stage too — the null-rejecting reduction for FULL needs
+    both-side analysis this rewrite doesn't carry for chains)."""
     parts = _split_chain_from(frm)
     if parts is None or len(parts) < 3:
         return None
     bm = _single_table(parts[0])
     if bm is None:
         return None
-    out = [(bm[0].lower(), (bm[1] or bm[0]).lower(), None)]
+    out = [(bm[0].lower(), (bm[1] or bm[0]).lower(), None, "base")]
     for seg in parts[1:]:
         jm = re.match(
-            r"^(?:INNER\s+)?JOIN\s+(?P<t>\w+)(?:\s+(?:AS\s+)?"
+            r"^(?:(?P<k>INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?)\s+)?"
+            r"JOIN\s+(?P<t>\w+)(?:\s+(?:AS\s+)?"
             r"(?P<a>(?!ON\b)\w+))?\s+ON\s+(?P<on>.*)$",
             seg,
             re.IGNORECASE | re.DOTALL,
@@ -3900,6 +3940,7 @@ def _parse_now_chain(frm: str):
                 jm.group("t").lower(),
                 (jm.group("a") or jm.group("t")).lower(),
                 jm.group("on"),
+                (jm.group("k") or "inner").lower().split()[0],
             )
         )
     return out
@@ -3937,7 +3978,9 @@ def _try_composed_now(
     chain = _parse_now_chain(frm)
     jm = None if chain is not None else _single_join(frm)
     if chain is not None:
-        side_of = {alias: i for i, (_, alias, _on) in enumerate(chain)}
+        if any(k == "full" for _t, _a, _on, k in chain[1:]):
+            return None  # FULL in a chain: batch fence (see parser doc)
+        side_of = {alias: i for i, (_, alias, _on, _k) in enumerate(chain)}
         if len(side_of) < len(chain):
             return None  # duplicate aliases: ambiguous qualifiers
         src = alias = None  # resolved once the bound conjunct is found
@@ -3958,6 +4001,14 @@ def _try_composed_now(
         # the predicate into a window operator anywhere in the DAG).
         # Round 10: self-joins compose too — the router delivers the
         # raw delta to the unfiltered occurrence by its own name.
+        # single_join is greedy: a chain _parse_now_chain DECLINED
+        # (e.g. a FULL stage) lands here with the later joins stuffed
+        # into the 'on' tail — composing would splice the bound filter
+        # WITHOUT the per-stage null-rejecting reduction (padded rows
+        # the original WHERE drops would survive). Fence any on-tail
+        # that still contains a JOIN.
+        if re.search(r"\bJOIN\b", jm["on"] or "", re.IGNORECASE):
+            return None
         lt, rt = jm["lt"].lower(), jm["rt"].lower()
         if lt not in tables or rt not in tables:
             return None
@@ -4020,14 +4071,31 @@ def _try_composed_now(
     width = _now_bound_width(bound)
     synth = f"__now_{src}"
     if chain is not None:
-        if {tbl for tbl, _a, _on in chain} - set(tables):
+        if {tbl for tbl, _a, _on, _k in chain} - set(tables):
             return None
+        # round 11 (verdict missing #5): OUTER stages inside 3+-table
+        # chains. Moving the bound from the post-join WHERE to a
+        # pre-join filter on the bound table is equivalent only with
+        # the null-rejecting reduction applied PER STAGE: any stage
+        # whose null-supplying side contains the bound table reduces
+        # to INNER (its padded rows carry NULL in the bound ts column,
+        # which the original WHERE drops); stages that preserve the
+        # bound side commute unchanged — the same case analysis as the
+        # 2-table path, folded left-deep.
+        b = side_of[alias]
         segs = []
-        for i, (tbl, al, on) in enumerate(chain):
-            name = synth if al == alias else tbl
-            segs.append(
-                f"{name} {al}" if i == 0 else f"JOIN {name} {al} ON {on}"
-            )
+        for i, (tbl, al, on, kind) in enumerate(chain):
+            name = synth if i == b else tbl
+            if i == 0:
+                segs.append(f"{name} {al}")
+                continue
+            if kind == "left" and i == b:
+                kind = "inner"  # bound table is this stage's padding side
+            elif kind == "right" and b < i:
+                kind = "inner"  # accumulated left (holds bound) is padding
+            kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                  "right": "RIGHT JOIN"}[kind]
+            segs.append(f"{kw} {name} {al} ON {on}")
         from_txt = " ".join(segs)
     elif join is None:
         from_txt = f"{synth} {alias}"

@@ -3460,3 +3460,147 @@ def test_now_chain_bound_on_any_table_composes():
         )
         is None
     )
+
+
+def test_now_outer_chain_composes(spark):
+    """Round-10 verdict task #5: a NOW() bound on the PRESERVED side of
+    a LEFT stage inside a 3-table chain composes (the pre-join filter
+    commutes through the preserved side); padded rows flip to matched
+    on a late dim delta and retract on a clock advance."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import (
+        CompiledChainJoinView,
+        CompiledComposedNowView,
+    )
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            "CREATE TABLE ev (ts TIMESTAMP, u BIGINT, c BIGINT,"
+            " v BIGINT);"
+            "CREATE TABLE usr (u BIGINT, seg VARCHAR);"
+            "CREATE TABLE cat (c BIGINT, cname VARCHAR);"
+            "CREATE MATERIALIZED VIEW vw AS"
+            " SELECT e.v, s.seg, k.cname FROM ev e"
+            " LEFT JOIN usr s ON e.u = s.u"
+            " JOIN cat k ON e.c = k.c"
+            " WHERE e.ts > NOW() - INTERVAL '1' HOUR"
+        )
+        b.connect_table(
+            "ev",
+            spark.createDataFrame(
+                [], "ts TIMESTAMP_NTZ, u BIGINT, c BIGINT, v BIGINT"
+            ),
+        )
+        b.connect_table(
+            "usr",
+            spark.createDataFrame([(1, "a")], "u BIGINT, seg STRING"),
+        )
+        b.connect_table(
+            "cat",
+            spark.createDataFrame([(7, "x"), (8, "y")], "c BIGINT, cname STRING"),
+        )
+        p = b.create()
+        plan = p._ivm.get("vw")
+        assert isinstance(plan, CompiledComposedNowView)
+        assert isinstance(plan._inner, CompiledChainJoinView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute(
+            f"INSERT INTO ev VALUES (TIMESTAMP '{ts(30)}', 1, 7, 10),"
+            f" (TIMESTAMP '{ts(50)}', 2, 8, 5),"   # u=2: padded (no usr)
+            f" (TIMESTAMP '{ts(120)}', 1, 7, 9)"   # out of window
+        )
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        assert got == {(10, "a", "x"), (5, None, "y")}
+        # late dim delta: the padded row flips to matched
+        p.execute("INSERT INTO usr VALUES (2, 'b')")
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        assert got == {(10, "a", "x"), (5, "b", "y")}
+        # clock advances 25 min: the 11:10 row (v=5) crosses out
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:25:00")
+        p.execute(f"INSERT INTO ev VALUES (TIMESTAMP '{ts(5)}', 3, 7, 11)")
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        # v=11 is u=3: padded (never arrives); v=5 retracted
+        assert got == {(10, "a", "x"), (11, None, "x")}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_chain_right_after_bound_reduces(spark):
+    """A RIGHT stage AFTER the bound table null-supplies the
+    accumulated left (which holds the bound ts): its padded rows carry
+    NULL there, and the original post-join WHERE drops them — the
+    rewrite must reduce that stage to INNER, and the composed result
+    must equal the batch evaluation."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            "CREATE TABLE ev (ts TIMESTAMP, u BIGINT, c BIGINT,"
+            " v BIGINT);"
+            "CREATE TABLE usr (u BIGINT, seg VARCHAR);"
+            "CREATE TABLE cat (c BIGINT, cname VARCHAR);"
+            "CREATE MATERIALIZED VIEW vw AS"
+            " SELECT e.v, s.seg, k.cname FROM ev e"
+            " JOIN usr s ON e.u = s.u"
+            " RIGHT JOIN cat k ON e.c = k.c"
+            " WHERE e.ts > NOW() - INTERVAL '1' HOUR"
+        )
+        b.connect_table(
+            "ev",
+            spark.createDataFrame(
+                [], "ts TIMESTAMP_NTZ, u BIGINT, c BIGINT, v BIGINT"
+            ),
+        )
+        b.connect_table(
+            "usr", spark.createDataFrame([(1, "a")], "u BIGINT, seg STRING")
+        )
+        # c=9 never matches any fact: under RIGHT JOIN it would pad,
+        # but the NULL ts fails the bound — must NOT appear
+        b.connect_table(
+            "cat",
+            spark.createDataFrame(
+                [(7, "x"), (9, "dead")], "c BIGINT, cname STRING"
+            ),
+        )
+        p = b.create()
+        assert isinstance(p._ivm.get("vw"), CompiledComposedNowView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        ts30 = (t0 - dt.timedelta(minutes=30)).strftime("%Y-%m-%d %H:%M:%S")
+        p.execute(f"INSERT INTO ev VALUES (TIMESTAMP '{ts30}', 1, 7, 10)")
+        got = {(r["v"], r["seg"], r["cname"]) for r in p.view("vw").collect()}
+        assert got == {(10, "a", "x")}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_chain_full_stays_fenced():
+    """FULL stages inside a chain keep the batch fence (the rewrite's
+    per-segment reduction doesn't carry both-side analysis for FULL)."""
+    from feldera_spark.streaming.compiler import _try_composed_now
+
+    tables = {"ev", "usr", "cat"}
+    cols = {
+        "ev": ["u", "c", "v", "ts"],
+        "usr": ["u", "seg"],
+        "cat": ["c", "cname"],
+    }
+    sql = (
+        "SELECT e.v, s.seg, k.cname FROM ev e"
+        " JOIN usr s ON e.u = s.u"
+        " FULL JOIN cat k ON e.c = k.c"
+        " WHERE e.ts > NOW() - INTERVAL '1' HOUR"
+    )
+    assert _try_composed_now(sql, tables, set(), cols, {}) is None
