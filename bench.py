@@ -111,6 +111,21 @@ def main() -> None:
     except Exception as e:  # informational — never fail the bench
         print(f"# streaming bench skipped: {e}", file=sys.stderr)
 
+    growth: dict = {}
+    try:
+        growth = run_spine_growth_probe(spark)
+        print(
+            f"# spine growth: flip at step {growth['auto']['flip_step']}, "
+            f"legacy last-10 commit {growth['legacy']['last10_ms']}ms vs "
+            f"auto {growth['auto']['last10_ms']}ms (first-10 "
+            f"{growth['legacy']['first10_ms']}/{growth['auto']['first10_ms']}), "
+            f"exact={growth['auto']['exact']}/{growth['legacy']['exact']}, "
+            f"restored={growth['auto']['restored_subclass']}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # informational — never fail the bench
+        print(f"# spine growth probe skipped: {e}", file=sys.stderr)
+
     scale: dict = {}
     try:
         scale = run_scale_probe(spark, sf_dir)
@@ -142,6 +157,8 @@ def main() -> None:
         out["streaming"] = streaming
     if scale:
         out["scale"] = scale
+    if growth:
+        out["spine_growth"] = growth
     print(json.dumps(out))
 
 
@@ -273,6 +290,12 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
     }
     from feldera_spark.streaming import stepper
 
+    # dev knob: run a subset of shapes (comma list), e.g. for A/B runs
+    only = os.environ.get("SPARK_GRAFT_STREAM_SHAPES")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        programs = {k: v for k, v in programs.items() if k in keep}
+
     out: dict[str, dict] = {}
     for name, prog in programs.items():
         b = PipelineBuilder(spark).sql(prog)
@@ -331,6 +354,157 @@ def run_streaming_bench(spark, sf_dir: str, n_batches: int = 4) -> dict:
             },
         }
     return out
+
+
+def run_spine_growth_probe(spark, n_steps: int = 56) -> dict:
+    """The KeyedStateSpine's production regime at bench scale (round-10
+    verdict task #2): fixed 2,000-row deltas (1,000 NEW keys + 1,000
+    warm-key touches) into a key universe growing to ~57x the delta,
+    over two arms fed the identical sequence —
+
+    - ``legacy`` (``stateSpine=false``): the merged-frame path re-stores
+      the FULL state every step, so commit time grows with the integral;
+    - ``auto`` (default): starts on the merged frame, and the measured
+      state/delta probe flips it to the spine mid-run, after which each
+      commit writes O(touched) rows and the per-step time stays flat
+      (the reference's trace appends, ``spine_async.rs``).
+
+    Publishes both per-step curves, the flip step, a mid-run
+    ``save_view``/``load_view`` checkpoint cycle on the auto arm (the
+    restored state must COME BACK as a KeyedStateSpine and stay exact),
+    and an exactness bit per arm (final merged state vs the batch
+    recompute of every inserted row)."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.streaming.checkpoint import load_view, save_view
+    from feldera_spark.streaming.incremental import (
+        IncrementalLinearAggregateView,
+        KeyedStateSpine,
+        wcount,
+        wsum,
+    )
+    from feldera_spark.zset import WEIGHT
+
+    # 50k NEW keys per step: the integral ends at ~2.8M keys = ~54x the
+    # delta — deep enough that the legacy arm's per-step FULL-state
+    # re-store visibly grows while the spine arm's O(touched) commit
+    # stays flat (at toy state sizes both sit on the per-step constant
+    # and the curves can't separate)
+    new_per, warm_per, base = 50_000, 2_000, 100_000_000
+    dr = new_per + warm_per
+
+    def mk_delta(k: int):
+        fresh = spark.range(base + k * new_per, base + (k + 1) * new_per)
+        warm = spark.range(warm_per)
+        return (
+            fresh.unionByName(warm)
+            .select(
+                F.col("id").alias("k"),
+                F.lit(float(k)).alias("v"),
+                F.lit(1).cast("long").alias(WEIGHT),
+            )
+            .localCheckpoint(eager=True)  # delta build outside timing
+        )
+
+    deltas = [mk_delta(k) for k in range(n_steps)]
+    exp_keys = new_per * n_steps + warm_per
+    exp_n = dr * n_steps
+    exp_s = float(sum(k * dr for k in range(n_steps)))
+
+    def run_arm(mode: str) -> dict:
+        spark.conf.set("spark.feldera.agg.stateSpine", mode)
+        try:
+            view = IncrementalLinearAggregateView(
+                keys=["k"], sums={"n": wcount(), "s": wsum("v")}
+            )
+            secs: list[float] = []
+            flip = None
+            restored_cls = None
+            for k, d in enumerate(deltas):
+                t0 = _time.perf_counter()
+                view.step(d)
+                secs.append(_time.perf_counter() - t0)
+                if flip is None and isinstance(view.state, KeyedStateSpine):
+                    flip = k
+                if mode == "auto" and k == (n_steps * 3) // 4:
+                    # mid-run durability cycle: folds settle, save, and
+                    # restore into a FRESH view (must adopt the saved
+                    # merged frame as a keyed state spine base)
+                    sp = view.state
+                    if isinstance(sp, KeyedStateSpine):
+                        for _ in range(100):
+                            sp._resolve_fold()
+                            if not sp._fold_pending():
+                                break
+                            _time.sleep(0.05)
+                    ckpt = tempfile.mkdtemp(prefix="spine_ckpt_")
+                    meta = save_view(view, ckpt)
+                    view2 = IncrementalLinearAggregateView(
+                        keys=["k"], sums={"n": wcount(), "s": wsum("v")}
+                    )
+                    if flip is not None:
+                        # restore preserves the flipped mode: the first
+                        # spine step ADOPTS the restored flat frame as
+                        # the spine base (incremental._spine), so the
+                        # post-restore curve stays O(touched)
+                        view2._spine_mode = "auto"
+                        view2._in_spine = True
+                    load_view(view2, spark, ckpt, meta)
+                    view = view2
+                    restored_cls = "pending"
+            if restored_cls == "pending":
+                restored_cls = type(view.state).__name__
+            sp = view.state
+            if isinstance(sp, KeyedStateSpine):
+                for _ in range(100):
+                    sp._resolve_fold()
+                    if not sp._fold_pending():
+                        break
+                    _time.sleep(0.05)
+            row = (
+                view.materialized()
+                .agg(
+                    F.count(F.lit(1)).alias("keys"),
+                    F.sum("n").alias("n"),
+                    F.sum("s").alias("s"),
+                )
+                .collect()[0]
+            )
+            exact = (
+                row["keys"] == exp_keys
+                and row["n"] == exp_n
+                and abs(float(row["s"]) - exp_s) < 1e-6
+            )
+            out = {
+                "flip_step": flip,
+                "exact": bool(exact),
+                "first10_ms": int(1000 * sum(secs[1:11]) / 10),
+                "last10_ms": int(1000 * sum(secs[-10:]) / 10),
+                "curve_ms": [int(s * 1000) for s in secs],
+            }
+            if restored_cls is not None:
+                out["restored_subclass"] = restored_cls
+            return out
+        finally:
+            spark.conf.unset("spark.feldera.agg.stateSpine")
+
+    auto = run_arm("auto")
+    legacy = run_arm("false")
+    for d in deltas:
+        try:
+            d.unpersist()
+        except Exception:
+            pass
+    return {
+        "steps": n_steps,
+        "delta_rows": dr,
+        "final_state_rows": exp_keys,
+        "auto": auto,
+        "legacy": legacy,
+    }
 
 
 def run_scale_probe(spark, sf_dir: str) -> dict:

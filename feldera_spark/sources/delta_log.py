@@ -564,11 +564,17 @@ def _merge_field_trees(
             continue
         prev_name, prev_kids = merged[fid]
         if prev_name != name:
-            raise NotImplementedError(
-                "delta.columnMapping.mode='id': data files disagree "
-                f"on the physical name of field id {fid} "
-                f"({prev_name!r} vs {name!r}); per-file projection "
-                "is not supported"
+            # internal invariant, not a user-visible fence: every scan
+            # reaches here through ``_mapping_groups``, which keys each
+            # file by its OWN recursive field tree signature — files
+            # disagreeing on a field id's physical name land in
+            # different groups (each with its own projection, unioned
+            # by logical name; tested: snapshot + changes() with
+            # divergent files, tests/test_connectors.py)
+            raise AssertionError(
+                "delta id-mode: _field_ids_for saw files disagreeing "
+                f"on field id {fid} ({prev_name!r} vs {name!r}) inside "
+                "one signature group — _mapping_groups must split these"
             )
         merged[fid] = (prev_name, _merge_field_trees(prev_kids, kids))
     return merged
