@@ -1610,35 +1610,35 @@ class IncrementalJoinView:
         consolidated state (``(Σ bᵢ) ⋈ Δ = Σ (bᵢ ⋈ Δ)``) — this drops
         the per-step slice-consolidation shuffle too. Init-load steps
         feed whole tables as deltas (``full_delta_step``): the hint is
-        skipped and the one-time pass plans as a shuffled join."""
+        skipped and the one-time pass plans as a shuffled join.
+
+        Split as strategy (probes, data-dependent, per step) + PURE
+        plan builder so the step can route the assembly through a plan
+        template (plantemplate.py) keyed on the chosen strategies."""
+        tag = self._state_join_strategy(delta, batches, delta_left)
+        if tag == "fanout":
+            return self._state_join_fanout(delta, batches, delta_left)
+        return self._state_join_plan(delta, batches, delta_left, tag)
+
+    def _state_join_strategy(
+        self, delta: DataFrame, batches: list[DataFrame], delta_left: bool
+    ) -> str:
+        """Pick the physical strategy — runs the byte probes, returns
+        'cross' | 'full' | 'bcast_delta' | 'bcast_state' | 'fanout'."""
         if not self.on:
-            state = zset.consolidate(zset.plus(*batches))
-            return (
-                self._wjoin(delta, state, self.on)
-                if delta_left
-                else self._wjoin(state, delta, self.on)
-            )
-        state = zset.plus(*batches)
+            return "cross"
         if _FULL_DELTA.get():
             # init-load / bulk-DML regime: whole-table delta, plan as a
             # shuffled join with no restriction pass
-            return (
-                self._wjoin(delta, state, self.on)
-                if delta_left
-                else self._wjoin(state, delta, self.on)
-            )
+            return "full"
         limit = self._broadcast_limit(delta)
         de = self._est_bytes(delta)
         if de is not None and de <= min(8 << 20, limit):
             # small delta: broadcast it without estimating the state
             # union (optimizing an N-batch union plan per step is pure
             # driver cost)
-            d = F.broadcast(delta)
-            return (
-                self._wjoin(d, state, self.on)
-                if delta_left
-                else self._wjoin(state, d, self.on)
-            )
+            return "bcast_delta"
+        state = zset.plus(*batches)
         se = self._est_bytes(state)
         if se is None:
             # committed state batches are LogicalRDDs with no Catalyst
@@ -1655,19 +1655,54 @@ class IncrementalJoinView:
             # the STORED side is the smaller estimable side (e.g. a
             # static dimension joined against a large stream delta):
             # broadcast it instead of collecting the delta to the driver
-            state = F.broadcast(state)
+            return "bcast_state"
+        if de is None or de <= limit:
+            return "bcast_delta"
+        return "fanout"
+
+    def _state_join_plan(
+        self,
+        delta: DataFrame,
+        batches: list[DataFrame],
+        delta_left: bool,
+        tag: str,
+    ) -> DataFrame:
+        """PURE plan for a chosen strategy — template-safe (no probes,
+        no persists, no step-varying literals)."""
+        if tag == "cross":
+            state = zset.consolidate(zset.plus(*batches))
             return (
                 self._wjoin(delta, state, self.on)
                 if delta_left
                 else self._wjoin(state, delta, self.on)
             )
-        if de is None or de <= limit:
+        state = zset.plus(*batches)
+        if tag == "full":
+            return (
+                self._wjoin(delta, state, self.on)
+                if delta_left
+                else self._wjoin(state, delta, self.on)
+            )
+        if tag == "bcast_delta":
             d = F.broadcast(delta)
             return (
                 self._wjoin(d, state, self.on)
                 if delta_left
                 else self._wjoin(state, d, self.on)
             )
+        if tag == "bcast_state":
+            state = F.broadcast(state)
+            return (
+                self._wjoin(delta, state, self.on)
+                if delta_left
+                else self._wjoin(state, delta, self.on)
+            )
+        raise AssertionError(f"unknown state-join strategy {tag!r}")
+
+    def _state_join_fanout(
+        self, delta: DataFrame, batches: list[DataFrame], delta_left: bool
+    ) -> DataFrame:
+        state = zset.plus(*batches)
         # fan-out guard (round-6 ADVICE): the delta's estimated bytes
         # exceed the broadcast budget — an upstream join/explode can fan
         # a small input delta into a wide/large view delta, and AQE is
@@ -1955,33 +1990,108 @@ class IncrementalJoinView:
             self.a.append_async(da)
         if db is not None and not use_pb:
             self.b.append_async(db)
-        parts = []
+        # strategy probes run OUTSIDE the plan build (data-dependent);
+        # the assembly of all bilinear terms + sum + consolidation is a
+        # PURE function of the leaf frames. A plan-template bind here
+        # (plantemplate.py, keyed on the strategies) was MEASURED a net
+        # loss on the 4-step bench shapes — interleaved in-process A/B:
+        # nx05 off 336/358/366k vs on 221/315/344k ev/s — the per-key
+        # template creation (direct + marker build + verify rebind) and
+        # per-bind leaf schema analysis don't amortize over few steps,
+        # and byte-probe-driven strategy flaps re-create entries. The
+        # strategy/plan split is kept (probes stay off the pure path);
+        # revisit templating if step counts per pipeline grow 10x.
+        leaves: dict[str, DataFrame] = {}
+        tag_a = tag_b = None
+        b_side: list[DataFrame] | None = None
+        a_side: list[DataFrame] | None = None
         if da is not None:
             bf = self.b_state() if use_pb else None
             if bf is not None:
-                parts.append(self._state_join(da, [bf], True))
+                b_side = [bf]
             elif not use_pb and b_old:
-                parts.append(self._state_join(da, b_old, True))
+                b_side = b_old
+            if b_side is not None:
+                tag_b = self._state_join_strategy(da, b_side, True)
+                leaves["da"] = da
+                # ONE union leaf regardless of batch count: integral
+                # sides append a batch per step, and a per-count key
+                # would re-create the template every step (paying the
+                # build + verify instead of amortizing it)
+                leaves["bs"] = (
+                    b_side[0] if len(b_side) == 1 else zset.plus(*b_side)
+                )
         if db is not None:
             af = self.a_state() if use_pa else None
             if af is not None:
-                parts.append(self._state_join(db, [af], False))
+                a_side = [af]
             elif not use_pa and a_old:
-                parts.append(self._state_join(db, a_old, False))
+                a_side = a_old
+            if a_side is not None:
+                tag_a = self._state_join_strategy(db, a_side, False)
+                leaves["db"] = db
+                leaves["as"] = (
+                    a_side[0] if len(a_side) == 1 else zset.plus(*a_side)
+                )
+        cross = None
         if da is not None and db is not None:
             if use_pa and use_pb:
                 # both sides post-step: subtract the double-counted
                 # cross term (see the class comment's rearrangement)
-                parts.append(zset.neg(self._wjoin(da, db, self.on)))
+                cross = "neg"
             elif not use_pa and not use_pb:
-                parts.append(self._wjoin(da, db, self.on))
+                cross = "plus"
             # exactly one provider: the cross term cancels
-        if not parts:
+            if cross is not None:
+                leaves["da"], leaves["db"] = da, db
+
+        def build(m: dict) -> DataFrame:
+            parts = []
+            if tag_b is not None:
+                parts.append(
+                    self._state_join_plan(m["da"], [m["bs"]], True, tag_b)
+                )
+            if tag_a is not None:
+                parts.append(
+                    self._state_join_plan(m["db"], [m["as"]], False, tag_a)
+                )
+            if cross == "neg":
+                parts.append(zset.neg(self._wjoin(m["da"], m["db"], self.on)))
+            elif cross == "plus":
+                parts.append(self._wjoin(m["da"], m["db"], self.on))
+            if self.append_only_out:
+                return zset.plus(*parts) if len(parts) > 1 else parts[0]
+            return zset.consolidate(zset.plus(*parts))
+
+        if not leaves:
             return None
-        if self.append_only_out:
-            out_delta = zset.plus(*parts) if len(parts) > 1 else parts[0]
+        if "fanout" in (tag_a, tag_b):
+            # the fan-out guard persists + probes (impure): direct build
+            parts = []
+            if tag_b is not None:
+                parts.append(
+                    self._state_join_fanout(da, b_side, True)
+                    if tag_b == "fanout"
+                    else self._state_join_plan(da, b_side, True, tag_b)
+                )
+            if tag_a is not None:
+                parts.append(
+                    self._state_join_fanout(db, a_side, False)
+                    if tag_a == "fanout"
+                    else self._state_join_plan(db, a_side, False, tag_a)
+                )
+            if cross == "neg":
+                parts.append(zset.neg(self._wjoin(da, db, self.on)))
+            elif cross == "plus":
+                parts.append(self._wjoin(da, db, self.on))
+            if self.append_only_out:
+                out_delta = zset.plus(*parts) if len(parts) > 1 else parts[0]
+            else:
+                out_delta = zset.consolidate(zset.plus(*parts))
         else:
-            out_delta = zset.consolidate(zset.plus(*parts))
+            out_delta = build(leaves)
+        if out_delta is None:
+            return None
         if self.raw_output:
             return self.output.append_raw(out_delta)
         return self.output.append(out_delta)

@@ -154,7 +154,7 @@ class _StepBatch:
             self.pending.append(ck)
         frames, self.pending = self.pending, []
         if frames:
-            materialize_all(frames)
+            _materialize_grouped(frames)
         cached, self.persisted = self.persisted, []
         for c in cached:
             try:
@@ -449,3 +449,55 @@ def materialize_all(frames: list[DataFrame]) -> None:
 
 
 _UNION_FALLBACK_WARNED = False
+
+_COMMIT_POOL = None
+
+
+def _commit_pool():
+    global _COMMIT_POOL
+    if _COMMIT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _COMMIT_POOL = ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="step-commit"
+        )
+    return _COMMIT_POOL
+
+
+def _materialize_grouped(frames: list[DataFrame]) -> None:
+    """Commit the step's frames as a FEW CONCURRENT jobs instead of one
+    union job (``spark.feldera.step.commitJobs``, default 4; 1 restores
+    the single union). The one union job's ~20 stages serialize on
+    their dependency chains while most cores idle — the per-view frame
+    sets are independent, so overlapping them cuts the commit wall to
+    roughly the longest single view's chain (the reference commits each
+    operator's trace independently inside one step barrier too). Shared
+    persisted sub-plans stay computed-once across jobs (block-level
+    locks); the step-level barrier is preserved — flush returns only
+    after every group's job (and its doCheckpoint cascade) finishes."""
+    n = 1
+    try:
+        n = int(
+            frames[0].sparkSession.conf.get(
+                "spark.feldera.step.commitJobs", "4"
+            )
+        )
+    except Exception:
+        pass
+    if n <= 1 or len(frames) < 2:
+        materialize_all(frames)
+        return
+    groups = [g for g in (frames[i::n] for i in range(n)) if g]
+    futs = [_commit_pool().submit(materialize_all, g) for g in groups[1:]]
+    err = None
+    try:
+        materialize_all(groups[0])
+    except Exception as e:  # join the rest before surfacing
+        err = e
+    for f in futs:
+        try:
+            f.result()
+        except Exception as e:
+            err = err or e
+    if err is not None:
+        raise err
