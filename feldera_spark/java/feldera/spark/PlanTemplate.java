@@ -96,6 +96,18 @@ public class PlanTemplate {
             throw new IllegalArgumentException(
                 "plan-template rebind: leaf '" + sa.alias()
                     + "' is missing column " + oldA.name());
+          // schema-compat gate, HERE instead of a per-bind Python-side
+          // schema fetch (which costs a full analysis round trip per
+          // leaf per step): a type drift must not splice — resolved
+          // attributes above the leaf carry the template's dtype by
+          // exprId and the analyzer does not re-bind them.
+          if (!org.apache.spark.sql.types.DataType$.MODULE$
+              .equalsIgnoreNullability(newA.dataType(), oldA.dataType()))
+            throw new IllegalArgumentException(
+                "plan-template rebind: leaf '" + sa.alias() + "' column "
+                    + oldA.name() + " drifted from "
+                    + oldA.dataType().simpleString() + " to "
+                    + newA.dataType().simpleString());
           projs.$plus$eq(
               new Alias(
                   newA,

@@ -1183,11 +1183,24 @@ class CompiledView:
             col, arr = s.unnest
             delta = delta.withColumn(col, F.explode(F.expr(arr)))
         # pushed single-side conjuncts: applied per delta, so the join
-        # spines never store rows the view would discard
-        for f in self._l_filters if side == "l" else self._r_filters:
-            delta = delta.filter(F.expr(f))
-        if s.right is None and s.where is not None:
-            delta = delta.filter(F.expr(s.where))
+        # spines never store rows the view would discard. Filter
+        # Columns cached per view: an F.expr parse is a py4j round
+        # trip, paid per step otherwise.
+        cache = getattr(self, "_prep_col_cache", None)
+        if cache is None:
+            cache = self._prep_col_cache = {
+                "l": [F.expr(f) for f in self._l_filters],
+                "r": [F.expr(f) for f in self._r_filters],
+                "w": (
+                    F.expr(s.where)
+                    if s.right is None and s.where is not None
+                    else None
+                ),
+            }
+        for fc in cache[side]:
+            delta = delta.filter(fc)
+        if cache["w"] is not None:
+            delta = delta.filter(cache["w"])
         keep = self._needed_l if side == "l" else self._needed_r
         if keep is not None:
             if s.unnest is not None and side == "l":
@@ -1201,6 +1214,142 @@ class CompiledView:
             out = out.filter(F.expr(s.where))
         return out
 
+    def _key_ops(self):
+        """Cached per-view computed-key plan for the aggregate path:
+        ``(ordered [(kname, Column)], chain-prep [(col, Column)] |
+        None, pane spec | None)``. Column objects are reusable plan
+        fragments across DataFrames; rebuilding them expression-by-
+        expression over py4j EVERY step (explodes, timestampadds,
+        floor_ts, F.expr parses) was a measurable slice of the
+        per-step driver floor — the inputs here (computed_keys, the
+        aggregate class, _chain_prep) are fixed at compile time.
+
+        Pane spec (HOP PANE pre-aggregation, round-10; Flink/Scotty-
+        style window slicing, what the reference's ExpandHop avoids
+        paying by indexing): when size % slide == 0, every row in a
+        slide-aligned PANE belongs to the SAME size/slide windows, so
+        aggregate once per (pane, keys) FIRST and explode the (already
+        tiny) pane partials into windows — the explode fan-out applies
+        to |panes × keys| rows, not |delta| rows. Only re-aggregatable
+        classes (linear sums / chain min-max-sum) qualify; ragged hops
+        keep the per-row explode."""
+        cached = getattr(self, "_key_ops_cache", None)
+        if cached is not None:
+            return cached
+        s = self.shape
+        # hop starts explode FIRST: hop ends derive from them
+        ordered_keys = sorted(
+            s.computed_keys.items(),
+            key=lambda kv: bool(_HOP_END_RE.match(kv[1].strip())),
+        )
+        from feldera_spark.streaming.incremental import (
+            AppendOnlyAggregateView,
+            IncrementalLinearAggregateView,
+        )
+
+        pane = None
+        if self._waterline is None and isinstance(
+            self._agg,
+            (IncrementalLinearAggregateView, AppendOnlyAggregateView),
+        ):
+            hops = [
+                (kn, m)
+                for kn, ke in ordered_keys
+                if (m := _HOP_START_RE.match(ke.strip())) is not None
+            ]
+            if len(hops) == 1:
+                kn, hm = hops[0]
+                slide = int(hm.group("slide"))
+                size = int(hm.group("size"))
+                if size % slide == 0 and size != slide:
+                    pane = (kn, hm.group("ts"), slide, size, hm.groups())
+        ops: list[tuple[str, F.Column]] = []
+        deferred_ends: list[tuple[str, int]] = []
+        for kname, kexpr in ordered_keys:
+            hm = _HOP_START_RE.match(kexpr.strip())
+            if hm is not None:
+                if pane is not None and kname == pane[0]:
+                    continue  # deferred: pane floor + post-agg explode
+                ops.append(
+                    (
+                        kname,
+                        F.explode(
+                            _hop_starts_col(
+                                hm.group("ts"),
+                                int(hm.group("slide")),
+                                int(hm.group("size")),
+                            )
+                        ),
+                    )
+                )
+                continue
+            em = _HOP_END_RE.match(kexpr.strip())
+            if em is not None:
+                if pane is not None and em.groups() == pane[4]:
+                    deferred_ends.append((kname, int(em.group("size"))))
+                    continue
+                start_alias = next(
+                    n for n, ke in s.computed_keys.items()
+                    if (mm := _HOP_START_RE.match(ke.strip()))
+                    and mm.groups() == em.groups()
+                )
+                ops.append(
+                    (
+                        kname,
+                        F.expr(
+                            f"timestampadd(SECOND, {em.group('size')}, "
+                            f"{start_alias})"
+                        ),
+                    )
+                )
+                continue
+            tc = _tumble_col(kexpr)
+            if tc is not None:
+                ops.append((kname, tc))
+                continue
+            dm = self._DATE_TRUNC_RE.match(kexpr.strip())
+            if dm is not None and dm.group(1).lower() in self._FLOOR_UNITS:
+                # NTZ-safe truncation: Spark's date_trunc coerces
+                # TIMESTAMP_NTZ through the session timezone — the
+                # silent-shift trap; Feldera's TIMESTAMP is tz-less
+                from feldera_spark.functions import floor_ts
+
+                ops.append(
+                    (kname, floor_ts(F.col(dm.group(2)), dm.group(1).lower()))
+                )
+            else:
+                ops.append((kname, F.expr(kexpr)))
+        if not s.keys:
+            ops.append(("__g", F.lit(0)))
+        chain_cols = None
+        if hasattr(self, "_chain_prep"):
+            chain_cols = [
+                (col, F.expr(expr_sql))
+                for col, expr_sql in self._chain_prep.items()
+            ]
+        pane_cols = None
+        if pane is not None:
+            kname, ts, slide, size, _g = pane
+            sl_us = slide * 1_000_000
+            us = (
+                f"timestampdiff(MICROSECOND, {_EPOCH}, "
+                f"CAST({ts} AS TIMESTAMP_NTZ))"
+            )
+            floor_col = F.expr(
+                f"timestampadd(MICROSECOND, "
+                f"{us} - pmod({us}, {sl_us}), {_EPOCH})"
+            )
+            explode_col = F.explode(_hop_starts_col(kname, slide, size))
+            end_cols = [
+                (n, F.expr(f"timestampadd(SECOND, {esz}, {kname})"))
+                for n, esz in deferred_ends
+            ]
+            dropped = {n for n, _sz in deferred_ends}
+            gb = [k for k in self._agg.keys if k not in dropped]
+            pane_cols = (kname, floor_col, explode_col, end_cols, gb)
+        self._key_ops_cache = (ops, chain_cols, pane_cols)
+        return self._key_ops_cache
+
     def _finish(self, rows: DataFrame | None) -> DataFrame | None:
         """Feed a (possibly filtered/joined) delta into the terminal
         operator: aggregate, distinct, or linear output accumulation.
@@ -1213,103 +1362,12 @@ class CompiledView:
         self._stepped = True
         s = self.shape
         if self._agg is not None:
-            # hop starts explode FIRST: hop ends derive from them
-            ordered_keys = sorted(
-                s.computed_keys.items(),
-                key=lambda kv: bool(_HOP_END_RE.match(kv[1].strip())),
-            )
-            # HOP PANE pre-aggregation (round-10; Flink/Scotty-style
-            # window slicing, and what the reference's ExpandHop avoids
-            # paying by indexing): when size % slide == 0, every row in
-            # a slide-aligned PANE belongs to the SAME size/slide
-            # windows, so aggregate once per (pane, keys) FIRST and
-            # explode the (already tiny) pane partials into windows —
-            # the explode fan-out applies to |panes × keys| rows, not
-            # |delta| rows, and the partial hash sees |delta| rows
-            # instead of (size/slide)·|delta|. Only re-aggregatable
-            # classes (linear sums / chain min-max-sum) qualify; ragged
-            # hops (pane membership depends on the exact timestamp)
-            # keep the per-row explode.
-            from feldera_spark.streaming.incremental import (
-                AppendOnlyAggregateView,
-                IncrementalLinearAggregateView,
-            )
-
-            pane = None
-            if self._waterline is None and isinstance(
-                self._agg,
-                (IncrementalLinearAggregateView, AppendOnlyAggregateView),
-            ):
-                hops = [
-                    (kn, m)
-                    for kn, ke in ordered_keys
-                    if (m := _HOP_START_RE.match(ke.strip())) is not None
-                ]
-                if len(hops) == 1:
-                    kn, hm = hops[0]
-                    slide = int(hm.group("slide"))
-                    size = int(hm.group("size"))
-                    if size % slide == 0 and size != slide:
-                        pane = (kn, hm.group("ts"), slide, size, hm.groups())
-            deferred_ends: list[tuple[str, int]] = []
-            for kname, kexpr in ordered_keys:
-                hm = _HOP_START_RE.match(kexpr.strip())
-                if hm is not None:
-                    if pane is not None and kname == pane[0]:
-                        continue  # deferred: pane floor + post-agg explode
-                    rows = rows.withColumn(
-                        kname,
-                        F.explode(
-                            _hop_starts_col(
-                                hm.group("ts"),
-                                int(hm.group("slide")),
-                                int(hm.group("size")),
-                            )
-                        ),
-                    )
-                    continue
-                em = _HOP_END_RE.match(kexpr.strip())
-                if em is not None:
-                    if pane is not None and em.groups() == pane[4]:
-                        deferred_ends.append(
-                            (kname, int(em.group("size")))
-                        )
-                        continue
-                    start_alias = next(
-                        n for n, ke in s.computed_keys.items()
-                        if (mm := _HOP_START_RE.match(ke.strip()))
-                        and mm.groups() == em.groups()
-                    )
-                    rows = rows.withColumn(
-                        kname,
-                        F.expr(
-                            f"timestampadd(SECOND, {em.group('size')}, "
-                            f"{start_alias})"
-                        ),
-                    )
-                    continue
-                tc = _tumble_col(kexpr)
-                if tc is not None:
-                    rows = rows.withColumn(kname, tc)
-                    continue
-                dm = self._DATE_TRUNC_RE.match(kexpr.strip())
-                if dm is not None and dm.group(1).lower() in self._FLOOR_UNITS:
-                    # NTZ-safe truncation: Spark's date_trunc coerces
-                    # TIMESTAMP_NTZ through the session timezone — the
-                    # silent-shift trap; Feldera's TIMESTAMP is tz-less
-                    from feldera_spark.functions import floor_ts
-
-                    rows = rows.withColumn(
-                        kname,
-                        floor_ts(F.col(dm.group(2)), dm.group(1).lower()),
-                    )
-                else:
-                    rows = rows.withColumn(kname, F.expr(kexpr))
-            if not s.keys:
-                rows = rows.withColumn("__g", F.lit(0))
-            if hasattr(self, "_chain_prep"):
-                for col, expr_sql in self._chain_prep.items():
-                    rows = rows.withColumn(col, F.expr(expr_sql))
+            key_ops, chain_cols, pane_cols = self._key_ops()
+            for kname, col in key_ops:
+                rows = rows.withColumn(kname, col)
+            if chain_cols is not None:
+                for coln, c in chain_cols:
+                    rows = rows.withColumn(coln, c)
                 if self._mono_max:
                     # monotone upstream: every retraction is paired with
                     # a same-key insertion of a >= value — MAX over the
@@ -1323,30 +1381,13 @@ class CompiledView:
                 out = self._agg.step(
                     rows, waterline_bound=self._waterline.bound
                 )
-            elif pane is not None:
-                kname, ts, slide, size, _g = pane
-                sl_us = slide * 1_000_000
-                us = (
-                    f"timestampdiff(MICROSECOND, {_EPOCH}, "
-                    f"CAST({ts} AS TIMESTAMP_NTZ))"
-                )
-                rows = rows.withColumn(
-                    kname,
-                    F.expr(
-                        f"timestampadd(MICROSECOND, "
-                        f"{us} - pmod({us}, {sl_us}), {_EPOCH})"
-                    ),
-                )
-                dropped = {n for n, _sz in deferred_ends}
-                gb = [k for k in self._agg.keys if k not in dropped]
+            elif pane_cols is not None:
+                kname, floor_col, explode_col, end_cols, gb = pane_cols
+                rows = rows.withColumn(kname, floor_col)
                 panes = rows.groupBy(*gb).agg(*self._agg._partial_exprs)
-                panes = panes.withColumn(
-                    kname, F.explode(_hop_starts_col(kname, slide, size))
-                )
-                for n, esz in deferred_ends:
-                    panes = panes.withColumn(
-                        n, F.expr(f"timestampadd(SECOND, {esz}, {kname})")
-                    )
+                panes = panes.withColumn(kname, explode_col)
+                for n, c in end_cols:
+                    panes = panes.withColumn(n, c)
                 out = self._agg.step(panes, pre_partial=True)
             else:
                 out = self._agg.step(rows)

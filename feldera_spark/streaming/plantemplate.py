@@ -251,29 +251,28 @@ class TemplateCache:
         ent = self._t.get(key)
         if ent is not None and ent.dead:
             return build(leaves)
-        try:
-            sigs = {n: _sig(df.schema) for n, df in leaves.items()}
-        except Exception:
-            return build(leaves)
         if ent is None:
             out = build(leaves)  # first step: direct result
             try:
-                ent = self._make_entry(spark, leaves, sigs, build, out)
+                ent = self._make_entry(spark, leaves, build, out)
             except Exception:
                 ent = _Entry(None, None, None, None)
                 ent.dead = True
             self._t[key] = ent
             return out
-        if ent.sigs != sigs:
-            ent.dead = True  # leaf schema drifted: this site is dynamic
-            return build(leaves)
+        # no Python-side schema pre-check: fetching each leaf's schema
+        # is a full analysis round trip PER LEAF PER STEP (raw state
+        # plans are deep). The JVM splice verifies name+type compat
+        # per column (nullability-insensitive) and throws on drift —
+        # the except path marks the site dynamic, exactly as the old
+        # signature mismatch did.
         try:
             return self._rebind(spark, h, ent, leaves)
         except Exception:
             ent.dead = True
             return build(leaves)
 
-    def _make_entry(self, spark, leaves, sigs, build, direct) -> _Entry:
+    def _make_entry(self, spark, leaves, build, direct) -> _Entry:
         order = sorted(leaves)
         tid = next(_marker_ids)
         markers = {}
@@ -286,7 +285,7 @@ class TemplateCache:
             markers[n] = spark.createDataFrame([], schema).alias(mname)
             names[n] = mname
         template = build(markers)
-        ent = _Entry(template, names, order, sigs)
+        ent = _Entry(template, names, order, None)
         # one-time verification: the rebound tree must carry the same
         # columns/types as the direct build (catches a build() that
         # depends on leaf CONTENTS or non-marker-safe construction)
