@@ -833,9 +833,31 @@ class KeyedStateSpine(Spine):
     # -- reads ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
-        """Current merged state (keys + value columns, live groups)."""
+        """Current merged state (keys + value columns, live groups).
+
+        The composite (untouched-base scan ∪ touched-slice merge) is
+        MEMOIZED on the batch-list contents + read filter and
+        step-persisted: with trace sharing several consumers read one
+        view's state per step, and each would otherwise re-execute the
+        tail merge (k× the touched shuffle per step). persist_step
+        computes it once inside the step's commit and unpersists after;
+        held batch references keep the identity compare sound (bare
+        id() tuples could alias after GC)."""
         assert self.batches, "empty state spine"
-        return self._composite(self.batches)
+        cached = getattr(self, "_read_cache", None)
+        if cached is not None:
+            prev, prev_filter, frame = cached
+            if (
+                len(prev) == len(self.batches)
+                and all(a is b for a, b in zip(prev, self.batches))
+                and prev_filter is self.read_filter
+            ):
+                return frame
+        from feldera_spark.streaming.stepper import persist_step
+
+        frame = persist_step(self._composite(self.batches))
+        self._read_cache = (list(self.batches), self.read_filter, frame)
+        return frame
 
     def read_merged(self) -> DataFrame:
         """Plain O(state) merge (union → groupBy), NO key-frame joins
