@@ -3195,13 +3195,17 @@ _JOIN_KW_RE = re.compile(
 )
 
 
-def _split_chain_from(frm: str) -> list[str] | None:
+def _split_chain_from(frm: str, outer_ok: bool = False) -> list[str] | None:
     """Split a FROM clause into [base, join-seg, join-seg, …] at
     top-level JOIN keywords (each seg starts with its JOIN). Returns
-    None unless there are >= 2 joins, every non-final one INNER, LEFT
-    or RIGHT (round 11 — was INNER-only; the chain lowering peels
-    binary stages, and the binary compiled views support outer kinds)
-    and the final one anything but CROSS."""
+    None unless there are >= 2 joins, every non-final one INNER (or,
+    with ``outer_ok`` — the NOW()-composition route only — LEFT/RIGHT:
+    the chain lowering peels binary stages and the binary compiled
+    views support outer kinds, but the general compile keeps the
+    INNER-only gate: scalar-subquery rewrites emit LEFT-join chains
+    whose computed correlation keys the chain lowering does not carry
+    — caught by the fuzz suite, round 11) and the final one anything
+    but CROSS."""
     depth, in_str = 0, False
     cuts: list[int] = []
     hows: list[str] = []
@@ -3224,13 +3228,11 @@ def _split_chain_from(frm: str) -> list[str] | None:
             cuts.append(m.start())
     if len(cuts) < 2:
         return None
-    # non-final stages peel into binary compiled views, which support
-    # INNER/LEFT/RIGHT (FULL would need both-sides schema donation at
-    # every level — fenced); the LAST join may be any kind the binary
-    # compiled view supports
-    if any(h not in ("inner", "left", "right") for h in hows[:-1]) or (
-        hows[-1] == "cross"
-    ):
+    # non-final stages peel into binary compiled views; the LAST join
+    # may be any kind the binary compiled view supports (FULL mid-chain
+    # would need both-sides schema donation at every level — fenced)
+    mid_kinds = ("inner", "left", "right") if outer_ok else ("inner",)
+    if any(h not in mid_kinds for h in hows[:-1]) or hows[-1] == "cross":
         return None
     parts = []
     prev = 0
@@ -3247,6 +3249,7 @@ def _compile_chain_join(
     append_only: set[str],
     columns: dict[str, list[str]] | None,
     lateness: dict[str, dict[str, int]] | None,
+    outer_ok: bool = False,
 ) -> "CompiledChainJoinView | None":
     """N-way (N >= 3) left-deep INNER join chains: peel the LAST join
     into an outer binary view over an internal compiled view holding
@@ -3261,7 +3264,7 @@ def _compile_chain_join(
     if m is None or m.group("distinct"):
         return None
     frm = m.group("from").strip()
-    parts = _split_chain_from(frm)
+    parts = _split_chain_from(frm, outer_ok=outer_ok)
     if parts is None:
         return None
     inner_from = " ".join(parts[:-1])
@@ -3347,7 +3350,7 @@ def _compile_chain_join(
     inner_sql = f"SELECT {', '.join(inner_cols)} FROM {inner_from}"
     inner = _compile_simple(
         inner_sql, tables, append_only, columns, lateness,
-        materialize_output=False,
+        materialize_output=False, chain_outer_ok=outer_ok,
     )
     if inner is None:
         return None
@@ -3545,6 +3548,7 @@ def _compile_simple(
     lateness: dict[str, dict[str, int]] | None,
     materialize_output: bool = True,
     monotone: dict[str, tuple[set, set]] | None = None,
+    chain_outer_ok: bool = False,
 ) -> "CompiledView | CompiledRollingView | None":
     from feldera_spark.frontend import rewrite_lateral as _rw_lateral
 
@@ -3653,7 +3657,8 @@ def _compile_simple(
                 return None
         if not _UNSUPPORTED_RE.search(sql):
             chain = _compile_chain_join(
-                sql, tables, append_only, columns, lateness
+                sql, tables, append_only, columns, lateness,
+                outer_ok=chain_outer_ok,
             )
             if chain is not None:
                 return chain
@@ -3959,7 +3964,7 @@ def _parse_now_chain(frm: str):
     batch fence (``_split_chain_from`` rejects them mid-chain; here the
     final stage too — the null-rejecting reduction for FULL needs
     both-side analysis this rewrite doesn't carry for chains)."""
-    parts = _split_chain_from(frm)
+    parts = _split_chain_from(frm, outer_ok=True)
     if parts is None or len(parts) < 3:
         return None
     bm = _single_table(parts[0])
@@ -4199,6 +4204,7 @@ def _try_composed_now(
         cols2,
         lateness,
         monotone=monotone,
+        chain_outer_ok=True,
     )
     if inner is None:
         return None
