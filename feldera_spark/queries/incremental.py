@@ -3775,3 +3775,104 @@ def i69_ddl_now_outer_chain(spark, sf_dir):
                 pass
         else:
             spark.conf.set("spark.feldera.now", prev)
+
+
+@q(
+    "i70_ddl_now_both_bounds",
+    oracle="""
+    SELECT e.event_id, e.ts, s.score, CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    JOIN (SELECT DISTINCT user_id,
+                 TIMESTAMP '2024-01-10 00:00:00'
+                   + INTERVAL 1 DAY * (user_id % 20) AS sts,
+                 user_id % 7 AS score
+          FROM events) s
+      ON e.user_id = s.user_id
+    WHERE e.ts > TIMESTAMP '2024-01-18 00:00:00'
+      AND s.sts > TIMESTAMP '2024-01-22 00:00:00'
+    """,
+)
+def i70_ddl_now_both_bounds(spark, sf_dir):
+    """NOW() bounds on BOTH inputs of an equi-join (round-11, verdict
+    missing #5; reference ``ImplementNow``, ``CircuitOptimizer.java:81``
+    — every NOW()-bounded predicate becomes a window operator on its
+    own input edge): the fact stream keeps a 7-day window on ts, the
+    session dim keeps a 3-day window on its OWN timestamp, and the
+    join's outputs must retract when a row crosses EITHER boundary.
+    Sessions arrive in two waves (user_id % 2); the late wave reads
+    the CURRENT in-window fact state; the clock then advances 5 days,
+    crossing rows out of BOTH windows at once. Must equal the batch
+    join at the LAST clock."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sess = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "sts",
+            F.expr(
+                "timestampadd(DAY, CAST(user_id % 20 AS INT),"
+                " TIMESTAMP_NTZ'2024-01-10 00:00:00')"
+            ),
+        )
+        .withColumn("score", F.col("user_id") % 7)
+        .select("sts", "user_id", "score")
+    )
+    for i in (1, 2):
+        e.filter(F.col("event_id") % 3 == i).createOrReplaceTempView(
+            f"__i70_chunk{i}"
+        )
+    sess.filter(F.col("user_id") % 2 == 1).createOrReplaceTempView(
+        "__i70_sess_late"
+    )
+    try:
+        prev = spark.conf.get("spark.feldera.now")
+    except Exception:
+        prev = None
+    b = PipelineBuilder(spark).sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " value DOUBLE);"
+        "CREATE TABLE sess (sts TIMESTAMP, user_id BIGINT, score BIGINT);"
+        "CREATE MATERIALIZED VIEW recent_both AS "
+        "SELECT e.event_id, e.ts, s.score, e.value"
+        " FROM ev e JOIN sess s ON e.user_id = s.user_id"
+        " WHERE e.ts > NOW() - INTERVAL '7' DAY"
+        " AND s.sts > NOW() - INTERVAL '3' DAY"
+    )
+    try:
+        spark.conf.set("spark.feldera.now", "2024-01-20T00:00:00")
+        b.connect_table("ev", e.filter(F.col("event_id") % 3 == 0))
+        b.connect_table(
+            "sess", sess.filter(F.col("user_id") % 2 == 0)
+        )
+        pipe = b.create()
+        plan = pipe._ivm.get("recent_both")
+        assert isinstance(plan, CompiledComposedNowView), (
+            "both-sides NOW() bounds must compile to the composed plan"
+        )
+        assert len(plan._filters) == 2, "one hidden filter per bound"
+        pipe.execute("INSERT INTO ev SELECT * FROM __i70_chunk1")
+        # late session wave: odd users' in-window fact history surfaces
+        pipe.execute("INSERT INTO sess SELECT * FROM __i70_sess_late")
+        # the clock advances 5 days: rows cross BOTH boundaries — facts
+        # older than Jan 18 AND sessions older than Jan 22 retract,
+        # each through its own hidden filter
+        spark.conf.set("spark.feldera.now", "2024-01-25T00:00:00")
+        pipe.execute("INSERT INTO ev SELECT * FROM __i70_chunk2")
+        return pipe.view("recent_both").select(
+            "event_id", "ts", "score",
+            F.col("value").cast("double").alias("value"),
+        )
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset("spark.feldera.now")
+            except Exception:
+                pass
+        else:
+            spark.conf.set("spark.feldera.now", prev)
