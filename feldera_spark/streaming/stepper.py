@@ -352,12 +352,28 @@ def step_scope(pipelined: bool = False):
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
-    prev_aqe = prev_parts = None
+    prev_aqe = prev_parts = prev_cg = None
     if spark is not None and spark.conf.get(
         "spark.feldera.step.adaptive", "false"
     ) != "true":
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Whole-stage codegen OFF inside step scopes (restored on exit,
+    # ``spark.feldera.step.codegen=true`` opts back in): every step
+    # builds FRESH plan trees (new expression ids), so the generated
+    # sources never repeat and Janino recompiles each stage each step
+    # — measured ~25% of nx05's whole-pipeline wall (ev/s 219k -> 280k
+    # with codegen off; stage profile shows 2-3 s of executor CPU on
+    # 20-40-row state frames). Expression-level codegen stays ON (its
+    # per-expression classes do repeat and cache); the full-factory
+    # NO_CODEGEN mode measured slower (245k). Batch analytics outside
+    # step scopes keep whole-stage codegen — tiny ever-fresh IVM
+    # slices are the one regime where compilation can't amortize.
+    if spark is not None and spark.conf.get(
+        "spark.feldera.step.codegen", "false"
+    ) != "true":
+        prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
     step_parts = (
         spark.conf.get("spark.feldera.step.shufflePartitions", "")
         if spark is not None
@@ -404,6 +420,8 @@ def step_scope(pipelined: bool = False):
                 spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             if prev_parts is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_cg is not None:
+                spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
 
 
 def materialize_all(frames: list[DataFrame]) -> None:
