@@ -855,6 +855,21 @@ class Pipeline:
         # compiled views advance — downstream compiled views consume
         # upstream deltas by name (whole-DAG incrementalization)
         step_deltas: dict[str, DataFrame] = dict(deltas or {})
+        # pre-step provider snapshots (round 11): a join with BOTH
+        # sides trace-shared captures A_old here — before any upstream
+        # steps — so its delta rule needs only TWO terms
+        # (ΔJ = ΔA⋈B_new + A_old⋈ΔB) instead of the post-step
+        # three-term form that subtracts the double-counted ΔA⋈ΔB.
+        # One plan tree and one strategy probe fewer per join per step.
+        for vname, plan in self._ivm.items():
+            ij = getattr(plan, "_join", None)
+            if (
+                ij is not None
+                and getattr(ij, "a_state", None) is not None
+                and getattr(ij, "b_state", None) is not None
+                and vname in self._ivm_ready
+            ):
+                ij._a_pre = ij.a_state()
         init_pass = any(
             n in self._ivm and n not in self._ivm_ready
             for n in builder._view_order

@@ -1602,8 +1602,15 @@ class IncrementalJoinView:
         # same pass), so the delta rule rearranges:
         #   both providers:  ΔJ = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
         #   one provider(A): ΔJ = ΔA⋈B_old + A_new⋈ΔB   (cross cancels)
+        # Round 11: when the pipeline snapshots side A's provider
+        # BEFORE the upstreams step (``_a_pre``), the both-provider
+        # rule needs only TWO terms — ΔJ = ΔA⋈B_new + A_old⋈ΔB — one
+        # plan tree and one strategy probe fewer per step than the
+        # post-step form, which double-counts ΔA⋈ΔB and must subtract
+        # it.
         self.a_state = None
         self.b_state = None
+        self._a_pre = None
 
     def _wjoin(self, x: DataFrame, y: DataFrame, on: list[str]) -> DataFrame:
         xr = x.withColumnRenamed(WEIGHT, "__wx")
@@ -2002,6 +2009,10 @@ class IncrementalJoinView:
         db = zset.lift(delta_b) if delta_b is not None else None
         use_pa = self.a_state is not None
         use_pb = self.b_state is not None
+        # pre-step snapshot of side A (set by the pipeline before any
+        # upstream stepped): single-use, consumed by THIS step only
+        pre_a = self._a_pre if (use_pa and use_pb) else None
+        self._a_pre = None
         a_old = None if use_pa else list(self.a.batches)
         b_old = None if use_pb else list(self.b.batches)
         # integral appends: committed handles are read by LATER steps
@@ -2044,7 +2055,10 @@ class IncrementalJoinView:
                     b_side[0] if len(b_side) == 1 else zset.plus(*b_side)
                 )
         if db is not None:
-            af = self.a_state() if use_pa else None
+            if pre_a is not None:
+                af = pre_a  # A_old: the two-term rule (class comment)
+            else:
+                af = self.a_state() if use_pa else None
             if af is not None:
                 a_side = [af]
             elif not use_pa and a_old:
@@ -2058,9 +2072,12 @@ class IncrementalJoinView:
         cross = None
         if da is not None and db is not None:
             if use_pa and use_pb:
-                # both sides post-step: subtract the double-counted
-                # cross term (see the class comment's rearrangement)
-                cross = "neg"
+                if pre_a is None:
+                    # both sides post-step: subtract the double-counted
+                    # cross term (see the class comment's rearrangement)
+                    cross = "neg"
+                # pre-step A snapshot: ΔA⋈B_new + A_old⋈ΔB is exact,
+                # no cross term
             elif not use_pa and not use_pb:
                 cross = "plus"
             # exactly one provider: the cross term cancels

@@ -1083,3 +1083,52 @@ def test_shared_trace_join_per_step_equals_batch(spark):
         )
         assert got == want, (i, got, want)
         assert not ij.a.batches and not ij.b.batches
+
+
+def test_shared_trace_join_two_term_skips_cross(spark):
+    """Round-11: with a pre-step snapshot of side A's provider, the
+    both-provider join builds TWO bilinear terms (ΔA⋈B_new + A_old⋈ΔB)
+    — the negated ΔA⋈ΔB correction of the post-step form must NOT be
+    built. Counted via _wjoin invocations per steady-state step."""
+    from feldera_spark.pipeline import PipelineBuilder
+    from feldera_spark.streaming.incremental import IncrementalJoinView
+
+    b = PipelineBuilder(spark).sql(
+        """
+        CREATE TABLE ev (k BIGINT, v BIGINT);
+        CREATE LOCAL VIEW sums AS
+          SELECT k, SUM(v) AS total FROM ev GROUP BY k;
+        CREATE LOCAL VIEW cnts AS
+          SELECT k, COUNT(*) AS n FROM ev GROUP BY k;
+        CREATE MATERIALIZED VIEW joined AS
+          SELECT s.k, s.total, c.n FROM sums s JOIN cnts c ON s.k = c.k
+        """
+    )
+    b.connect_table(
+        "ev", spark.createDataFrame([(1, 10)], "k BIGINT, v BIGINT")
+    )
+    p = b.create()
+    ij = p._ivm["joined"]._join
+    assert ij.a_state is not None and ij.b_state is not None
+
+    calls = []
+    orig = IncrementalJoinView._wjoin
+
+    def counting(self, x, y, on, _orig=orig, _calls=calls):
+        _calls.append(1)
+        return _orig(self, x, y, on)
+
+    IncrementalJoinView._wjoin = counting
+    try:
+        p.execute("INSERT INTO ev VALUES (1, 5), (2, 7)")
+        n_terms = len(calls)
+        assert n_terms == 2, (
+            f"steady-state both-provider step built {n_terms} join "
+            "terms; the pre-step snapshot rule needs exactly 2"
+        )
+    finally:
+        IncrementalJoinView._wjoin = orig
+    got = sorted(
+        (r["k"], r["total"], r["n"]) for r in p.view("joined").collect()
+    )
+    assert got == [(1, 15, 2), (2, 7, 1)]
