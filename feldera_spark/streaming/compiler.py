@@ -1363,11 +1363,13 @@ class CompiledView:
         s = self.shape
         if self._agg is not None:
             key_ops, chain_cols, pane_cols = self._key_ops()
-            for kname, col in key_ops:
-                rows = rows.withColumn(kname, col)
+            if key_ops:
+                # one withColumns round trip, not one per key (the
+                # computed keys are independent compile-time exprs)
+                rows = rows.withColumns(dict(key_ops))
             if chain_cols is not None:
-                for coln, c in chain_cols:
-                    rows = rows.withColumn(coln, c)
+                if chain_cols:
+                    rows = rows.withColumns(dict(chain_cols))
                 if self._mono_max:
                     # monotone upstream: every retraction is paired with
                     # a same-key insertion of a >= value — MAX over the
@@ -1386,8 +1388,8 @@ class CompiledView:
                 rows = rows.withColumn(kname, floor_col)
                 panes = rows.groupBy(*gb).agg(*self._agg._partial_exprs)
                 panes = panes.withColumn(kname, explode_col)
-                for n, c in end_cols:
-                    panes = panes.withColumn(n, c)
+                if end_cols:
+                    panes = panes.withColumns(dict(end_cols))
                 out = self._agg.step(panes, pre_partial=True)
             else:
                 out = self._agg.step(rows)
