@@ -188,6 +188,14 @@ def lsh_candidate_pairs(
     """
     wide = minhash_wide(df, id_col, text, num_hashes, shingle_n)
     buckets = lsh_band_buckets_wide(wide, id_col, num_hashes, rows_per_band)
+    # The self-join's two sides are the SAME bucket frame; without a
+    # materialization point each side re-runs the whole shingle → md5 →
+    # minhash pipeline (the dominant cost — one md5 per shingle over the
+    # corpus). A lazy local checkpoint computes it once — the broadcast
+    # build job materializes it, the probe side then reads stored
+    # blocks. (Not a cross-run cache: every invocation builds and
+    # checkpoints afresh from the parquet scan.)
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
@@ -232,6 +240,12 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("id"), "shingle")
         .distinct()
     )
+    # postings feeds THREE consumers (the doc-frequency cap, the sizes
+    # aggregate, and both sides of the inverted-index self-join) — pin
+    # the exploded+distinct frame once instead of re-running the shingle
+    # explode per consumer (same per-invocation materialization as
+    # lsh_candidate_pairs, never a cross-run cache)
+    postings = postings.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         rare = (
             postings.groupBy("shingle")

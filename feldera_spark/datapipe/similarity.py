@@ -13,6 +13,20 @@ Two paths:
 Numeric determinism: embeddings are scaled to integers (×1e7) before dot
 products; partial sums stay < 2^53 so double accumulation is exact and
 order-independent — identical results on any engine, any partitioning.
+
+Execution of the corpus×(small side) scoring passes is ``mapInArrow`` +
+one int64 numpy matmul per batch: Catalyst's array higher-order
+functions (``aggregate``/``zip_with``) evaluate an interpreted lambda
+PER ELEMENT (they are CodegenFallback), so an N×K×64 scoring pass paid
+tens of millions of closure invocations. The matmul is bit-identical to
+the HOF plan: products and partial sums are exact integers below 2^53
+(int64 matmul cannot overflow at these magnitudes: |x|≤1e7 scaled, 64
+terms → ≤6.4e15 < 2^62), and the final ``dots/(n_a*n_b)`` division is
+the same two IEEE-double ops Catalyst emits. The small side (query set /
+centroids — bounded by contract: queries are a broadcast-sized probe
+set, centroids number ~sqrt(N)) rides into the workers as a closure
+matrix, exactly like a broadcast hash relation; the corpus-sized side
+stays a narrow one-pass map — no join, no pre-aggregation shuffle.
 """
 
 from __future__ import annotations
@@ -21,6 +35,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 10_000_000
+
+
+def _collect_vec_side(df: DataFrame, id_col: str, vec_col: str, norm_col: str):
+    """Collect a bounded scoring side (queries / centroids) into numpy
+    arrays sorted by id ascending — the broadcast-build of the scoring
+    pass. Ascending id order makes numpy argmax tie-breaks (first max)
+    equal the engine's ``max_by(.., struct(score, -id))`` rule."""
+    import numpy as np
+
+    rows = df.collect()
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    if rows:
+        mat = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    else:
+        mat = np.zeros((0, 0), dtype=np.int64)
+    nrm = np.array([r[norm_col] for r in rows], dtype=np.float64)
+    return ids, mat, nrm
+
+
+def _batch_mat(batch, col: str):
+    """A record-batch list<int64> column as an (n, dim) int64 matrix."""
+    import numpy as np
+
+    arr = batch.column(col)
+    vals = arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr
+    flat = vals.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(vals)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
 def _int_vec(col) -> F.Column:
@@ -55,9 +98,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Returns (query_id, neighbor_id, cosine, rank). Queries are broadcast;
-    the corpus is scanned once with no shuffle until the final per-query
-    top-k (a tiny aggregation keyed by query id).
+    Returns (query_id, neighbor_id, cosine, rank). Queries ride into the
+    scoring pass as a closure matrix (the broadcast build); the corpus is
+    scanned once as a narrow ``mapInArrow`` matmul — no join, no shuffle
+    until the final per-query top-k (a tiny window keyed by query id;
+    only (ids, cosine) rows reach it, never the vectors).
     """
     from pyspark.sql.window import Window
 
@@ -71,10 +116,35 @@ def cosine_topk(
         F.col("__iv").alias("cv"),
         F.col("__norm").alias("cn"),
     )
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    qids, qmat, qn = _collect_vec_side(q, "query_id", "qv", "qn")
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        nq = len(qids)
+        for b in batches:
+            n = b.num_rows
+            if n == 0 or nq == 0:
+                continue
+            nid = b.column("neighbor_id").to_numpy(zero_copy_only=False)
+            cn = b.column("cn").to_numpy(zero_copy_only=False)
+            cv = _batch_mat(b, "cv")
+            dots = (cv @ qmat.T).astype(np.float64)  # exact ints < 2^53
+            cos = dots / (qn[None, :] * cn[:, None])
+            out_n = np.repeat(nid, nq)
+            out_q = np.tile(qids, n)
+            keep = out_n != out_q
+            yield pa.record_batch(
+                {
+                    "neighbor_id": pa.array(out_n[keep], type=pa.int64()),
+                    "query_id": pa.array(out_q[keep], type=pa.int64()),
+                    "cosine": pa.array(cos.reshape(-1)[keep], type=pa.float64()),
+                }
+            )
+
+    scored = c.select("neighbor_id", "cv", "cn").mapInArrow(
+        score, "neighbor_id long, query_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -94,34 +164,50 @@ def hyperplane_lsh_buckets(
     Plane p's component i is md5_i64(p ':' i) % 2001 - 1000 (a fixed
     pseudo-random integer vector). Signature bit p = [dot(v, w_p) > 0].
     Returns (id, bucket). ANN candidate generation = self-join on bucket.
-    """
-    from feldera_spark.functions import md5_i64
 
-    spark = df.sparkSession
-    planes = (
-        spark.range(n_planes)
-        .select(F.col("id").cast("int").alias("p"))
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))))
-        .withColumn(
-            "w",
-            md5_i64(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string")))
-            % 2001
-            - 1000,
-        )
-        .groupBy("p")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "w"))).alias("wv"))
-        .select("p", F.transform("wv", lambda s: s["w"]).alias("wv"))
+    The plane matrix is a pure constant (md5 of 'p:i' — identical bytes
+    in any engine), built driver-side with hashlib; the signature pass
+    is one narrow matmul map over the corpus: no plane join, no
+    per-(vector, plane) row explosion, no bucket re-aggregation shuffle.
+    """
+    import hashlib
+
+    import numpy as np
+
+    w = np.array(
+        [
+            [
+                int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2001
+                - 1000
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
     )
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
     v = df.select(F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("iv"))
-    scored = v.join(F.broadcast(planes)).withColumn(
-        "bit", F.when(_dot(F.col("iv"), F.col("wv")) > 0, F.lit(1)).otherwise(F.lit(0))
-    )
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.sum(F.col("bit") * F.expr("CAST(pow(2, p) AS BIGINT)")).alias("bucket")
-        )
-    )
+
+    def sign(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            iv = _batch_mat(b, "iv")
+            dots = iv @ w.T  # exact int64: |x|<=1e7, |w|<=1000, 64 terms
+            bucket = ((dots > 0).astype(np.int64) * pow2[None, :]).sum(axis=1)
+            yield pa.record_batch(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "bucket": pa.array(bucket, type=pa.int64()),
+                }
+            )
+
+    import pyarrow as pa  # noqa: F401  (executor-side dependency, fail fast here)
+
+    return v.mapInArrow(sign, "id long, bucket long")
 
 
 def embedding_neardup_pairs(
@@ -165,7 +251,7 @@ def embedding_neardup_pairs(
     )
 
 
-def _lloyd_round(samp: DataFrame, cent: DataFrame) -> DataFrame:
+def _lloyd_round(samp: DataFrame, cent_rows) -> DataFrame:
     """One deterministic Lloyd iteration: assign each sample vector to
     its nearest centroid (cosine, ties broken by cell id), then move
     each centroid to the element-wise mean of its members.
@@ -174,28 +260,29 @@ def _lloyd_round(samp: DataFrame, cent: DataFrame) -> DataFrame:
     on every engine and partitioning (no double-summation order, no
     rounding-mode skew: both Spark's round() and DuckDB's disagree on
     halves, floor(x+0.5) does not). Cells that lose all members drop
-    out (their id simply stops being probeable)."""
-    from pyspark.sql.window import Window
+    out (their id simply stops being probeable).
 
-    # argmax by (scos desc, cell asc) as ONE hash aggregation (max_by on
-    # a (scos, -cell) ordering struct) — a partial-agg shuffle instead of
-    # a window's shuffle + per-partition sort
-    assigned = (
-        samp.join(F.broadcast(cent))
-        .withColumn(
-            "scos",
-            _dot(F.col("sv"), F.col("centv")) / (F.col("sn") * F.col("centn")),
-        )
-        .groupBy("sid")
-        .agg(
-            F.max_by(
-                F.col("cell"),
-                F.struct(F.col("scos"), (-F.col("cell")).alias("nc")),
-            ).alias("cell"),
-            F.any_value(F.col("sv")).alias("sv"),
-        )
-        .select("cell", "sv")
-    )
+    ``cent_rows`` is the collected (cells, cmat, cnrm) numpy triple; the
+    assignment is a shuffle-free matmul map, the mean movement keeps the
+    distributed exact-integer aggregation (the sample is corpus-sized)."""
+    cells, cmat, cnrm = cent_rows
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = _batch_mat(b, "sv")
+            n = b.column("sn").to_numpy(zero_copy_only=False)
+            cos = (v @ cmat.T).astype(np.float64) / (n[:, None] * cnrm[None, :])
+            cell = cells[np.argmax(cos, axis=1)]
+            yield pa.record_batch(
+                {"cell": pa.array(cell, type=pa.int64()), "sv": b.column("sv")}
+            )
+
+    assigned = samp.select("sn", "sv").mapInArrow(assign, "cell long, sv array<long>")
     means = (
         assigned.select("cell", F.posexplode("sv").alias("i", "x"))
         .groupBy("cell", "i")
@@ -244,6 +331,8 @@ def ivf_topk(
 
     from pyspark.sql.window import Window
 
+    import numpy as np
+
     c = with_int_embedding(corpus, vec_col).select(
         F.col(id_col).alias("cid_"), F.col("__iv").alias("cv"), F.col("__norm").alias("cn")
     )
@@ -252,51 +341,59 @@ def ivf_topk(
         n_cells = max(16, int(math.floor(math.sqrt(corpus.count()) + 0.5)))
     if n_probe is None:
         n_probe = max(4, int(math.floor(math.sqrt(n_cells) + 0.5)))
-    cent = (
+    # centroids live driver-side as a numpy triple (cells asc, matrix,
+    # norms) — the broadcast build of every scoring pass. Bounded by
+    # construction at ~sqrt(N) rows.
+    cent = _collect_vec_side(
         c.orderBy("cid_").limit(n_cells)
-        .select(F.col("cid_").alias("cell"), F.col("cv").alias("centv"), F.col("cn").alias("centn"))
+        .select(F.col("cid_").alias("cell"), F.col("cv").alias("centv"), F.col("cn").alias("centn")),
+        "cell", "centv", "centn",
     )
     if lloyd_rounds > 0:
-        samp = c.select(
-            F.col("cid_").alias("sid"), F.col("cv").alias("sv"), F.col("cn").alias("sn")
-        )
+        samp = c.select(F.col("cid_").alias("sid"), F.col("cv").alias("sv"), F.col("cn").alias("sn"))
         if sample_mod > 1:
             samp = samp.filter(F.col("sid") % sample_mod == 0)
         # same single-task-scan trap as the assignment pass below: the
-        # Lloyd argmax over sample x cells must parallelize regardless
-        # of the input file layout
+        # Lloyd matmul over the sample must parallelize regardless of
+        # the input file layout
         samp = _ensure_parallel(samp)
         for _ in range(lloyd_rounds):
-            cent = _lloyd_round(samp, cent)
-        # tiny frame reused by assignment AND probing: pin it once
-        cent = cent.localCheckpoint(eager=True)
-
-    def _cos(av, an, bv, bn):
-        return _dot(av, bv) / (an * bn)
+            cent = _collect_vec_side(
+                _lloyd_round(samp, cent), "cell", "centv", "centn"
+            )
+    cells, cmat, cnrm = cent
 
     # assign: argmax cosine over centroids (deterministic tiebreak on
-    # cell) — hash-agg max_by, not a window sort; one partial-agg
-    # shuffle over the corpus, the only corpus-sized pass in the build.
-    # The corpus is parallelized first (layout-adaptive, see
-    # _ensure_parallel): the N x n_cells dot-product pass is the index
-    # build's CPU bulk, and its parallelism must come from the
-    # operator, not the input layout (a single-file parquet scan is one
-    # row group = ONE task; measured 0.4s + 0.7s single-task stages at
-    # sf0.1 on 32 cores).
+    # cell — ``cells`` ascending + argmax-first == max_by on
+    # (ccos, -cell)) as ONE narrow matmul map over the corpus: no
+    # centroid join, no argmax re-aggregation shuffle. The corpus is
+    # parallelized first (layout-adaptive, see _ensure_parallel): the
+    # N x n_cells pass is the index build's CPU bulk, and its
+    # parallelism must come from the operator, not the input layout (a
+    # single-file parquet scan is one row group = ONE task).
     c = _ensure_parallel(c)
-    assigned = (
-        c.join(F.broadcast(cent))
-        .withColumn("ccos", _cos(F.col("cv"), F.col("cn"), F.col("centv"), F.col("centn")))
-        .groupBy("cid_")
-        .agg(
-            F.max_by(
-                F.col("cell"),
-                F.struct(F.col("ccos"), (-F.col("cell")).alias("nc")),
-            ).alias("cell"),
-            F.any_value(F.col("cv")).alias("cv"),
-            F.any_value(F.col("cn")).alias("cn"),
-        )
-        .select(F.col("cid_").alias("neighbor_id"), "cell", F.col("cv"), F.col("cn"))
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = _batch_mat(b, "cv")
+            n = b.column("cn").to_numpy(zero_copy_only=False)
+            cos = (v @ cmat.T).astype(np.float64) / (n[:, None] * cnrm[None, :])
+            cell = cells[np.argmax(cos, axis=1)]
+            yield pa.record_batch(
+                {
+                    "neighbor_id": b.column("cid_"),
+                    "cell": pa.array(cell, type=pa.int64()),
+                    "cv": b.column("cv"),
+                    "cn": b.column("cn"),
+                }
+            )
+
+    assigned = c.select("cid_", "cv", "cn").mapInArrow(
+        assign, "neighbor_id long, cell long, cv array<long>, cn double"
     )
 
     q = with_int_embedding(queries, vec_col).select(
@@ -305,9 +402,18 @@ def ivf_topk(
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cell").asc()
     )
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [
+                (int(cells[i]), [int(x) for x in cmat[i]], float(cnrm[i]))
+                for i in range(len(cells))
+            ],
+            "cell long, centv array<long>, centn double",
+        )
+    )
     probes = (
-        q.join(F.broadcast(cent))
-        .withColumn("pcos", _cos(F.col("qv"), F.col("qn"), F.col("centv"), F.col("centn")))
+        q.join(cent_df)
+        .withColumn("pcos", _dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn")))
         .withColumn("prn", F.row_number().over(w_probe))
         .filter(F.col("prn") <= n_probe)
         .select("query_id", "qv", "qn", "cell")
@@ -319,7 +425,7 @@ def ivf_topk(
     return (
         assigned.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _cos(F.col("qv"), F.col("qn"), F.col("cv"), F.col("cn")))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")

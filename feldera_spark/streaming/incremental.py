@@ -642,22 +642,29 @@ class Spine:
         shuffle per read; multiplicity-blind consumers (MIN/MAX over
         row liveness) need the merged net weights."""
         assert self.batches, "empty spine"
-        parts = []
-        for b in self.batches:
-            if prefilter is None:
-                fb = b
-            elif isinstance(prefilter, F.Column):
-                fb = b.filter(prefilter)
-            else:
-                fb = prefilter(b)
-            parts.append(fb)
+        parts = [
+            b.filter(prefilter) if isinstance(prefilter, F.Column) else b
+            for b in self.batches
+        ]
+        union = zset.plus(*parts)
+        # A CALLABLE prefilter (a row-wise restriction built as a plan —
+        # e.g. the rolling view's broadcast one-row bound join + filter)
+        # commutes with union, so it is applied ONCE to the batch union
+        # instead of once per batch: each application costs a JVM plan
+        # analysis (join + drop resolve the whole batch subtree —
+        # measured ~96 ms per call on the i05 shape), so the per-batch
+        # form paid O(spine depth) analyses per read. Static Columns
+        # stay per-batch: a bare filter() is one cheap py4j call and
+        # reaches each spilled batch's parquet row-group pruning.
+        if prefilter is not None and not isinstance(prefilter, F.Column):
+            union = prefilter(union)
         # ``prepared``: one prepared_keys frame shared by SEVERAL state
         # reads in the same step — a single broadcast subtree lets the
         # exchange-reuse rule collect it once per query execution
         # instead of once per read (measured: 2 identical 0.1s+ build
         # jobs per step in the rolling/general aggregate views)
         merged = nullsafe_keys_join(
-            zset.plus(*parts), keys_df, on, prepared=prepared
+            union, keys_df, on, prepared=prepared
         )
         return zset.consolidate(merged) if consolidate else merged
 
@@ -879,17 +886,17 @@ class KeyedStateSpine(Spine):
         assert set(on) <= set(self.keys), (
             f"keyed state read on non-key columns: {on} vs {self.keys}"
         )
-        parts = []
-        for b in self._gc(self.batches):
-            if prefilter is None:
-                fb = b
-            elif isinstance(prefilter, F.Column):
-                fb = b.filter(prefilter)
-            else:
-                fb = prefilter(b)
-            parts.append(fb)
+        parts = [
+            b.filter(prefilter) if isinstance(prefilter, F.Column) else b
+            for b in self._gc(self.batches)
+        ]
+        union = self._union(parts)
+        # callable prefilters commute with union — applied once, not per
+        # batch (see Spine.read_for_keys)
+        if prefilter is not None and not isinstance(prefilter, F.Column):
+            union = prefilter(union)
         sliced = nullsafe_keys_join(
-            self._union(parts), keys_df, on, prepared=prepared
+            union, keys_df, on, prepared=prepared
         )
         return self._merged([sliced])
 
