@@ -112,13 +112,22 @@ def q02_filter_revenue(spark, sf_dir):
     """,
 )
 def q03_join_topk(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-K."""
+    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-K.
+
+    The second join streams LINEITEM and broadcasts the filtered
+    customer⋈orders side (explicit hint, guide §3.1): the planner's size
+    estimate put the 3-column lineitem projection under the
+    auto-broadcast threshold and built the FACT side (a 600k-row
+    driver collect + executor-wide rebuild per run, and the side that
+    GROWS with scale); the segment-filtered order list is ~20x smaller
+    and shrinks further with selectivity — the correct build side at
+    any SF."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(6,4)")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        F.broadcast(c.join(o, c.c_custkey == o.o_custkey))
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(

@@ -32,15 +32,18 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 # Tables with heavy PER-ROW compute downstream (shingling/hashing over
-# long text, vector math over embeddings): parallelize the scan when it
-# has fewer splits than cores. The driver's testdata is one
-# single-row-group parquet file per table, so Spark reads each as ONE
-# task — narrow stages after it would run single-core. At real scale
-# (many files / row groups) the scan parallelizes naturally and the
-# repartition never triggers. Relational tables are deliberately NOT
-# repartitioned: their scans are cheap columnar decodes and an extra
-# exchange ahead of every aggregate costs more than it saves.
-COMPUTE_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+# long text): parallelize the scan when it has fewer splits than cores.
+# The driver's testdata is one single-row-group parquet file per table,
+# so Spark reads each as ONE task — narrow stages after it would run
+# single-core. At real scale (many files / row groups) the scan
+# parallelizes naturally and the repartition never triggers. Relational
+# tables are deliberately NOT repartitioned: their scans are cheap
+# columnar decodes and an extra exchange ahead of every aggregate costs
+# more than it saves. ``embeddings`` left this set in r11: every
+# consumer's scoring pass became a mapInArrow int64 matmul (sub-ms per
+# batch), and the forced 32-way exchange ahead of it cost a full
+# shuffle stage per index-build job for parallelism nothing needs.
+COMPUTE_HEAVY_TABLES = frozenset({"documents"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
