@@ -1105,17 +1105,35 @@ class CompiledView:
         including aliased keys (``ts AS pts``) and AVG's partial-pair
         division."""
         s = self.shape
+        # cached per (input columns, keep_weight): every Column here is a
+        # compile-time-fixed plan fragment, but building it costs F.expr
+        # parse round trips over py4j — per STEP on streaming paths. The
+        # per-step frames carry identical column sets across steps, so
+        # one dict lookup replaces the whole rebuild (same rationale as
+        # ``_key_ops`` / ``_prep``'s caches).
+        ck = (tuple(df.columns), keep_weight)
+        cache = getattr(self, "_out_select_cache", None)
+        if cache is None:
+            cache = self._out_select_cache = {}
+        hit = cache.get(ck)
+        if hit is not None:
+            pre, cols = hit
+            for a_name, expr_col in pre:
+                df = df.withColumn(a_name, expr_col)
+            return df.select(*cols)
+        pre_ops: list = []
         agg_by_name = {a.name: a for a in s.aggs}
         # hidden aggregates feeding compound post-projections must exist
         # as real columns before F.expr can reference them; AVG's
         # partial pair divides here (general/chain classes already emit
         # the value under the hidden name)
         for a in s.aggs:
-            if a.name.startswith("__ha") and a.name not in df.columns:
-                if a.fn == "avg" and f"__s_{a.name}" in df.columns:
-                    df = df.withColumn(
-                        a.name, F.col(f"__s_{a.name}") / F.col(f"__c_{a.name}")
-                    )
+            if a.name.startswith("__ha") and a.name not in ck[0]:
+                if a.fn == "avg" and f"__s_{a.name}" in ck[0]:
+                    pre_col = F.col(f"__s_{a.name}") / F.col(f"__c_{a.name}")
+                    pre_ops.append((a.name, pre_col))
+                    df = df.withColumn(a.name, pre_col)
+        have = set(ck[0]) | {n for n, _ in pre_ops}
         key_expr = {n: e for e, n in s.select}
         cols = []
         for name in s.out_cols:
@@ -1123,7 +1141,7 @@ class CompiledView:
                 cols.append(F.expr(s.post_exprs[name]).alias(name))
                 continue
             a = agg_by_name.get(name)
-            if a is not None and a.fn == "avg" and f"__s_{name}" in df.columns:
+            if a is not None and a.fn == "avg" and f"__s_{name}" in have:
                 cols.append((F.col(f"__s_{name}") / F.col(f"__c_{name}")).alias(name))
             elif a is not None:
                 cols.append(F.col(name))
@@ -1161,6 +1179,7 @@ class CompiledView:
                 )
         if keep_weight:
             cols.append(F.col(WEIGHT))
+        cache[ck] = (pre_ops, cols)
         return df.select(*cols)
 
     # -- delta plumbing ------------------------------------------------------
@@ -1211,7 +1230,10 @@ class CompiledView:
     def _post_join(self, out: DataFrame) -> DataFrame:
         s = self.shape
         if s.where is not None:
-            out = out.filter(F.expr(s.where))
+            wc = getattr(self, "_post_where_cache", None)
+            if wc is None:
+                wc = self._post_where_cache = F.expr(s.where)
+            out = out.filter(wc)
         return out
 
     def _key_ops(self):
@@ -1428,20 +1450,21 @@ class CompiledView:
             # are filtered by the OLD aggregate value, insertions by the
             # new one, which is exactly σ(ΔV)
             return out.filter(F.expr(s.having)) if s.having else out
+        sel = getattr(self, "_sel_col_cache", None)
+        if sel is None:
+            # per-view Column cache: s.select is compile-time fixed, and
+            # each F.expr(...)/alias is a py4j round trip per step
+            sel = self._sel_col_cache = [
+                F.expr(e).alias(n) for e, n in s.select
+            ]
         if self._distinct is not None:
-            return self._distinct.step(
-                rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
-            )
+            return self._distinct.step(rows.select(*sel, WEIGHT))
         if self._topk is not None:
             out = self._topk.step(
-                rows.select(
-                    *[F.expr(e).alias(n) for e, n in s.select],
-                    F.lit(0).alias("__g"),
-                    WEIGHT,
-                )
+                rows.select(*sel, F.lit(0).alias("__g"), WEIGHT)
             )
             return out.drop("__g") if out is not None else None
-        out = rows.select(*[F.expr(e).alias(n) for e, n in s.select], WEIGHT)
+        out = rows.select(*sel, WEIGHT)
         if self._linear_out is not None:
             if self._join is not None and getattr(
                 self._linear_out, "async_appends", False
@@ -3802,11 +3825,17 @@ class CompiledTemporalFilterView:
         if d is not None:
             d = zset.lift(d)
             if self._where_rest:
-                d = d.filter(F.expr(self._where_rest))
+                wc = getattr(self, "_where_col_cache", None)
+                if wc is None:
+                    wc = self._where_col_cache = F.expr(self._where_rest)
+                d = d.filter(wc)
             if self._select is not None:
-                d = d.select(
-                    *[F.expr(e).alias(n) for e, n in self._select], WEIGHT
-                )
+                sel = getattr(self, "_sel_col_cache", None)
+                if sel is None:
+                    sel = self._sel_col_cache = [
+                        F.expr(e).alias(n) for e, n in self._select
+                    ]
+                d = d.select(*sel, WEIGHT)
         return self.inner.step(d, self._now())
 
     def materialized(self) -> DataFrame:

@@ -1299,7 +1299,19 @@ class IncrementalLinearAggregateView:
             # consumer and persist() would just pay a full physical
             # planning pass on the step thread (round-9).
             aug = persist_step(aug)
-        state_plan = aug.filter("__n != 0").selectExpr(*x["core"])
+        # the three aug-derived frames (state plan + the two output-delta
+        # sides) are compile-time-fixed shapes over the one (persisted)
+        # aug frame — template them over the aug leaf so steps 2+ pay one
+        # JVM rebind each instead of ~17 py4j round trips of
+        # filter/selectExpr string conversion + analysis per frame. The
+        # spliced leaf is aug's own analyzed plan, so the CacheManager
+        # still matches the step-persisted aug subtree (computed once).
+        tpl = _view_tpl(self)
+        state_plan = tpl.bind(
+            ("stateplan",),
+            {"a": aug},
+            lambda m: m["a"].filter("__n != 0").selectExpr(*x["core"]),
+        )
 
         def _set(ck, _self=self, _plan=state_plan):
             # rebind only if the slot still holds this step's plan (a
@@ -1322,11 +1334,20 @@ class IncrementalLinearAggregateView:
         else:
             self.state = state_plan
             self._state_fut = (state_plan, fut)
-        old_rows = aug.filter(x["changed"]).selectExpr(*x["old_sel"])
-        new_rows = aug.filter(x["ins_pred"]).selectExpr(*x["core"])
         # rows already net (one per key, old != new): no consolidation
         # shuffle needed
-        return zset.plus(self._out(new_rows, 1), self._out(old_rows, -1))
+        return tpl.bind(
+            ("outdelta",),
+            {"a": aug},
+            lambda m: zset.plus(
+                self._out(
+                    m["a"].filter(x["ins_pred"]).selectExpr(*x["core"]), 1
+                ),
+                self._out(
+                    m["a"].filter(x["changed"]).selectExpr(*x["old_sel"]), -1
+                ),
+            ),
+        )
 
     def _merge_exprs_cached(self) -> dict:
         cached = getattr(self, "_mx", None)
@@ -2542,7 +2563,16 @@ class AppendOnlyAggregateView:
             # views' output deltas never execute — skip the persist's
             # physical-planning pass (round-9)
             aug = persist_step(aug)
-        state_plan = aug.selectExpr(*x["core"])
+        # aug-derived frames templated over the aug leaf (see the linear
+        # class): one JVM rebind per frame per step instead of the
+        # per-step selectExpr/filter round trips; the spliced leaf is
+        # aug's analyzed plan so the step-persist still matches.
+        tpl = _view_tpl(self)
+        state_plan = tpl.bind(
+            ("stateplan",),
+            {"a": aug},
+            lambda m: m["a"].selectExpr(*x["core"]),
+        )
 
         def _set(ck, _self=self, _plan=state_plan):
             # see IncrementalLinearAggregateView._set: always
@@ -2557,9 +2587,16 @@ class AppendOnlyAggregateView:
         else:
             self.state = state_plan
             self._state_fut = (state_plan, fut)
-        retract = aug.filter(x["changed"]).selectExpr(*x["old_sel"])
-        insert = aug.filter(x["ins_pred"]).selectExpr(*x["new_sel"])
-        return retract.unionByName(insert)
+        return tpl.bind(
+            ("outdelta",),
+            {"a": aug},
+            lambda m: m["a"]
+            .filter(x["changed"])
+            .selectExpr(*x["old_sel"])
+            .unionByName(
+                m["a"].filter(x["ins_pred"]).selectExpr(*x["new_sel"])
+            ),
+        )
 
     _decide_spine = IncrementalLinearAggregateView._decide_spine
 
