@@ -64,6 +64,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging hook wraps EVERY DataFrame/
+        # Column op with a call-site capture that costs 4 py4j round
+        # trips per call (getActiveSession + conf.get + origin set +
+        # clear — pyspark/errors/utils.py:_with_origin). cProfile of a
+        # warm i05 run: 196 getActiveSession round trips, ~1.5 s of the
+        # driver phase, all spent enriching error messages that only
+        # matter interactively. Off in the engine session; the flag is
+        # read once per process so it must be set at build time.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -2330,6 +2330,7 @@ class IncrementalRollingAggregateView:
         self.out_col = out_col
         self.integral = Spine()
         self.output = Spine()
+        self._out_fut = None  # background output-checkpoint handle
 
     def _rolling(self, rows: DataFrame) -> DataFrame:
         from pyspark.sql.window import Window
@@ -2448,6 +2449,15 @@ class IncrementalRollingAggregateView:
             F.col(self.ts_col) >= F.col("__dmin")
         ).drop("__dmin")
         new_out = recomputed  # carries the integral's net weight per row
+        # a prior step in the SAME scope may have handed the output
+        # checkpoint to the background pool (below): resolve it JUST
+        # before the output spine is read — everything above (integral
+        # append, dmins/bounds/kd plan building) overlapped with the
+        # background broadcast-collect builds, which profiled at
+        # 0.4-0.7 s per step ON the step thread in the sync form (the
+        # RDD construction of out_delta runs its embedded
+        # broadcast-exchange collect jobs right there, AQE off)
+        self._resolve_out_fut()
         if self.output.empty:
             out_delta = zset.consolidate(new_out)
         else:
@@ -2464,9 +2474,49 @@ class IncrementalRollingAggregateView:
                 .drop("__dmin")
             )
             out_delta = zset.consolidate(zset.minus(new_out, old_affected))
-        return self.output.append(out_delta)
+        return self._append_out_async(out_delta)
+
+    def _append_out_async(self, out_delta: DataFrame) -> DataFrame:
+        """Append to the output spine with the checkpoint PLANNING on
+        the background pool (the linear view's state-future pattern):
+        nothing reads the committed handle until the next step's
+        old-output read, which resolves the future first. Outside a
+        step scope: the plain synchronous append."""
+        from feldera_spark.streaming.stepper import defer_checkpoint_async
+
+        sp = self.output
+        sp._resolve_fold()
+        i = len(sp.batches)
+
+        def _set(ck, _sp=sp, _plan=out_delta, _i=i):
+            # swap only if the slot still holds this step's raw plan (a
+            # compaction replaces the list wholesale and orphans the
+            # ck); ALWAYS materialize — the next step may have resolved
+            # this ck into its own plans before flush fires the setter
+            lst = _sp.batches
+            if _i < len(lst) and lst[_i] is _plan:
+                lst[_i] = ck
+            return False
+
+        fut = defer_checkpoint_async(out_delta, _set)
+        if fut is None:  # no active scope: eager as before
+            return sp.append(out_delta)
+        handle = sp._post_append(out_delta)
+        self._out_fut = (sp, out_delta, i, fut)
+        return handle
+
+    def _resolve_out_fut(self) -> None:
+        if self._out_fut is None:
+            return
+        sp, plan, i, fut = self._out_fut
+        self._out_fut = None
+        ck = fut.result()
+        lst = sp.batches
+        if i < len(lst) and lst[i] is plan:  # not compacted away
+            lst[i] = ck
 
     def materialized(self) -> DataFrame:
+        self._resolve_out_fut()
         assert not self.output.empty
         return zset.to_bag(self.output.read())
 
