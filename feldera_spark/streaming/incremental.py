@@ -1060,10 +1060,19 @@ def _spine_step_aug(view, sp: "KeyedStateSpine", partial: DataFrame):
     else:
         kd = prepared_keys(partial, view.keys)
         old = sp.read_for_keys(partial, view.keys, prepared=kd)
-    p = partial.selectExpr(*x["p_sel"])
-    s = old.selectExpr(*x["s_sel"])
-    j = s.join(p.hint("shuffle_hash"), F.expr(x["cond"]), "full_outer")
-    aug = j.selectExpr(*x["aug_sel"])
+    # the partial-vs-old merge is a compile-time-fixed shape over two
+    # step-varying leaves: template it (the change-5 pattern for the
+    # merged-frame classes) so spine-mode steps 2+ pay one JVM rebind
+    # instead of ~3 selectExpr parses + the join construction per step
+    aug = _view_tpl(view).bind(
+        ("spineaug",),
+        {"p": partial, "o": old},
+        lambda m: m["o"].selectExpr(*x["s_sel"]).join(
+            m["p"].selectExpr(*x["p_sel"]).hint("shuffle_hash"),
+            F.expr(x["cond"]),
+            "full_outer",
+        ).selectExpr(*x["aug_sel"]),
+    )
     if not getattr(view, "aug_unshared", False) or bulk:
         aug = persist_step(aug)
     if bulk:
