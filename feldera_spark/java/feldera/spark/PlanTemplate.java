@@ -50,6 +50,19 @@ public class PlanTemplate {
     }
     LogicalPlan plan = template.queryExecution().analyzed();
     LogicalPlan rebound = plan.transformUp(substitution(newLeaves));
+    // The spliced tree is fully resolved by construction (analyzed
+    // template + analyzed leaves + by-name Alias projections keeping the
+    // template's exprIds/dtypes), but transformUp's node copies reset
+    // the _analyzed flag, so Dataset.ofRows would re-run the analyzer
+    // fixpoint over the whole tree (state leaves are deep) on EVERY
+    // step — measured ~25 ms per rebind, the dominant residual
+    // driver-phase cost. Marking the tree analyzed takes
+    // Analyzer.executeAndCheck's `if (plan.analyzed) return plan` fast
+    // path; any rule that could fire on this tree already fired when
+    // the template itself was analyzed (the only new nodes are the
+    // resolved Alias projections). setAnalyzed() is private[catalyst],
+    // which compiles to a public method in bytecode.
+    rebound.setAnalyzed();
     return org.apache.spark.sql.classic.Dataset.ofRows(
         template.sparkSession(), rebound);
   }
