@@ -1397,7 +1397,16 @@ class CompiledView:
                     # a same-key insertion of a >= value — MAX over the
                     # inserts alone is the true MAX
                     rows = rows.filter(F.col(WEIGHT) > 0)
-                rows = zset.to_bag(rows)  # chain view ingests plain rows
+                # chain view ingests plain rows; to_bag is 4 DataFrame
+                # ops over the (deep) per-step delta — template it over
+                # that one leaf so steps 2+ pay one JVM rebind instead
+                # of re-analyzing the tree per op (same pattern as the
+                # aug templates)
+                from feldera_spark.streaming.incremental import _view_tpl
+
+                rows = _view_tpl(self).bind(
+                    ("tobag",), {"r": rows}, lambda m: zset.to_bag(m["r"])
+                )
             if self._waterline is not None:
                 # windowed-GC strategy: drop late rows, advance the
                 # waterline, freeze windows below the new bound
@@ -1416,10 +1425,19 @@ class CompiledView:
             else:
                 out = self._agg.step(rows)
             if out is not None:
-                if set(s.out_cols) <= (set(out.columns) - {WEIGHT}):
-                    out = out.select(*s.out_cols, WEIGHT)
-                else:
-                    out = self._out_select(out, keep_weight=True)
+                # the output-column select re-analyzes the whole (deep)
+                # output-delta tree every step — measured 34 ms/view/step
+                # on nx04; template it over the one step-varying leaf
+                from feldera_spark.streaming.incremental import _view_tpl
+
+                direct = set(s.out_cols) <= (set(out.columns) - {WEIGHT})
+                out = _view_tpl(self).bind(
+                    ("outsel", direct),
+                    {"o": out},
+                    (lambda m: m["o"].select(*s.out_cols, WEIGHT))
+                    if direct
+                    else (lambda m: self._out_select(m["o"], keep_weight=True)),
+                )
             # global-aggregate default row: maintain the SQL "one row
             # over empty input" fix-up in the OUTPUT DELTA stream —
             # transitions between live and empty retract/insert the
