@@ -73,6 +73,25 @@ def get_spark(
         # matter interactively. Off in the engine session; the flag is
         # read once per process so it must be set at build time.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # CRC-less local filesystem for file:// URIs. Hadoop's default
+        # LocalFileSystem/LocalFs are CHECKSUMMED: every WAL write of a
+        # streaming query (offsets + commit log via the FileContext-
+        # based checkpoint manager) and every source-directory listing
+        # pays CRC sidecar I/O on scratch data that is written and read
+        # by the same host. Measured per trigger on the nx01 streaming
+        # shape (StreamingQueryProgress.durationMs, steady state):
+        # walCommit 32→17 ms, commitOffsets 31→17 ms, latestOffset
+        # 34→19 ms — 1.65M→2.02M ev/s end-to-end. Applies only to
+        # file:// paths, at ANY core count; cluster deployments keep
+        # their checkpoints on HDFS/S3 whose own impls are untouched.
+        .config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        )
+        .config(
+            "spark.hadoop.fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs",
+        )
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
