@@ -1416,11 +1416,26 @@ class CompiledView:
                 )
             elif pane_cols is not None:
                 kname, floor_col, explode_col, end_cols, gb = pane_cols
-                rows = rows.withColumn(kname, floor_col)
-                panes = rows.groupBy(*gb).agg(*self._agg._partial_exprs)
-                panes = panes.withColumn(kname, explode_col)
-                if end_cols:
-                    panes = panes.withColumns(dict(end_cols))
+                # the pane pre-aggregation is ~5 DataFrame ops over the
+                # (deep) per-step delta, all built from compile-time
+                # Columns — template it over that one leaf (the change-5
+                # pattern): steps 2+ pay one JVM rebind instead of
+                # re-analyzing the delta tree per op
+                from feldera_spark.streaming.incremental import _view_tpl
+
+                def _pane_build(m):
+                    p = (
+                        m["r"]
+                        .withColumn(kname, floor_col)
+                        .groupBy(*gb)
+                        .agg(*self._agg._partial_exprs)
+                        .withColumn(kname, explode_col)
+                    )
+                    return p.withColumns(dict(end_cols)) if end_cols else p
+
+                panes = _view_tpl(self).bind(
+                    ("pane",), {"r": rows}, _pane_build
+                )
                 out = self._agg.step(panes, pre_partial=True)
             else:
                 out = self._agg.step(rows)
