@@ -470,13 +470,21 @@ def test_step_scope_commits_in_one_job(spark):
     _st._pool().submit(lambda: None).result()
 
     tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
+
+    # count via the MAX job id (monotonically increasing), not len():
+    # the status store only retains spark.ui.retainedJobs (1000) ids,
+    # so in a long-lived test session len() saturates at the cap and
+    # then *shrinks* as old ids are evicted — the max id never does
+    def _latest():
+        return max(tracker.getJobIdsForGroup(None) or [-1])
+
+    before = _latest()
     with step_scope():
         view.step(base.filter(F.col("v") >= 20).withColumn(
             WEIGHT, F.lit(1).cast("long")
         ))
-        mid = len(tracker.getJobIdsForGroup(None) or [])
-    after = len(tracker.getJobIdsForGroup(None) or [])
+        mid = _latest()
+    after = _latest()
     # a step may run AT MOST two jobs total: the single state-commit job
     # plus one routing-broadcast build (which lands inside the scope or
     # at flush depending on whether the state checkpoint was handed to
