@@ -188,22 +188,36 @@ def lsh_candidate_pairs(
     """
     wide = minhash_wide(df, id_col, text, num_hashes, shingle_n)
     buckets = lsh_band_buckets_wide(wide, id_col, num_hashes, rows_per_band)
-    # The self-join's two sides are the SAME bucket frame; without a
-    # materialization point each side re-runs the whole shingle → md5 →
-    # minhash pipeline (the dominant cost — one md5 per shingle over the
-    # corpus). A lazy local checkpoint computes it once — the broadcast
-    # build job materializes it, the probe side then reads stored
-    # blocks. (Not a cross-run cache: every invocation builds and
-    # checkpoints afresh from the parquet scan.)
-    buckets = buckets.localCheckpoint(eager=False)
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), "band", "bucket"
+    # Pair generation is a GROUP, not a self-join: one exchange on
+    # (band, bucket) collects each bucket's member ids (unique within a
+    # bucket — a doc has exactly one bucket per band), then a narrow
+    # array transform emits the i<j pairs in-place. The previous
+    # self-join consumed the bucket frame twice (forcing a
+    # localCheckpoint to share the shingle→md5→minhash pipeline) and at
+    # sf0.1 got planned as a BROADCAST of the corpus-sized bucket frame
+    # — impossible at 100 TB. Now: single consumer (checkpoint gone),
+    # one hash exchange instead of broadcast+join, and the per-bucket
+    # quadratic fan-out happens as an in-memory array transform in the
+    # same task that would have produced the same pairs from the join.
+    # The global distinct (the oracle's exactness contract — a pair may
+    # share several bands) is unchanged; its map-side partial aggregate
+    # now sees locally bucket-unique pairs only.
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
     )
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size(F.col("ids")) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -243,9 +257,11 @@ def ngram_jaccard_pairs(
     # postings feeds THREE consumers (the doc-frequency cap, the sizes
     # aggregate, and both sides of the inverted-index self-join) — pin
     # the exploded+distinct frame once instead of re-running the shingle
-    # explode per consumer (same per-invocation materialization as
-    # lsh_candidate_pairs, never a cross-run cache)
-    postings = postings.localCheckpoint(eager=False)
+    # explode per consumer (per-invocation materialization, never a
+    # cross-run cache; mechanism per spark.feldera.materialize)
+    from feldera_spark.materialize import materialize_shared
+
+    postings = materialize_shared(postings)
     if max_doc_freq is not None:
         rare = (
             postings.groupBy("shingle")
@@ -331,11 +347,22 @@ def connected_components(
     history (the same recipe as ``operators/recursion.fixpoint``, which
     this mirrors — label(n) = min(n, min over neighbors) is a semi-naive
     datalog fixpoint specialized to the min lattice)."""
+    # Both orientations via ONE explode (a narrow op), not a union of
+    # two selects: the union form consumed the edges plan twice, so the
+    # upstream pipeline (for LSH candidates: shingle → minhash → band →
+    # pairs) executed once per direction inside the pin job below.
     sym = edges.select(
-        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
-    ).localCheckpoint(eager=True)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("node"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr").localCheckpoint(eager=True)
     # ^ pin the edge list ONCE: without this, every propagation round
     # re-executes the upstream plan that produced the edges (for LSH
     # candidates that is the whole shingle->minhash->band pipeline)

@@ -45,10 +45,25 @@ def _collect_vec_side(df: DataFrame, id_col: str, vec_col: str, norm_col: str | 
 
     Without ``norm_col`` the L2 norm is derived here: sqrt over the
     exact int64 self-dot (all partial sums < 2^53) is the same IEEE
-    double the engine's ``SQRT(aggregate(...))`` produces."""
+    double the engine's ``SQRT(aggregate(...))`` produces.
+
+    The bounded-by-contract promise is ENFORCED: collecting more than
+    ``spark.feldera.similarity.collectCap`` rows (default 1,000,000 —
+    ~0.5 GB of 64-dim int64 vectors) raises loudly instead of silently
+    OOMing the driver. Raise the conf for genuinely bigger probe sets
+    on drivers sized for them."""
     import numpy as np
 
-    rows = df.collect()
+    cap = int(
+        df.sparkSession.conf.get("spark.feldera.similarity.collectCap", "1000000")
+    )
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"_collect_vec_side: side exceeds the bounded-by-contract cap "
+            f"({cap} rows; spark.feldera.similarity.collectCap) — "
+            f"collecting it would risk a silent driver OOM"
+        )
     rows.sort(key=lambda r: r[id_col])
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     if rows:
@@ -150,15 +165,31 @@ def cosine_topk(
             cv = _batch_mat(b, "cv")
             cn = _np_norm(cv)
             dots = (cv @ qmat.T).astype(np.float64)  # exact ints < 2^53
-            cos = dots / (qn[None, :] * cn[:, None])
-            out_n = np.repeat(nid, nq)
-            out_q = np.tile(qids, n)
-            keep = out_n != out_q
+            cos = dots / (qn[None, :] * cn[:, None])  # (n, nq)
+            # Per-batch top-k: only rows that can still reach the global
+            # per-query top-k leave the map. Exact: a row NOT among its
+            # batch's k best for query q (under the final window's total
+            # order — cosine DESC, then neighbor_id ASC) has >= k batch
+            # rows strictly-or-tie ahead of it, so its global row_number
+            # can never be <= k. Keeping every row with cosine >= the
+            # batch's k-th largest (ties included) is therefore a
+            # superset of the true top-k; non-finite cosines (zero-norm
+            # vectors) are always kept so NaN/inf ordering stays the
+            # window's business. Shrinks the Arrow->JVM transfer and the
+            # window sort input ~n/k-fold per batch.
+            valid = nid[:, None] != qids[None, :]
+            if n <= k:
+                keep = valid
+            else:
+                work = np.where(valid, cos, -np.inf)
+                kth = np.partition(work, n - k, axis=0)[n - k, :]
+                keep = ((work >= kth[None, :]) | ~np.isfinite(cos)) & valid
+            ridx, cidx = np.nonzero(keep)
             yield pa.record_batch(
                 {
-                    "neighbor_id": pa.array(out_n[keep], type=pa.int64()),
-                    "query_id": pa.array(out_q[keep], type=pa.int64()),
-                    "cosine": pa.array(cos.reshape(-1)[keep], type=pa.float64()),
+                    "neighbor_id": pa.array(nid[ridx], type=pa.int64()),
+                    "query_id": pa.array(qids[cidx], type=pa.int64()),
+                    "cosine": pa.array(cos[ridx, cidx], type=pa.float64()),
                 }
             )
 
@@ -361,8 +392,10 @@ def ivf_topk(
     # compute-heavy-table repartition load_table adds). Pin the prepared
     # corpus once per invocation — the first job materializes it, the
     # rest read stored blocks. (Per-invocation only, never a cross-run
-    # cache.)
-    c = c.localCheckpoint(eager=False)
+    # cache; mechanism per spark.feldera.materialize.)
+    from feldera_spark.materialize import materialize_shared
+
+    c = materialize_shared(c)
     if n_cells is None:
         # one parquet-metadata-cheap count sizes the index
         n_cells = max(16, int(math.floor(math.sqrt(corpus.count()) + 0.5)))

@@ -262,7 +262,9 @@ def nx05_hot_items(spark, sf_dir):
     counts = b.groupBy(
         F.window("date_time", "1 hour", "15 minutes").alias("w"), "auction"
     ).agg(F.count(F.lit(1)).alias("num"))
-    counts = counts.localCheckpoint(eager=False)
+    from feldera_spark.materialize import materialize_shared
+
+    counts = materialize_shared(counts)
     maxes = counts.groupBy("w").agg(F.max("num").alias("maxn"))
     return (
         counts.join(F.broadcast(maxes), "w")

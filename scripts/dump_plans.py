@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Dump .explain("formatted") for headline queries to plans/r11/<q>_<tag>.txt.
+"""Dump .explain("formatted") for headline queries to plans/r12/<q>_<tag>.txt.
 
 Usage: python scripts/dump_plans.py <tag> [query ...]
 Plans are captured with the same session config as bench.py.
@@ -26,7 +26,7 @@ def main() -> None:
     qs = all_queries()
     if not names:
         names = bench.HEADLINE
-    os.makedirs("plans/r11", exist_ok=True)
+    os.makedirs("plans/r12", exist_ok=True)
     for name in names:
         try:
             df = qs[name](spark, sf_dir)
@@ -37,7 +37,7 @@ def main() -> None:
             )
         except Exception as e:  # multi-step IVM queries may run jobs to build
             plan = f"<error capturing plan: {e}>"
-        out = f"plans/r11/{name}_{tag}.txt"
+        out = f"plans/r12/{name}_{tag}.txt"
         with open(out, "w") as f:
             f.write(plan)
         print(f"wrote {out} ({len(plan)} bytes)")

@@ -61,3 +61,86 @@ def test_repetition_signals(spark):
            repetition_signals(df, "doc_id", "text").collect()}
     assert out[1].repetitive == 1 and out[1].top_token_ratio == 1.0
     assert out[2].repetitive == 0 and out[2].distinct_ratio == 1.0
+
+
+def test_lsh_pairs_bucket_group_equals_self_join(spark):
+    """The grouped in-bucket pair generation must emit exactly the
+    self-join's pair set: every unordered pair of docs sharing >= 1
+    band bucket, once."""
+    from feldera_spark.datapipe.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "completely different text with no overlap here at all"),
+            (5, "another unrelated document about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    # reference: brute-force over the bucket frame
+    from feldera_spark.datapipe.dedup import lsh_band_buckets_wide, minhash_wide
+
+    buckets = lsh_band_buckets_wide(
+        minhash_wide(docs, "doc_id", "text", 8, 3), "doc_id", 8, 2
+    ).collect()
+    by_bucket: dict = {}
+    for r in buckets:
+        by_bucket.setdefault((r["band"], r["bucket"]), []).append(r["doc_id"])
+    want = set()
+    for ids in by_bucket.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want.add((ids[i], ids[j]))
+    assert got == want and (1, 3) in got
+
+
+def test_materialize_shared_modes(spark):
+    """Every spark.feldera.materialize mode returns the same rows; an
+    unknown mode fails loudly."""
+    import pytest
+
+    from feldera_spark.materialize import materialize_shared
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    want = set(range(10))
+    for mode in ("localCheckpoint", "persistDisk", "checkpoint"):
+        spark.conf.set("spark.feldera.materialize", mode)
+        try:
+            got = {r["x"] for r in materialize_shared(df).collect()}
+            assert got == want, mode
+        finally:
+            spark.conf.unset("spark.feldera.materialize")
+    spark.conf.set("spark.feldera.materialize", "bogus")
+    try:
+        with pytest.raises(ValueError, match="bogus"):
+            materialize_shared(df)
+    finally:
+        spark.conf.unset("spark.feldera.materialize")
+
+
+def test_collect_vec_side_cap(spark):
+    """_collect_vec_side enforces the bounded-by-contract cap loudly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from feldera_spark.datapipe.similarity import _collect_vec_side
+
+    df = spark.range(50).select(
+        F.col("id"), F.array(F.lit(1).cast("long")).alias("v")
+    )
+    spark.conf.set("spark.feldera.similarity.collectCap", "10")
+    try:
+        with pytest.raises(ValueError, match="collectCap"):
+            _collect_vec_side(df, "id", "v")
+    finally:
+        spark.conf.unset("spark.feldera.similarity.collectCap")
+    ids, mat, nrm = _collect_vec_side(df, "id", "v")
+    assert len(ids) == 50 and mat.shape == (50, 1)
