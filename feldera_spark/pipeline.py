@@ -50,6 +50,23 @@ _CREATE_VIEW_RE = re.compile(
 _PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'", re.DOTALL)
 
 
+_TYPE_WIDTHS = {
+    "long": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+    "integer": 4, "float": 4, "date": 4, "boolean": 1,
+    "string": 20, "binary": 32,
+}
+
+
+def _est_row_width(schema) -> int:
+    """Rough serialized bytes per row (step-partition sizing only —
+    order-of-magnitude is enough: the target is 128 MB partitions, so a
+    2x width error means 64/256 MB partitions, both fine)."""
+    total = 0
+    for f in schema.fields:
+        total += _TYPE_WIDTHS.get(f.dataType.typeName(), 16)
+    return max(total, 8)
+
+
 def _parse_props(s: str | None) -> dict[str, str]:
     return {m.group("k").lower(): m.group("v") for m in _PROP_RE.finditer(s or "")}
 _CREATE_FUNCTION_RE = re.compile(
@@ -1612,6 +1629,18 @@ class Pipeline:
             with self._step_lock:
                 self._stream_step(decl, spine, self._rebind_main(df))
 
+        # NOTE (r12, measured negative result): priming the compiled
+        # step path with one EMPTY-delta circuit step before the first
+        # trigger (to move template/broadcast warm-up out of steps 1-2)
+        # REGRESSED nx04 370k vs 549k ev/s in an interleaved A/B: the
+        # engine's size-adaptive per-view decisions (_decide_spine's
+        # state/delta ratio, broadcast-vs-shuffle strategy picks) are
+        # made on the FIRST step a view takes and an empty delta bakes
+        # in empty-size choices that every real step then inherits
+        # (commit phase inflated 681→930 ms). Warm-up must come from
+        # real data — template creation is backgrounded instead
+        # (plantemplate._creation_pool).
+
         # Whole-stage codegen off for the streaming query's duration
         # (``spark.feldera.stream.codegen=true`` opts back in): a
         # micro-batch query builds a FRESH IncrementalExecution every
@@ -1639,6 +1668,11 @@ class Pipeline:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
+        # per-table query handle: the next step derives its shuffle
+        # parallelism from this query's last observed trigger volume
+        if not hasattr(self, "_stream_queries"):
+            self._stream_queries: dict = {}
+        self._stream_queries[name] = q
         if prev_cg is not None:
             # restore once the query terminates (availableNow runs are
             # the common local path; long-lived queries restore when the
@@ -1725,8 +1759,63 @@ class Pipeline:
                 self.spark.conf.get("spark.feldera.step.pipelined", "true")
                 == "true"
             )
-        with step_scope(pipelined=pipelined):
+        with step_scope(
+            pipelined=pipelined,
+            shuffle_partitions=self._derived_step_partitions(decl, df),
+        ):
             self._stream_step_inner(decl, spine, df, persist_step)
+
+    def _derived_step_partitions(self, decl, df) -> int | None:
+        """Size the step's shuffle parallelism to the OBSERVED delta
+        volume (previous trigger's ``numInputRows`` x estimated row
+        width / ``spark.feldera.step.targetPartitionBytes``, floored at
+        the configured ``spark.feldera.step.shufflePartitions``) — the
+        state-store-partition sizing rule, now behavior instead of a
+        comment. At local bench volumes (500k x ~40 B ≈ 20 MB < one
+        128 MB target partition) this equals the floor, so local runs
+        are unchanged; a cluster-sized trigger (100 GB) derives ~800.
+        Costs no job: reads the streaming query's last progress."""
+        spark = self.spark
+        base = spark.conf.get("spark.feldera.step.shufflePartitions", "")
+        if not base:
+            return None
+        floor_parts = int(base)
+        q = getattr(self, "_stream_queries", {}).get(decl.name)
+        rows = None
+        if q is not None:
+            try:
+                lp = q.lastProgress
+                if lp:
+                    rows = int(lp.get("numInputRows") or 0)
+            except Exception:
+                rows = None
+        if not rows:
+            return floor_parts
+        width = getattr(self, "_row_width_cache", {}).get(decl.name)
+        if width is None:
+            width = _est_row_width(df.schema)
+            if not hasattr(self, "_row_width_cache"):
+                self._row_width_cache = {}
+            self._row_width_cache[decl.name] = width
+        from feldera_spark.streaming.stepper import derive_step_partitions
+
+        target = int(
+            spark.conf.get(
+                "spark.feldera.step.targetPartitionBytes", str(128 << 20)
+            )
+        )
+        derived = derive_step_partitions(rows, width, floor_parts, target)
+        if derived != getattr(self, "_last_step_parts", None):
+            self._last_step_parts = derived
+            import sys as _sys
+
+            print(
+                f"feldera_spark: step shuffle partitions = {derived} "
+                f"(~{rows} rows x {width} B / {target} B target, "
+                f"floor {floor_parts})",
+                file=_sys.stderr,
+            )
+        return derived
 
     def barrier(self) -> None:
         """Wait for any in-flight pipelined step commit (a no-op when

@@ -208,6 +208,32 @@ def _sig(schema: StructType) -> tuple:
 # ---------------------------------------------------------------------------
 # template cache
 
+_CREATION_POOL = None
+
+
+def _creation_pool():
+    """ONE dedicated thread for background template creation: separate
+    from the state-checkpoint pool so queued creations never delay a
+    step's state builds (the flush joins those), and single so
+    creations serialize — each is a burst of py4j round trips and
+    overlapping them buys nothing."""
+    global _CREATION_POOL
+    if _CREATION_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CREATION_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="tpl-create"
+        )
+    return _CREATION_POOL
+
+
+def drain_creation() -> None:
+    """Barrier on all queued background template creations (tests and
+    deterministic A/B harnesses; the engine never needs it — binds fall
+    back to direct builds until entries land)."""
+    if _CREATION_POOL is not None:
+        _creation_pool().submit(lambda: None).result()
+
 
 class _Entry:
     __slots__ = ("template", "markers", "order", "sigs", "dead")
@@ -234,6 +260,7 @@ class TemplateCache:
 
     def __init__(self):
         self._t: dict = {}
+        self._building: set = set()
 
     def bind(
         self,
@@ -253,12 +280,46 @@ class TemplateCache:
             return build(leaves)
         if ent is None:
             out = build(leaves)  # first step: direct result
-            try:
-                ent = self._make_entry(spark, leaves, build, out)
-            except Exception:
-                ent = _Entry(None, None, None, None)
-                ent.dead = True
-            self._t[key] = ent
+            # Template CREATION costs ~3x a direct build (marker
+            # frames + a second build() over them + a verification
+            # rebind) and used to run inline on the first step — the
+            # dominant slice of a streaming pipeline's step-1/2 warm-up
+            # (nx04: 1.04 s of a 1.27 s first step was bind()). It is
+            # pure driver-side plan construction over immutable
+            # analyzed plans, so it runs on a dedicated background
+            # thread; binds keep falling back to direct builds until
+            # the entry lands. Disable with
+            # spark.feldera.planTemplates.async=false (creation then
+            # happens inline, the pre-r12 behavior).
+            if key in self._building:
+                return out
+            sync = (
+                spark.conf.get(
+                    "spark.feldera.planTemplates.async", "true"
+                ).lower()
+                in ("off", "false", "0")
+            )
+            if sync:
+                try:
+                    ent = self._make_entry(spark, leaves, build, out)
+                except Exception:
+                    ent = _Entry(None, None, None, None)
+                    ent.dead = True
+                self._t[key] = ent
+                return out
+            self._building.add(key)
+            snapshot = dict(leaves)
+
+            def _create(key=key, leaves=snapshot, build=build, out=out):
+                try:
+                    e = self._make_entry(spark, leaves, build, out)
+                except Exception:
+                    e = _Entry(None, None, None, None)
+                    e.dead = True
+                self._t[key] = e
+                self._building.discard(key)
+
+            _creation_pool().submit(_create)
             return out
         # no Python-side schema pre-check: fetching each leaf's schema
         # is a full analysis round trip PER LEAF PER STEP (raw state

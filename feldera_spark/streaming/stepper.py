@@ -307,8 +307,23 @@ def join_flush() -> float:
     return _time.perf_counter() - t0
 
 
+def derive_step_partitions(
+    rows: int | None, row_width: int, floor_parts: int, target_bytes: int
+) -> int:
+    """Per-step shuffle parallelism from observed delta volume: enough
+    partitions that each holds ~``target_bytes`` of delta, never fewer
+    than the configured floor — the same sizing rule as state-store
+    partition counts (rows x width / target). With no observation yet
+    (first step), the floor. Pure so it is unit-testable."""
+    if not rows or rows <= 0:
+        return floor_parts
+    import math
+
+    return max(floor_parts, math.ceil(rows * row_width / target_bytes))
+
+
 @contextmanager
-def step_scope(pipelined: bool = False):
+def step_scope(pipelined: bool = False, shuffle_partitions: int | None = None):
     """Collect every state checkpoint requested during one circuit step
     and commit them in ONE Spark job at scope exit. Nested scopes join
     the outermost batch — one commit per outermost step.
@@ -375,9 +390,13 @@ def step_scope(pipelined: bool = False):
         prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
     step_parts = (
-        spark.conf.get("spark.feldera.step.shufflePartitions", "")
-        if spark is not None
-        else ""
+        str(shuffle_partitions)
+        if shuffle_partitions
+        else (
+            spark.conf.get("spark.feldera.step.shufflePartitions", "")
+            if spark is not None
+            else ""
+        )
     )
     if step_parts:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

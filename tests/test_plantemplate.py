@@ -9,7 +9,7 @@ and the fallback paths (helper off, schema drift)."""
 import pytest
 from pyspark.sql import functions as F
 
-from feldera_spark.streaming.plantemplate import TemplateCache, helper
+from feldera_spark.streaming.plantemplate import drain_creation, TemplateCache, helper
 from tests.conftest import spark  # noqa: F401
 
 
@@ -44,6 +44,7 @@ def test_rebind_agg_join_broadcast(spark):
         )
 
     first = tc.bind("k", {"d": mk(100)}, build)   # direct + template store
+    drain_creation()
     second = tc.bind("k", {"d": mk(200)}, build)  # rebound
     assert _rows(first) == _rows(build({"d": mk(100)}))
     assert _rows(second) == _rows(build({"d": mk(200)}))
@@ -66,6 +67,7 @@ def test_rebind_same_leaf_twice_self_join(spark):
         )
 
     tc.bind("s", {"d": mk(5)}, build)
+    drain_creation()
     out = tc.bind("s", {"d": mk(7)}, build)
     assert _rows(out) == _rows(build({"d": mk(7)}))
 
@@ -84,6 +86,7 @@ def test_rebind_two_leaves_and_filter(spark):
         return spark.range(lo, hi).select(F.col("id").alias("v"))
 
     tc.bind("u", {"x": mk(0, 5), "y": mk(5, 8)}, build)
+    drain_creation()
     out = tc.bind("u", {"x": mk(2, 6), "y": mk(6, 9)}, build)
     assert _rows(out) == _rows(build({"x": mk(2, 6), "y": mk(6, 9)}))
 
@@ -103,6 +106,7 @@ def test_nullability_skew_is_tolerated(spark):
         [(0, 1), (1, None)], "k BIGINT, v BIGINT"
     )
     tc.bind("n", {"d": nonnull}, build)
+    drain_creation()
     out = tc.bind("n", {"d": nullable}, build)
     assert _rows(out) == _rows(build({"d": nullable}))
 
@@ -114,6 +118,7 @@ def test_schema_drift_falls_back(spark):
         return m["d"].selectExpr("*")
 
     tc.bind("x", {"d": spark.range(3)}, build)
+    drain_creation()
     drifted = spark.range(3).select(F.col("id").cast("int").alias("id"))
     out = tc.bind("x", {"d": drifted}, build)
     assert _rows(out) == _rows(drifted)
@@ -159,6 +164,7 @@ def test_agg_view_step_uses_template(spark):
         )
 
     v.step(mk(0, 10))
+    drain_creation()
     v.step(mk(10, 30))
     v.step(mk(30, 40))
     ent = v._tplc._t.get(("aug", False))

@@ -1085,3 +1085,35 @@ def test_append_only_archive_generation_merge_bounded(spark, tmp_path):
         d for d in os.listdir(f"{spill}/archive") if d.startswith("gen-")
     ]
     assert len(gens) <= s.max_archive_gens + 1, gens
+
+
+def test_derive_step_partitions_rule():
+    """Volume-derived per-step shuffle parallelism: the floor locally,
+    rows x width / target on cluster-sized deltas."""
+    from feldera_spark.streaming.stepper import derive_step_partitions
+
+    assert derive_step_partitions(None, 40, 4, 128 << 20) == 4
+    assert derive_step_partitions(0, 40, 4, 128 << 20) == 4
+    # 500k x 40B = 20MB < one 128MB partition -> floor (bench parity)
+    assert derive_step_partitions(500_000, 40, 4, 128 << 20) == 4
+    # 3.2B rows x 40B = 128GB -> ceil(128GB / 128MiB) = 954 partitions
+    assert derive_step_partitions(3_200_000_000, 40, 4, 128 << 20) == 954
+
+
+def test_est_row_width():
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from feldera_spark.pipeline import _est_row_width
+
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", DoubleType()),
+            StructField("c", StringType()),
+            StructField("d", TimestampType()),
+        ]
+    )
+    assert _est_row_width(schema) == 8 + 8 + 20 + 8
