@@ -1445,7 +1445,15 @@ class CompiledView:
                 # on nx04; template it over the one step-varying leaf
                 from feldera_spark.streaming.incremental import _view_tpl
 
-                direct = set(s.out_cols) <= (set(out.columns) - {WEIGHT})
+                # the out-delta column set is a compile-time-fixed
+                # property of the view's step shape: computing it from
+                # out.columns forced one full analysis round trip per
+                # step — decide once, reuse every step
+                direct = getattr(self, "_outsel_direct", None)
+                if direct is None:
+                    direct = self._outsel_direct = (
+                        set(s.out_cols) <= (set(out.columns) - {WEIGHT})
+                    )
                 out = _view_tpl(self).bind(
                     ("outsel", direct),
                     {"o": out},

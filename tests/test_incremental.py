@@ -538,7 +538,11 @@ def test_restricted_seed_gates_broadcast_on_cone_size(spark):
     still be correct)."""
     from feldera_spark.pipeline import PipelineBuilder
 
-    edges = [(i, i + 1) for i in range(40)]
+    # 16-node path: closure depth 16 keeps the deleted-root cone (~15
+    # keys) well over the forced limit of 5 while the fixpoint runs 16
+    # semi-naive rounds instead of 40 (this test was 67 s of the r11
+    # suite that the driver's pytest window could no longer fit)
+    edges = [(i, i + 1) for i in range(16)]
     b = PipelineBuilder(spark).sql(
         """
         CREATE TABLE gedge (child BIGINT, parent BIGINT);
@@ -572,7 +576,7 @@ def test_restricted_seed_gates_broadcast_on_cone_size(spark):
         spark.conf.set("spark.feldera.broadcastKeyRowLimit", prev)
     got = {(r["node"], r["anc"]) for r in p.view("ganc").collect()}
     assert not any(n == 0 for n, _ in got)
-    assert len(got) == total - 40
+    assert len(got) == total - 16
 
 
 def test_bulk_insert_step_skips_key_broadcast(spark):
